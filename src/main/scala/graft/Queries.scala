@@ -1,0 +1,661 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, Text}
+import graft.ops.{Events, Relational}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The driver-contract query catalog: one named builder per implemented
+  * operator from SURVEY.md §2 (+ the training-data-pipeline operators), each
+  * paired with equivalent ANSI SQL for the DuckDB differential oracle.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money math goes through DECIMAL(18,2) (exact) and is presented as
+  *    DOUBLE, so both engines emit the identical bit pattern;
+  *  - every multi-row result ends in a total ORDER BY (Catalyst's
+  *    EliminateSorts removes it under Bench's count());
+  *  - event-time arithmetic uses integer epoch micros/nanos (`ts div n`),
+  *    never double-seconds;
+  *  - text hashing uses md5 (identical in DuckDB); Spark-only fast paths use
+  *    xxhash64 and are checked rows-only.
+  */
+object Queries {
+
+  private type Builder = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact money column: double → DECIMAL(18,2). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal aggregate presented as double. */
+  private def money(c: Column): Column = sum(c).cast("double")
+
+  // ---------------------------------------------------------------------
+  // §2A relational operators
+  // ---------------------------------------------------------------------
+
+  /** 2A-1/3/14: scan → filter → group → aggregate (pricing summary, the
+    * engine's TPC-H-Q1-shaped smoke of scan/project/agg correctness).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        money(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        money(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("sum_disc_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** 2A-17: rank-latest — ROW_NUMBER() ... rank=1, the reference's
+    * latest-run-per-job query (`KafkaDemo.sh:64-71`), over orders/customer.
+    */
+  def rankLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    Relational.rankLatest(o, Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** 2A-14 / 2B-12: watermark bounds NVL(MIN/MAX,0) over the control-table
+    * stand-in (`Fact_Dagg_automation.sh:71-75`).
+    */
+  def watermarkBounds(spark: SparkSession, dir: String): DataFrame =
+    Relational.watermarkBounds(t(spark, dir, "orders"), col("o_orderkey"),
+      lit(1000L), col("o_orderstatus") === "F")
+
+  /** 2A-4: incremental range filter (`query.txt:2` run-id window). */
+  def incrementalFilter(spark: SparkSession, dir: String): DataFrame =
+    Relational.incrementalFilter(t(spark, dir, "lineitem"), col("l_shipdate"),
+        lit("1996-01-01"), lit("1996-03-31"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** 2A-5/6: IN-list + LIKE-disjunction filters (`query.txt:1`,
+    * `FACT_AUTOMATION.sh:75-87`).
+    */
+  def filterInLike(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        Relational.likeAny(col("p_name"), Seq("widget", "bolt")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  /** 2A-8/12: the flagship shape — multi-way LEFT OUTER join with constant
+    * predicates inside ON + CASE-classification + aggregate
+    * (`query.txt:1`). Dimension sides are broadcast (they are small by
+    * construction — the 100 TB side is lineitem).
+    */
+  def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    val s = t(spark, dir, "supplier")
+    val p = t(spark, dir, "part")
+    li
+      .join(o, li("l_orderkey") === o("o_orderkey") &&
+        o("o_orderstatus").isin("F", "O"), "left_outer")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"), "left_outer")
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
+      .withColumn("segment_class",
+        when(col("c_mktsegment") === "AUTOMOBILE", "Vehicle")
+          .when(col("c_mktsegment") === "MACHINERY", "Industrial")
+          .when(col("c_mktsegment").isNull, "Not Applicable")
+          .otherwise("Other"))
+      .groupBy(coalesce(col("r_name"), lit("UNKNOWN")).as("region_name"), col("segment_class"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        money(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("region_name"), col("segment_class"))
+  }
+
+  /** 2A-9: LEFT JOIN to an aggregating subquery (`query.txt:1` Z/Q joins). */
+  def joinAggSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val z = t(spark, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"), max(col("o_totalprice")).as("max_price"))
+    c.join(z, c("c_custkey") === z("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("max_price"), lit(0.0)).as("max_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 2A-10: uncorrelated scalar subquery in a predicate (`query.txt:1`
+    * `ON E.x = (SELECT DISTINCT ...)`) — SQL form for fidelity, run through
+    * the stored-query-as-data path (`TESTING_QUERIES` CLOBs).
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size = (SELECT max(p_size) FROM part)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** 2A-11: IN-subquery predicate → left-semi join. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").filter(col("o_totalprice") > 190000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT-EXISTS → left-anti join (complement of [[semiJoin]]). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 2A-12: CASE-unpivot — name/value pairs to wide columns via conditional
+    * aggregation (`query.txt:1` SMS/MMS/DATA/VOICE columns), here over the
+    * events stream's type/value pairs.
+    */
+  def caseUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", col("value"))).as("purchase_max"),
+        max(when(col("event_type") === "view", col("value"))).as("view_max"),
+        max(when(col("event_type") === "click", col("value"))).as("click_max"),
+        max(when(col("event_type") === "error", col("value"))).as("error_max"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** 2A-13: DISTINCT. */
+  def distinctValues(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** 2A-15 / 2B-7: duplicate finder — GROUP BY all columns HAVING count>1
+    * (`FACT_AUTOMATION.sh:334-342`), on a projection that actually has
+    * duplicates.
+    */
+  def dupFinder(spark: SparkSession, dir: String): DataFrame =
+    Relational.duplicateRows(
+        t(spark, dir, "orders").select(col("o_custkey"), col("o_orderstatus")))
+      .orderBy(col("o_custkey"), col("o_orderstatus"))
+
+  /** 2A-16: ordered string aggregation — LISTAGG WITHIN GROUP
+    * (`Fact_Dagg_automation.sh:73`).
+    */
+  def listAggNations(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    Relational.listAgg(
+        r.join(n, r("r_regionkey") === n("n_regionkey")),
+        Seq(col("r_name")), col("n_name"))
+      .select(col("r_name"), col("list_agg").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  /** 2A-20 / 2B-6: MINUS both directions — symmetric-difference data diff
+    * (`FACT_AUTOMATION.sh:182-231`).
+    */
+  def exceptDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 150000.0).select(col("o_orderkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    Relational.symmetricDiff(a, b).orderBy(col("o_orderkey"), col("diff_side"))
+  }
+
+  /** 2A-7 / 2B-8: null-audit disjunction over join-produced nulls
+    * (`fact_dim_merging.sh:305-316`).
+    */
+  def nullAuditJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    Relational.nullAudit(
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer"),
+        Seq("o_orderkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 2B-5: count reconciliation source vs target as one row
+    * (`KafkaScript_ConformToStaging.sh:222-246`).
+    */
+  def countReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders").agg(count(lit(1)).as("src_count"))
+    val tgt = t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("tgt_count"))
+    src.crossJoin(tgt)
+      .withColumn("is_match", col("src_count") === col("tgt_count"))
+  }
+
+  /** 2B-2: offset-continuity seams via lag over a per-(user, hour-bucket)
+    * offset ledger derived from events (`KafkaDemo.sh:184-200` — prev run's
+    * until must equal current run's from).
+    */
+  def offsetGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 3600000000000").as("bucket"), col("event_id"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(min(col("event_id")).as("from_id"), max(col("event_id")).as("until_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    ledger
+      .withColumn("prev_until", lag(col("until_id"), 1).over(w))
+      .filter(col("prev_until").isNotNull && col("prev_until") =!= col("from_id"))
+      .select(col("user_id"), col("bucket"), col("prev_until"), col("from_id"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  /** Sessionization (gap 30 min) + per-session rollup — batch twin of the
+    * streaming `session_window` leg. Event time = integer epoch micros.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    Events.sessionize(e, col("user_id"), col("ts_us"), col("event_id"), 1800000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        money(dec2(col("value"))).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Tumbling 1-hour window aggregation — batch twin of the streaming
+    * windowed aggregation; bucket as integer epoch seconds.
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(expr("(ts div 1000000000) div 3600 * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), money(dec2(col("value"))).as("total_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** 2B-20: record accounting from JSON payloads
+    * (`Kafka_ArrivalToConform.sh:408-416` counts JSON objects) — extract a
+    * field from the props JSON and aggregate.
+    */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** 2B-9: stored-query-as-data with parameter binding — the reference keeps
+    * queries in TESTING_QUERIES CLOBs and sed-substitutes watermarks
+    * (`KafkaScript_ConformToStaging.sh:135-139`); here the template runs via
+    * parameterized spark.sql.
+    */
+  def storedQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice BETWEEN :lo AND :hi ORDER BY o_orderkey",
+      Map("lo" -> 100000.0, "hi" -> 110000.0))
+  }
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline operators (documents / embeddings)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup groups: md5 fingerprint → keeper id + group size. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateGroups(t(spark, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+
+  /** Text quality features per document (token counting, quality scoring). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val toks = Text.tokens(col("text"))
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        Text.subwordCount(col("text")).as("n_subwords"),
+        Text.tokensIn(col("text"),
+          Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "that", "for", "on", "with", "as")).as("stopword_hits"),
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).as("punct_count"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID via stopword-hit argmax. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** C4-style quality filter: keep documents passing token/punct thresholds. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(Text.tokenCount(col("text")).between(15, 40) &&
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash signatures (4 seeded hashes over 3-shingles, md5-portable). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val sh = Text.shingles(col("text"), 3)
+    d.filter(size(sh) > 0)
+      .select(col("doc_id") +: Dedup.minHashSignature(sh, 4): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs (2 bands × 2 rows). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(
+        t(spark, dir, "documents").filter(size(Text.shingles(col("text"), 3)) > 0),
+        col("doc_id"), col("text"), shingleK = 3, bands = 2, rowsPerBand = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash 64-bit signatures (xxhash64 fast path — rows-only check). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force exact cosine top-10 for query vectors (ANN baseline). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact, on an id-bounded slice —
+    * the LSH-bucketed variant below is the scale path).
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceNearDups(
+        t(spark, dir, "embeddings").filter(col("vec_id") < 2000),
+        col("vec_id"), col("embedding"), threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed approximate top-k (scale path — rows-only check). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, dim = 64, bits = 6)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Catalog + oracles
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Builder] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_rank_latest" -> (rankLatestOrder _),
+    "q03_watermark_bounds" -> (watermarkBounds _),
+    "q04_incremental_filter" -> (incrementalFilter _),
+    "q05_filter_in_like" -> (filterInLike _),
+    "q06_dim_enrich" -> (dimEnrich _),
+    "q07_join_agg_subquery" -> (joinAggSubquery _),
+    "q08_scalar_subquery" -> (scalarSubquery _),
+    "q09_semi_join" -> (semiJoin _),
+    "q10_anti_join" -> (antiJoin _),
+    "q11_case_unpivot" -> (caseUnpivot _),
+    "q12_distinct" -> (distinctValues _),
+    "q13_dup_finder" -> (dupFinder _),
+    "q14_listagg" -> (listAggNations _),
+    "q15_except_diff" -> (exceptDiff _),
+    "q16_null_audit" -> (nullAuditJoin _),
+    "q17_count_reconcile" -> (countReconcile _),
+    "q18_offset_gaps" -> (offsetGaps _),
+    "q19_sessionize" -> (sessionize _),
+    "q20_tumbling_window" -> (tumblingWindow _),
+    "q21_json_extract" -> (jsonExtractAgg _),
+    "q22_stored_query" -> (storedQuery _),
+    "q23_dedup_groups" -> (dedupGroups _),
+    "q24_token_stats" -> (tokenStats _),
+    "q25_lang_id" -> (langId _),
+    "q26_quality_filter" -> (qualityFilter _),
+    "q27_minhash_sig" -> (minhashSignatures _),
+    "q28_minhash_pairs" -> (minhashPairs _),
+    "q29_simhash" -> (simhashSignatures _),
+    "q30_ann_brute" -> (annBruteForce _),
+    "q31_embed_neardup" -> (embeddingNearDups _),
+    "q32_ann_lsh" -> (annLsh _))
+
+  // DuckDB dialect fragments shared by the text oracles.
+  private val DTOKS = "string_split_regex(trim(text), '\\s+')"
+  private val DNORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private val DNTOKS = s"string_split_regex(trim($DNORM), '\\s+')"
+  private val DSTOP =
+    "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+
+  private def langScore(vocab: Seq[String]): String =
+    s"len(list_filter($DTOKS, t -> list_contains([${vocab.map(w => s"'$w'").mkString(",")}], t)))"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS count_order,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_rank_latest" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q03_watermark_bounds" ->
+      """SELECT coalesce(min(o_orderkey), 0) AS min_run_id, coalesce(max(o_orderkey), 0) AS max_run_id
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey > 1000""".stripMargin,
+    "q04_incremental_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q05_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND (p_name LIKE '%widget%' OR p_name LIKE '%bolt%')
+        |ORDER BY p_partkey""".stripMargin,
+    "q06_dim_enrich" ->
+      """SELECT coalesce(r_name, 'UNKNOWN') AS region_name,
+        | CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Vehicle'
+        |      WHEN c_mktsegment = 'MACHINERY' THEN 'Industrial'
+        |      WHEN c_mktsegment IS NULL THEN 'Not Applicable'
+        |      ELSE 'Other' END AS segment_class,
+        | count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus IN ('F','O')
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_join_agg_subquery" ->
+      """SELECT c_custkey, c_name, coalesce(z.order_cnt, 0) AS order_cnt,
+        | coalesce(z.max_price, 0.0) AS max_price
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS order_cnt, max(o_totalprice) AS max_price
+        |           FROM orders GROUP BY o_custkey) z
+        |  ON c_custkey = z.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size = (SELECT max(p_size) FROM part) ORDER BY p_partkey""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 190000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_case_unpivot" ->
+      """SELECT user_id,
+        | max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_max,
+        | max(CASE WHEN event_type = 'view' THEN value END) AS view_max,
+        | max(CASE WHEN event_type = 'click' THEN value END) AS click_max,
+        | max(CASE WHEN event_type = 'error' THEN value END) AS error_max,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q13_dup_finder" ->
+      """SELECT o_custkey, o_orderstatus, count(*) AS dup_count FROM orders
+        |GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+    "q14_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q15_except_diff" ->
+      """SELECT o_orderkey, 'source_only' AS diff_side FROM
+        | (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_orderkey, 'target_only' AS diff_side FROM
+        | (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY o_orderkey, diff_side""".stripMargin,
+    "q16_null_audit" ->
+      """SELECT c_custkey, c_name FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin,
+    "q17_count_reconcile" ->
+      """SELECT (SELECT count(*) FROM orders) AS src_count,
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS tgt_count,
+        | (SELECT count(*) FROM orders) = (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS is_match""".stripMargin,
+    "q18_offset_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket,
+        |         min(event_id) AS from_id, max(event_id) AS until_id
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, bucket, from_id,
+        |         lag(until_id) OVER (PARTITION BY user_id ORDER BY bucket) AS prev_until
+        |  FROM g)
+        |SELECT user_id, bucket, prev_until, from_id FROM l
+        |WHERE prev_until IS NOT NULL AND prev_until <> from_id
+        |ORDER BY user_id, bucket""".stripMargin,
+    "q19_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | min(event_id) AS first_event, max(event_id) AS last_event,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q20_tumbling_window" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS hour_epoch, event_type,
+        | count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q22_stored_query" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 100000.0 AND 110000.0 ORDER BY o_orderkey""".stripMargin,
+    "q23_dedup_groups" ->
+      s"""SELECT md5($DNORM) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q24_token_stats" ->
+      s"""SELECT doc_id, len(text) AS n_chars, len($DTOKS) AS n_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+         | len(list_filter($DTOKS, t -> list_contains($DSTOP, t))) AS stopword_hits,
+         | len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+         | CAST(list_sum(list_transform($DTOKS, t -> len(t))) AS BIGINT) AS sum_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_lang_id" -> {
+      val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
+      val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))
+      val fr = langScore(Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "pour"))
+      val de = langScore(Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"))
+      s"""WITH s AS (SELECT doc_id, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM s)
+         |SELECT doc_id,
+         | CASE WHEN best > 0 AND s_en = best THEN 'en'
+         |      WHEN best > 0 AND s_es = best THEN 'es'
+         |      WHEN best > 0 AND s_fr = best THEN 'fr'
+         |      WHEN best > 0 AND s_de = best THEN 'de'
+         |      ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "q26_quality_filter" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE len($DTOKS) BETWEEN 15 AND 40
+         |  AND len(regexp_extract_all(text, '[.,;:!?]')) = 0
+         |ORDER BY doc_id""".stripMargin,
+    "q27_minhash_sig" ->
+      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |        CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s
+         |       FROM toks)
+         |SELECT doc_id,
+         | list_min(list_transform(s, x -> md5('0|' || x))) AS mh_0,
+         | list_min(list_transform(s, x -> md5('1|' || x))) AS mh_1,
+         | list_min(list_transform(s, x -> md5('2|' || x))) AS mh_2,
+         | list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
+         |FROM sh WHERE len(s) > 0 ORDER BY doc_id""".stripMargin,
+    "q28_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |        CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |sig AS (SELECT doc_id,
+         |         list_min(list_transform(s, x -> md5('0|' || x))) AS mh_0,
+         |         list_min(list_transform(s, x -> md5('1|' || x))) AS mh_1,
+         |         list_min(list_transform(s, x -> md5('2|' || x))) AS mh_2,
+         |         list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
+         |        FROM sh WHERE len(s) > 0),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh_2 || '|' || mh_3) AS band_key FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "q30_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid, list_cosine_similarity(cv, qv) AS sim FROM c CROSS JOIN q WHERE qid <> cid),
+        |r AS (SELECT qid AS query_id, cid AS corpus_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |      FROM s)
+        |SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q31_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft.dq
+
+import graft.model.ValidationResult
+import graft.ops.Relational
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality / reconciliation operators — the §2B inventory. Each check
+  * returns a [[ValidationResult]] (the reference appends PASS/FAIL rows to
+  * *_TEST_LOG tables — `KafkaDemo.sh:133-143`); the DataFrame-shaped variants
+  * also expose offending rows for inspection.
+  *
+  * Scale note: every check is a single distributed job (aggregate or
+  * anti-join); none round-trips data through the driver the way the
+  * reference's CSV-diff flow does (`KafkaScript_ConformToStaging.sh:210-219`).
+  */
+object Checks {
+
+  /** Count reconciliation source vs target
+    * (`KafkaScript_ConformToStaging.sh:222-246`). Two scans, no shuffle
+    * beyond the count partials.
+    */
+  def countMatch(source: DataFrame, target: DataFrame, sourceName: String,
+                 stage: String): ValidationResult = {
+    val s = source.count()
+    val t = target.count()
+    ValidationResult.of(sourceName, stage, "count_match", "count_reconciliation",
+      s == t, s"source=$s target=$t")
+  }
+
+  /** Exact data match via both-direction set difference — the MINUS-based
+    * validation (`FACT_AUTOMATION.sh:181-236`); shell form is
+    * `diff source.csv target.csv` (`KafkaScript_ConformToStaging.sh:216-219`).
+    * `except` = Oracle MINUS set semantics. isEmpty is a limit-1 probe, so the
+    * happy path stops as soon as any partition yields a diff row.
+    */
+  def dataMatch(source: DataFrame, target: DataFrame, sourceName: String,
+                stage: String): ValidationResult = {
+    val diff = Relational.symmetricDiff(source, target)
+    val mismatch = diff.limit(1).count()
+    ValidationResult.of(sourceName, stage, "data_match", "minus_both_directions",
+      mismatch == 0, if (mismatch == 0) "exact match" else "symmetric difference non-empty")
+  }
+
+  /** Duplicate check: GROUP BY all columns HAVING count>1
+    * (`FACT_AUTOMATION.sh:311-363`, shell `sort | uniq -d`
+    * `KafkaScript_ConformToStaging.sh:250-279`).
+    */
+  def duplicateCheck(df: DataFrame, sourceName: String, stage: String): ValidationResult = {
+    val dups = Relational.duplicateRows(df).limit(1).count()
+    ValidationResult.of(sourceName, stage, "duplicate_check", "group_by_all_having",
+      dups == 0, if (dups == 0) "no duplicates" else "duplicate rows present")
+  }
+
+  /** Null check over NOT NULL columns, schema-driven the way the reference is
+    * catalog-driven (`fact_dim_merging.sh:282-358`): columns default to the
+    * non-nullable fields of the schema.
+    */
+  def nullCheck(df: DataFrame, sourceName: String, stage: String,
+                columns: Seq[String] = Nil): ValidationResult = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else {
+        val nn = df.schema.fields.filter(!_.nullable).map(_.name).toSeq
+        if (nn.nonEmpty) nn else df.columns.toSeq
+      }
+    val offenders = Relational.nullAudit(df, cols).limit(1).count()
+    ValidationResult.of(sourceName, stage, "null_check", "is_null_disjunction",
+      offenders == 0, s"columns=${cols.mkString(",")}")
+  }
+
+  /** Offset continuity: previous run's max(until_offset) must equal the
+    * current run's max(from_offset) per topic/partition
+    * (`KafkaDemo.sh:184-200`, `Kafka_ArrivalToConform.sh:209-237`).
+    * Implemented as a lag window over the offset ledger so ALL seams are
+    * checked in one pass, not just the latest pair. Returns rows that break
+    * continuity (empty = pass).
+    */
+  def offsetGaps(ledger: DataFrame, topicCol: Column, partitionCol: Column,
+                 runIdCol: Column, fromCol: Column, untilCol: Column): DataFrame = {
+    val w = Window.partitionBy(topicCol, partitionCol).orderBy(runIdCol)
+    ledger
+      .withColumn("prev_until", lag(untilCol, 1).over(w))
+      .filter(col("prev_until").isNotNull && col("prev_until") =!= fromCol)
+  }
+
+  def offsetContinuity(ledger: DataFrame, sourceName: String): ValidationResult = {
+    val gaps = offsetGaps(ledger, col("topicName"), col("partition"),
+      col("jobRunId"), col("fromOffset"), col("untilOffset")).limit(1).count()
+    ValidationResult.of(sourceName, "ARRIVAL", "offset_continuity", "lag_over_ledger",
+      gaps == 0, if (gaps == 0) "continuous" else "offset seam mismatch")
+  }
+
+  /** Expected record volume from the ledger: sum(until - from)
+    * (`KafkaDemo.sh:202-214`) vs the actual materialized count.
+    */
+  def offsetCountMatch(ledger: DataFrame, actual: Long, sourceName: String): ValidationResult = {
+    val expected = ledger
+      .agg(coalesce(sum(col("untilOffset") - col("fromOffset")), lit(0L)))
+      .head().getLong(0)
+    ValidationResult.of(sourceName, "ARRIVAL", "offset_count", "sum_until_minus_from",
+      expected == actual, s"expected=$expected actual=$actual")
+  }
+
+  /** Run all four standard per-stage checks (SURVEY §5.2) and return the
+    * audit rows ready for an append-mode write.
+    */
+  def standardStageChecks(spark: SparkSession, source: DataFrame, target: DataFrame,
+                          sourceName: String, stage: String): Dataset[ValidationResult] = {
+    import spark.implicits._
+    Seq(
+      countMatch(source, target, sourceName, stage),
+      dataMatch(source, target, sourceName, stage),
+      duplicateCheck(target, sourceName, stage),
+      nullCheck(target, sourceName, stage)
+    ).toDS()
+  }
+}

@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all shuffle-shaped
+  * for 100 TB inputs:
+  *
+  *  - exact: one hash aggregate on a 128-bit fingerprint (shuffle width =
+  *    fingerprint + id, never the document text);
+  *  - MinHash+LSH: signature → band keys → explode → self-join on band key.
+  *    The join key space is (band_id, band_hash) so candidate generation is
+  *    an equi-join Catalyst can plan as a shuffled hash join; no O(n²) pair
+  *    enumeration ever materializes;
+  *  - SimHash: 64-bit signature, candidate pairs via banded key chunks too;
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-text fingerprint.
+    * Grouping by the md5/xxhash fingerprint instead of the raw text keeps the
+    * shuffle narrow — the text column never moves.
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs
+      .select(idCol.as("doc_id"), Text.fingerprint(textCol).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Ids to drop under exact dedup (everything but the keeper per group). */
+  def exactDropIds(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val withFp = docs.select(idCol.as("doc_id"), Text.fingerprint(textCol).as("fp"))
+    val keep = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    withFp.join(keep, "fp").filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id"))
+  }
+
+  /** One MinHash value: min over shingles of a seeded hash. The seeded-md5
+    * string-min formulation is deterministic, engine-portable (DuckDB
+    * computes the identical value → usable under the differential oracle),
+    * and a valid MinHash family: each seed induces an independent
+    * pseudo-random total order on shingles.
+    * For pure-Spark throughput use [[minHash64]] (xxhash64, no hex strings).
+    */
+  def minHashMd5(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  def minHash64(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+
+  /** MinHash signature columns mh_0..mh_{n-1}, extracted from the
+    * single-pass [[graft.plans.MinHashes]] expression (one traversal of the
+    * shingle array computes every seeded hash).
+    */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Seq[Column] = {
+    val sig = graft.plans.TextExpressions.min_hashes(shinglesCol, numHashes)
+    (0 until numHashes).map(i => element_at(sig, i + 1).as(s"mh_$i"))
+  }
+
+  /** LSH banding: docs → (doc_id, band_id, band_key) with one row per band;
+    * docs sharing any band key are near-duplicate candidates. Probability a
+    * pair with Jaccard j collides ≈ 1-(1-j^rows)^bands.
+    * Band key = md5 of the band's minhashes joined with "|" (matches the
+    * composable/oracle form md5(mh_a || '|' || mh_b)).
+    */
+  def lshBands(docs: DataFrame, idCol: Column, textCol: Column,
+               shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = graft.plans.TextExpressions
+      .min_hashes(Text.shingles(textCol, shingleK), bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), "|")).as("band_key"))
+    }
+    docs
+      .select(idCol.as("doc_id"), explode(array(bandKeys: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH: group by (band_id, band_key),
+    * enumerate ordered pairs inside each bucket, distinct across bands.
+    *
+    * Grouping beats the naive self-join on band key: the expensive
+    * signature pipeline (tokenize → shingle → N seeded hashes) is evaluated
+    * exactly once per document, whereas a self-join re-derives it on both
+    * join branches. One shuffle (on band keys, width = one hash + id);
+    * per-bucket pair expansion is quadratic only in the bucket size, which
+    * LSH keeps small by construction. `maxBucketSize` drops degenerate hot
+    * buckets (boilerplate/empty docs) — at 100 TB a handful of mega-buckets
+    * would otherwise dominate the whole job; dropping them loses only pairs
+    * that exact-dedup already catches more cheaply.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
+                        shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    val buckets = b
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns —
+    * used to verify LSH candidates (candidate count is ~linear, so the exact
+    * set math only ever runs on the small candidate set).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Candidate pairs with their exact Jaccard similarity ≥ threshold:
+    * MinHash/LSH to generate, exact verify to confirm. Joins the (small)
+    * candidate pair list back to the docs twice to fetch shingle sets.
+    */
+  def nearDuplicatePairs(docs: DataFrame, idCol: Column, textCol: Column,
+                         shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                         threshold: Double = 0.7): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    val sh = docs.select(idCol.as("doc_id"), Text.shingles(textCol, shingleK).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit signature whose bits are the signs of per-bit weighted
+    * sums over token hashes. Near-duplicates have small Hamming distance.
+    * Pure expression pipeline (xxhash64 + bit ops), fully codegen'd.
+    */
+  def simHash64(textCol: Column): Column = {
+    val toks = Text.tokens(Text.normalized(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit b: sum over tokens of (+1 if bit set else -1); bit of the
+    // signature = 1 when the sum is positive.
+    val bits = (0 until 64).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(contrib > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band the 64-bit signature into `bands`
+    * chunks; docs sharing any chunk value are candidates (standard
+    * Charikar-style blocking — guarantees recall for Hamming distance
+    * < bands).
+    */
+  def simHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
+                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val sigs = docs.select(idCol.as("doc_id"), simHash64(textCol).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.chunk"))
+    val l = banded.select(col("band_id"), col("chunk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band_id"), col("chunk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

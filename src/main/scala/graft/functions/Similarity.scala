@@ -1,0 +1,140 @@
+package graft.functions
+
+import graft.plans.VectorExpressions.dot_product
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one broadcast of the query
+  * vectors, one windowed top-k — no all-pairs shuffle). The scale path is
+  * random-hyperplane LSH bucketing: probe only the bucket(s) a query hashes
+  * to, turning 100 TB × q into (100 TB / 2^bits) × q.
+  *
+  * The per-pair inner loop is [[graft.plans.DotProduct]] — a codegen'd
+  * Catalyst expression (interpreted higher-order-function lambdas are ~50×
+  * slower on an all-pairs scan). Norms are projected once per *row* below the
+  * join, so each candidate pair costs exactly one dot product.
+  */
+object Similarity {
+
+  /** Deterministic dot product (ascending-index summation, double math). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
+
+  def norm(a: Column): Column = sqrt(dot_product(a, a))
+
+  /** Cosine from a single pair — for one-off use; the scan operators below
+    * precompute norms per side instead of recomputing per pair.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  private def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d === 0, lit(0.0)).otherwise(dotAB / d)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    *
+    * `queries` must be small (it is broadcast); `corpus` can be arbitrarily
+    * large — the plan is broadcast-nested-loop → per-query window top-k, so
+    * corpus rows stream through once and norms are computed once per row,
+    * not once per pair. Ties broken by corpus id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("cosine"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (seeded per bit/dimension with
+    * xxhash64 → uniform in [-1,1]). Cosine-similar vectors collide with
+    * probability (1 - θ/π)^bits.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    def coef(bit: Int, d: Int): Column =
+      (xxhash64(lit(seed), lit(bit), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
+    val bitCols = (0 until bits).map { b =>
+      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * coef(b, d))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** IVF/LSH-bucketed approximate top-k: bucket corpus and queries by
+    * hyperplane signature, join on bucket, rank within. Recall is tunable via
+    * `bits`; at scale the bucketed join shuffles only matching buckets
+    * instead of broadcasting every query against every corpus row.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, dim: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"),
+      hyperplaneSignature(corpusVec, dim, bits).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+      hyperplaneSignature(queryVec, dim, bits).as("bucket"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact all-pairs near-duplicates over a (bounded) corpus slice: cosine ≥
+    * threshold, one codegen'd dot per pair, norms precomputed per row.
+    * O(n²/2) — use for verification slices; [[embeddingNearDups]] is the
+    * LSH-bucketed scale path.
+    */
+  def bruteForceNearDups(corpus: DataFrame, idCol: Column, vecCol: Column,
+                         threshold: Double): DataFrame = {
+    val e = corpus.select(idCol.as("id"), vecCol.as("v"))
+      .withColumn("n", norm(col("v")))
+    val l = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFromParts(dot(col("v_a"), col("v_b")), col("n_a"), col("n_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: candidate pairs through
+    * LSH buckets (exact within-bucket check, so precision is exact; recall
+    * governed by `bits`).
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: Column, vecCol: Column,
+                        dim: Int, threshold: Double, bits: Int = 6): DataFrame = {
+    val c = corpus.select(idCol.as("id"), vecCol.as("v"),
+      hyperplaneSignature(vecCol, dim, bits).as("bucket"))
+      .withColumn("n", norm(col("v")))
+    val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromParts(dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * Everything is built from `org.apache.spark.sql.functions._` higher-order
+  * array functions — fully codegen'd, no UDFs, so the whole pipeline stays in
+  * one WholeStageCodegen span and scales linearly with input: per-row work
+  * only, no shuffle introduced by any function here.
+  */
+object Text {
+
+  /** Whitespace tokenization. `documents.text` is space-separated; the regex
+    * keeps this robust to runs of whitespace.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap deterministic
+    * stand-in for a real tokenizer's piece count.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tokens of `text` that appear in `vocab` (stopword hits etc.). */
+  def tokensIn(text: Column, vocab: Seq[String]): Column = {
+    val vocabArr = array(vocab.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(vocabArr, t)))
+  }
+
+  private val EnglishStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Quality-score features: char length, token count, mean token length
+    * (x1000, integral for exact cross-engine compare), stopword hits,
+    * punctuation count. Downstream filters (e.g. C4-style) threshold on
+    * these.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> size(toks),
+      "mean_token_len_x1000" ->
+        (aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000L / size(toks)),
+      "stopword_hits" -> tokensIn(text, EnglishStopwords),
+      "punct_count" -> size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))))
+  }
+
+  /** n-gram-heuristic language ID: score each candidate language by stopword
+    * hits; argmax wins, ties broken by the declared language order, zero hits
+    * → "und". Deterministic and SQL-expressible — the real-data version just
+    * swaps in bigger per-language vocabularies.
+    */
+  val LangVocab: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStopwords,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"))
+
+  def langId(text: Column): Column = {
+    val scores = LangVocab.map { case (lang, vocab) => lang -> tokensIn(text, vocab) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // First language (declared order) whose score equals the max — stable ties.
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact-document fingerprint: md5 of whitespace-normalized lowercase text.
+    * (`md5` exists verbatim in DuckDB → oracle-comparable; for pure Spark
+    * pipelines prefer `xxhash64` — 64-bit, no string allocation.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalized(text))
+
+  /** 64-bit rolling-style fingerprint for Spark-side pipelines (xxhash64 is
+    * codegen'd and 4× cheaper than md5's hex-string path).
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(normalized(text))
+
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Word k-shingles: overlapping k-grams joined by a space; the unit set for
+    * MinHash/Jaccard dedup. Empty array when the document has fewer than k
+    * tokens. Native single-pass expression ([[graft.plans.Shingles]]) — the
+    * composable HOF form re-tokenizes once per shingle.
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.TextExpressions.shingles(tokens(normalized(text)), k)
+}

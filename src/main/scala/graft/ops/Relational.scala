@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator builders — the §2A inventory of SURVEY.md, re-expressed
+  * as composable DataFrame transformations. Everything here is declarative so
+  * Catalyst can push filters/prune columns/reorder joins; no operator
+  * collects to the driver.
+  */
+object Relational {
+
+  /** Incremental watermark filter: rows whose run/watermark column lies in
+    * [lo, hi]. Reference: `query.txt:2`
+    * (`where update_job_run_id>=$MIN_RUN_ID_CURRENT and ...<=$MAX...`).
+    * The predicate is a plain range → parquet min/max pushdown + partition
+    * pruning when the table is partitioned by the run column, which is the
+    * at-scale design: incremental loads touch only the new partitions.
+    */
+  def incrementalFilter(df: DataFrame, col: Column, lo: Column, hi: Column): DataFrame =
+    df.filter(col.between(lo, hi))
+
+  /** Latest-run-per-key: ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord) = 1.
+    * The most-repeated query in the reference (`KafkaDemo.sh:64-71`,
+    * `Kafka_ArrivalToConform.sh:101-108`, 5 more sites). Callers MUST pass a
+    * total order (include a unique tiebreak column) or the result is
+    * nondeterministic. One shuffle on the partition keys; at scale this is a
+    * single hash exchange + in-partition sort — no further optimization
+    * needed unless keys are skewed (then pre-aggregate with max_by).
+    */
+  def rankLatest(df: DataFrame, partitionCols: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .drop("rank")
+  }
+
+  /** Watermark computation: NVL(MAX(runId),0) / NVL(MIN(runId),0) over the
+    * control table filtered to new successful runs
+    * (`Fact_Dagg_automation.sh:71-75`, `KafkaScript_ConformToStaging.sh:76-121`).
+    * Returns a 1-row DataFrame (min_run_id, max_run_id); (0,0) = skip.
+    */
+  def watermarkBounds(control: DataFrame, runIdCol: Column, newerThan: Column,
+                      statusPred: Column): DataFrame =
+    control
+      .filter(statusPred && runIdCol > newerThan)
+      .agg(
+        coalesce(min(runIdCol), lit(0L)).as("min_run_id"),
+        coalesce(max(runIdCol), lit(0L)).as("max_run_id"))
+
+  /** Duplicate finder: GROUP BY <all columns> HAVING COUNT(*) > 1
+    * (`FACT_AUTOMATION.sh:334-342` — column list generated from the catalog;
+    * here from `df.schema`, same metadata-programmed idea). At 100 TB this is
+    * one hash aggregate with map-side partial aggregation; grouping by a
+    * precomputed xxhash64 of all columns first would cut shuffle width, at
+    * the cost of hash-collision false positives — kept exact here.
+    */
+  def duplicateRows(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Ordered string aggregation — LISTAGG(x,',') WITHIN GROUP (ORDER BY x)
+    * (`Fact_Dagg_automation.sh:73`). collect_list is safe only when per-group
+    * cardinality is bounded (it is for control-table groups); sort_array gives
+    * Oracle's deterministic WITHIN GROUP ordering.
+    */
+  def listAgg(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(concat_ws(",", sort_array(collect_list(valueCol))).as("list_agg"))
+
+  /** Symmetric difference both directions — the MINUS-based data validation
+    * (`FACT_AUTOMATION.sh:182-193, :221-231`): Oracle MINUS is set semantics
+    * → `except` (distinct), not `exceptAll`. Tag each direction so one pass
+    * reports which side is missing rows.
+    */
+  def symmetricDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val aMinusB = a.except(b).withColumn("diff_side", lit("source_only"))
+    val bMinusA = b.except(a).withColumn("diff_side", lit("target_only"))
+    aMinusB.union(bMinusA)
+  }
+
+  /** Null-audit filter: `c1 IS NULL OR c2 IS NULL OR ...` over the given
+    * columns (all columns when empty), generated from the schema the way the
+    * reference generates it from `all_tab_columns where nullable='N'`
+    * (`fact_dim_merging.sh:282-358`, `query.txt:2` third segment).
+    */
+  def nullAudit(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val pred = cols.map(c => col(c).isNull).reduce(_ || _)
+    df.filter(pred)
+  }
+
+  /** CASE-unpivot: the reference's name/value-pair → wide-column pattern
+    * (`query.txt:1` SMS/MMS/DATA/VOICE allowance columns). One row per key
+    * with `max(when(nameCol === name, valueCol))` per requested name —
+    * conditional aggregation avoids the join fan-out the naive multi-join
+    * form would produce, and runs as a single hash aggregate.
+    */
+  def caseUnpivot(df: DataFrame, keyCols: Seq[Column], nameCol: Column,
+                  valueCol: Column, names: Seq[String]): DataFrame = {
+    val aggs = names.map(n =>
+      max(when(nameCol === lit(n), valueCol)).as(n.toLowerCase.replaceAll("\\W+", "_")))
+    df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LIKE-disjunction from a comma list — the reference rewrites
+    * `a,b,c` into `OBJECT_NAME LIKE '%a%' OR OBJECT_NAME LIKE '%b%' ...`
+    * (`FACT_AUTOMATION.sh:75-79`); here composed as Columns, no string
+    * rewriting.
+    */
+  def likeAny(c: Column, patterns: Seq[String]): Column =
+    patterns.map(p => c.like(s"%$p%")).reduce(_ || _)
+}

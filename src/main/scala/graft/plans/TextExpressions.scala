@@ -1,0 +1,158 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash signature over a shingle array.
+  *
+  * Semantically identical to the composable form
+  * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))` for
+  * i in 0 until numHashes (same seed prefixes, same md5-over-UTF8 bytes,
+  * same lexicographic min — so the DuckDB oracle reproduces it verbatim),
+  * but evaluated as ONE pass over the shingle array computing all N hashes,
+  * instead of N interpreted higher-order-function traversals that each
+  * re-derive the shingle array after projection collapse. On a document
+  * corpus scan this is the difference between the signature step being free
+  * vs dominating the job.
+  *
+  * Evaluation is a tight JVM loop (CodegenFallback: one virtual call per
+  * row; the O(shingles × hashes) inner work doesn't benefit from expression
+  * codegen).
+  *
+  * Null/empty input → array of nulls (matches array_min over empty).
+  */
+case class MinHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_hashes requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    (0 until numHashes).map(i => s"$i|".getBytes("UTF-8")).toArray
+
+  @transient private lazy val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[String](numHashes)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val shingle = arr.getUTF8String(i).getBytes
+        var h = 0
+        while (h < numHashes) {
+          md.reset()
+          md.update(seedPrefixes(h))
+          md.update(shingle)
+          val hx = hex(md.digest())
+          if (mins(h) == null || hx.compareTo(mins(h)) < 0) mins(h) = hx
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(s =>
+      if (s == null) null else UTF8String.fromString(s)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+/** Word k-shingles over a token array in one pass.
+  *
+  * Semantically identical to the composable form
+  * `transform(sequence(1, size(toks)-k+1), i => concat_ws(" ", slice(toks, i, k)))`
+  * (with empty output when size < k), but the token-array child is evaluated
+  * once per row — the higher-order-function form inlines the whole
+  * tokenization subtree into the lambda body, re-running
+  * regexp_replace+split once per *shingle*, i.e. O(tokens²) regex work per
+  * document.
+  */
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingles requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
+    * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
+    */
+  def min_hashes(shingles: Column, numHashes: Int): Column =
+    GraftBridge.toColumn(MinHashes(GraftBridge.toExpression(shingles), numHashes))
+
+  /** Word k-shingles of a token array (single evaluation of the child). */
+  def shingles(tokens: Column, k: Int): Column =
+    GraftBridge.toColumn(Shingles(GraftBridge.toExpression(tokens), k))
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.model.OffsetRange
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import scala.collection.mutable
+
+/** Auditable offset ledger for the streaming leg.
+  *
+  * Structured Streaming checkpoints offsets internally, but the reference's
+  * checks are *queryable* — `kafka_event` rows per (topic, partition, run)
+  * with from/until offsets (`KafkaDemo.sh:78-84, :172-208`). This listener
+  * re-materializes that ledger from `StreamingQueryProgress`, so
+  * offset-continuity and expected-count validations (graft.dq.Checks) run
+  * against it exactly like the reference queries its control table.
+  */
+final class OffsetLedgerListener extends StreamingQueryListener {
+  private val rows = mutable.ArrayBuffer.empty[OffsetRange]
+  private var runId = 0L
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
+    runId += 1
+    event.progress.sources.foreach { s =>
+      // Kafka source offsets are JSON {topic: {partition: offset}}. For
+      // non-Kafka sources (files, memory) start/end are opaque — skipped.
+      for {
+        start <- Option(s.startOffset)
+        end <- Option(s.endOffset)
+        parsed <- parseKafkaOffsets(start, end)
+      } parsed.foreach { case (topic, part, from, until) =>
+        rows += OffsetRange(topic, part, runId, from, until)
+      }
+    }
+  }
+
+  /** Batch-duration audit (`KafkaDemo.sh:94-144` scrapes driver logs; here
+    * it's structured): returns (batchId → durationMs).
+    */
+  private val durations = mutable.ArrayBuffer.empty[(Long, Long)]
+  def recordDuration(batchId: Long, ms: Long): Unit = synchronized { durations += batchId -> ms }
+
+  def snapshot(spark: SparkSession): Dataset[OffsetRange] = synchronized {
+    import spark.implicits._
+    rows.toSeq.toDS()
+  }
+
+  private def parseKafkaOffsets(start: String, end: String)
+      : Option[Seq[(String, Int, Long, Long)]] =
+    try {
+      def parse(s: String): Map[(String, Int), Long] =
+        ujsonLite(s)
+      val a = parse(start); val b = parse(end)
+      Some(b.toSeq.map { case ((t, p), until) =>
+        (t, p, a.getOrElse((t, p), 0L), until)
+      })
+    } catch { case _: Exception => None }
+
+  /** Minimal parser for the Kafka offset JSON shape
+    * {"topic":{"0":123,"1":456}} — avoids a JSON library dependency.
+    */
+  private def ujsonLite(s: String): Map[(String, Int), Long] = {
+    val topicRe = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val pairRe = """"(\d+)"\s*:\s*(\d+)""".r
+    topicRe.findAllMatchIn(s).flatMap { m =>
+      val topic = m.group(1)
+      pairRe.findAllMatchIn(m.group(2)).map { pm =>
+        (topic, pm.group(1).toInt) -> pm.group(2).toLong
+      }
+    }.toMap
+  }
+}
+
+object OffsetLedger {
+  /** Expected record count for a run window: sum(until - from)
+    * (`KafkaDemo.sh:202-214`).
+    */
+  def expectedCount(ledger: DataFrame): Long =
+    ledger.agg(coalesce(sum(col("untilOffset") - col("fromOffset")), lit(0L)))
+      .head().getLong(0)
+}
