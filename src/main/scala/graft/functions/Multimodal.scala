@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) travels as an opaque `binary` column plus a
+  * typed metadata struct; decode / feature-extraction runs per partition so
+  * a real decoder would amortize native-library initialization across a
+  * batch (the Scala analog of `mapInPandas` batch processing). The actual
+  * pixel/sample decode is STUBBED — media codecs are not available in this
+  * environment — behind [[MediaCodec]], with a deterministic fake whose
+  * output shape matches what a real decoder would produce. Everything
+  * around the stub (schema, encoders, partition-batched execution, feature
+  * shape) is real and tested.
+  *
+  * Scale notes: media bytes are the widest column by far — always project
+  * them away before any shuffle (`select` metadata + features first), keep
+  * `spark.sql.files.maxPartitionBytes` small enough that a partition of
+  * blobs fits in executor memory, and never collect blobs to the driver.
+  */
+object Multimodal {
+
+  /** Typed media row: the reference's file-registry pattern
+    * (`INTERFACE_FILE_MASTER` dir routing + `FILE_CONTROL` status,
+    * `KafkaDemo.sh:236-295`) generalized to binary payload + metadata.
+    */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      feature: Array[Float])
+
+  /** Decoder seam. Production wires a real codec (JNI image/audio libs);
+    * this environment has none, so [[FakeCodec]] produces a deterministic
+    * stand-in with the right shape.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode + embed one payload into a fixed-size feature vector. */
+    def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB: deterministic fake decode — hashes the payload into a unit-norm
+    * pseudo-embedding. Matches a real extractor's contract (fixed dim,
+    * deterministic per payload) without any codec dependency.
+    */
+  object FakeCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L ^ kind.hashCode.toLong
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      var d = 0
+      var norm = 0.0
+      while (d < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift
+        out(d) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        norm += out(d) * out(d)
+        d += 1
+      }
+      val n = math.sqrt(norm).toFloat
+      d = 0
+      while (d < dim) { out(d) /= (if (n == 0f) 1f else n); d += 1 }
+      out
+    }
+  }
+
+  /** Deterministic synthetic media table (no media files ship with the test
+    * data): payload bytes derived from the id, metadata consistent with the
+    * kind. Used by specs to exercise the pipeline end-to-end.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val bytes = Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
+      MediaItem(id, kind, bytes,
+        width = if (kind == "image" || kind == "video") 64 + (id % 4).toInt * 32 else 0,
+        height = if (kind == "image" || kind == "video") 64 else 0,
+        sample_rate = if (kind == "audio") 16000 else 0,
+        duration_ms = if (kind != "image") 1000 + (id % 10).toInt * 500 else 0)
+    }
+  }
+
+  /** Partition-batched decode + feature extraction: one codec handle per
+    * partition (the Scala `mapPartitions` analog of `mapInPandas` batches),
+    * media bytes dropped from the output so downstream shuffles stay narrow.
+    */
+  def extractFeatures(media: Dataset[MediaItem], codec: MediaCodec,
+                      dim: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Real codecs initialize native state here, once per partition.
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.bytes.length,
+          codec.extract(m.kind, m.bytes, dim))
+      }
+    }
+  }
+
+  /** Metadata-only resize plan: compute target dimensions preserving aspect
+    * ratio (the pure-relational part of an image resize — the pixel work
+    * happens inside the codec seam at execution time).
+    */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / col("width"),
+      lit(maxSide).cast("double") / col("height"),
+      lit(1.0))
+    media
+      .filter(col("kind").isin("image", "video") && col("width") > 0)
+      .withColumn("target_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("target_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sampling plan for video: one row per sampled frame timestamp
+    * (every `everyMs`). Pure relational explode — the decode of each frame
+    * happens behind the codec seam.
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Int): DataFrame =
+    media
+      .filter(col("kind") === "video" && col("duration_ms") > 0)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0), col("duration_ms") - 1, lit(everyMs))))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dq.Checks
+import graft.model.ValidationResult
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChecksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("countMatch passes on equal counts, fails otherwise") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5, 6).toDF("x")
+    assert(Checks.countMatch(a, b, "s", "STAGING").testResult == ValidationResult.PASSED)
+    assert(Checks.countMatch(a, b.limit(2), "s", "STAGING").testResult == ValidationResult.FAILED)
+  }
+
+  test("dataMatch is order-insensitive and fails on content diff") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("k", "v")
+    assert(Checks.dataMatch(a, b, "s", "3NF").testResult == ValidationResult.PASSED)
+    val c = Seq((1, "x"), (2, "z")).toDF("k", "v")
+    assert(Checks.dataMatch(a, c, "s", "3NF").testResult == ValidationResult.FAILED)
+  }
+
+  test("duplicateCheck and nullCheck") {
+    val clean = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dup = Seq((1, "a"), (1, "a")).toDF("k", "v")
+    assert(Checks.duplicateCheck(clean, "s", "DWDD").testResult == ValidationResult.PASSED)
+    assert(Checks.duplicateCheck(dup, "s", "DWDD").testResult == ValidationResult.FAILED)
+    val withNull = Seq((Some(1), Some("a")), (None, Some("b"))).toDF("k", "v")
+    assert(Checks.nullCheck(withNull, "s", "DWDD", Seq("k")).testResult == ValidationResult.FAILED)
+    assert(Checks.nullCheck(withNull, "s", "DWDD", Seq("v")).testResult == ValidationResult.PASSED)
+  }
+
+  test("offsetGaps flags broken seams only") {
+    val ledger = Seq(
+      ("t", 0, 1L, 0L, 100L), ("t", 0, 2L, 100L, 180L), ("t", 0, 3L, 185L, 200L),
+      ("t", 1, 1L, 0L, 50L), ("t", 1, 2L, 50L, 75L)
+    ).toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    val gaps = Checks.offsetGaps(ledger, col("topicName"), col("partition"),
+      col("jobRunId"), col("fromOffset"), col("untilOffset")).collect()
+    assert(gaps.length == 1)
+    assert(gaps.head.getAs[Long]("jobRunId") == 3L)
+  }
+
+  test("offsetContinuity + offsetCountMatch on a typed ledger") {
+    import graft.model.OffsetRange
+    val ledger = Seq(
+      OffsetRange("t", 0, 1L, 0L, 100L),
+      OffsetRange("t", 0, 2L, 100L, 150L)).toDS().toDF()
+    assert(Checks.offsetContinuity(ledger, "t").testResult == ValidationResult.PASSED)
+    assert(Checks.offsetCountMatch(ledger, 150L, "t").testResult == ValidationResult.PASSED)
+    assert(Checks.offsetCountMatch(ledger, 149L, "t").testResult == ValidationResult.FAILED)
+  }
+
+  test("standardStageChecks emits the four standard audit rows") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val results = Checks.standardStageChecks(spark, a, a, "src", "STAGING").collect()
+    assert(results.length == 4)
+    assert(results.map(_.testCase).toSet ==
+      Set("count_match", "data_match", "duplicate_check", "null_check"))
+    assert(results.forall(_.testResult == ValidationResult.PASSED))
+  }
+}

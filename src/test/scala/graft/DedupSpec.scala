@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{Dedup, Text}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  QUICK brown fox jumps over the lazy dog"), // exact dup modulo norm
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different text about spark engines and data"),
+    (5L, "ab") // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val groups = Dedup.exactDuplicateGroups(docs, col("doc_id"), col("text"))
+    val dup = groups.filter(col("group_size") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+    assert(dup.head.getAs[Long]("group_size") == 2L)
+    val drops = Dedup.exactDropIds(docs, col("doc_id"), col("text")).collect()
+    assert(drops.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
+  test("MinHashes expression matches the composable md5 form exactly") {
+    val sh = Text.shingles(col("text"), 3)
+    val native = docs.filter(size(sh) > 0)
+      .select(col("doc_id") +: Dedup.minHashSignature(sh, 4): _*)
+    val composable = docs.filter(size(sh) > 0)
+      .select(col("doc_id") +: (0 until 4).map(i => Dedup.minHashMd5(sh, i).as(s"mh_$i")): _*)
+    assert(native.exceptAll(composable).isEmpty && composable.exceptAll(native).isEmpty)
+  }
+
+  test("identical docs collide in every band; near-dups appear as candidates") {
+    val cands = Dedup.minHashCandidates(docs.filter(col("doc_id") =!= 5L),
+      col("doc_id"), col("text"), shingleK = 3, bands = 2, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // exact dup always collides
+    assert(!cands.exists { case (a, b) => a == 4L || b == 4L }) // unrelated doc never pairs
+  }
+
+  test("nearDuplicatePairs verifies candidates with exact jaccard") {
+    val pairs = Dedup.nearDuplicatePairs(docs.filter(col("doc_id") =!= 5L),
+      col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard computes exact overlap") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0) == 0.0)
+  }
+
+  test("simhash: identical texts → same signature; hamming64 works") {
+    val sigs = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L)) // normalization makes 1 and 2 identical
+    val h = Seq((sigs(1L), sigs(4L))).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).head().getInt(0)
+    assert(h > 0)
+  }
+
+  test("simHashCandidates finds identical pair at hamming 0") {
+    val cands = Dedup.simHashCandidates(docs.filter(col("doc_id") =!= 5L),
+      col("doc_id"), col("text"), bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(cands.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 0))
+  }
+
+  test("Shingles expression matches the composable HOF form") {
+    val toks = Text.tokens(Text.normalized(col("text")))
+    val hof = when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 3 + 1),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+    val native = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("s"))
+    val comp = docs.select(col("doc_id"), hof.as("s"))
+    assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty)
+  }
+
+  test("minHashCandidates honors maxBucketSize cap") {
+    val same = (1L to 10L).map(i => (i, "identical text repeated for boilerplate docs"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashCandidates(same, col("doc_id"), col("text"),
+      shingleK = 3, bands = 2, rowsPerBand = 2, maxBucketSize = 5)
+    assert(capped.count() == 0) // bucket of 10 dropped by cap
+    val uncapped = Dedup.minHashCandidates(same, col("doc_id"), col("text"),
+      shingleK = 3, bands = 2, rowsPerBand = 2)
+    assert(uncapped.count() == 45) // all C(10,2) pairs
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.Similarity
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("DotProduct expression: known values, float and double arrays") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(VectorExpressions.dot_product(col("a"), col("b")))
+      .head().getDouble(0) == 32.0)
+    val dd = Seq((Seq(0.5, 0.5), Seq(2.0, 2.0))).toDF("a", "b")
+    assert(dd.select(VectorExpressions.dot_product(col("a"), col("b")))
+      .head().getDouble(0) == 2.0)
+  }
+
+  test("DotProduct matches the interpreted HOF fold bit-for-bit") {
+    val vecs = (0 until 50).map { i =>
+      (Seq.tabulate(64)(d => ((i * 31 + d * 7) % 100) / 99.0f - 0.5f),
+        Seq.tabulate(64)(d => ((i * 17 + d * 3) % 100) / 99.0f - 0.5f))
+    }.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val diffs = vecs.select(
+      VectorExpressions.dot_product(col("a"), col("b")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diffs == 0)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val vals = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(vals(0) - 1.0) < 1e-12 && math.abs(vals(1)) < 1e-12)
+    val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    assert(zero.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("bruteForceTopK finds the planted nearest neighbor first") {
+    val base = Seq.tabulate(64)(_.toFloat / 64f)
+    val near = base.updated(0, base.head + 0.001f)
+    val corpus = (Seq((0L, base), (1L, near)) ++
+      (2L to 20L).map(i => (i, Seq.tabulate(64)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f))))
+      .toDF("id", "v")
+    val out = Similarity.bruteForceTopK(corpus, col("id"), col("v"),
+      corpus.filter(col("id") === 0L), col("id"), col("v"), k = 3)
+      .orderBy(col("rank")).collect()
+    assert(out.head.getAs[Long]("corpus_id") == 1L)
+    assert(out.length == 3)
+  }
+
+  test("lshTopK returns a subset consistent with brute force ordering") {
+    val corpus = (0L to 40L).map(i =>
+      (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f))).toDF("id", "v")
+    val q = corpus.filter(col("id") === 7L)
+    val lsh = Similarity.lshTopK(corpus, col("id"), col("v"), q, col("id"), col("v"),
+      k = 5, dim = 16, bits = 2).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit shares the query's bucket by construction; ranks ascend
+    assert(lsh.map(_.getAs[Int]("rank")).toSeq.sorted == lsh.map(_.getAs[Int]("rank")).toSeq)
+  }
+
+  test("bruteForceNearDups finds only pairs above threshold") {
+    val base = Seq.tabulate(32)(d => (d + 1).toFloat)
+    val dup = base.updated(0, 1.0001f)
+    val far = Seq.tabulate(32)(d => if (d % 2 == 0) 1f else -1f)
+    val df = Seq((1L, base), (2L, dup), (3L, far)).toDF("id", "v")
+    val pairs = Similarity.bruteForceNearDups(df, col("id"), col("v"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embeddingNearDups (LSH path) recovers the exact duplicate") {
+    val base = Seq.tabulate(16)(d => (d + 1).toFloat)
+    val df = (Seq((1L, base), (2L, base)) ++
+      (3L to 30L).map(i => (i, Seq.tabulate(16)(d => ((i * 29 + d * 11) % 89).toFloat / 89f - 0.5f))))
+      .toDF("id", "v")
+    val pairs = Similarity.embeddingNearDups(df, col("id"), col("v"),
+      dim = 16, threshold = 0.999, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

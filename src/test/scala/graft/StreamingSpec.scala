@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dq.Checks
+import graft.model.ValidationResult
+import graft.streaming.ArrivalJob
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming invariants from SURVEY §5.3 — offset continuity, expected
+  * counts, per-run file layout — driven through MemoryStream the way the
+  * reference drives them through live Kafka (`KafkaDemo.sh:184-295`).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class KRec(topic: String, partition: Int, offset: Long, value: String)
+
+  test("arrival stream writes run-partitioned layout + continuous ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_arrival").toString
+    val (data, ledger, ckpt) = (s"$dir/data", s"$dir/ledger", s"$dir/ckpt")
+
+    val stream = MemoryStream[KRec]
+    stream.addData((0L until 50L).map(o => KRec("t1", (o % 2).toInt, o / 2, s"v$o")))
+    val q1 = ArrivalJob.start(stream.toDF(), data, ledger, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    stream.addData((50L until 80L).map(o => KRec("t1", (o % 2).toInt, o / 2, s"v$o")))
+    val q2 = ArrivalJob.start(stream.toDF(), data, ledger, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val arrived = spark.read.parquet(data)
+    assert(arrived.count() == 80)
+    // Hive layout: topic/partition/run — per-run pruning is a partition filter
+    assert(arrived.filter(col("job_run_id") === 0L).count() == 50)
+    assert(arrived.select(col("partition")).distinct().count() == 2)
+
+    val led = spark.read.parquet(ledger)
+    assert(led.count() == 4) // 2 batches × 2 partitions
+    val continuity = Checks.offsetContinuity(led, "t1")
+    assert(continuity.testResult == ValidationResult.PASSED)
+    assert(Checks.offsetCountMatch(led, 80L, "t1").testResult == ValidationResult.PASSED)
+  }
+
+  test("conformRuns lays out create_date/source_file_name partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_conform").toString
+    val (data, ledger, ckpt, conform) =
+      (s"$dir/data", s"$dir/ledger", s"$dir/ckpt", s"$dir/conform")
+    val stream = MemoryStream[KRec]
+    stream.addData(Seq(KRec("t2", 0, 0L, "a"), KRec("t2", 0, 1L, "b")))
+    val q = ArrivalJob.start(stream.toDF(), data, ledger, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    ArrivalJob.conformRuns(spark, data, conform, Seq(0L))
+    val conformed = spark.read.parquet(conform)
+    assert(conformed.count() == 2)
+    assert(conformed.select(col("source_file_name")).head().getString(0) == "t2_0_0")
+  }
+
+  test("ledger gap (lost batch) is detected") {
+    val ledger = Seq(
+      ("t", 0, 0L, 0L, 10L),
+      ("t", 0, 2L, 15L, 20L) // batch 1 lost: from != prev until
+    ).toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    assert(Checks.offsetContinuity(ledger, "t").testResult == ValidationResult.FAILED)
+  }
+}

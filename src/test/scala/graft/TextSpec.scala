@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("tokens and tokenCount handle whitespace runs") {
+    assert(one(Text.tokenCount(col("text")), "a  b\tc") == 3)
+    assert(one(Text.tokenCount(col("text")), "single") == 1)
+  }
+
+  test("subwordCount splits alpha/digit/punct runs") {
+    assert(one(Text.subwordCount(col("text")), "abc123 x!") == 4)
+  }
+
+  test("fingerprint is case/whitespace-insensitive") {
+    val a = one(Text.fingerprint(col("text")), "The  Cat")
+    val b = one(Text.fingerprint(col("text")), "the cat")
+    assert(a == b)
+    val c = one(Text.fingerprint(col("text")), "the dog")
+    assert(a != c)
+    assert(one(Text.fingerprint64(col("text")), "The  Cat") ==
+      one(Text.fingerprint64(col("text")), "the cat"))
+  }
+
+  test("shingles produce overlapping k-grams, empty when too short") {
+    val sh = one(Text.shingles(col("text"), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one(Text.shingles(col("text"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short.isEmpty)
+  }
+
+  test("langId picks the language with most stopword hits, und on none") {
+    assert(one(Text.langId(col("text")), "the cat is on the mat") == "en")
+    assert(one(Text.langId(col("text")), "el perro de la casa y un gato") == "es")
+    assert(one(Text.langId(col("text")), "zzz qqq xxx") == "und")
+  }
+
+  test("qualityFeatures shapes") {
+    val feats = Text.qualityFeatures(col("text"))
+    val row = Seq("the quick brown fox.").toDF("text")
+      .select(feats.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getAs[Int]("n_chars") == 20)
+    assert(row.getAs[Int]("n_tokens") == 4)
+    assert(row.getAs[Int]("stopword_hits") == 1)
+    assert(row.getAs[Int]("punct_count") == 1)
+  }
+}
