@@ -63,20 +63,13 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `bits` sign bits of projections onto
-    * deterministic pseudo-random hyperplanes (seeded per bit/dimension with
-    * xxhash64 → uniform in [-1,1]). Cosine-similar vectors collide with
-    * probability (1 - θ/π)^bits.
+    * deterministic pseudo-random hyperplanes (SplitMix64-seeded coefficients
+    * uniform in [-1,1]). Native single-pass expression — see
+    * [[graft.plans.HyperplaneSignature]]. Cosine-similar vectors collide
+    * with probability (1 - θ/π)^bits.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    def coef(bit: Int, d: Int): Column =
-      (xxhash64(lit(seed), lit(bit), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
-    val bitCols = (0 until bits).map { b =>
-      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * coef(b, d))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    graft.plans.VectorExpressions.hyperplane_signature(vec, dim, bits, seed)
 
   /** IVF/LSH-bucketed approximate top-k: bucket corpus and queries by
     * hyperplane signature, join on bucket, rank within. Recall is tunable via

@@ -86,9 +86,85 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature: `bits` sign bits of projections onto
+  * pseudo-random hyperplanes. The hyperplane coefficient matrix (bits × dim,
+  * uniform in [-1,1]) is derived deterministically from `seed` via
+  * SplitMix64 at expression construction — so the per-row work is just
+  * `bits` dot products in one tight loop, instead of a bits×dim-term
+  * expression tree whose codegen alone dominates small scans.
+  *
+  * Cosine-similar vectors collide with probability (1 - θ/π)^bits.
+  * Vectors shorter than `dim` treat missing tail dims as 0.
+  */
+case class HyperplaneSignature(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_signature requires array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloatArr = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** coefs(b)(d) ∈ [-1,1], SplitMix64-derived — stable across JVMs. */
+  @transient private lazy val coefs: Array[Array[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(bits, dim) { (b, d) =>
+      splitmix(seed * 0x100000001b3L + b.toLong * 0x1000193L + d.toLong).toDouble /
+        Long.MaxValue.toDouble
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloatArr) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val row = coefs(b)
+      var proj = 0.0
+      i = 0
+      while (i < n) { proj += v(i) * row(i); i += 1 }
+      if (proj > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen'd [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(
       DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Random-hyperplane LSH signature (native single-pass evaluation). */
+  def hyperplane_signature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    GraftBridge.toColumn(
+      HyperplaneSignature(GraftBridge.toExpression(vec), dim, bits, seed))
 }
