@@ -314,6 +314,57 @@ object Queries {
       Map("lo" -> 100000.0, "hi" -> 110000.0))
   }
 
+  /** The full `query.txt:1` shape in one statement: multi-way join chain +
+    * LEFT JOIN to an aggregating subquery (the Z join) + uncorrelated scalar
+    * subquery in a predicate + CASE-unpivot aggregation. Executed through
+    * the stored-query path (spark.sql) for fidelity with the reference's
+    * CLOB-stored SQL — the identical text runs on DuckDB as the oracle.
+    */
+  val FlagshipSql: String =
+    """WITH z AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+      |SELECT r_name AS region_name, c_mktsegment,
+      | count(*) AS n_lines,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
+      | max(z.cnt) AS max_cust_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |LEFT JOIN z ON orders.o_custkey = z.o_custkey
+      |WHERE l_quantity < (SELECT max(l_quantity) FROM lineitem)
+      |GROUP BY r_name, c_mktsegment
+      |ORDER BY region_name, c_mktsegment""".stripMargin
+
+  def flagshipDim(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(FlagshipSql)
+  }
+
+  /** 2A-18/19: ordered top-k — Spark plans this as TakeOrderedAndProject
+    * (per-partition heap + merge, no global sort materialization).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** 2A-21: cast chains + TO_DATE-style parsing round trips
+    * (`KafkaDemo.sh:80` to_number, `Fact_Dagg_automation.sh:49` TO_DATE).
+    */
+  def castConvert(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").cast("string").cast("long").as("rt_key"),
+        unix_timestamp(
+          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"))
+          .as("order_epoch"))
+      .orderBy(col("o_orderkey"))
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (documents / embeddings)
   // ---------------------------------------------------------------------
@@ -440,7 +491,10 @@ object Queries {
     "q29_simhash" -> (simhashSignatures _),
     "q30_ann_brute" -> (annBruteForce _),
     "q31_embed_neardup" -> (embeddingNearDups _),
-    "q32_ann_lsh" -> (annLsh _))
+    "q32_ann_lsh" -> (annLsh _),
+    "q33_flagship_dim" -> (flagshipDim _),
+    "q34_topk" -> (topK _),
+    "q35_cast_convert" -> (castConvert _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -657,5 +711,13 @@ object Queries {
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q33_flagship_dim" -> FlagshipSql,
+    "q34_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q35_cast_convert" ->
+      """SELECT o_orderkey, CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS rt_key,
+        | CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS order_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }
