@@ -365,6 +365,16 @@ object Queries {
           .as("order_epoch"))
       .orderBy(col("o_orderkey"))
 
+  /** Catalog-driven column profiling (one-pass, all columns in a single
+    * aggregate) — the reference's metadata-generated null/count checks
+    * generalized (`fact_dim_merging.sh:282-358`).
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Profile.profile(t(spark, dir, "orders"), exact = true)
+      .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (documents / embeddings)
   // ---------------------------------------------------------------------
@@ -494,7 +504,8 @@ object Queries {
     "q32_ann_lsh" -> (annLsh _),
     "q33_flagship_dim" -> (flagshipDim _),
     "q34_topk" -> (topK _),
-    "q35_cast_convert" -> (castConvert _))
+    "q35_cast_convert" -> (castConvert _),
+    "q36_profile" -> (profileOrders _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -719,5 +730,16 @@ object Queries {
     "q35_cast_convert" ->
       """SELECT o_orderkey, CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS rt_key,
         | CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS order_epoch
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q36_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    })
 }
