@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of the engine's custom Catalyst expressions, so the
+  * stored-query-as-data path (the reference keeps every query in config
+  * tables — `TESTING_QUERIES` CLOBs) can call them from SQL text:
+  *
+  * {{{
+  * // at session build time:
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or on an existing session:
+  * GraftFunctions.register(spark)
+  * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Functions: dot_product(a, b) · min_hashes(shingles, n) ·
+  * shingles(tokens, k) · hyperplane_signature(vec, dim, bits[, seed]).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "min_hashes" -> ((args: Seq[Expression]) =>
+      MinHashes(args(0), intArg(args(1), "min_hashes"))),
+    "shingles" -> ((args: Seq[Expression]) =>
+      Shingles(args(0), intArg(args(1), "shingles"))),
+    "hyperplane_signature" -> ((args: Seq[Expression]) =>
+      HyperplaneSignature(args(0),
+        intArg(args(1), "hyperplane_signature"),
+        intArg(args(2), "hyperplane_signature"),
+        if (args.length > 3) intArg(args(3), "hyperplane_signature").toLong else 42L)))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** Session-builder injection variant of [[GraftFunctions]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name), b))
+    }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAggregate equals direct aggregate on skewed data") {
+    val df = (Seq.fill(500)(("hot", 1L)) ++ Seq(("a", 2L), ("b", 3L), ("a", 5L)))
+      .toDF("k", "v")
+    val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(df, Seq($"k"), buckets = 8,
+      partialAggs = Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("saltedJoin equals direct join on skewed fact side") {
+    val fact = (Seq.fill(300)((1, "x")) ++ Seq((2, "y"), (3, "z"))).toDF("k", "payload")
+    val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
+    val direct = fact.join(dim, Seq("k")).groupBy($"k").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", buckets = 4).groupBy($"k").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
+  test("heavyHitters surfaces the hot key first") {
+    val df = (Seq.fill(50)("hot") ++ Seq("a", "b")).toDF("k")
+    val top = Skew.heavyHitters(df, $"k", topN = 1).head()
+    assert(top.getString(0) == "hot" && top.getLong(1) == 50L)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT shingles(array('a','b','c'), 2) AS s").head()
+      .getSeq[String](0)
+    assert(sh == Seq("a b", "b c"))
+    val mh = spark.sql(
+      "SELECT min_hashes(array('x','y'), 2) AS m").head().getSeq[String](0)
+    assert(mh.length == 2 && mh.forall(_.length == 32))
+    val sig = spark.sql(
+      "SELECT hyperplane_signature(array(1.0D, -1.0D, 0.5D), 3, 4) AS h").head().getLong(0)
+    assert(sig >= 0L && sig < 16L)
+  }
+}

@@ -17,7 +17,6 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private case class KRec(topic: String, partition: Int, offset: Long, value: String)
 
   test("arrival stream writes run-partitioned layout + continuous ledger") {
     implicit val sqlCtx = spark.sqlContext

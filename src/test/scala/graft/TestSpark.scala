@@ -19,3 +19,8 @@ object TestSpark {
     s
   }
 }
+
+/** Kafka-shaped test record (top-level: inner case classes break encoder
+  * codegen and fall back to interpreted mode).
+  */
+case class KRec(topic: String, partition: Int, offset: Long, value: String)
