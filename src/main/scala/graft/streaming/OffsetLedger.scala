@@ -26,6 +26,7 @@ final class OffsetLedgerListener extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
     runId += 1
+    durations += event.progress.batchId -> event.progress.batchDuration
     event.progress.sources.foreach { s =>
       // Kafka source offsets are JSON {topic: {partition: offset}}. For
       // non-Kafka sources (files, memory) start/end are opaque — skipped.
@@ -39,11 +40,18 @@ final class OffsetLedgerListener extends StreamingQueryListener {
     }
   }
 
-  /** Batch-duration audit (`KafkaDemo.sh:94-144` scrapes driver logs; here
-    * it's structured): returns (batchId → durationMs).
+  /** Batch-duration audit: (batchId → wall ms) straight from
+    * StreamingQueryProgress — the reference scrapes the same number out of
+    * driver logs (`KafkaDemo.sh:94-144`).
     */
   private val durations = mutable.ArrayBuffer.empty[(Long, Long)]
-  def recordDuration(batchId: Long, ms: Long): Unit = synchronized { durations += batchId -> ms }
+  def batchDurations: Seq[(Long, Long)] = synchronized(durations.toSeq)
+
+  /** The reference's BATCH_DURATION expectation check
+    * (`KafkaDemo.sh:131-144`): every recorded batch within tolerance.
+    */
+  def durationsWithin(maxMs: Long): Boolean =
+    synchronized(durations.forall(_._2 <= maxMs))
 
   def snapshot(spark: SparkSession): Dataset[OffsetRange] = synchronized {
     import spark.implicits._

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch event operators (graft.ops.Events): the
+  * batch forms are oracle-checkable SQL; these run the same semantics
+  * continuously under Structured Streaming.
+  *
+  * Scale notes: both operators shuffle once on their grouping keys; state
+  * store size is bounded by the watermark (windowed agg) or the explicit
+  * timeout (sessionization) — without those bounds a 100 TB/day stream
+  * grows state forever.
+  */
+object Windowed {
+
+  /** Watermarked tumbling-window aggregation over an event stream with
+    * columns (ts: timestamp, event_type: string, value: double).
+    * Late data beyond `watermark` is dropped and its window state evicted.
+    */
+  def tumblingCounts(events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long, total_value: Double)
+
+  /** Custom sessionization state machine via flatMapGroupsWithState — the
+    * (c)-level path for semantics `session_window` can't express (e.g.
+    * emitting only on session close, carrying custom accumulators). A
+    * session closes after `gapMs` of inactivity (processing-time timeout in
+    * production; pass `GroupStateTimeout.NoTimeout` for synchronous tests,
+    * where only event-time gaps inside a batch close sessions); exactly one
+    * output row per closed session.
+    */
+  def sessionize(events: Dataset[SessionInput], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + r.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, r.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, r.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

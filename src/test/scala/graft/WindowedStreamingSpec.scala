@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{OffsetLedgerListener, Windowed}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class WindowedStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling aggregation emits closed windows, drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = Windowed.tumblingCounts(stream.toDF(), "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tumbling_out").start()
+
+    stream.addData(
+      Ev(ts("2024-01-01 00:01:00"), "view", 1.0),
+      Ev(ts("2024-01-01 00:05:00"), "view", 2.0),
+      Ev(ts("2024-01-01 00:11:00"), "click", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    stream.addData(Ev(ts("2024-01-01 01:00:00"), "view", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00.0", "view", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:10:00.0", "click", 1L, 5.0)))
+    // late event behind the watermark is dropped, not re-emitted
+    stream.addData(Ev(ts("2024-01-01 00:02:00"), "view", 100.0))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Windowed.SessionInput]
+    val sessions = Windowed.sessionize(stream.toDS(), gapMs = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("session_out").start()
+
+    // user 1: two events 10s apart (one session), then a 2-min jump →
+    // session closes inside the same batch's sort
+    stream.addData(
+      Windowed.SessionInput(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Windowed.SessionInput(1L, ts("2024-01-01 00:00:10"), 2.0),
+      Windowed.SessionInput(1L, ts("2024-01-01 00:05:00"), 7.0))
+    q.processAllAvailable()
+    val closed = spark.table("session_out").as[Windowed.SessionOut].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+    assert(closed.head.user_id == 1L)
+  }
+
+  test("listener records batch durations and ledger-parses kafka offsets") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new OffsetLedgerListener
+    spark.streams.addListener(listener)
+    try {
+      val stream = MemoryStream[Ev]
+      stream.addData(Ev(ts("2024-01-01 00:00:00"), "view", 1.0))
+      val q = stream.toDS().writeStream.format("memory")
+        .queryName("listener_out").outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+      // allow async listener bus delivery
+      var tries = 0
+      while (listener.batchDurations.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(listener.batchDurations.nonEmpty)
+      assert(listener.durationsWithin(maxMs = 600000L))
+    } finally spark.streams.removeListener(listener)
+  }
+}
