@@ -49,11 +49,15 @@ object GraftFunctions {
     }
 }
 
-/** Session-builder injection variant of [[GraftFunctions]]. */
+/** Session-builder injection variant of [[GraftFunctions]], plus the
+  * automatic incremental-read rule ([[graft.plans.IncrementalRead]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans", name), b))
     }
+    ext.injectResolutionRule(_ => new graft.plans.IncrementalRead.InjectWatermark)
+  }
 }
