@@ -43,6 +43,35 @@ object Checks {
       mismatch == 0, if (mismatch == 0) "exact match" else "symmetric difference non-empty")
   }
 
+  /** Data match by content hash — the scale path for the same validation:
+    * instead of shuffling both tables' full width through `except` twice,
+    * aggregate an order-insensitive 128-bit content digest per side
+    * (count + sum and xor of per-row xxhash64) and compare the digests.
+    * One narrow aggregate per side, zero joins; collision probability is
+    * ~2⁻⁶⁴ per comparison. Semantics are bag (exceptAll-like), not set —
+    * duplicated rows change the digest.
+    */
+  def dataMatchHashed(source: DataFrame, target: DataFrame, sourceName: String,
+                      stage: String): ValidationResult = {
+    def digest(df: DataFrame): (Long, String, String) = {
+      val h = xxhash64(df.columns.map(col): _*)
+      // DECIMAL(38,0) accumulation: immune to ANSI long-overflow and exact
+      // for any realistic row count (2⁶³ × 10¹⁰ rows ≪ 10³⁸).
+      val dec = h.cast("decimal(38,0)")
+      val row = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(dec), lit(0)).cast("string").as("hsum"),
+        // second independent fold for collision resistance
+        coalesce(sum(shiftright(h, 1).cast("decimal(38,0)")), lit(0))
+          .cast("string").as("hmix")).head()
+      (row.getLong(0), row.getString(1), row.getString(2))
+    }
+    val s = digest(source)
+    val t = digest(target)
+    ValidationResult.of(sourceName, stage, "data_match_hashed", "xxhash64_digest",
+      s == t, s"source=$s target=$t")
+  }
+
   /** Duplicate check: GROUP BY all columns HAVING count>1
     * (`FACT_AUTOMATION.sh:311-363`, shell `sort | uniq -d`
     * `KafkaScript_ConformToStaging.sh:250-279`).

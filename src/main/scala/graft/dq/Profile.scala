@@ -50,6 +50,20 @@ object Profile {
     }.toDS().toDF()
   }
 
+  /** Approximate quantiles per numeric column (Greenwald-Khanna sketch —
+    * one pass, mergeable across partitions; relativeError trades sketch
+    * size for accuracy at 100 TB).
+    */
+  def quantiles(df: DataFrame, probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                relativeError: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val qs = df.stat.approxQuantile(numCols.toArray, probabilities.toArray, relativeError)
+    numCols.zip(qs.map(_.toSeq)).toDF("column", "quantiles")
+  }
+
   /** Numeric-column summary (sum/avg via exact decimal where sensible) —
     * kept as a separate narrow pass because string min/max and numeric
     * moments rarely belong to the same audit.

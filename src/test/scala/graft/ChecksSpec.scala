@@ -63,4 +63,24 @@ class ChecksSpec extends AnyFunSuite {
       Set("count_match", "data_match", "duplicate_check", "null_check"))
     assert(results.forall(_.testResult == ValidationResult.PASSED))
   }
+
+  test("dataMatchHashed: order-insensitive, bag semantics, detects diffs") {
+    val a = Seq((1, "x"), (2, "y"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, "y"), (1, "x"), (2, "y")).toDF("k", "v")
+    assert(Checks.dataMatchHashed(a, b, "s", "3NF").testResult == ValidationResult.PASSED)
+    // bag semantics: dropping one duplicate changes the digest
+    val c = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    assert(Checks.dataMatchHashed(a, c, "s", "3NF").testResult == ValidationResult.FAILED)
+    // content diff detected
+    val d = Seq((1, "x"), (2, "z"), (2, "y")).toDF("k", "v")
+    assert(Checks.dataMatchHashed(a, d, "s", "3NF").testResult == ValidationResult.FAILED)
+  }
+
+  test("profile quantiles sketch per numeric column") {
+    val df = (1 to 100).map(i => (i, i.toDouble * 2)).toDF("a", "b")
+    val q = graft.dq.Profile.quantiles(df, Seq(0.5), relativeError = 0.01)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(q("a").head - 50.0) <= 2.0)
+    assert(math.abs(q("b").head - 100.0) <= 4.0)
+  }
 }
