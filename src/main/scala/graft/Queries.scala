@@ -104,14 +104,18 @@ object Queries {
     val r = t(spark, dir, "region")
     val s = t(spark, dir, "supplier")
     val p = t(spark, dir, "part")
+    // Broadcast hints only on the guaranteed-tiny dims (nation/region);
+    // customer/supplier/part scale with the data — auto-broadcast + AQE
+    // pick broadcast when they fit and fall back to shuffled joins when
+    // they don't (a forced broadcast() would OOM the driver at 100 TB dims).
     li
       .join(o, li("l_orderkey") === o("o_orderkey") &&
         o("o_orderstatus").isin("F", "O"), "left_outer")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      .join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"), "left_outer")
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
+      .join(s, li("l_suppkey") === s("s_suppkey"), "left_outer")
+      .join(p, li("l_partkey") === p("p_partkey"), "left_outer")
       .withColumn("segment_class",
         when(col("c_mktsegment") === "AUTOMOBILE", "Vehicle")
           .when(col("c_mktsegment") === "MACHINERY", "Industrial")
@@ -375,6 +379,50 @@ object Queries {
         col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
 
+  /** Window frames beyond rank: running total + lag over customer order
+    * history (decimal-exact running sum presented as double).
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** The DAGG (daily aggregate) table shape: per-day, per-status rollups —
+    * the dimensional layer's daily tables (`Fact_Dagg_automation.sh:25-43`).
+    */
+  def dailyAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(dec2(col("o_totalprice"))).as("day_total"))
+      .orderBy(col("order_day"), col("o_orderstatus"))
+
+  /** ROLLUP hierarchy totals (region → nation → grand total) with grouping
+    * flags — the aggregate-hierarchy half of the DWDD layer.
+    */
+  def rollupRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        money(dec2(col("c_acctbal"))).as("total_balance"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_balance"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (documents / embeddings)
   // ---------------------------------------------------------------------
@@ -505,7 +553,10 @@ object Queries {
     "q33_flagship_dim" -> (flagshipDim _),
     "q34_topk" -> (topK _),
     "q35_cast_convert" -> (castConvert _),
-    "q36_profile" -> (profileOrders _))
+    "q36_profile" -> (profileOrders _),
+    "q37_running_total" -> (runningTotal _),
+    "q38_daily_agg" -> (dailyAgg _),
+    "q39_rollup" -> (rollupRegion _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -731,6 +782,28 @@ object Queries {
       """SELECT o_orderkey, CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS rt_key,
         | CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS order_epoch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q37_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        | lag(o_totalprice) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q38_daily_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderstatus,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q39_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        | coalesce(n_name, 'ALL') AS nation_name,
+        | count(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

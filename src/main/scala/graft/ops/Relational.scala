@@ -70,6 +70,17 @@ object Relational {
     df.groupBy(groupCols: _*)
       .agg(concat_ws(",", sort_array(collect_list(valueCol))).as("list_agg"))
 
+  /** LISTAGG ordered by a *different* column than the value (Oracle's
+    * `WITHIN GROUP (ORDER BY o)` general form): collect (order, value)
+    * structs, sort by the struct (order key leads), project values.
+    */
+  def listAggBy(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+                orderCol: Column): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(orderCol.as("o"), valueCol.as("v")))),
+          x => x.getField("v"))).as("list_agg"))
+
   /** Symmetric difference both directions — the MINUS-based data validation
     * (`FACT_AUTOMATION.sh:182-193, :221-231`): Oracle MINUS is set semantics
     * → `except` (distinct), not `exceptAll`. Tag each direction so one pass

@@ -76,4 +76,11 @@ class RelationalSpec extends AnyFunSuite {
     val df = Seq("alpha_widget", "beta_bolt", "gamma").toDF("s")
     assert(df.filter(Relational.likeAny(col("s"), Seq("widget", "bolt"))).count() == 2)
   }
+
+  test("listAggBy orders values by a different column") {
+    val df = Seq(("g", "first", 3), ("g", "second", 1), ("g", "third", 2))
+      .toDF("g", "v", "ord")
+    val out = Relational.listAggBy(df, Seq(col("g")), col("v"), col("ord")).head()
+    assert(out.getString(1) == "second,third,first")
+  }
 }
