@@ -503,6 +503,25 @@ object Queries {
         col("vec_id"), col("embedding"), threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Corpus-wide term frequencies (explode → count → top 50). */
+  def termFreq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+
+  /** Top-3 TF-IDF terms per document (score used for ranking only — ln()
+    * last-ulp differences across engines never reorder distinct (tf, df)
+    * pairs, whose scores differ by ≥ ln((df+1)/df)).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Tfidf.topTerms(t(spark, dir, "documents"),
+        col("doc_id"), col("text"), k = 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+
   /** LSH-bucketed approximate top-k (scale path — rows-only check). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -556,7 +575,9 @@ object Queries {
     "q36_profile" -> (profileOrders _),
     "q37_running_total" -> (runningTotal _),
     "q38_daily_agg" -> (dailyAgg _),
-    "q39_rollup" -> (rollupRegion _))
+    "q39_rollup" -> (rollupRegion _),
+    "q40_term_freq" -> (termFreq _),
+    "q41_tfidf_top_terms" -> (tfidfTopTerms _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -804,6 +825,27 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q40_term_freq" ->
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($DNTOKS) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+    "q41_tfidf_top_terms" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($DNTOKS) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tc.doc_id, tc.term, tc.tf,
+         |         tc.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tf_idf
+         |  FROM tc JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term ASC) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -133,6 +133,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over candidate
+    * pairs by iterated label propagation — each id adopts the minimum label
+    * among itself and its neighbors until fixpoint (≤ `maxIter` rounds,
+    * each one join + aggregate; converges in O(log(diameter)) rounds on
+    * near-dup clusters, which are shallow). Returns (id, cluster) where
+    * cluster = min id of the component; `cluster != id` rows are the drop
+    * set. This is the step that turns pairwise candidates into one-keeper-
+    * per-group semantics at scale without collecting edges to the driver.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("id2"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(col("u.cluster") =!= col("l.cluster"))
+        .limit(1).count()
+      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 64-bit signature whose bits are the signs of per-bit weighted
     * sums over token hashes. Near-duplicates have small Hamming distance.
     * Pure expression pipeline (xxhash64 + bit ops), fully codegen'd.

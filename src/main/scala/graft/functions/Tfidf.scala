@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over a document corpus — the classic text-analysis
+  * pipeline as three relational steps: explode tokens → per-(doc, term)
+  * counts → join document frequencies. All shuffles are on the term column
+  * (narrow strings); the corpus-size scalar rides along via a broadcast
+  * cross join.
+  *
+  * idf = ln(N / df) — natural log, no smoothing, so the oracle SQL is the
+  * plain textbook formula.
+  */
+object Tfidf {
+
+  /** (doc_id, term, tf) — term counts per document. */
+  def termCounts(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs
+      .select(idCol.as("doc_id"),
+        explode(Text.tokens(Text.normalized(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df) — number of documents containing each term. */
+  def docFrequencies(termCountsDf: DataFrame): DataFrame =
+    termCountsDf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** (doc_id, term, tf, tf_idf) for the whole corpus. */
+  def tfIdf(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val tc = termCounts(docs, idCol, textCol)
+    val dfreq = docFrequencies(tc)
+    val n = docs.select(idCol).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    tc.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("term"), col("tf"), col("tf_idf"))
+  }
+
+  /** Top-k most characteristic terms per document (ties broken by term for
+    * determinism).
+    */
+  def topTerms(docs: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf_idf").desc, col("term").asc)
+    tfIdf(docs, idCol, textCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

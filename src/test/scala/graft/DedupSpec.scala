@@ -95,4 +95,12 @@ class DedupSpec extends AnyFunSuite {
       shingleK = 3, bands = 2, rowsPerBand = 2)
     assert(uncapped.count() == 45) // all C(10,2) pairs
   }
+
+  test("connectedComponents resolves transitive duplicate clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(9L) == 1L)
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+  }
 }
