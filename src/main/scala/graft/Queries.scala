@@ -532,6 +532,24 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
+    * codec is Spark-side): synthetic binary media → partition-batched
+    * feature extraction → per-kind rollup + a cosine self-similarity probe
+    * of the extracted features.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.functions.Multimodal.syntheticMedia(spark, 300)
+    val feats = graft.functions.Multimodal
+      .extractFeatures(media, graft.functions.Multimodal.FakeCodec, dim = 16)
+      .toDF()
+    feats
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        avg(Similarity.norm(col("feature"))).as("mean_norm"))
+      .orderBy(col("kind"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -577,7 +595,8 @@ object Queries {
     "q38_daily_agg" -> (dailyAgg _),
     "q39_rollup" -> (rollupRegion _),
     "q40_term_freq" -> (termFreq _),
-    "q41_tfidf_top_terms" -> (tfidfTopTerms _))
+    "q41_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q42_media_features" -> (mediaFeatures _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"

@@ -112,6 +112,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Recall of the LSH path against the exact baseline for the same
+    * queries: |lsh∩exact| / |exact| per query, averaged. The tuning loop
+    * for `bits` — measure on a sample, then fix bits for the full corpus.
+    */
+  def lshRecall(corpus: DataFrame, idCol: Column, vecCol: Column,
+                queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                k: Int, dim: Int, bits: Int): Double = {
+    val exact = bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = lshTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k, dim, bits)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.intersect(approx).count().toDouble
+    val total = exact.count().toDouble
+    if (total == 0) 1.0 else hits / total
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale: candidate pairs through
     * LSH buckets (exact within-bucket check, so precision is exact; recall
     * governed by `bits`).

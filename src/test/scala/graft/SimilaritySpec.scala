@@ -85,4 +85,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("lshRecall improves as bits decrease (bigger buckets, more candidates)") {
+    val corpus = (0L to 200L).map(i =>
+      (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f))).toDF("id", "v")
+    val q = corpus.filter(col("id") < 3L)
+    val coarse = Similarity.lshRecall(corpus, col("id"), col("v"),
+      q, col("id"), col("v"), k = 5, dim = 16, bits = 1)
+    val fine = Similarity.lshRecall(corpus, col("id"), col("v"),
+      q, col("id"), col("v"), k = 5, dim = 16, bits = 6)
+    assert(coarse >= fine) // fewer bits → bigger buckets → recall no worse
+    assert(coarse > 0.5)   // 2 buckets cover most neighbors
+  }
 }
