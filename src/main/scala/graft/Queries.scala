@@ -379,6 +379,16 @@ object Queries {
         col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
 
+  /** Set-op family completion: INTERSECT (customers active in both halves
+    * of the date range — set semantics like Oracle MINUS's sibling).
+    */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val early = o.filter(col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1997-01-01")).select(col("o_custkey"))
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
   /** Window frames beyond rank: running total + lag over customer order
     * history (decimal-exact running sum presented as double).
     */
@@ -596,7 +606,8 @@ object Queries {
     "q39_rollup" -> (rollupRegion _),
     "q40_term_freq" -> (termFreq _),
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
-    "q42_media_features" -> (mediaFeatures _))
+    "q42_media_features" -> (mediaFeatures _),
+    "q43_intersect" -> (intersectCustomers _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -844,6 +855,11 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q43_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
     "q40_term_freq" ->
       s"""SELECT term, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($DNTOKS) AS term FROM documents)
