@@ -379,6 +379,28 @@ object Queries {
         col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
 
+  /** As-of join: each click enriched with the user's latest purchase at or
+    * before the click (graft.ops.AsOf — composed union+window form; DuckDB
+    * verifies with its native ASOF JOIN).
+    */
+  def asofClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = Relational.rankLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq(col("user_id"), col("ts_us")), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts_us").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.ops.AsOf.joinAsOf(clicks, purchases, "user_id", "ts_us", "p_ts",
+        Seq("p_event_id", "p_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_p_event_id"), col("asof_p_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Set-op family completion: INTERSECT (customers active in both halves
     * of the date range — set semantics like Oracle MINUS's sibling).
     */
@@ -607,7 +629,8 @@ object Queries {
     "q40_term_freq" -> (termFreq _),
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
     "q42_media_features" -> (mediaFeatures _),
-    "q43_intersect" -> (intersectCustomers _))
+    "q43_intersect" -> (intersectCustomers _),
+    "q44_asof_join" -> (asofClickPurchase _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -855,6 +878,17 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q44_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts_us AS p_ts, event_id AS p_event_id, value AS p_value
+        |  FROM e WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
     "q43_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |INTERSECT
