@@ -401,6 +401,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Banded range join: per purchase, clicks of the same user within the
+    * preceding 10 minutes — equi-shuffle on (user, bucket) instead of a
+    * nested-loop inequality join.
+    */
+  def rangeJoinClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"))
+    graft.ops.RangeJoin.joinRange(purchases, clicks, "user_id", "p_ts", "c_ts",
+        window = 600000000L) // 10 min in µs
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"))
+      .orderBy(col("p_id"))
+  }
+
   /** Set-op family completion: INTERSECT (customers active in both halves
     * of the date range — set semantics like Oracle MINUS's sibling).
     */
@@ -630,7 +649,8 @@ object Queries {
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
     "q42_media_features" -> (mediaFeatures _),
     "q43_intersect" -> (intersectCustomers _),
-    "q44_asof_join" -> (asofClickPurchase _))
+    "q44_asof_join" -> (asofClickPurchase _),
+    "q45_range_join" -> (rangeJoinClicks _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -878,6 +898,14 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q45_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p_id, CAST(count(*) AS BIGINT) AS n_recent_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.p_ts - c.c_ts BETWEEN 0 AND 600000000
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
     "q44_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value FROM events),
         |clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),

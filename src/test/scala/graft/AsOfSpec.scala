@@ -27,4 +27,17 @@ class AsOfSpec extends AnyFunSuite {
     val right = Seq((0L, 10L, "x"), (1L, 20L, "y")).toDF("k", "rt", "state")
     assert(AsOf.joinAsOf(left, right, "k", "lt", "rt", Seq("state")).count() == 100)
   }
+
+  test("joinRange matches exactly the pairs within the window") {
+    import graft.ops.RangeJoin
+    val left = Seq((1L, 1000L, "p1"), (1L, 5000L, "p2"), (2L, 100L, "p3"))
+      .toDF("k", "lt", "tag")
+    val right = Seq(
+      (1L, 999L), (1L, 1000L), (1L, 500L), (1L, 4000L), (1L, 5501L), (2L, 99L)
+    ).toDF("k", "rt")
+    val out = RangeJoin.joinRange(left, right, "k", "lt", "rt", window = 500L)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("rt"))).toSet
+    // p1@1000 window [500,1000] -> 999, 1000, 500; p2@5000 -> none (4000 too old, 5501 future)
+    assert(out == Set(("p1", 999L), ("p1", 1000L), ("p1", 500L), ("p3", 99L)))
+  }
 }
