@@ -601,6 +601,53 @@ object Queries {
       .orderBy(col("kind"))
   }
 
+  /** Dedicated pivot operator (RelationalGroupedDataset.pivot with a static
+    * value list — the planned form; q11 is the manual CASE twin).
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * l_quantity is integral so interpolated values are exact halves).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-range histogram binning (explicit floor-division formula, same
+    * arithmetic on both engines; `width_bucket` where available).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Salted two-phase aggregation — same result as the direct GROUP BY
+    * (the oracle runs the direct form), so the skew rewrite is itself
+    * under the differential gate.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAggregate(
+        t(spark, dir, "events"), Seq(col("event_type")), buckets = 8,
+        partialAggs = Seq(
+          sum(dec2(col("value"))).as("pv"),
+          count(lit(1)).as("pn")),
+        finalAggs = Seq(
+          sum(col("pv")).cast("double").as("total_value"),
+          sum(col("pn")).as("n")))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -650,7 +697,11 @@ object Queries {
     "q42_media_features" -> (mediaFeatures _),
     "q43_intersect" -> (intersectCustomers _),
     "q44_asof_join" -> (asofClickPurchase _),
-    "q45_range_join" -> (rangeJoinClicks _))
+    "q45_range_join" -> (rangeJoinClicks _),
+    "q46_pivot" -> (pivotEvents _),
+    "q47_percentiles" -> (percentiles _),
+    "q48_histogram" -> (histogram _),
+    "q49_salted_agg" -> (saltedAgg _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -898,6 +949,25 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q46_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q47_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
         |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase'),
