@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.Dedup
+import graft.ops.{AsOf, Relational, Skew}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants over randomized inputs — the algebra each
+  * operator must satisfy regardless of data shape. (Raw ScalaCheck
+  * generators sampled with fixed seeds — the scalatestplus bridge is not in
+  * the offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(30), Seed(i.toLong))
+        .foreach(check)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.oneOf("a", "b", "c", "d")))
+
+  test("symmetricDiff(a, a) is empty; diff directions partition the difference") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      assert(Relational.symmetricDiff(df, df).isEmpty)
+    }
+  }
+
+  test("duplicateRows counts agree with groupBy arithmetic") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val dupTotal = Relational.duplicateRows(df)
+        .agg(coalesce(sum(col("dup_count")), lit(0L))).head().getLong(0)
+      val expected = rows.groupBy(identity).values.map(_.size.toLong)
+        .filter(_ > 1).sum
+      assert(dupTotal == expected)
+    }
+  }
+
+  test("saltedAggregate equals direct aggregate for any grouping") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val direct = df.groupBy(col("v")).agg(sum(col("k")).as("s"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val salted = Skew.saltedAggregate(df, Seq(col("v")), buckets = 4,
+          Seq(sum(col("k")).as("ps"), count(lit(1)).as("pn")),
+          Seq(sum(col("ps")).as("s"), sum(col("pn")).as("n")))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(salted == direct)
+      }
+    }
+  }
+
+  test("jaccard is symmetric and within [0,1]") {
+    val arrGen = Gen.listOf(Gen.oneOf("x", "y", "z", "w"))
+    forAll(Gen.zip(arrGen, arrGen)) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val j1 = df.select(Dedup.jaccard(col("a"), col("b"))).head().getDouble(0)
+      val j2 = df.select(Dedup.jaccard(col("b"), col("a"))).head().getDouble(0)
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+    }
+  }
+
+  test("joinAsOf: every match is at-or-before and is the latest such") {
+    val eventsGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L)), // left times
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L))) // right times
+    forAll(eventsGen) { case (lts, rts) =>
+      val left = lts.distinct.map(t => (1L, t)).toDF("k", "lt")
+      val right = rts.distinct.map(t => (1L, t, t * 10)).toDF("k", "rt", "payload")
+      val out = AsOf.joinAsOf(left, right, "k", "lt", "rt", Seq("rt", "payload"))
+        .collect()
+      out.foreach { r =>
+        val lt = r.getAs[Long]("lt")
+        val matched = Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong)
+        val expected = rts.distinct.filter(_ <= lt).sorted.lastOption
+        assert(matched == expected, s"lt=$lt")
+      }
+    }
+  }
+}
