@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles}
+import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   *
   * Functions: dot_product(a, b) · min_hashes(shingles, n) ·
-  * shingles(tokens, k) · hyperplane_signature(vec, dim, bits[, seed]).
+  * shingles(tokens, k) · sim_hash64(tokens) ·
+  * hyperplane_signature(vec, dim, bits[, seed]).
   */
 object GraftFunctions {
 
@@ -35,6 +36,7 @@ object GraftFunctions {
       MinHashes(args(0), intArg(args(1), "min_hashes"))),
     "shingles" -> ((args: Seq[Expression]) =>
       Shingles(args(0), intArg(args(1), "shingles"))),
+    "sim_hash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
     "hyperplane_signature" -> ((args: Seq[Expression]) =>
       HyperplaneSignature(args(0),
         intArg(args(1), "hyperplane_signature"),

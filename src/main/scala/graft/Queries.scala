@@ -347,6 +347,161 @@ object Queries {
     spark.sql(FlagshipSql)
   }
 
+  /** The LITERAL `query.txt:1` flagship (`SC_B_3NF_DD_DIM_PRODUCT_OFFERING`):
+    * every structural element of the reference's stored dim query in one
+    * statement over derived fixture CTEs —
+    *
+    *  - uncorrelated scalar subqueries INSIDE the join ON conditions, twice
+    *    (`ON E.OFFERING_TYPE_ID = (SELECT DISTINCT(A.OFFERING_TYPE_ID) FROM
+    *    PRODUCT_OFFERING)` and the OFFERING_CATEGORY twin);
+    *  - the multi-source name/value CASE-unpivot: parameter (G via the F
+    *    mapping), allowance (N via L→M) and charge (P via L→O) side tables
+    *    pivoted to typed columns, exactly the SMS/MMS/DATA
+    *    allowance/price/flag derivation;
+    *  - `RECORD_STATUS = '1'` predicates inside each ON (dropped mapping
+    *    rows make the corresponding unpivot column NULL, not absent);
+    *  - the L→(M,N) × L→(O,P) fan-out (9 combined rows per offering)
+    *    collapsed by conditional aggregation on the offering grain — the
+    *    construction that corrupts silently if the join accidentally
+    *    duplicates a matched name/value row.
+    *
+    * Scale shape: the scalar subqueries are one-row aggregates Spark plans
+    * as subquery broadcasts; the VALUES dims are local relations
+    * (broadcast); all other joins are equi-joins keyed on the offering id —
+    * co-partitioned with the final GROUP BY, so AQE plans one shuffle on
+    * the fact grain. Identical text runs on DuckDB as the oracle.
+    */
+  val FlagshipFullSql: String =
+    """WITH j3 AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(j)),
+      |product_offering AS (
+      |  SELECT p_partkey AS product_offering_id,
+      |         p_name AS product_offering_name,
+      |         p_type AS product_offering_desc,
+      |         1 AS offering_type_id,
+      |         2 AS base_offering_category_id,
+      |         p_size % 4 AS offering_category_id,
+      |         CASE WHEN p_partkey % 10 = 0 THEN '0' ELSE '1' END AS record_status
+      |  FROM part),
+      |offering_type AS (
+      |  SELECT * FROM (VALUES (1,'MBB Plan'),(2,'Voice Offer'),(3,'Broadband'))
+      |    AS t(offering_type_id, offering_type_name)),
+      |offering_category AS (
+      |  SELECT * FROM (VALUES (0,'Devices'),(1,'SIM-Only'),(2,'Accessories'),(3,'Services'))
+      |    AS t(offering_category_id, offering_category_name)),
+      |product_offering_param AS (
+      |  SELECT p_partkey AS product_offering_id, p_partkey * 3 + j AS parameter_id,
+      |         CASE WHEN (p_partkey + j) % 7 = 0 THEN '0' ELSE '1' END AS record_status
+      |  FROM part CROSS JOIN j3),
+      |parameter AS (
+      |  SELECT p_partkey * 3 + j AS parameter_id,
+      |         CASE j WHEN 0 THEN 'CH_CONTRACT_DURATION' WHEN 1 THEN 'CFS_SMS' ELSE 'CFS_MMS' END AS parameter_name,
+      |         CAST(p_size AS STRING) AS allowed_value,
+      |         CASE WHEN p_retailprice > 1500 THEN 'Y' ELSE 'N' END AS default_value,
+      |         '1' AS record_status
+      |  FROM part CROSS JOIN j3),
+      |offering_priceplan AS (
+      |  SELECT p_partkey AS product_offering_id, p_partkey AS product_offer_price_id,
+      |         CASE WHEN p_partkey % 13 = 0 THEN '0' ELSE '1' END AS record_status
+      |  FROM part),
+      |priceplan_allowance AS (
+      |  SELECT p_partkey AS product_offer_price_id, p_partkey * 5 + j AS prodprice_allowance_id,
+      |         '1' AS record_status
+      |  FROM part CROSS JOIN j3),
+      |prodprice_allowance AS (
+      |  SELECT p_partkey * 5 + j AS prodprice_allowance_id,
+      |         CASE j WHEN 0 THEN 'SMS' WHEN 1 THEN 'MMS' ELSE 'Mobile Data' END AS prodprice_allowance_name,
+      |         CAST(p_size * (j + 1) AS BIGINT) AS spending_total,
+      |         '1' AS record_status
+      |  FROM part CROSS JOIN j3),
+      |priceplan_charge AS (
+      |  SELECT p_partkey AS product_offer_price_id, p_partkey * 5 + j AS prodprice_charge_id,
+      |         '1' AS record_status
+      |  FROM part CROSS JOIN j3),
+      |prodprice_charge AS (
+      |  SELECT p_partkey * 5 + j AS prodprice_charge_id,
+      |         CASE j WHEN 0 THEN 'SMS' WHEN 1 THEN 'MMS' ELSE 'Mobile Data' END AS prodprice_charge_name,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * (j + 1) AS DOUBLE) AS amount,
+      |         '1' AS record_status
+      |  FROM part CROSS JOIN j3)
+      |SELECT a.product_offering_id,
+      |       a.product_offering_name,
+      |       e.offering_type_name,
+      |       CASE WHEN e.offering_type_name = 'MBB Plan' THEN 'MBB Plan'
+      |            WHEN e.offering_type_name = 'Voice Offer' THEN 'Voice Offer'
+      |            ELSE 'Not Applicable' END AS voice_mbb_offer_flag,
+      |       b.offering_category_name AS product_offering_category_name,
+      |       CASE WHEN b.offering_category_name = 'Devices' THEN 'Device Offer'
+      |            WHEN b.offering_category_name = 'SIM-Only' THEN 'SIM-Only'
+      |            ELSE 'Not Applicable' END AS simo_device_offer_flag,
+      |       max(CASE WHEN g.parameter_name = 'CH_CONTRACT_DURATION' THEN g.allowed_value END) AS offering_duration,
+      |       max(CASE WHEN g.parameter_name = 'CFS_SMS' THEN g.default_value END) AS cfs_sms_flag,
+      |       max(CASE WHEN g.parameter_name = 'CFS_MMS' THEN g.default_value END) AS cfs_mms_flag,
+      |       max(CASE WHEN n.prodprice_allowance_name = 'SMS' THEN n.spending_total END) AS sms_allowance,
+      |       max(CASE WHEN p.prodprice_charge_name = 'SMS' THEN p.amount END) AS sms_unit_price,
+      |       max(CASE WHEN n.prodprice_allowance_name = 'MMS' THEN n.spending_total END) AS mms_allowance,
+      |       max(CASE WHEN p.prodprice_charge_name = 'MMS' THEN p.amount END) AS mms_unit_price,
+      |       max(CASE WHEN n.prodprice_allowance_name = 'Mobile Data' THEN n.spending_total END) AS data_allowance,
+      |       max(CASE WHEN p.prodprice_charge_name = 'Mobile Data' THEN p.amount END) AS data_unit_price
+      |FROM product_offering a
+      |LEFT JOIN offering_type e
+      |  ON e.offering_type_id = (SELECT DISTINCT offering_type_id FROM product_offering)
+      |LEFT JOIN offering_category b
+      |  ON b.offering_category_id = (SELECT DISTINCT base_offering_category_id FROM product_offering)
+      |LEFT JOIN product_offering_param f
+      |  ON f.product_offering_id = a.product_offering_id AND f.record_status = '1'
+      |LEFT JOIN parameter g
+      |  ON g.parameter_id = f.parameter_id
+      | AND g.parameter_name IN ('CH_CONTRACT_DURATION','CFS_SMS','CFS_MMS')
+      | AND g.record_status = '1'
+      |LEFT JOIN offering_priceplan l
+      |  ON l.product_offering_id = a.product_offering_id AND l.record_status = '1'
+      |LEFT JOIN priceplan_allowance m
+      |  ON m.product_offer_price_id = l.product_offer_price_id AND m.record_status = '1'
+      |LEFT JOIN prodprice_allowance n
+      |  ON n.prodprice_allowance_id = m.prodprice_allowance_id AND n.record_status = '1'
+      |LEFT JOIN priceplan_charge o
+      |  ON o.product_offer_price_id = l.product_offer_price_id AND o.record_status = '1'
+      |LEFT JOIN prodprice_charge p
+      |  ON p.prodprice_charge_id = o.prodprice_charge_id AND p.record_status = '1'
+      |WHERE a.record_status = '1'
+      |GROUP BY 1, 2, 3, 4, 5, 6
+      |ORDER BY 1""".stripMargin
+
+  def flagshipFull(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(FlagshipFullSql)
+  }
+
+  /** Named-database fidelity (`KafkaScript_ConformToStaging.sh:143` runs
+    * `use governed_data; <stored query>`): CREATE DATABASE + saveAsTable
+    * into the session catalog, then a stored query over the catalog tables
+    * with the database selected via USE — the full governed-warehouse path,
+    * not temp views.
+    */
+  def catalogStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dw")
+    // The in-memory session catalog is process-scoped but the warehouse
+    // directory persists: a managed-table location left by a previous
+    // process would fail CREATE with LOCATION_ALREADY_EXISTS. Drop the
+    // orphan location when the catalog doesn't know the table.
+    def freshManagedTable(db: String, table: String): Unit =
+      if (!spark.catalog.tableExists(s"$db.$table")) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$db.db/$table")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    freshManagedTable("graft_dw", "dim_nation")
+    freshManagedTable("graft_dw", "dim_region")
+    t(spark, dir, "nation").write.mode("overwrite").saveAsTable("graft_dw.dim_nation")
+    t(spark, dir, "region").write.mode("overwrite").saveAsTable("graft_dw.dim_region")
+    spark.sql("USE graft_dw")
+    try spark.sql(
+      """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM dim_nation JOIN dim_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin)
+    finally spark.sql("USE default")
+  }
+
   /** 2A-18/19: ordered top-k — Spark plans this as TakeOrderedAndProject
     * (per-partition heap + merge, no global sort materialization).
     */
@@ -701,7 +856,9 @@ object Queries {
     "q46_pivot" -> (pivotEvents _),
     "q47_percentiles" -> (percentiles _),
     "q48_histogram" -> (histogram _),
-    "q49_salted_agg" -> (saltedAgg _))
+    "q49_salted_agg" -> (saltedAgg _),
+    "q50_flagship_full" -> (flagshipFull _),
+    "q51_catalog_query" -> (catalogStoredQuery _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -920,6 +1077,11 @@ object Queries {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "q33_flagship_dim" -> FlagshipSql,
+    "q50_flagship_full" -> FlagshipFullSql,
+    "q51_catalog_query" ->
+      """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

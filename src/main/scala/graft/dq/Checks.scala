@@ -61,8 +61,10 @@ object Checks {
       val row = df.agg(
         count(lit(1)).as("n"),
         coalesce(sum(dec), lit(0)).cast("string").as("hsum"),
-        // second independent fold for collision resistance
-        coalesce(sum(shiftright(h, 1).cast("decimal(38,0)")), lit(0))
+        // Second independent fold: re-mix each row hash through xxhash64
+        // before summing. (sum(h >> 1) would be linearly determined by
+        // sum(h) up to the parity sum — not independent at all.)
+        coalesce(sum(xxhash64(h).cast("decimal(38,0)")), lit(0))
           .cast("string").as("hmix")).head()
       (row.getLong(0), row.getString(1), row.getString(2))
     }

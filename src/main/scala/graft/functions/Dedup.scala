@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default LSH bucket-size cap. A bucket this large means the band key is
+    * degenerate (boilerplate / near-empty docs): at 100 TB one mega-bucket
+    * turns per-bucket pair expansion quadratic and dominates the whole job,
+    * while its pairs are exactly the ones exact-dedup already catches more
+    * cheaply. Dropped-bucket counts are observable via the "graft.lsh"
+    * CollectMetrics node. Raise it (≥ corpus size) only when exact oracle
+    * parity against an uncapped pair enumeration is required.
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * Grouping by the md5/xxhash fingerprint instead of the raw text keeps the
     * shuffle narrow — the text column never moves.
@@ -91,11 +101,16 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val b = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
     val buckets = b
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      // Free drop accounting (CollectMetrics — no extra job): readable from
+      // QueryExecutionListener / StreamingQueryProgress as "graft.lsh".
+      .observe("graft.lsh",
+        count(when(size(col("ids")) > maxBucketSize, true)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     buckets
       .select(explode(flatten(
@@ -171,9 +186,19 @@ object Dedup {
 
   /** SimHash: 64-bit signature whose bits are the signs of per-bit weighted
     * sums over token hashes. Near-duplicates have small Hamming distance.
-    * Pure expression pipeline (xxhash64 + bit ops), fully codegen'd.
+    * Evaluated by the native [[graft.plans.SimHash64]] expression — one pass
+    * over the token array, each token hashed once.
     */
-  def simHash64(textCol: Column): Column = {
+  def simHash64(textCol: Column): Column =
+    graft.plans.TextExpressions.sim_hash64(Text.tokens(Text.normalized(textCol)))
+
+  /** Composable-built-ins twin of [[simHash64]] (64 `aggregate` HOF folds —
+    * interpreted and O(64×tokens) hash work, so the native expression is the
+    * production path; this form exists as its differential check). Null
+    * text → null signature, matching the native expression's null contract
+    * (the bare fold would collapse null to 0 through `when().otherwise(0)`).
+    */
+  private[graft] def simHash64Composable(textCol: Column): Column = {
     val toks = Text.tokens(Text.normalized(textCol))
     val hashes = transform(toks, t => xxhash64(t))
     // For each bit b: sum over tokens of (+1 if bit set else -1); bit of the
@@ -183,7 +208,7 @@ object Dedup {
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(contrib > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(toks.isNotNull, bits.reduce(_ + _))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -195,7 +220,8 @@ object Dedup {
     * < bands).
     */
   def simHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
-                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                        bands: Int = 4, maxHamming: Int = 3,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val sigs = docs.select(idCol.as("doc_id"), simHash64(textCol).as("sig"))
@@ -205,11 +231,23 @@ object Dedup {
         struct(lit(b).as("band_id"),
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.chunk"))
-    val l = banded.select(col("band_id"), col("chunk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band_id"), col("chunk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band_id", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    // Same shape as minHashCandidates: group buckets and enumerate pairs
+    // inside each — one shuffle, signatures derived once (a self-join would
+    // re-run the signature pipeline on both branches), and the bucket cap
+    // bounds per-bucket expansion.
+    banded
+      .groupBy(col("band_id"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .observe("graft.simhash_lsh",
+        count(when(size(col("members")) > maxBucketSize, true)).as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket_size"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(flatten(
+        transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + lit(2), size(col("members"))),
+            y => struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+              hamming64(x.getField("sig"), y.getField("sig")).as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

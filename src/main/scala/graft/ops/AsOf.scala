@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Composed from built-ins per the preference ladder (no custom SparkPlan
   * needed): union both sides with a side marker, one window pass per key
-  * ordered by (time, marker) carrying `last(right attrs, ignoreNulls)`
-  * forward, keep left rows. Cost = one shuffle on the key + one sort —
-  * identical to what a dedicated as-of SparkPlan would do (sort-merge
-  * within key partitions), so composition loses nothing at scale.
+  * ordered by (time, marker) carrying the right attributes forward as ONE
+  * struct under a single `last(ignoreNulls)` — so the carried values always
+  * come from the same right row even when individual payload columns are
+  * null (per-column carries would splice stale values from older rows).
+  * Keep left rows. Cost = one shuffle on the key + one sort — identical to
+  * what a dedicated as-of SparkPlan would do (sort-merge within key
+  * partitions), so composition loses nothing at scale.
   *
   * Right rows sort before left rows at equal timestamps → the match is
   * inclusive (rightTime == leftTime matches), same as DuckDB/kdb ASOF.
@@ -50,11 +53,16 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // One struct per right row (null on left rows — a struct of nulls is NOT
+    // null, so guard on the side marker), carried by a single
+    // last(ignoreNulls): all fields atomically come from the matched row.
+    val rightStruct = when(col("__side") === 0,
+      struct(rightCols.map(c => col(s"__r_$c").as(c)): _*))
+    val carried = unioned
+      .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
     carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

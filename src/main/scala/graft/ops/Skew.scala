@@ -37,9 +37,21 @@ object Skew {
     * broadcast: replicate each dim row `buckets` times (one per salt), salt
     * the fact side randomly, join on (key, salt). The hot key's rows land on
     * `buckets` different reducers instead of one.
+    *
+    * Only fact-preserving join types are sound: the replicated dim side
+    * means a `right`/`full` join would emit each UNMATCHED dim row once per
+    * salt bucket (`buckets`× duplication). Such joins must salt the other
+    * side instead — swap the arguments.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    val factPreserving =
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "semi", "left_anti", "leftanti", "anti")
+    require(factPreserving.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' is not fact-preserving — unmatched " +
+        s"dim rows would be duplicated $buckets times (one per salt). " +
+        "Swap the sides so the preserved side is the salted fact.")
     val saltedFact = fact.withColumn("__salt",
       (rand(seed = 42) * buckets).cast("int"))
     val replicatedDim = dim.withColumn("__salt",

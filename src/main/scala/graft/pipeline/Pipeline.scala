@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.model.{ScdType, Watermark}
+import graft.ops.AsOf
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,6 +88,55 @@ object Pipeline {
     case ScdType.Fact | ScdType.DailyAggregate =>
       current.unionByName(incoming)
   }
+
+  /** Stamp a first-load batch with SCD2 validity columns: open version,
+    * effective from `effectiveAt`, no end date (the reference dims carry
+    * `PRODUCT_OFFERING_START_DATE`/`END_DATE` — `query.txt:1`).
+    */
+  def scd2Init(incoming: DataFrame, effectiveAt: Column): DataFrame =
+    incoming
+      .withColumn("record_status", lit("1"))
+      .withColumn("effective_from", effectiveAt)
+      .withColumn("effective_to", lit(null).cast("timestamp"))
+
+  /** SCD Type 2 merge WITH effective dates: close the open version of each
+    * matched business key (record_status '0', effective_to = `effectiveAt`)
+    * and append the incoming rows as the new open version (effective_from =
+    * `effectiveAt`). Historical (already-closed) rows pass through
+    * untouched, so the full version chain supports point-in-time reads via
+    * [[lookupAsOf]].
+    *
+    * `current` must carry the validity columns (first load via [[scd2Init]]).
+    * Pass a literal timestamp for `effectiveAt` to keep reruns deterministic
+    * (the run's watermark time, not current_timestamp()).
+    */
+  def applyScd2Dated(current: DataFrame, incoming: DataFrame,
+                     businessKey: Seq[String], effectiveAt: Column): DataFrame = {
+    val incomingKeys = incoming.select(businessKey.map(col): _*).distinct()
+    val open = current.filter(col("record_status") === "1")
+    val history = current.filter(col("record_status") =!= "1")
+    val closedNow = open.join(incomingKeys, businessKey, "left_semi")
+      .withColumn("record_status", lit("0"))
+      .withColumn("effective_to", effectiveAt)
+    val stillOpen = open.join(incomingKeys, businessKey, "left_anti")
+    history
+      .unionByName(closedNow)
+      .unionByName(stillOpen)
+      .unionByName(scd2Init(incoming, effectiveAt))
+  }
+
+  /** Point-in-time dimension read: each fact row enriched with the dim
+    * version in effect at the fact's event time — the as-of join on
+    * `effective_from` over the full version chain (closed versions
+    * included), composing [[graft.ops.AsOf.joinAsOf]]. `factTime` and
+    * `effective_from` must share a type (both timestamp or both epoch).
+    */
+  def lookupAsOf(facts: DataFrame, dim: DataFrame, businessKey: String,
+                 factTime: String, dimCols: Seq[String]): DataFrame =
+    AsOf.joinAsOf(
+      facts,
+      dim.select((businessKey +: "effective_from" +: dimCols).map(col): _*),
+      businessKey, factTime, "effective_from", dimCols)
 
   /** Post-rerun invariant: no surviving rows carry the reprocessed run id
     * outside the fresh write (`rerunnability.sh:101-131` asserts the old

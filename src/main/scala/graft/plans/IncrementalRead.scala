@@ -2,10 +2,9 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Automatic incremental reads: a registry of (table path → run-id window)
@@ -40,30 +39,89 @@ object IncrementalRead {
   private[plans] def windowFor(paths: Seq[String]): Option[RunWindow] =
     paths.map(normalize).flatMap(registry.get).headOption
 
-  private val Injected = TreeNodeTag[Boolean]("graft.watermark.injected")
+  /** The registered window for one occurrence of a relation, provided the
+    * relation actually exposes the watermark column.
+    */
+  private def applicableWindow(rel: LogicalRelation): Option[RunWindow] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        windowFor(fs.location.rootPaths.map(_.toString))
+          .filter(w => rel.output.exists(_.name.equalsIgnoreCase(w.column)))
+      case _ => None
+    }
+
+  private def watermarkPredicate(rel: LogicalRelation, w: RunWindow): Expression = {
+    val attr = rel.output.find(_.name.equalsIgnoreCase(w.column)).get
+    And(
+      GreaterThanOrEqual(attr, Literal(w.lo)),
+      LessThanOrEqual(attr, Literal(w.hi)))
+  }
 
   /** Analyzer rule: wrap registered file relations in the watermark filter.
-    * Tag-guarded for fixpoint idempotence.
+    *
+    * Idempotence is STRUCTURAL — an occurrence is skipped only when it is
+    * already wrapped in a Filter whose condition contains the exact
+    * watermark predicate. A mutable TreeNodeTag on the relation would be
+    * shared by every occurrence of the same instance, so the second leg of
+    * a self-join/self-union would silently skip injection and read the
+    * whole table — each occurrence must be judged in its own branch.
     */
   class InjectWatermark extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case rel: LogicalRelation if rel.getTagValue(Injected).isEmpty =>
-        rel.relation match {
-          case fs: HadoopFsRelation =>
-            windowFor(fs.location.rootPaths.map(_.toString)) match {
-              case Some(w) =>
-                rel.output.find(_.name.equalsIgnoreCase(w.column)) match {
-                  case Some(attr) =>
-                    rel.setTagValue(Injected, true)
-                    Filter(And(
-                      GreaterThanOrEqual(attr, Literal(w.lo)),
-                      LessThanOrEqual(attr, Literal(w.hi))), rel)
-                  case None => rel
-                }
-              case None => rel
-            }
-          case _ => rel
+
+    private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+
+    @annotation.tailrec
+    private def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+
+    // Shape-based (not semanticEquals): later Resolution-batch rules rewrite
+    // the injected predicate in place — e.g. type coercion wraps an int
+    // partition column as Cast(attr, bigint) against the long literal — so
+    // an exact-equality guard never matches its own output and the fixpoint
+    // re-injects forever. Match the cast-stripped column + literal value.
+    private def isBound(conjunct: Expression, column: String, value: Long,
+                        lower: Boolean): Boolean = {
+      val (l, r) = conjunct match {
+        case GreaterThanOrEqual(l, r) if lower => (l, r)
+        case LessThanOrEqual(l, r) if !lower => (l, r)
+        case _ => return false
+      }
+      (stripCast(l), stripCast(r)) match {
+        case (a: Attribute, Literal(v, _)) =>
+          a.name.equalsIgnoreCase(column) && String.valueOf(v) == value.toString
+        case _ => false
+      }
+    }
+
+    private def alreadyInjected(cond: Expression, w: RunWindow): Boolean = {
+      val cs = splitConjuncts(cond)
+      cs.exists(isBound(_, w.column, w.lo, lower = true)) &&
+        cs.exists(isBound(_, w.column, w.hi, lower = false))
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+    // Manual recursion instead of transformUp/Down: on a match we must NOT
+    // descend into the already-injected Filter's relation (transformUp would
+    // re-wrap it on the next fixpoint iteration, growing the plan forever).
+    // Each occurrence of a relation is judged in its own branch — a mutable
+    // tag on the (shared) relation instance would skip the second leg of a
+    // self-join, silently reading the whole table there.
+    private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+      case f @ Filter(cond, rel: LogicalRelation)
+          if applicableWindow(rel).exists(alreadyInjected(cond, _)) =>
+        f // this occurrence already carries its watermark
+      case rel: LogicalRelation =>
+        applicableWindow(rel) match {
+          case Some(w) => Filter(watermarkPredicate(rel, w), rel)
+          case None => rel
         }
+      case other => other.mapChildren(rewrite)
     }
   }
 }

@@ -3,10 +3,10 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over a shingle array.
@@ -145,6 +145,66 @@ case class Shingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** SimHash over a token array: 64-bit signature whose bit b is set when the
+  * sum over tokens of (+1 if bit b of xxhash64(token) is set else -1) is
+  * positive (Charikar's scheme).
+  *
+  * Semantically identical to the composable form — 64 separate
+  * `aggregate(transform(toks, xxhash64), ...)` higher-order folds — but ONE
+  * pass over the token array: each token is hashed once (the HOF form hashes
+  * every token 64 times, and HOF lambdas are excluded from whole-stage
+  * codegen, so each fold is interpreted). Per the composable form's
+  * semantics, a null token contributes the hash seed (42), and a null /
+  * empty array yields null / 0L respectively.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sim_hash64 requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      // xxhash64(col) semantics: null hashes to the seed (42).
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XxHash64Function.hash(s, StringType, 42L)
+        }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
     * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
@@ -155,4 +215,8 @@ object TextExpressions {
   /** Word k-shingles of a token array (single evaluation of the child). */
   def shingles(tokens: Column, k: Int): Column =
     GraftBridge.toColumn(Shingles(GraftBridge.toExpression(tokens), k))
+
+  /** 64-bit SimHash of a token array in one pass (each token hashed once). */
+  def sim_hash64(tokens: Column): Column =
+    GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))
 }

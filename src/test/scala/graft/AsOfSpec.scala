@@ -22,6 +22,21 @@ class AsOfSpec extends AnyFunSuite {
     assert(out("c3") == null)      // right exists only later
   }
 
+  test("joinAsOf carries all right columns from the SAME matched row (no splice across versions)") {
+    // The matched (latest ≤ t) right row has a NULL payload column; a
+    // per-column last(ignoreNulls) carry would splice the older row's value
+    // into that column. The struct carry must surface the matched row's
+    // null as-is.
+    val left = Seq((1L, 300L, "probe")).toDF("k", "lt", "payload")
+    val right = Seq(
+      (1L, 100L, Some("old_a"), Some("old_b")),
+      (1L, 200L, None, Some("new_b"))
+    ).toDF("k", "rt", "a", "b")
+    val row = AsOf.joinAsOf(left, right, "k", "lt", "rt", Seq("a", "b")).head()
+    assert(row.getAs[String]("asof_a") == null, "null in matched row must not be backfilled")
+    assert(row.getAs[String]("asof_b") == "new_b")
+  }
+
   test("joinAsOf preserves left cardinality") {
     val left = (1L to 100L).map(i => (i % 5, i, s"p$i")).toDF("k", "lt", "payload")
     val right = Seq((0L, 10L, "x"), (1L, 20L, "y")).toDF("k", "rt", "state")

@@ -24,6 +24,37 @@ class ChecksSpec extends AnyFunSuite {
     assert(Checks.dataMatch(a, c, "s", "3NF").testResult == ValidationResult.FAILED)
   }
 
+  test("dataMatchHashed second fold is independent of the sum fold") {
+    // The retired fold sum(h >> 1) obeys sum(h>>1) == (sum(h) - sum(h&1))/2
+    // IDENTICALLY (h>>1 = (h - (h&1))/2 for every two's-complement long) —
+    // beyond the first fold it carried only the parity count, so any
+    // sum-colliding bag with matching parity slipped through. Demonstrate
+    // the linear dependence on real data, and that the xxhash64 re-mix fold
+    // does not satisfy it.
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("h", xxhash64(col("k")))
+    val r = df.agg(
+      sum(col("h").cast("decimal(38,0)")).as("s"),
+      sum(shiftright(col("h"), 1).cast("decimal(38,0)")).as("s_shift"),
+      sum(col("h").bitwiseAND(lit(1L)).cast("decimal(38,0)")).as("s_parity"),
+      sum(xxhash64(col("h")).cast("decimal(38,0)")).as("s_mix")).head()
+    val (s, sShift, sParity, sMix) =
+      (BigInt(r.getDecimal(0).toBigInteger), BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger))
+    assert(sShift == (s - sParity) / 2, "old fold is a linear function of (sum, parity)")
+    assert(sMix != (s - sParity) / 2, "re-mixed fold must not be that linear function")
+  }
+
+  test("dataMatchHashed bag semantics: reorder passes; duplicate or edit fails") {
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val reordered = Seq((3, "z"), (1, "x"), (2, "y")).toDF("k", "v")
+    assert(Checks.dataMatchHashed(a, reordered, "s", "3NF").testResult == ValidationResult.PASSED)
+    val dup = a.unionAll(Seq((1, "x")).toDF("k", "v"))
+    assert(Checks.dataMatchHashed(a, dup, "s", "3NF").testResult == ValidationResult.FAILED)
+    val edited = Seq((1, "x"), (2, "y"), (3, "Z")).toDF("k", "v")
+    assert(Checks.dataMatchHashed(a, edited, "s", "3NF").testResult == ValidationResult.FAILED)
+  }
+
   test("duplicateCheck and nullCheck") {
     val clean = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dup = Seq((1, "a"), (1, "a")).toDF("k", "v")

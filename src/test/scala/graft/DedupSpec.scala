@@ -68,6 +68,31 @@ class DedupSpec extends AnyFunSuite {
     assert(h > 0)
   }
 
+  test("native SimHash64 expression matches the composable 64-fold form") {
+    val edge = Seq(
+      Some("the quick brown fox jumps over the lazy dog"),
+      Some("one"), Some(""), None
+    ).toDF("text")
+    val rows = (docs.select(col("text")) unionByName edge)
+      .select(Dedup.simHash64(col("text")).as("native"),
+        Dedup.simHash64Composable(col("text")).as("composable"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("simHashCandidates honors maxBucketSize cap on a hot bucket") {
+    val boiler = (1L to 12L).map(i => (i, "identical boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    // all 12 docs share every band chunk → one 12-member bucket per band
+    assert(Dedup.simHashCandidates(boiler, col("doc_id"), col("text"),
+      bands = 4, maxHamming = 0, maxBucketSize = 11).count() == 0)
+    assert(Dedup.simHashCandidates(boiler, col("doc_id"), col("text"),
+      bands = 4, maxHamming = 0, maxBucketSize = 12).count() == 12L * 11 / 2)
+  }
+
   test("simHashCandidates finds identical pair at hamming 0") {
     val cands = Dedup.simHashCandidates(docs.filter(col("doc_id") =!= 5L),
       col("doc_id"), col("text"), bands = 4, maxHamming = 3)

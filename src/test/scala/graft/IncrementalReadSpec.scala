@@ -53,6 +53,29 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 5)
   }
 
+  test("self-joined registered table carries the watermark on BOTH scans") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_incr3").toString + "/layer"
+    Pipeline.writeRun(Seq((1, "a"), (2, "b")).toDF("k", "v"), path, 1L)
+    Pipeline.writeRun(Seq((2, "c"), (3, "d")).toDF("k", "v"), path, 2L)
+    try {
+      IncrementalRead.setWindow(path, "create_job_run_id", 2L, 2L)
+      val t = spark.read.parquet(path)
+      val joined = t.select($"k").alias("l").join(t.select($"k").alias("r"), "k")
+      // Both legs pruned to run 2 (keys {2,3} ⋈ {2,3}) → 2 rows. An
+      // instance-tagged guard skips the second leg, which then reads run 1
+      // too (keys {1,2,3}) → 3 rows.
+      assert(joined.count() == 2, "second self-join leg must also be watermarked")
+      val injected = joined.queryExecution.analyzed.collect {
+        case LFilter(cond, _: LogicalRelation)
+            if cond.references.exists(_.name == "create_job_run_id") => cond
+      }
+      assert(injected.size == 2, s"expected a watermark Filter on each scan, got $injected")
+    } finally IncrementalRead.clearAll()
+  }
+
   test("unregistered tables are untouched by the rule") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_incr2").toString + "/plain"

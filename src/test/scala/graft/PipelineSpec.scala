@@ -58,6 +58,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Set((1, "v1", "0"), (2, "x", "1"), (1, "v2", "1")))
   }
 
+  test("applyScd2Dated closes versions with effective_to and serves point-in-time reads") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val dim0 = Pipeline.scd2Init(Seq((1, "v1"), (2, "w1")).toDF("id", "attr"), lit(t1))
+    val dim1 = Pipeline.applyScd2Dated(dim0,
+      Seq((1, "v2")).toDF("id", "attr"), Seq("id"), lit(t2))
+
+    val closed = dim1.filter($"record_status" === "0").collect()
+    assert(closed.length == 1)
+    assert(closed(0).getAs[String]("attr") == "v1")
+    assert(closed(0).getAs[java.sql.Timestamp]("effective_to") == t2)
+
+    val open = dim1.filter($"record_status" === "1")
+      .collect().map(r => r.getAs[Int]("id") ->
+        (r.getAs[String]("attr"), r.getAs[java.sql.Timestamp]("effective_from"),
+          r.getAs[java.sql.Timestamp]("effective_to"))).toMap
+    assert(open(1) == (("v2", t2, null)))
+    assert(open(2) == (("w1", t1, null)))
+
+    // point-in-time read over the full version chain: a March fact sees v1
+    // (now closed), a July fact sees v2
+    val facts = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "march"),
+      (1, java.sql.Timestamp.valueOf("2024-07-01 00:00:00"), "july")
+    ).toDF("id", "event_ts", "tag")
+    val asof = Pipeline.lookupAsOf(facts, dim1, "id", "event_ts", Seq("attr"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("asof_attr")).toMap
+    assert(asof == Map("march" -> "v1", "july" -> "v2"))
+  }
+
   test("applyScd Static only loads when empty; Fact appends") {
     val current = Seq((1, "a")).toDF("id", "v")
     val incoming = Seq((2, "b")).toDF("id", "v")

@@ -30,6 +30,19 @@ class SkewExtensionsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
+    val fact = Seq((1, "x")).toDF("k", "payload")
+    val dim = Seq((1, "dim1"), (9, "unmatched")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", buckets = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", buckets = 4, joinType = "full_outer")
+    }
+    // fact-preserving types stay accepted
+    assert(Skew.saltedJoin(fact, dim, "k", buckets = 4, joinType = "left").count() == 1)
+  }
+
   test("heavyHitters surfaces the hot key first") {
     val df = (Seq.fill(50)("hot") ++ Seq("a", "b")).toDF("k")
     val top = Skew.heavyHitters(df, $"k", topN = 1).head()
