@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles, SimHash64}
+import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles, SimHash32Md5, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -37,6 +37,7 @@ object GraftFunctions {
     "shingles" -> ((args: Seq[Expression]) =>
       Shingles(args(0), intArg(args(1), "shingles"))),
     "sim_hash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
+    "sim_hash32_md5" -> ((args: Seq[Expression]) => SimHash32Md5(args(0))),
     "hyperplane_signature" -> ((args: Seq[Expression]) =>
       HyperplaneSignature(args(0),
         intArg(args(1), "hyperplane_signature"),

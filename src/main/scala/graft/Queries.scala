@@ -691,6 +691,14 @@ object Queries {
       .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
       .orderBy(col("doc_id"))
 
+  /** Engine-portable 32-bit md5 SimHash — same algorithm under the real
+    * DuckDB oracle (the per-token hash is plain SQL on both engines).
+    */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simHash32Md5(col("text")).as("sig"))
+      .orderBy(col("doc_id"))
+
   /** Brute-force exact cosine top-10 for query vectors (ANN baseline). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -858,7 +866,8 @@ object Queries {
     "q48_histogram" -> (histogram _),
     "q49_salted_agg" -> (saltedAgg _),
     "q50_flagship_full" -> (flagshipFull _),
-    "q51_catalog_query" -> (catalogStoredQuery _))
+    "q51_catalog_query" -> (catalogStoredQuery _),
+    "q52_simhash_md5" -> (simhashPortable _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1082,6 +1091,14 @@ object Queries {
       """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY region_name""".stripMargin,
+    "q52_simhash_md5" ->
+      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM toks)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+         |FROM h ORDER BY doc_id""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

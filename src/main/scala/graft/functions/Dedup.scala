@@ -211,6 +211,25 @@ object Dedup {
     when(toks.isNotNull, bits.reduce(_ + _))
   }
 
+  /** Engine-portable 32-bit SimHash (per-token hash = first 8 md5 hex chars
+    * as unsigned int) — slower than [[simHash64]] but reproducible in plain
+    * SQL on any engine, so it runs under the DuckDB differential oracle.
+    */
+  def simHash32Md5(textCol: Column): Column =
+    graft.plans.TextExpressions.sim_hash32_md5(Text.tokens(Text.normalized(textCol)))
+
+  /** Composable twin of [[simHash32Md5]] (its differential check). */
+  private[graft] def simHash32Md5Composable(textCol: Column): Column = {
+    val toks = Text.tokens(Text.normalized(textCol))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bits = (0 until 32).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    when(toks.isNotNull, bits.reduce(_ + _))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -205,6 +205,68 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-portable 32-bit SimHash over a token array: the per-token hash is
+  * the first 8 hex chars of md5(token) read as an unsigned 32-bit integer —
+  * a derivation any engine reproduces in SQL
+  * (`('0x' || substr(md5(t), 1, 8))::BIGINT` in DuckDB), which puts the
+  * simhash family under the differential oracle; [[SimHash64]] is the
+  * xxhash64 fast path (rows-only check). One pass, each token md5'd once.
+  * Null tokens contribute nothing; null array → null; empty array → 0.
+  */
+case class SimHash32Md5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sim_hash32_md5 requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        // first 8 hex chars == first 4 digest bytes, big-endian unsigned
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Md5 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
     * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
@@ -219,4 +281,8 @@ object TextExpressions {
   /** 64-bit SimHash of a token array in one pass (each token hashed once). */
   def sim_hash64(tokens: Column): Column =
     GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))
+
+  /** 32-bit md5-portable SimHash (oracle-reproducible across engines). */
+  def sim_hash32_md5(tokens: Column): Column =
+    GraftBridge.toColumn(SimHash32Md5(GraftBridge.toExpression(tokens)))
 }

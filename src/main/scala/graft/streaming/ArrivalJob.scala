@@ -61,9 +61,14 @@ object ArrivalJob {
     * partitioned by create_date + source file the way the reference lays out
     * its avro conform dir (`Kafka_ArrivalToConform.sh:536-540`). Reading by
     * `job_run_id` prunes to exactly the new partitions.
+    *
+    * The reference conform layer is AVRO; `format` is the knob. This
+    * environment ships no spark-avro jar, so the default stays parquet —
+    * at deploy time pass "avro" with spark-avro on the classpath (the
+    * DataSource V1/V2 lookup resolves it by name, nothing else changes).
     */
   def conformRuns(spark: SparkSession, dataPath: String, conformPath: String,
-                  runIds: Seq[Long]): Unit = {
+                  runIds: Seq[Long], format: String = "parquet"): Unit = {
     val arrival = spark.read.parquet(dataPath)
       .filter(col("job_run_id").isin(runIds: _*))
     arrival
@@ -72,6 +77,7 @@ object ArrivalJob {
         concat_ws("_", col("topic"), col("partition"), col("job_run_id")))
       .write.mode("append")
       .partitionBy("create_date", "source_file_name")
-      .parquet(conformPath)
+      .format(format)
+      .save(conformPath)
   }
 }

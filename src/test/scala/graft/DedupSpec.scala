@@ -83,6 +83,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native SimHash32Md5 matches the composable conv(md5) form") {
+    val edge = Seq(Some("the quick brown fox"), Some("one"), Some(""), None).toDF("text")
+    val rows = (docs.select(col("text")) unionByName edge)
+      .select(Dedup.simHash32Md5(col("text")).as("native"),
+        Dedup.simHash32Md5Composable(col("text")).as("composable"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("simHashCandidates honors maxBucketSize cap on a hot bucket") {
     val boiler = (1L to 12L).map(i => (i, "identical boilerplate text everywhere"))
       .toDF("doc_id", "text")

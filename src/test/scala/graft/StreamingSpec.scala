@@ -59,6 +59,14 @@ class StreamingSpec extends AnyFunSuite {
     val conformed = spark.read.parquet(conform)
     assert(conformed.count() == 2)
     assert(conformed.select(col("source_file_name")).head().getString(0) == "t2_0_0")
+
+    // format is a parameter (the reference conform layer is avro; no
+    // spark-avro jar ships here, so drive the knob with built-in orc)
+    val conformOrc = s"$dir/conform_orc"
+    ArrivalJob.conformRuns(spark, data, conformOrc, Seq(0L), format = "orc")
+    val orc = spark.read.orc(conformOrc)
+    assert(orc.count() == 2)
+    assert(orc.columns.contains("create_date") && orc.columns.contains("source_file_name"))
   }
 
   test("ledger gap (lost batch) is detected") {
