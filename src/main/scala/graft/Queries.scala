@@ -746,6 +746,18 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-bucketed approximate top-k (scale path, data-adaptive cells —
+    * rows-only check like q32; q30 is the exact baseline).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, nCentroids = 32, nProbe = 8)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
     * codec is Spark-side): synthetic binary media → partition-batched
     * feature extraction → per-kind rollup + a cosine self-similarity probe
@@ -867,7 +879,8 @@ object Queries {
     "q49_salted_agg" -> (saltedAgg _),
     "q50_flagship_full" -> (flagshipFull _),
     "q51_catalog_query" -> (catalogStoredQuery _),
-    "q52_simhash_md5" -> (simhashPortable _))
+    "q52_simhash_md5" -> (simhashPortable _),
+    "q53_ann_ivf" -> (annIvf _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"

@@ -94,6 +94,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCentroids` Voronoi cells and probe only the `nProbe` cells nearest
+    * each query. Unlike LSH's data-independent hyperplanes, the cells adapt
+    * to the data distribution — the standard trade when buckets come out
+    * skewed.
+    *
+    * Centroids are a deterministic id-ordered sample rather than k-means
+    * iterations: at corpus scale, sampled centroids are the standard
+    * first-stage compromise, and k-means refinement would change only how
+    * the centroid table is produced — the plan shape stays one centroid
+    * broadcast + one argmax pass over the corpus (cells assignment never
+    * shuffles the corpus) + an equi-join on cell id for the probe.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = corpus
+      .select(corpusId.as("cell_id"), corpusVec.as("cent"))
+      .orderBy(col("cell_id")).limit(nCentroids)
+      .withColumn("cent_n", norm(col("cent")))
+    // corpus → nearest cell (argmax cosine), one streaming pass
+    val cw = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id").asc)
+    val assigned = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_cos",
+        cosineFromParts(dot(col("cv"), col("cent")), col("cn"), col("cent_n")))
+      .withColumn("cr", row_number().over(cw))
+      .filter(col("cr") === 1)
+      .select(col("cell_id"), col("corpus_id"), col("cv"), col("cn"))
+    // query → nProbe nearest cells
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id").asc)
+    val probes = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_cos",
+        cosineFromParts(dot(col("qv"), col("cent")), col("qn"), col("cent_n")))
+      .withColumn("qr", row_number().over(qw))
+      .filter(col("qr") <= nProbe)
+      .select(col("cell_id"), col("query_id"), col("qv"), col("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    assigned.join(broadcast(probes), "cell_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of the IVF path against the exact baseline (same contract as
+    * [[lshRecall]] — the nProbe/nCentroids tuning loop).
+    */
+  def ivfRecall(corpus: DataFrame, idCol: Column, vecCol: Column,
+                queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                k: Int, nCentroids: Int, nProbe: Int): Double = {
+    val exact = bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = ivfTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      k, nCentroids, nProbe)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.intersect(approx).count().toDouble
+    val total = exact.count().toDouble
+    if (total == 0) 1.0 else hits / total
+  }
+
   /** Exact all-pairs near-duplicates over a (bounded) corpus slice: cosine ≥
     * threshold, one codegen'd dot per pair, norms precomputed per row.
     * O(n²/2) — use for verification slices; [[embeddingNearDups]] is the

@@ -29,6 +29,24 @@ object Windowed {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup by content fingerprint — the continuous twin of
+    * [[graft.functions.Dedup.exactDuplicateGroups]]: keep the first document
+    * per normalized-text fingerprint, drop every later duplicate.
+    * `dropDuplicates` on the fingerprint keys the state store by a 32-char
+    * hash (the text itself never enters state), and
+    * `dropDuplicatesWithinWatermark` evicts fingerprints older than the
+    * watermark: duplicates separated by more than `watermark` may reappear —
+    * the standard trade for bounded state on an unbounded stream; the batch
+    * operator sweeps residuals exactly.
+    * Input needs (ts: timestamp, text: string) columns.
+    */
+  def dedupStream(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -41,6 +41,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(zero.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("ivfTopK: full probe equals exact top-k; partial probe stays within contract") {
+    val corpus = (0L to 60L)
+      .map(i => (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f)))
+      .toDF("id", "v")
+    val queries = corpus.filter(col("id") < 3)
+    // probing every cell degenerates to the exact scan
+    val exact = Similarity.bruteForceTopK(corpus, col("id"), col("v"),
+        queries, col("id"), col("v"), k = 5)
+      .select(col("query_id"), col("corpus_id"), col("rank")).collect().toSet
+    val full = Similarity.ivfTopK(corpus, col("id"), col("v"),
+        queries, col("id"), col("v"), k = 5, nCentroids = 8, nProbe = 8)
+      .select(col("query_id"), col("corpus_id"), col("rank")).collect().toSet
+    assert(full == exact)
+    // partial probe: ≤ k per query, recall in (0, 1]
+    val partial = Similarity.ivfTopK(corpus, col("id"), col("v"),
+      queries, col("id"), col("v"), k = 5, nCentroids = 8, nProbe = 2)
+    val perQuery = partial.groupBy(col("query_id")).count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 5))
+    val recall = Similarity.ivfRecall(corpus, col("id"), col("v"),
+      queries, col("id"), col("v"), k = 5, nCentroids = 8, nProbe = 2)
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
   test("bruteForceTopK finds the planted nearest neighbor first") {
     val base = Seq.tabulate(64)(_.toFloat / 64f)
     val near = base.updated(0, base.head + 0.001f)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(ts: Timestamp, text: String)
 
 class WindowedStreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -37,6 +38,28 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:10:00.0", "click", 1L, 5.0)))
     // late event behind the watermark is dropped, not re-emitted
     stream.addData(Ev(ts("2024-01-01 00:02:00"), "view", 100.0))
+  }
+
+  test("streaming dedup drops in-watermark duplicates, keys state by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val deduped = Windowed.dedupStream(stream.toDF(), "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+
+    stream.addData(
+      Doc(ts("2024-01-01 00:01:00"), "the cat sat"),
+      Doc(ts("2024-01-01 00:02:00"), "THE  CAT   SAT"), // normalized duplicate
+      Doc(ts("2024-01-01 00:03:00"), "a different doc"))
+    q.processAllAvailable()
+    stream.addData(
+      Doc(ts("2024-01-01 00:04:00"), "the cat sat"), // still within watermark
+      Doc(ts("2024-01-01 00:05:00"), "third unique"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_out").collect().map(_.getString(1)).toSeq
+    q.stop()
+    assert(texts.length == 3)
+    assert(texts.count(_.toLowerCase.contains("cat")) == 1)
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
