@@ -354,6 +354,8 @@ object Queries {
     *  - uncorrelated scalar subqueries INSIDE the join ON conditions, twice
     *    (`ON E.OFFERING_TYPE_ID = (SELECT DISTINCT(A.OFFERING_TYPE_ID) FROM
     *    PRODUCT_OFFERING)` and the OFFERING_CATEGORY twin);
+    *  - the LEFT JOIN to an aggregating subquery (the reference's Z/Q
+    *    category-count joins);
     *  - the multi-source name/value CASE-unpivot: parameter (G via the F
     *    mapping), allowance (N via L→M) and charge (P via L→O) side tables
     *    pivoted to typed columns, exactly the SMS/MMS/DATA
@@ -441,8 +443,12 @@ object Queries {
       |       max(CASE WHEN n.prodprice_allowance_name = 'MMS' THEN n.spending_total END) AS mms_allowance,
       |       max(CASE WHEN p.prodprice_charge_name = 'MMS' THEN p.amount END) AS mms_unit_price,
       |       max(CASE WHEN n.prodprice_allowance_name = 'Mobile Data' THEN n.spending_total END) AS data_allowance,
-      |       max(CASE WHEN p.prodprice_charge_name = 'Mobile Data' THEN p.amount END) AS data_unit_price
+      |       max(CASE WHEN p.prodprice_charge_name = 'Mobile Data' THEN p.amount END) AS data_unit_price,
+      |       max(z.cat_cnt) AS category_offer_cnt
       |FROM product_offering a
+      |LEFT JOIN (SELECT offering_category_id, count(*) AS cat_cnt
+      |           FROM product_offering GROUP BY offering_category_id) z
+      |  ON z.offering_category_id = a.offering_category_id
       |LEFT JOIN offering_type e
       |  ON e.offering_type_id = (SELECT DISTINCT offering_type_id FROM product_offering)
       |LEFT JOIN offering_category b

@@ -87,4 +87,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("joinAsOf: carried columns all come from the single matched row (nulls included)") {
+    val eventsGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L)))
+    forAll(eventsGen) { case (lts, rts) =>
+      val left = lts.distinct.map(t => (1L, t)).toDF("k", "lt")
+      // payload nulls on different residue classes — a per-column carry
+      // would backfill them from OLDER rows whenever the matched row is null
+      val right = rts.distinct.map(t => (1L, t,
+        if (t % 2 == 0) None else Some(t * 10),
+        if (t % 3 == 0) None else Some(t * 100))).toDF("k", "rt", "pa", "pb")
+      val out = AsOf.joinAsOf(left, right, "k", "lt", "rt", Seq("rt", "pa", "pb"))
+        .collect()
+      out.foreach { r =>
+        val lt = r.getAs[Long]("lt")
+        val expectedRt = rts.distinct.filter(_ <= lt).sorted.lastOption
+        assert(Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong) == expectedRt)
+        expectedRt.foreach { t =>
+          val pa = Option(r.getAs[java.lang.Long]("asof_pa")).map(_.toLong)
+          val pb = Option(r.getAs[java.lang.Long]("asof_pb")).map(_.toLong)
+          assert(pa == (if (t % 2 == 0) None else Some(t * 10)), s"pa spliced at lt=$lt")
+          assert(pb == (if (t % 3 == 0) None else Some(t * 100)), s"pb spliced at lt=$lt")
+        }
+      }
+    }
+  }
 }
