@@ -11,11 +11,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * graft.dq / graft.functions.
   */
 object SparkEntry {
-  /** Flagship query (multi-way dim-enrich join + CASE + aggregate, the
-    * `query.txt:1` shape) on sf=0.001; driver smoke-checks rows>0.
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The literal
+    * `query.txt:1` shape — scalar subqueries in join ON, aggregating
+    * subquery, multi-source name/value CASE-unpivot (`Queries.flagshipFull`).
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.dimEnrich(spark, "/root/testdata/sf0.001")
+    Queries.flagshipFull(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

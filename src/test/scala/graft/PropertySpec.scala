@@ -88,6 +88,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyScd2Dated invariants: one open version per key, contiguous closed chain") {
+    import graft.pipeline.Pipeline
+    val batchesGen = Gen.listOfN(3, Gen.nonEmptyListOf(Gen.chooseNum(0L, 5L)))
+    forAll(batchesGen, n = 3) { batches =>
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def ts(i: Int) = java.sql.Timestamp.valueOf(s"2024-0${i + 1}-01 00:00:00")
+      var dim = Pipeline.scd2Init(
+        Seq((0L, "seed")).toDF("id", "attr"), lit(t0))
+      batches.zipWithIndex.foreach { case (keys, i) =>
+        val incoming = keys.distinct.map(k => (k, s"v${i}_$k")).toDF("id", "attr")
+        dim = Pipeline.applyScd2Dated(dim, incoming, Seq("id"), lit(ts(i + 1)))
+      }
+      val rows = dim.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("record_status"),
+        r.getAs[java.sql.Timestamp]("effective_from"),
+        r.getAs[java.sql.Timestamp]("effective_to")))
+      rows.groupBy(_._1).foreach { case (id, versions) =>
+        val open = versions.filter(_._2 == "1")
+        assert(open.length == 1, s"key $id must have exactly one open version")
+        assert(open.head._4 == null, s"open version of $id carries no end date")
+        versions.filter(_._2 == "0").foreach { v =>
+          assert(v._4 != null, s"closed version of $id must carry effective_to")
+          assert(!v._3.after(v._4), s"closed range of $id must be ordered")
+          // the version that replaced it starts exactly where it ended
+          assert(versions.exists(n => n._3 == v._4),
+            s"close of $id at ${v._4} must match a successor's effective_from")
+        }
+      }
+    }
+  }
+
   test("joinAsOf: carried columns all come from the single matched row (nulls included)") {
     val eventsGen = Gen.zip(
       Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L)),
