@@ -764,6 +764,19 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Exact character-3-gram Jaccard over (lang, source)-blocked pairs on a
+    * deterministic 1-in-5 sample — the oracle row for the n-gram Jaccard
+    * family (q28's LSH candidates are the scale path; this blocked exact
+    * form is plain SQL on both engines, so it carries a real DuckDB oracle).
+    */
+  def jaccardBlocked(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(
+        t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), Seq(col("lang"), col("source")),
+        shingleK = 3, threshold = 0.2)
+      .select(col("id_a").as("left_id"), col("id_b").as("right_id"), col("jaccard"))
+      .orderBy(col("left_id"), col("right_id"))
+
   /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
     * codec is Spark-side): synthetic binary media → partition-batched
     * feature extraction → per-kind rollup + a cosine self-similarity probe
@@ -886,7 +899,8 @@ object Queries {
     "q50_flagship_full" -> (flagshipFull _),
     "q51_catalog_query" -> (catalogStoredQuery _),
     "q52_simhash_md5" -> (simhashPortable _),
-    "q53_ann_ivf" -> (annIvf _))
+    "q53_ann_ivf" -> (annIvf _),
+    "q54_jaccard_blocked" -> (jaccardBlocked _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1118,6 +1132,20 @@ object Queries {
          |    CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q54_jaccard_blocked" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |         list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+        |                        i -> substr(text, i, 3)) AS sh
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+        |ORDER BY left_id, right_id""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

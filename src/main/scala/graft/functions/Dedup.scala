@@ -148,6 +148,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact character-n-gram Jaccard over all pairs that share a blocking
+    * key — the oracle-exact complement to [[nearDuplicatePairs]]: where LSH
+    * candidates are probabilistic (xxhash-seeded, rows-only checkable),
+    * blocked enumeration is deterministic plain SQL on any engine. Pair
+    * expansion is quadratic ONLY in the block size, so the blocking columns
+    * must be chosen to keep blocks small (at 100 TB: language × source ×
+    * length-bucket, or a clustering prefix); for unbounded corpora the LSH
+    * path is the scale path and this one verifies samples of it. One
+    * equi-shuffle on the blocking key; shingles derived per branch of the
+    * self-join (the candidate set never materializes beyond the block).
+    */
+  def blockedJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                          blockCols: Seq[Column], shingleK: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val blockNames = blockCols.indices.map(i => s"blk_$i")
+    val base = docs.filter(textCol.isNotNull).select(
+      idCol.as("doc_id") +: Text.charShingles(textCol, shingleK).as("sh") +:
+        blockCols.zip(blockNames).map { case (c, n) => c.as(n) }: _*)
+    val a = base.select(
+      col("doc_id").as("id_a") +: col("sh").as("sh_a") +: blockNames.map(col): _*)
+    val b = base.select(
+      col("doc_id").as("id_b") +: col("sh").as("sh_b") +: blockNames.map(col): _*)
+    a.join(b, blockNames).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Duplicate-cluster resolution: connected components over candidate
     * pairs by iterated label propagation — each id adopts the minimum label
     * among itself and its neighbors until fixpoint (≤ `maxIter` rounds,

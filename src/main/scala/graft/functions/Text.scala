@@ -95,4 +95,13 @@ object Text {
     */
   def shingles(text: Column, k: Int): Column =
     graft.plans.TextExpressions.shingles(tokens(normalized(text)), k)
+
+  /** Character k-grams of the raw text (positional; fewer than k chars →
+    * empty array). Native single-pass expression
+    * ([[graft.plans.CharShingles]]); engine-portable semantics (`substr`
+    * over character offsets), so Jaccard queries built on it run under the
+    * DuckDB differential oracle.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    graft.plans.TextExpressions.char_shingles(text, k)
 }

@@ -267,6 +267,48 @@ case class SimHash32Md5(child: Expression)
     copy(child = newChild)
 }
 
+/** Character k-grams of a string in one pass — the shingle unit for exact
+  * n-gram Jaccard (reference dedups staged extracts by substring identity,
+  * `Kafka_ArrivalToConform.sh` cleanse stage). Positional (no dedup): set
+  * semantics come from the array_intersect/array_union consumers, mirroring
+  * DuckDB's `list_transform(generate_series(1, length(s)-k+1), i ->
+  * substr(s, i, k))` so the Jaccard queries run under the differential
+  * oracle. Fewer than k chars → empty array; substring offsets are
+  * character-based (UTF8String), matching both engines' `substr`.
+  */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"char shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_shingles requires string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = s.substringSQL(i + 1, k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
     * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
@@ -285,4 +327,8 @@ object TextExpressions {
   /** 32-bit md5-portable SimHash (oracle-reproducible across engines). */
   def sim_hash32_md5(tokens: Column): Column =
     GraftBridge.toColumn(SimHash32Md5(GraftBridge.toExpression(tokens)))
+
+  /** Character k-grams of a string (single pass, positional). */
+  def char_shingles(text: Column, k: Int): Column =
+    GraftBridge.toColumn(CharShingles(GraftBridge.toExpression(text), k))
 }

@@ -122,6 +122,33 @@ class DedupSpec extends AnyFunSuite {
     assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty)
   }
 
+  test("CharShingles expression matches the composable HOF form (incl. short strings)") {
+    val edge = docs.union(Seq((6L, ""), (7L, "abc")).toDF("doc_id", "text"))
+    val hof = when(length(col("text")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+    val native = edge.select(col("doc_id"), Text.charShingles(col("text"), 3).as("s"))
+    val comp = edge.select(col("doc_id"), hof.as("s"))
+    assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty)
+    // fewer than k chars → empty, exactly k chars → the whole string
+    val byId = native.collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(byId(6L).isEmpty && byId(7L) == Seq("abc"))
+  }
+
+  test("blockedJaccardPairs pairs only within a block and scores exactly") {
+    val blocked = Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the quick brown fox"), // identical → jaccard 1.0
+      (3L, "en", "a completely unrelated sentence zzz"),
+      (4L, "de", "the quick brown fox") // same text, other block → never paired
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.blockedJaccardPairs(blocked, col("doc_id"), col("text"),
+      Seq(col("lang")), shingleK = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("minHashCandidates honors maxBucketSize cap") {
     val same = (1L to 10L).map(i => (i, "identical text repeated for boilerplate docs"))
       .toDF("doc_id", "text")
