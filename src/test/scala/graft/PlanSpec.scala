@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries — the properties
+  * that decide whether a plan survives a 100× scale-up, pinned as tests so a
+  * refactor can't silently regress them:
+  *
+  *  - range filters reach the parquet scan (`PushedFilters`), and the scan
+  *    reads only referenced columns (`ReadSchema` pruning);
+  *  - guaranteed-tiny dims join via `BroadcastHashJoin` (no shuffle of the
+  *    fact side on a dim key);
+  *  - ORDER BY + LIMIT plans as `TakeOrderedAndProject` (per-partition
+  *    top-k + merge), never a global sort;
+  *  - aggregations are two-phase (map-side `partial_` before the exchange);
+  *  - the scan→filter→project spine stays inside whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute, then render the AQE-final physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q04: watermark range filter is pushed to the parquet scan") {
+    val plan = finalPlan(SparkEntry.queries("q04_incremental_filter")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("GreaterThan(l_shipdate"), plan)
+    // Column pruning: the 16-column lineitem scan must read only the 4
+    // referenced columns; a full-width ReadSchema means pruning broke.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("q06: guaranteed-tiny dims (nation/region) broadcast, never shuffle") {
+    val plan = finalPlan(SparkEntry.queries("q06_dim_enrich")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q34: ORDER BY + LIMIT plans as TakeOrderedAndProject, not global sort") {
+    val plan = finalPlan(SparkEntry.queries("q34_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q01: aggregation is two-phase with map-side partials under codegen") {
+    val plan = finalPlan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(plan.contains("partial_sum"), plan)
+    // Codegen stages render as "*(n)" in the simple plan string; the partial
+    // aggregate must sit in the same codegen stage as the scan spine.
+    assert(plan.contains("*(1) HashAggregate"), plan)
+    assert(plan.contains("*(1) Filter"), plan)
+  }
+
+  test("q54: blocked jaccard is one equi-shuffle on the blocking key") {
+    val df = SparkEntry.queries("q54_jaccard_blocked")(spark, sf)
+    val plan = finalPlan(df)
+    // The pair join must be an equi-join on the block columns (shuffled hash
+    // or sort-merge at scale, broadcast at this SF) — never a cartesian.
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
