@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, Sampling, Similarity, Text}
 import graft.ops.{Events, Relational}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -777,6 +777,26 @@ object Queries {
       .select(col("id_a").as("left_id"), col("id_b").as("right_id"), col("jaccard"))
       .orderBy(col("left_id"), col("right_id"))
 
+  /** Deterministic 80/10/10 train/val/test split from the md5 hash bucket of
+    * doc_id — reproducible, shuffle-free at any scale (pure projection), and
+    * plain SQL on both engines.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("split", Sampling.split(col("doc_id"), trainPct = 80, valPct = 10))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
+  /** Deterministic stratified sample: first 5 docs per language in
+    * hash-bucket order (one shuffle on the stratum key).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(spark, dir, "documents"),
+        Seq(col("lang")), col("doc_id"), perStratum = 5)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
     * codec is Spark-side): synthetic binary media → partition-batched
     * feature extraction → per-kind rollup + a cosine self-similarity probe
@@ -900,7 +920,9 @@ object Queries {
     "q51_catalog_query" -> (catalogStoredQuery _),
     "q52_simhash_md5" -> (simhashPortable _),
     "q53_ann_ivf" -> (annIvf _),
-    "q54_jaccard_blocked" -> (jaccardBlocked _))
+    "q54_jaccard_blocked" -> (jaccardBlocked _),
+    "q55_hash_split" -> (hashSplit _),
+    "q56_stratified_sample" -> (stratifiedSample _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1146,6 +1168,23 @@ object Queries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
         |ORDER BY left_id, right_id""".stripMargin,
+    "q55_hash_split" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "q56_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+        |           doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

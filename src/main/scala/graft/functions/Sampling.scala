@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split operators for training-data pipelines.
+  *
+  * Everything here is a pure function of the record key — no RNG state, no
+  * `rand()` — so splits are reproducible run-over-run, stable under
+  * repartitioning, and incrementally consistent: a document keeps its split
+  * forever as the corpus grows, which is what makes 100 TB split
+  * maintenance an append-only problem instead of a global reshuffle. The
+  * md5-derived bucket is plain SQL on any engine (same derivation as
+  * [[graft.plans.SimHash32Md5]]'s per-token hash), so every operator runs
+  * under the DuckDB differential oracle.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the md5 of the key rendered as a
+    * string: first 8 hex chars read as an unsigned 32-bit int, mod buckets.
+    * (`('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % n` in
+    * DuckDB.)
+    */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Train/validation/test assignment from the stable bucket: percentages
+    * are cut points in [0,100). A scan-local projection — splitting a
+    * 100 TB corpus shuffles nothing.
+    */
+  def split(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(key)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic per-stratum sample: the `perStratum` records of each
+    * stratum that rank first in hash order (key as tiebreak). One shuffle on
+    * the strata columns; equivalent to uniform sampling within each stratum
+    * but reproducible and oracle-checkable, unlike `TABLESAMPLE`/`rand()`.
+    * At scale prefer strata that match the table's existing partitioning so
+    * the window sorts within partitions.
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[Column], key: Column,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(hashBucket(key, 1 << 30), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i => (i, s"doc $i"))
+    .toDF("doc_id", "text")
+
+  test("split is deterministic and roughly proportional") {
+    val counts = docs.withColumn("split", Sampling.split(col("doc_id"), 80, 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 40 && counts("val") < 160)
+    assert(counts("test") > 40 && counts("test") < 160)
+    // pure function of the key: a second run assigns identically
+    val again = docs.withColumn("split", Sampling.split(col("doc_id"), 80, 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("a record keeps its split when the corpus grows (append-only property)") {
+    val small = docs.filter(col("doc_id") < 100)
+    val assignSmall = small.withColumn("s", Sampling.split(col("doc_id"), 80, 10))
+      .select("doc_id", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val assignFull = docs.withColumn("s", Sampling.split(col("doc_id"), 80, 10))
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assignSmall == assignFull)
+  }
+
+  test("stratifiedSample returns at most n per stratum, deterministically") {
+    val strat = docs.withColumn("lang", when(col("doc_id") % 3 === 0, "en")
+      .when(col("doc_id") % 3 === 1, "de").otherwise("fr"))
+    val s1 = Sampling.stratifiedSample(strat, Seq(col("lang")), col("doc_id"), 7)
+    val perStratum = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.values.forall(_ == 7), perStratum.toString)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(strat, Seq(col("lang")), col("doc_id"), 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("hashBucket matches its portable SQL derivation") {
+    // Guard the oracle contract: first-8-md5-hex-chars as unsigned int.
+    val viaSql = docs.select(col("doc_id"),
+      expr("pmod(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10), 100)")
+        .cast("long").as("b"))
+    val viaFn = docs.select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("b"))
+    assert(viaFn.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaFn).isEmpty)
+  }
+}
