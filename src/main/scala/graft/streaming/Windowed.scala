@@ -47,6 +47,30 @@ object Windowed {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Watermarked stream-stream interval join: attribute each purchase to the
+    * same user's clicks in the preceding `maxDelay` (the continuous twin of
+    * the batch as-of/range joins, `graft.ops.AsOf` / `graft.ops.RangeJoin`).
+    * Inner-join results emit as soon as both sides arrive; the watermarks
+    * plus the time-bound join condition let Spark evict buffered rows older
+    * than `watermark + maxDelay`, which is what keeps join state bounded on
+    * an unbounded stream — without the time bound the state store grows
+    * forever. One shuffle per side on user_id.
+    *
+    * Input contracts: clicks (user_id, click_ts, ...), purchases
+    * (user_id, purchase_ts, ...).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String, maxDelay: String): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withColumnRenamed("user_id", "p_user_id")
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxDelay"))
+      .drop("p_user_id")
+  }
+
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

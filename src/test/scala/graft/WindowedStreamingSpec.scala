@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Doc(ts: Timestamp, text: String)
+case class Click(user_id: Long, click_ts: Timestamp, page: String)
+case class Purchase(user_id: Long, purchase_ts: Timestamp, amount: Double)
 
 class WindowedStreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -82,6 +84,31 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(closed.length == 1)
     assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
     assert(closed.head.user_id == 1L)
+  }
+
+  test("stream-stream attribution join matches purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = Windowed.attributionJoin(clicks.toDF(), purchases.toDF(),
+      watermark = "10 minutes", maxDelay = "30 MINUTES")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_out").start()
+
+    clicks.addData(
+      Click(1L, ts("2024-01-01 00:00:00"), "landing"),
+      Click(1L, ts("2024-01-01 00:10:00"), "product"),
+      Click(2L, ts("2024-01-01 00:00:00"), "landing"))
+    purchases.addData(
+      Purchase(1L, ts("2024-01-01 00:20:00"), 99.0), // within 30m of both clicks
+      Purchase(2L, ts("2024-01-01 02:00:00"), 5.0))  // 2h after the click → out of window
+    q.processAllAvailable()
+    val rows = spark.table("attr_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("page"),
+        r.getAs[Double]("amount")))
+    q.stop()
+    // user 1's purchase attributes to BOTH in-window clicks; user 2's to none
+    assert(rows.toSet == Set((1L, "landing", 99.0), (1L, "product", 99.0)))
   }
 
   test("listener records batch durations and ledger-parses kafka offsets") {
