@@ -3,10 +3,10 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over a shingle array.
@@ -309,6 +309,58 @@ case class CharShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity between two SORTED, DISTINCT string arrays by
+  * linear merge — |A∩B| / (|A|+|B|-|A∩B|) with no per-pair hash sets.
+  *
+  * Semantically identical to
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` (with 0.0 when the
+  * union is empty) PROVIDED both inputs are sorted and duplicate-free
+  * (`array_sort(array_distinct(_))`): set-dedup then happens once per
+  * document at projection time instead of twice per *pair* inside the join,
+  * and the per-pair cost drops from building two hash sets to one
+  * allocation-free merge scan. On a blocked all-pairs Jaccard (q54) the
+  * builtin form spends the whole job in intersect/union hashing; this is
+  * the difference between the verify step scaling with pairs×set-size vs
+  * pairs×(set-size compares).
+  */
+case class SortedSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_set_jaccard requires (array<string>, array<string>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedSetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
     * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
@@ -331,4 +383,9 @@ object TextExpressions {
   /** Character k-grams of a string (single pass, positional). */
   def char_shingles(text: Column, k: Int): Column =
     GraftBridge.toColumn(CharShingles(GraftBridge.toExpression(text), k))
+
+  /** Exact Jaccard of two sorted, distinct string arrays (linear merge). */
+  def sorted_set_jaccard(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SortedSetJaccard(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }

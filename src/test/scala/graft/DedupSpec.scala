@@ -135,6 +135,29 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(6L).isEmpty && byId(7L) == Seq("abc"))
   }
 
+  test("SortedSetJaccard matches the builtin intersect/union form exactly") {
+    // Raw (unsorted, duplicate-bearing) shingle arrays: the native merge is
+    // only equivalent after array_sort(array_distinct(_)) — which is exactly
+    // how blockedJaccardPairs projects them. Includes the empty-vs-empty
+    // union case (both forms must yield 0.0).
+    val pairs = docs.crossJoin(docs.select(col("text").as("text2")))
+    val viaBuiltin = pairs.select(
+      Dedup.jaccard(Text.charShingles(col("text"), 3),
+        Text.charShingles(col("text2"), 3)).as("j"))
+    val viaNative = pairs.select(
+      graft.plans.TextExpressions.sorted_set_jaccard(
+        array_sort(array_distinct(Text.charShingles(col("text"), 3))),
+        array_sort(array_distinct(Text.charShingles(col("text2"), 3)))).as("j"))
+    assert(viaNative.exceptAll(viaBuiltin).isEmpty &&
+      viaBuiltin.exceptAll(viaNative).isEmpty)
+    val selfJ = docs.select(graft.plans.TextExpressions.sorted_set_jaccard(
+      array_sort(array_distinct(Text.charShingles(col("text"), 3))),
+      array_sort(array_distinct(Text.charShingles(col("text"), 3)))).as("j"))
+      .collect().map(_.getDouble(0))
+    // identical sets → 1.0, except the sub-k-length doc whose set is empty → 0.0
+    assert(selfJ.count(_ == 1.0) == 4 && selfJ.count(_ == 0.0) == 1)
+  }
+
   test("blockedJaccardPairs pairs only within a block and scores exactly") {
     val blocked = Seq(
       (1L, "en", "the quick brown fox"),
