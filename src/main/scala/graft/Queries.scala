@@ -797,6 +797,17 @@ object Queries {
       .select(col("lang"), col("doc_id"), col("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Sequence packing: documents → 4000-char bins per hash shard (running
+    * sum in doc_id order), rolled up to per-bin occupancy — the batch-shape
+    * audit a pretraining data pipeline runs after packing.
+    */
+  def packBins(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packByBudget(t(spark, dir, "documents"),
+        col("doc_id"), col("n_chars"), budget = 4000L, shards = 8)
+      .groupBy(col("shard"), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"))
+      .orderBy(col("shard"), col("pack_bin"))
+
   /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
     * codec is Spark-side): synthetic binary media → partition-batched
     * feature extraction → per-kind rollup + a cosine self-similarity probe
@@ -922,7 +933,8 @@ object Queries {
     "q53_ann_ivf" -> (annIvf _),
     "q54_jaccard_blocked" -> (jaccardBlocked _),
     "q55_hash_split" -> (hashSplit _),
-    "q56_stratified_sample" -> (stratifiedSample _))
+    "q56_stratified_sample" -> (stratifiedSample _),
+    "q57_pack_bins" -> (packBins _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1185,6 +1197,18 @@ object Queries {
         |  FROM documents)
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 5
         |ORDER BY lang, sample_rank""".stripMargin,
+    "q57_pack_bins" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, n_chars,
+        |         CAST(floor((SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) - n_chars)
+        |                    / 4000.0) AS BIGINT) AS pack_bin
+        |  FROM s)
+        |SELECT shard, pack_bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
+        |FROM b GROUP BY shard, pack_bin ORDER BY shard, pack_bin""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -37,6 +37,28 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /** Sequence packing for training batches: assign each record to a bin of
+    * ~`budget` weight (token/char count), packing in key order by running
+    * sum — bin = floor((cumulative_before) / budget), so bins are contiguous
+    * runs and every bin except a shard's last holds ≥ budget once its
+    * straddling record lands. Deterministic (pure function of keys +
+    * weights) and plain window SQL on any engine.
+    *
+    * The running sum is computed per hash shard, NOT globally: a global
+    * ORDER BY running sum is a single-partition window — the classic
+    * scale-killer — while per-shard packing is embarrassingly parallel and
+    * exactly how a 1000-executor packing job shards anyway. Returns the
+    * input plus (shard, pack_bin).
+    */
+  def packByBudget(df: DataFrame, key: Column, weight: Column,
+                   budget: Long, shards: Int): DataFrame = {
+    val withShard = df.withColumn("shard", hashBucket(key, shards))
+    val w = Window.partitionBy(col("shard")).orderBy(key)
+    withShard
+      .withColumn("pack_bin",
+        floor((sum(weight).over(w) - weight) / lit(budget.toDouble)).cast("long"))
+  }
+
   /** Deterministic per-stratum sample: the `perStratum` records of each
     * stratum that rank first in hash order (key as tiebreak). One shuffle on
     * the strata columns; equivalent to uniform sampling within each stratum

@@ -49,6 +49,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("packByBudget packs by per-shard running start offset") {
+    val weighted = docs.withColumn("w", (col("doc_id") % 7 + 1) * 100)
+    val packed = Sampling.packByBudget(weighted, col("doc_id"), col("w"),
+      budget = 1000L, shards = 4)
+      .select("doc_id", "w", "shard", "pack_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == 1000)
+    // recompute the invariant per shard: bin = floor(start_offset / budget)
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._1).foreach { case (_, w, _, bin) =>
+        assert(bin == start / 1000L)
+        start += w
+      }
+    }
+    // weight is conserved: no record lost or double-assigned
+    assert(packed.map(_._2).sum ==
+      weighted.agg(sum("w")).head().getLong(0))
+  }
+
   test("hashBucket matches its portable SQL derivation") {
     // Guard the oracle contract: first-8-md5-hex-chars as unsigned int.
     val viaSql = docs.select(col("doc_id"),
