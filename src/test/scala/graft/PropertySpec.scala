@@ -145,4 +145,19 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sorted_set_jaccard ≡ builtin intersect/union on arbitrary string arrays") {
+    import graft.plans.TextExpressions
+    val arrGen = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "c", "", "aaa"))
+    forAll(Gen.zip(Gen.listOfN(8, arrGen), Gen.listOfN(8, arrGen)), n = 3) {
+      case (as, bs) =>
+        val df = as.zip(bs).toDF("a", "b")
+        val both = df.select(
+          TextExpressions.sorted_set_jaccard(
+            array_sort(array_distinct(col("a"))),
+            array_sort(array_distinct(col("b")))).as("native"),
+          Dedup.jaccard(col("a"), col("b")).as("builtin")).collect()
+        both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    }
+  }
 }
