@@ -540,6 +540,19 @@ object Queries {
         col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
 
+  /** Full CUBE over order status × priority (q39 is the ROLLUP twin) —
+    * every grouping-set combination in one Expand pass.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(dec2(col("o_totalprice"))).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
   /** As-of join: each click enriched with the user's latest purchase at or
     * before the click (graft.ops.AsOf — composed union+window form; DuckDB
     * verifies with its native ASOF JOIN).
@@ -934,7 +947,8 @@ object Queries {
     "q54_jaccard_blocked" -> (jaccardBlocked _),
     "q55_hash_split" -> (hashSplit _),
     "q56_stratified_sample" -> (stratifiedSample _),
-    "q57_pack_bins" -> (packBins _))
+    "q57_pack_bins" -> (packBins _),
+    "q58_cube" -> (cubeOrders _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1209,6 +1223,13 @@ object Queries {
         |  FROM s)
         |SELECT shard, pack_bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
         |FROM b GROUP BY shard, pack_bin ORDER BY shard, pack_bin""".stripMargin,
+    "q58_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
