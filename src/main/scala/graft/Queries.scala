@@ -294,6 +294,20 @@ object Queries {
       .agg(count(lit(1)).as("n"), money(dec2(col("value"))).as("total_value"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** Sliding-window aggregation (1 h window, 30 min slide) — each event
+    * lands in exactly two slots, materialized by an explode of the two slot
+    * ids rather than a range join: the 2× fan-out is the window/slide ratio
+    * and shuffles only (slot, user_id). q20 is the tumbling twin; the
+    * streaming form is `window(ts, "1 hour", "30 minutes")`.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(expr("(ts div 1000000000) div 1800").as("slot"), col("user_id"))
+      .select(explode(array(col("slot"), col("slot") - 1)).as("w"), col("user_id"))
+      .groupBy((col("w") * 1800).as("window_start"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start"))
+
   /** 2B-20: record accounting from JSON payloads
     * (`Kafka_ArrivalToConform.sh:408-416` counts JSON objects) — extract a
     * field from the props JSON and aggregate.
@@ -948,7 +962,8 @@ object Queries {
     "q55_hash_split" -> (hashSplit _),
     "q56_stratified_sample" -> (stratifiedSample _),
     "q57_pack_bins" -> (packBins _),
-    "q58_cube" -> (cubeOrders _))
+    "q58_cube" -> (cubeOrders _),
+    "q59_sliding_window" -> (slidingWindow _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1230,6 +1245,13 @@ object Queries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q59_sliding_window" ->
+      """WITH s AS (
+        |  SELECT (epoch_ns(ts) // 1000000000) // 1800 AS slot, user_id FROM events),
+        |e AS (SELECT unnest([slot, slot - 1]) AS w, user_id FROM s)
+        |SELECT w * 1800 AS window_start, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
