@@ -50,7 +50,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The catalog grows round-over-round, so the grand total is not
+    // comparable across rounds; value_q49 re-sums the round-1 query set
+    // (q01..q49) for an apples-to-apples trend.
+    val r01Set = results.collect {
+      case (k, v, None) if k.take(3).drop(1).forall(_.isDigit) &&
+        k.slice(1, 3).toInt <= 49 => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"value_q49":$r01Set,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
