@@ -769,7 +769,10 @@ object Queries {
       .select(col("doc_id"), col("term"), col("tf"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
 
-  /** LSH-bucketed approximate top-k (scale path — rows-only check). */
+  /** LSH-bucketed approximate top-k (scale path). Under the real DuckDB
+    * oracle: the SplitMix64 hyperplane coefficients are embedded in the
+    * oracle SQL as literals, so both engines bucket identically.
+    */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     Similarity.lshTopK(e, col("vec_id"), col("embedding"),
@@ -779,8 +782,9 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** IVF-bucketed approximate top-k (scale path, data-adaptive cells —
-    * rows-only check like q32; q30 is the exact baseline).
+  /** IVF-bucketed approximate top-k (scale path, data-adaptive cells;
+    * q30 is the exact baseline). Under the real DuckDB oracle: the
+    * hash-ordered centroid sample and the probe ranking are plain SQL.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -974,6 +978,28 @@ object Queries {
 
   private def langScore(vocab: Seq[String]): String =
     s"len(list_filter($DTOKS, t -> list_contains([${vocab.map(w => s"'$w'").mkString(",")}], t)))"
+
+  /** The q32 LSH bucket as portable SQL: the SplitMix64 hyperplane
+    * coefficients the native expression derives (shared via
+    * [[graft.plans.HyperplaneSignature.coefficients]]) embedded as
+    * `DOUBLE[]` literals, sign bits via `list_inner_product` on the
+    * double-cast embedding — the same ascending-index double math as
+    * the expression's loop. `Double.toString` round-trips and DuckDB's
+    * decimal parser is correctly rounded, so the literals reconstruct
+    * bit-identical doubles.
+    */
+  private lazy val LshBucketSql: String =
+    graft.plans.HyperplaneSignature.coefficients(dim = 64, bits = 6, seed = 42L)
+      .zipWithIndex.map { case (row, b) =>
+        val arr = row.map(java.lang.Double.toString).mkString(",")
+        s"(CASE WHEN list_inner_product(v, [$arr]) > 0.0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n    + ")
+
+  /** The q53 IVF centroid sample as portable SQL — the same md5
+    * hash-bucket order [[graft.functions.Similarity.ivfTopK]] uses.
+    */
+  private val IvfCentroidOrderSql: String =
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824, vec_id"
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1181,6 +1207,38 @@ object Queries {
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q32_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sg AS (SELECT vec_id, v, $LshBucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sg WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sg),
+         |s AS (SELECT qid, cid, list_cosine_similarity(cv, qv) AS sim
+         |      FROM c JOIN q USING (bucket) WHERE qid <> cid),
+         |r AS (SELECT qid AS query_id, cid AS corpus_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
+         |SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q53_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e
+         |          ORDER BY $IvfCentroidOrderSql
+         |          LIMIT 32),
+         |asg AS (SELECT corpus_id, cv, cell_id FROM (
+         |          SELECT e.vec_id AS corpus_id, e.v AS cv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS cr
+         |          FROM e CROSS JOIN cents)
+         |        WHERE cr = 1),
+         |probes AS (SELECT qid, qv, cell_id FROM (
+         |          SELECT e.vec_id AS qid, e.v AS qv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS qr
+         |          FROM e CROSS JOIN cents WHERE e.vec_id < 5)
+         |        WHERE qr <= 8),
+         |s AS (SELECT qid, corpus_id, list_cosine_similarity(cv, qv) AS sim
+         |      FROM asg JOIN probes USING (cell_id) WHERE qid <> corpus_id),
+         |r AS (SELECT qid AS query_id, corpus_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, corpus_id) AS rnk FROM s)
+         |SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q33_flagship_dim" -> FlagshipSql,
     "q50_flagship_full" -> FlagshipFullSql,
     "q51_catalog_query" ->

@@ -100,19 +100,23 @@ object Similarity {
     * to the data distribution — the standard trade when buckets come out
     * skewed.
     *
-    * Centroids are a deterministic id-ordered sample rather than k-means
+    * Centroids are a deterministic hash-ordered sample (md5-bucket order on
+    * the id, same derivation as [[Sampling.hashBucket]]) rather than k-means
     * iterations: at corpus scale, sampled centroids are the standard
     * first-stage compromise, and k-means refinement would change only how
     * the centroid table is produced — the plan shape stays one centroid
     * broadcast + one argmax pass over the corpus (cells assignment never
-    * shuffles the corpus) + an equi-join on cell id for the probe.
+    * shuffles the corpus) + an equi-join on cell id for the probe. Hash
+    * order (not id-prefix order) keeps the sample distribution-agnostic even
+    * when ids correlate with content, and is plain SQL on any engine.
     */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val cents = corpus
       .select(corpusId.as("cell_id"), corpusVec.as("cent"))
-      .orderBy(col("cell_id")).limit(nCentroids)
+      .orderBy(Sampling.hashBucket(col("cell_id"), 1 << 30), col("cell_id"))
+      .limit(nCentroids)
       .withColumn("cent_n", norm(col("cent")))
     // corpus → nearest cell (argmax cosine), one streaming pass
     val cw = Window.partitionBy(col("corpus_id"))

@@ -118,18 +118,8 @@ case class HyperplaneSignature(child: Expression, dim: Int, bits: Int, seed: Lon
   }
 
   /** coefs(b)(d) ∈ [-1,1], SplitMix64-derived — stable across JVMs. */
-  @transient private lazy val coefs: Array[Array[Double]] = {
-    def splitmix(x0: Long): Long = {
-      var z = x0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.tabulate(bits, dim) { (b, d) =>
-      splitmix(seed * 0x100000001b3L + b.toLong * 0x1000193L + d.toLong).toDouble /
-        Long.MaxValue.toDouble
-    }
-  }
+  @transient private lazy val coefs: Array[Array[Double]] =
+    HyperplaneSignature.coefficients(dim, bits, seed)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -155,6 +145,28 @@ case class HyperplaneSignature(child: Expression, dim: Int, bits: Int, seed: Lon
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
     copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** The hyperplane coefficient matrix: coefs(b)(d) ∈ [-1,1], derived
+    * deterministically from (seed, b, d) via SplitMix64. Shared between the
+    * expression and the DuckDB differential oracle, which embeds these
+    * values as `DOUBLE[]` literals (`Double.toString` round-trips, and
+    * DuckDB's decimal parser is correctly rounded, so the literals
+    * reconstruct the exact same doubles).
+    */
+  def coefficients(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(bits, dim) { (b, d) =>
+      splitmix(seed * 0x100000001b3L + b.toLong * 0x1000193L + d.toLong).toDouble /
+        Long.MaxValue.toDouble
+    }
+  }
 }
 
 object VectorExpressions {

@@ -64,6 +64,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("ivfTopK centroids are distribution-agnostic under id-content correlation") {
+    // ids 0..29 cluster around +1, ids 30..59 around -1: an id-prefix
+    // centroid sample (the old orderBy(id).limit(n)) would sit entirely in
+    // the first cluster; the md5 hash-ordered sample spans both, so a
+    // second-cluster query keeps its neighbors reachable at low nProbe.
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i < 30) 1.0f else -1.0f
+      (i, Seq.tabulate(16)(d => base + ((i * 13 + d * 5) % 17).toFloat / 170f))
+    }.toDF("id", "v")
+    val queries = corpus.filter(col("id") === 45L)
+    val recall = Similarity.ivfRecall(corpus, col("id"), col("v"),
+      queries, col("id"), col("v"), k = 5, nCentroids = 8, nProbe = 2)
+    assert(recall >= 0.8, s"skewed-id recall $recall")
+  }
+
   test("bruteForceTopK finds the planted nearest neighbor first") {
     val base = Seq.tabulate(64)(_.toFloat / 64f)
     val near = base.updated(0, base.head + 0.001f)
