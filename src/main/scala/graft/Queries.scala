@@ -904,6 +904,46 @@ object Queries {
           sum(col("pn")).as("n")))
       .orderBy(col("event_type"))
 
+  /** Duplicate-cluster resolution over the LSH candidate pairs (q28's
+    * output): connected components by iterated label propagation
+    * ([[graft.functions.Dedup.connectedComponents]]), cluster = min doc_id
+    * of the component. DuckDB verifies with a recursive-CTE transitive
+    * closure over the same pairs.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(minhashPairs(spark, dir))
+      .orderBy(col("id"))
+
+  /** Production twin of q36: the same single-pass profile with
+    * approx_count_distinct — no Expand, one partial/final aggregate pair
+    * regardless of column count. Rows-only under the driver (HLL estimates
+    * are engine-specific), but benched, so the measured number tracks the
+    * plan the operator ships with; q36 keeps exact distinct so DuckDB can
+    * match values.
+    */
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Profile.profile(t(spark, dir, "orders"), exact = false)
+      .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+
+  /** Salted join under the oracle: the skew rewrite must be invisible to
+    * results, so DuckDB verifies with the plain join. The fact side is
+    * events on its naturally skewed event_type; the dim is the per-type
+    * average (sum/count division done identically in double on both
+    * engines for bit parity).
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val dim = events.groupBy(col("event_type"))
+      .agg((sum(dec2(col("value"))).cast("double") / count(lit(1))).as("type_avg"))
+    graft.ops.Skew.saltedJoin(events, dim, "event_type", buckets = 8)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("value") > col("type_avg"), 1)).as("n_above"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -967,7 +1007,10 @@ object Queries {
     "q56_stratified_sample" -> (stratifiedSample _),
     "q57_pack_bins" -> (packBins _),
     "q58_cube" -> (cubeOrders _),
-    "q59_sliding_window" -> (slidingWindow _))
+    "q59_sliding_window" -> (slidingWindow _),
+    "q60_dedup_clusters" -> (dedupClusters _),
+    "q61_profile_approx" -> (profileOrdersApprox _),
+    "q62_skew_join" -> (skewJoin _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1000,6 +1043,29 @@ object Queries {
     */
   private val IvfCentroidOrderSql: String =
     "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824, vec_id"
+
+  /** The q28 candidate-pair derivation, shared verbatim with q60's
+    * recursive-CTE connected components (no ORDER BY so it can nest).
+    */
+  private lazy val MinhashPairsBody: String =
+    s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+       |sh AS (SELECT doc_id,
+       |        CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+       |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s
+       |       FROM toks),
+       |sig AS (SELECT doc_id,
+       |         list_min(list_transform(s, x -> md5('0|' || x))) AS mh_0,
+       |         list_min(list_transform(s, x -> md5('1|' || x))) AS mh_1,
+       |         list_min(list_transform(s, x -> md5('2|' || x))) AS mh_2,
+       |         list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
+       |        FROM sh WHERE len(s) > 0),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_id, md5(mh_2 || '|' || mh_3) AS band_key FROM sig)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |WHERE a.doc_id < b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1174,25 +1240,26 @@ object Queries {
          | list_min(list_transform(s, x -> md5('2|' || x))) AS mh_2,
          | list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
          |FROM sh WHERE len(s) > 0 ORDER BY doc_id""".stripMargin,
-    "q28_minhash_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
-         |sh AS (SELECT doc_id,
-         |        CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
-         |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s
-         |       FROM toks),
-         |sig AS (SELECT doc_id,
-         |         list_min(list_transform(s, x -> md5('0|' || x))) AS mh_0,
-         |         list_min(list_transform(s, x -> md5('1|' || x))) AS mh_1,
-         |         list_min(list_transform(s, x -> md5('2|' || x))) AS mh_2,
-         |         list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
-         |        FROM sh WHERE len(s) > 0),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id, md5(mh_2 || '|' || mh_3) AS band_key FROM sig)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "q28_minhash_pairs" -> s"$MinhashPairsBody\nORDER BY id_a, id_b",
+    "q60_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsBody),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q62_skew_join" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       count(*) FILTER (WHERE e.value > d.type_avg) AS n_above,
+        |       count(*) AS n
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q30_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

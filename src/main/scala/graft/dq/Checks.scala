@@ -134,6 +134,21 @@ object Checks {
       expected == actual, s"expected=$expected actual=$actual")
   }
 
+  /** Batch-duration expectation as an audit row — the reference's
+    * BATCH_DURATION PASS/FAIL log (`KafkaDemo.sh:131-144`,
+    * `Insights_Kafka_ArrivalTo3NF.sh:135-186`): every recorded micro-batch
+    * must finish within `maxMs`. `durations` is (batchId, wall ms), as
+    * captured by [[graft.streaming.OffsetLedgerListener.batchDurations]].
+    */
+  def batchDurationCheck(durations: Seq[(Long, Long)], maxMs: Long,
+                         sourceName: String): ValidationResult = {
+    val over = durations.count(_._2 > maxMs)
+    val worst = if (durations.isEmpty) 0L else durations.map(_._2).max
+    ValidationResult.of(sourceName, "ARRIVAL", "batch_duration", "progress_listener",
+      over == 0,
+      s"batches=${durations.size} over_budget=$over worst_ms=$worst max_ms=$maxMs")
+  }
+
   /** Run all four standard per-stage checks (SURVEY §5.2) and return the
     * audit rows ready for an append-mode write.
     */

@@ -192,10 +192,16 @@ object Dedup {
     * per-group semantics at scale without collecting edges to the driver.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list once: `pairs` is typically the output of the
+    // whole LSH candidate pipeline, and every iteration references edges
+    // twice — without this checkpoint the shingle→minhash→band derivation
+    // would re-run O(iterations) times.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint(eager = true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -203,15 +209,19 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
+      // Checkpoint the new labels FIRST (cuts the growing lineage), then run
+      // the convergence probe on two materialized frames — the probe costs
+      // one small join, not a recompute of the iteration.
       val updated = labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(eager = true)
       val changed = updated.alias("u")
         .join(labels.alias("l"), "id")
         .filter(col("u.cluster") =!= col("l.cluster"))
         .limit(1).count()
-      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
+      labels = updated
       converged = changed == 0
       i += 1
     }

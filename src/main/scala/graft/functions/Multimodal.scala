@@ -75,6 +75,62 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — pure JVM,
+    * no native libraries): per-channel mean and stddev in the first 6 slots,
+    * a normalized luminance histogram over the remaining `dim - 6`. Audio
+    * and video still route through [[FakeCodec]] (the JDK ships no codec
+    * for them), as do undecodable image bytes — a corrupt blob degrades to
+    * the deterministic fallback instead of failing its whole partition.
+    * Decoder state is per-call here because ImageIO readers are cheap; a
+    * native codec would hoist its handle to the `mapPartitions` scope in
+    * [[extractFeatures]].
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "image" || dim < 6) return FakeCodec.extract(kind, bytes, dim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return FakeCodec.extract(kind, bytes, dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = (w.toLong * h).toDouble
+      val sum = new Array[Double](3)
+      val sumSq = new Array[Double](3)
+      val histBins = dim - 6
+      val hist = new Array[Double](math.max(histBins, 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xff) / 255.0
+          val g = ((rgb >> 8) & 0xff) / 255.0
+          val b = (rgb & 0xff) / 255.0
+          sum(0) += r; sum(1) += g; sum(2) += b
+          sumSq(0) += r * r; sumSq(1) += g * g; sumSq(2) += b * b
+          if (histBins > 0) {
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            hist(math.min((lum * histBins).toInt, histBins - 1)) += 1.0
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var c = 0
+      while (c < 3) {
+        val mean = sum(c) / n
+        out(c) = mean.toFloat
+        out(c + 3) = math.sqrt(math.max(sumSq(c) / n - mean * mean, 0.0)).toFloat
+        c += 1
+      }
+      var i = 0
+      while (i < histBins) { out(6 + i) = (hist(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** Deterministic synthetic media table (no media files ship with the test
     * data): payload bytes derived from the id, metadata consistent with the
     * kind. Used by specs to exercise the pipeline end-to-end.

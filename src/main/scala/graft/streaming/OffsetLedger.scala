@@ -53,6 +53,13 @@ final class OffsetLedgerListener extends StreamingQueryListener {
   def durationsWithin(maxMs: Long): Boolean =
     synchronized(durations.forall(_._2 <= maxMs))
 
+  /** The same expectation as a PASS/FAIL audit row, ready for a
+    * *_TEST_LOG-style append alongside the other
+    * [[graft.dq.Checks]] results (`KafkaDemo.sh:131-144`).
+    */
+  def durationAudit(maxMs: Long, sourceName: String): graft.model.ValidationResult =
+    graft.dq.Checks.batchDurationCheck(batchDurations, maxMs, sourceName)
+
   def snapshot(spark: SparkSession): Dataset[OffsetRange] = synchronized {
     import spark.implicits._
     rows.toSeq.toDS()

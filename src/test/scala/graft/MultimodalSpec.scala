@@ -29,6 +29,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  private def png(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG bytes into pixel statistics") {
+    import spark.implicits._
+    val red = png(8, 8)((_, _) => 0xff0000)
+    // left half black, right half white → luminance mass at both ends
+    val halves = png(8, 8)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val media = Seq(
+      Multimodal.MediaItem(0L, "image", red, 8, 8, 0, 0),
+      Multimodal.MediaItem(1L, "image", halves, 8, 8, 0, 0),
+      Multimodal.MediaItem(2L, "audio", Array[Byte](1, 2, 3), 0, 0, 16000, 1000),
+      Multimodal.MediaItem(3L, "image", Array[Byte](9, 9, 9), 8, 8, 0, 0) // corrupt
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec, dim = 16)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    val r = feats(0L)
+    assert(math.abs(r(0) - 1.0f) < 1e-3 && r(1) < 1e-3 && r(2) < 1e-3) // means
+    assert(r(3) < 1e-3 && r(4) < 1e-3 && r(5) < 1e-3) // solid color → zero stddev
+    val hv = feats(1L)
+    assert(math.abs(hv(0) - 0.5f) < 1e-3 && math.abs(hv(1) - 0.5f) < 1e-3 &&
+      math.abs(hv(2) - 0.5f) < 1e-3) // half black + half white per channel
+    val hist = hv.drop(6)
+    assert(math.abs(hist.head - 0.5f) < 1e-3) // black pixels in the bottom bin
+    assert(math.abs(hist.last - 0.5f) < 1e-3) // white pixels in the top bin
+    // non-image and undecodable bytes fall back to the deterministic fake
+    assert(feats(2L).sameElements(
+      Multimodal.FakeCodec.extract("audio", Array[Byte](1, 2, 3), 16)))
+    assert(feats(3L).sameElements(
+      Multimodal.FakeCodec.extract("image", Array[Byte](9, 9, 9), 16)))
+  }
+
   test("resizePlan preserves aspect ratio and caps the long side") {
     val m = Multimodal.syntheticMedia(spark, 30).toDF()
     val plan = Multimodal.resizePlan(m, maxSide = 32).collect()

@@ -30,6 +30,27 @@ class SkewExtensionsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("saltedJoin spreads a zipfian hot key and stays result-identical") {
+    // Zipf-ish fixture: key r carries ~N/r rows, so key 1 holds ~37% of the
+    // table — the realistic "one topic carries most events" shape.
+    val n = 20000
+    val keys = (1 to 8).flatMap(r => Seq.fill(n / r)(r))
+    val fact = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val dim = (1 to 8).map(r => (r, s"dim$r")).toDF("k", "name")
+    val direct = fact.join(dim, Seq("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"payload").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val saltedDf = Skew.saltedJoin(fact, dim, "k", buckets = 8)
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"payload").as("s"))
+    // The rewrite is visible in the plan: the join keys carry the salt, so
+    // the hot key's rows hash to `buckets` reducers instead of one.
+    assert(saltedDf.queryExecution.analyzed.toString.contains("__salt"))
+    val salted = saltedDf
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
   test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
     val fact = Seq((1, "x")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (9, "unmatched")).toDF("k", "name")

@@ -126,6 +126,14 @@ class WindowedStreamingSpec extends AnyFunSuite {
       while (listener.batchDurations.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
       assert(listener.batchDurations.nonEmpty)
       assert(listener.durationsWithin(maxMs = 600000L))
+      // Audit-row form: generous budget passes; a zero budget makes every
+      // recorded batch over-budget and must produce a FAILED row.
+      val ok = listener.durationAudit(maxMs = 600000L, sourceName = "events")
+      assert(ok.testResult == graft.model.ValidationResult.PASSED)
+      assert(ok.testCase == "batch_duration")
+      val blown = listener.durationAudit(maxMs = 0L, sourceName = "events")
+      assert(blown.testResult == graft.model.ValidationResult.FAILED)
+      assert(blown.comments.contains("over_budget=" + listener.batchDurations.size))
     } finally spark.streams.removeListener(listener)
   }
 }
