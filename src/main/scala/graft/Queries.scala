@@ -944,6 +944,42 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Benchmark decontamination over the q55 hash split: held-out docs
+    * (bucket ≥ 90) sharing a word 5-gram with any train doc (bucket < 80),
+    * with train-doc and shared-gram counts.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val bkt = Sampling.hashBucket(col("doc_id"), 100)
+    Dedup.contamination(
+        d.filter(bkt < 80), col("doc_id"), col("text"),
+        d.filter(bkt >= 90), col("doc_id"), col("text"), k = 5)
+      .orderBy(col("test_id"))
+  }
+
+  /** Intra-document repetition ratio (word 3-grams repeating within one
+    * document) — the Gopher/C4-style repetitious-text quality rule.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Text.repetitionStats(col("text"), 3)
+      .map { case (n, c) => c.as(n) }
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: stats: _*)
+      .filter(col("n_grams") > 0)
+      .withColumn("rep_ratio",
+        col("n_repeated").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-50
+    * vocabulary (q40's term ranking) — the token-coverage signal a
+    * data-mixing pass thresholds on.
+    */
+  def oovRateDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Tfidf.oovRate(t(spark, dir, "documents"),
+        col("doc_id"), col("text"), vocabSize = 50)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1010,7 +1046,10 @@ object Queries {
     "q59_sliding_window" -> (slidingWindow _),
     "q60_dedup_clusters" -> (dedupClusters _),
     "q61_profile_approx" -> (profileOrdersApprox _),
-    "q62_skew_join" -> (skewJoin _))
+    "q62_skew_join" -> (skewJoin _),
+    "q63_contamination" -> (contaminationCheck _),
+    "q64_repetition" -> (repetitionRatio _),
+    "q65_oov_rate" -> (oovRateDocs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1250,6 +1289,39 @@ object Queries {
          |  UNION
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q63_contamination" ->
+      s"""WITH b AS (SELECT doc_id, $DNTOKS AS tk,
+         |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |           FROM documents),
+         |g AS (SELECT doc_id, bkt,
+         |        unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+         |                 i -> md5(array_to_string(tk[i:i+4], ' '))))) AS gh
+         |      FROM b WHERE len(tk) >= 5)
+         |SELECT te.doc_id AS test_id,
+         |       count(DISTINCT tr.doc_id) AS n_train_docs,
+         |       count(DISTINCT te.gh) AS n_shared_grams
+         |FROM g te JOIN g tr ON te.gh = tr.gh AND te.bkt >= 90 AND tr.bkt < 80
+         |GROUP BY te.doc_id ORDER BY test_id""".stripMargin,
+    "q64_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $DNTOKS AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) AS gs
+         |      FROM tk WHERE len(w) >= 3)
+         |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |       CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS n_repeated,
+         |       CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "q65_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
+         |v AS (SELECT term FROM (
+         |        SELECT term, count(*) AS n FROM toks GROUP BY term
+         |        ORDER BY n DESC, term LIMIT 50)),
+         |j AS (SELECT t.doc_id, (v.term IS NOT NULL) AS in_v
+         |      FROM toks t LEFT JOIN v ON t.term = v.term)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       count(*) FILTER (WHERE NOT in_v) AS n_oov,
+         |       CAST(count(*) FILTER (WHERE NOT in_v) AS DOUBLE) / count(*) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_skew_join" ->
       """WITH d AS (
         |  SELECT event_type,

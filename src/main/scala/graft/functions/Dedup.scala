@@ -228,6 +228,30 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: for each held-out document, how many
+    * training documents share at least one word k-gram with it, and how many
+    * distinct k-grams are shared. The unit is md5(gram) — fixed-width, so
+    * the gram shuffle stays narrow no matter how long the grams are, and
+    * engine-portable for the differential oracle. Per-document gram sets are
+    * deduplicated BEFORE the join (array_distinct under the explode), so a
+    * gram repeated inside one document can't multiply join rows. Scale
+    * shape: two projections + one equi-shuffle on the gram hash + one
+    * aggregate — no all-pairs anything.
+    */
+  def contamination(train: DataFrame, trainId: Column, trainText: Column,
+                    test: DataFrame, testId: Column, testText: Column,
+                    k: Int): DataFrame = {
+    def grams(df: DataFrame, id: Column, text: Column, out: String): DataFrame =
+      df.select(id.as(out),
+          explode(array_distinct(Text.shingles(text, k))).as("g"))
+        .select(col(out), md5(col("g")).as("gh"))
+    grams(test, testId, testText, "test_id")
+      .join(grams(train, trainId, trainText, "train_id"), "gh")
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
   /** SimHash: 64-bit signature whose bits are the signs of per-bit weighted
     * sums over token hashes. Near-duplicates have small Hamming distance.
     * Evaluated by the native [[graft.plans.SimHash64]] expression — one pass

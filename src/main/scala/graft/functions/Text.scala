@@ -96,6 +96,18 @@ object Text {
   def shingles(text: Column, k: Int): Column =
     graft.plans.TextExpressions.shingles(tokens(normalized(text)), k)
 
+  /** Intra-document repetition (the Gopher/C4-style quality rule): word
+    * k-grams that repeat an earlier k-gram of the same document, as
+    * (total, repeated) counts — callers derive the ratio. Pure per-row
+    * projection, no shuffle.
+    */
+  def repetitionStats(text: Column, k: Int): Seq[(String, Column)] = {
+    val sh = shingles(text, k)
+    Seq(
+      "n_grams" -> size(sh).cast("long"),
+      "n_repeated" -> (size(sh) - size(array_distinct(sh))).cast("long"))
+  }
+
   /** Character k-grams of the raw text (positional; fewer than k chars →
     * empty array). Native single-pass expression
     * ([[graft.plans.CharShingles]]); engine-portable semantics (`substr`

@@ -51,4 +51,36 @@ object Tfidf {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** The corpus's `vocabSize` most frequent terms (ties broken by term) —
+    * the vocabulary a coverage/data-mixing pass scores against.
+    */
+  def vocabTopK(docs: DataFrame, idCol: Column, textCol: Column,
+                vocabSize: Int): DataFrame =
+    docs
+      .select(explode(Text.tokens(Text.normalized(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"))
+
+  /** Per-document out-of-vocabulary rate against [[vocabTopK]]: token
+    * instances whose term is not in the vocabulary, over all tokens. The
+    * vocabulary is tiny by construction, so the membership join is a
+    * broadcast — the corpus explodes once and never shuffles its text; the
+    * only wide shuffle is the per-doc aggregate on doc_id.
+    */
+  def oovRate(docs: DataFrame, idCol: Column, textCol: Column,
+              vocabSize: Int): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(Text.tokens(Text.normalized(textCol))).as("term"))
+    val vocab = vocabTopK(docs, idCol, textCol, vocabSize)
+      .withColumn("in_vocab", lit(1))
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
 }

@@ -190,4 +190,22 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(9L) == 1L)
     assert(cc(5L) == 5L && cc(6L) == 5L)
   }
+  test("contamination counts train docs sharing a k-gram with each test doc") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "alpha beta gamma delta shared phrase here ends"),
+      (11L, "alpha beta gamma delta shared phrase here ends"), // 2nd train hit
+      (12L, "nothing in common with anything at all today")
+    ).toDF("id", "txt")
+    val test_ = Seq(
+      (20L, "prefix words alpha beta gamma padding tail words"), // shares "alpha beta gamma"
+      (21L, "totally clean heldout document with fresh words only")
+    ).toDF("id", "txt")
+    val out = Dedup.contamination(train, col("id"), col("txt"),
+        test_, col("id"), col("txt"), k = 3)
+      .collect().map(r => (r.getAs[Long]("test_id"),
+        r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_shared_grams"))).toSet
+    // doc 20 shares exactly the one 3-gram with both contaminated train docs
+    assert(out == Set((20L, 2L, 1L)))
+  }
 }

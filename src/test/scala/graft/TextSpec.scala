@@ -54,4 +54,15 @@ class TextSpec extends AnyFunSuite {
     assert(row.getAs[Int]("stopword_hits") == 1)
     assert(row.getAs[Int]("punct_count") == 1)
   }
+  test("repetitionStats counts repeated word k-grams") {
+    val df = Seq("go stop go stop go stop").toDF("text")
+    val stats = Text.repetitionStats(col("text"), 3).map { case (n, c) => c.as(n) }
+    val r = df.select(stats: _*).head()
+    // grams: [go stop go, stop go stop, go stop go, stop go stop] -> 2 repeats
+    assert(r.getAs[Long]("n_grams") == 4L)
+    assert(r.getAs[Long]("n_repeated") == 2L)
+    val none = Seq("all grams here are unique words").toDF("text")
+      .select(stats: _*).head()
+    assert(none.getAs[Long]("n_repeated") == 0L)
+  }
 }
