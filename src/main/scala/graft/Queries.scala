@@ -839,15 +839,16 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"))
       .orderBy(col("shard"), col("pack_bin"))
 
-  /** Multimodal plumbing end-to-end (rows-only: the deterministic fake
-    * codec is Spark-side): synthetic binary media → partition-batched
-    * feature extraction → per-kind rollup + a cosine self-similarity probe
-    * of the extracted features.
+  /** Multimodal pipeline end-to-end (rows-only: DuckDB can't decode
+    * pixels): synthetic binary media — real PNG bytes for images —
+    * partition-batched feature extraction through the real
+    * [[graft.functions.Multimodal.ImageIoCodec]] decode (deterministic
+    * fake for audio/video) → per-kind rollup of the extracted features.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.functions.Multimodal.syntheticMedia(spark, 300)
     val feats = graft.functions.Multimodal
-      .extractFeatures(media, graft.functions.Multimodal.FakeCodec, dim = 16)
+      .extractFeatures(media, graft.functions.Multimodal.ImageIoCodec, dim = 16)
       .toDF()
     feats
       .groupBy(col("kind"))

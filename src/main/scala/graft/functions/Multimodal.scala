@@ -131,9 +131,35 @@ object Multimodal {
     }
   }
 
+  /** Deterministic tiny PNG — real bytes a real decoder accepts (a per-id
+    * color gradient), so the image path of the pipeline exercises an actual
+    * decode, not just byte plumbing. Encoded executor-side, per row.
+    */
+  private def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 37 + x * 3) % 256).toInt
+        val g = ((id * 59 + y * 5) % 256).toInt
+        val b = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media table (no media files ship with the test
-    * data): payload bytes derived from the id, metadata consistent with the
-    * kind. Used by specs to exercise the pipeline end-to-end.
+    * data): images are real PNGs ([[pngBytes]]) so [[ImageIoCodec]] decodes
+    * genuine pixels; audio/video payloads are deterministic opaque bytes,
+    * metadata consistent with the kind. Used by specs and q42 to exercise
+    * the pipeline end-to-end.
     */
   def syntheticMedia(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaItem] = {
     import spark.implicits._
@@ -141,10 +167,12 @@ object Multimodal {
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes = Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
-      MediaItem(id, kind, bytes,
-        width = if (kind == "image" || kind == "video") 64 + (id % 4).toInt * 32 else 0,
-        height = if (kind == "image" || kind == "video") 64 else 0,
+      val width = if (kind == "image" || kind == "video") 64 + (id % 4).toInt * 32 else 0
+      val height = if (kind == "image" || kind == "video") 64 else 0
+      val bytes =
+        if (kind == "image") pngBytes(id, width, height)
+        else Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
+      MediaItem(id, kind, bytes, width, height,
         sample_rate = if (kind == "audio") 16000 else 0,
         duration_ms = if (kind != "image") 1000 + (id % 10).toInt * 500 else 0)
     }

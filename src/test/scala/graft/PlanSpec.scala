@@ -65,4 +65,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q63: contamination joins on the gram hash — never a cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q63_contamination")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The join key is the fixed-width digest, not the gram text: the
+    // shuffled columns stay narrow regardless of gram length.
+    assert(plan.contains("gh"), plan)
+  }
+
+  test("q65: the top-50 vocabulary joins as a broadcast, corpus never reshuffles for membership") {
+    val plan = finalPlan(SparkEntry.queries("q65_oov_rate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q62: the salted join carries the salt in its join keys") {
+    val df = SparkEntry.queries("q62_skew_join")(spark, sf)
+    val plan = finalPlan(df)
+    // The whole point of the rewrite: the hot key's rows spread over
+    // `buckets` reducers because __salt participates in the join.
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
