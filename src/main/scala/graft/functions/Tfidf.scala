@@ -28,13 +28,20 @@ object Tfidf {
     termCountsDf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
 
-  /** (doc_id, term, tf, tf_idf) for the whole corpus. */
+  /** (doc_id, term, tf, tf_idf) for the whole corpus.
+    *
+    * Document frequency comes from a window over the per-(doc, term) counts
+    * — `tc` has exactly one row per (doc, term), so `count(*)` over the
+    * term partition IS df. The alternative ([[docFrequencies]] + self-join)
+    * computes the explode→aggregate subtree twice, because Spark does not
+    * share common subplans across a self-join's two sides — at corpus scale
+    * that is a second full pass over the text.
+    */
   def tfIdf(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val tc = termCounts(docs, idCol, textCol)
-    val dfreq = docFrequencies(tc)
     val n = docs.select(idCol).distinct()
       .agg(count(lit(1)).as("n_docs"))
-    tc.join(dfreq, "term")
+    tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tf_idf",
         col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
