@@ -981,6 +981,36 @@ object Queries {
         col("doc_id"), col("text"), vocabSize = 50)
       .orderBy(col("doc_id"))
 
+  /** The PQ codebook every PQ query shares: 8 subvectors × 16 centroids
+    * over the 64-dim embeddings, fit from the deterministic hash-ordered
+    * sample (reproduced verbatim in the oracle SQL).
+    */
+  private def pqCodebook(spark: SparkSession, dir: String): graft.functions.Pq.Codebook =
+    graft.functions.Pq.fit(t(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), m = 8, k = 16)
+
+  /** Product-quantization codes: each embedding compressed to one packed
+    * BIGINT (8 × 4-bit centroid ids) — 32× narrower than the raw vector.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.Pq.encode(col("embedding"), cb).as("pq_code"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC top-10 per query over the PQ codes (the compressed-domain
+    * candidate scan; q30 is the uncompressed exact baseline).
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val e = t(spark, dir, "embeddings")
+    graft.functions.Pq.adcTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), cb, k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1050,7 +1080,9 @@ object Queries {
     "q62_skew_join" -> (skewJoin _),
     "q63_contamination" -> (contaminationCheck _),
     "q64_repetition" -> (repetitionRatio _),
-    "q65_oov_rate" -> (oovRateDocs _))
+    "q65_oov_rate" -> (oovRateDocs _),
+    "q66_pq_codes" -> (pqCodes _),
+    "q67_pq_adc" -> (pqAdcTopK _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1106,6 +1138,33 @@ object Queries {
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
        |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  /** Shared PQ oracle CTEs: the hash-ordered 16-vector codebook, subvector
+    * index table, and per-vector packed argmin codes — the
+    * [[graft.functions.Pq.fit]] + [[graft.plans.PqEncode]] derivation in
+    * plain SQL. All distances are sequential `list_inner_product` over the
+    * same doubles the native expressions loop over, so codes and rankings
+    * are bit-identical.
+    */
+  private val PqCodesSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (SELECT cidx, cv FROM (
+      |        SELECT row_number() OVER (ORDER BY
+      |                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+      |                 vec_id) - 1 AS cidx,
+      |               v AS cv FROM e) WHERE cidx < 16),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |sub AS (SELECT e.vec_id, js.j, cb.cidx,
+      |          list_inner_product(
+      |            list_transform(range(1, 9), d -> e.v[js.j*8+d] - cb.cv[js.j*8+d]),
+      |            list_transform(range(1, 9), d -> e.v[js.j*8+d] - cb.cv[js.j*8+d])) AS dist
+      |        FROM e CROSS JOIN js CROSS JOIN cb),
+      |best AS (SELECT vec_id, j, cidx FROM (
+      |          SELECT vec_id, j, cidx,
+      |                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cidx) AS r
+      |          FROM sub) WHERE r = 1),
+      |codes AS (SELECT vec_id, CAST(sum(cidx << (4*j)) AS BIGINT) AS pq_code
+      |          FROM best GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1323,6 +1382,24 @@ object Queries {
          |       count(*) FILTER (WHERE NOT in_v) AS n_oov,
          |       CAST(count(*) FILTER (WHERE NOT in_v) AS DOUBLE) / count(*) AS oov_rate
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q66_pq_codes" ->
+      s"""WITH $PqCodesSql
+         |SELECT vec_id, pq_code FROM codes ORDER BY vec_id""".stripMargin,
+    "q67_pq_adc" ->
+      s"""WITH $PqCodesSql,
+         |dec AS (SELECT codes.vec_id, js.j, ((codes.pq_code >> (4*js.j)) & 15) AS cidx
+         |        FROM codes CROSS JOIN js),
+         |slices AS (SELECT dec.vec_id, dec.j, cb.cv[dec.j*8+1 : dec.j*8+8] AS sl
+         |           FROM dec JOIN cb USING (cidx)),
+         |rec AS (SELECT vec_id, flatten(list(sl ORDER BY j)) AS r FROM slices GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, rec.vec_id AS corpus_id,
+         |        list_inner_product(list_transform(range(1, 65), i -> qv[i] - r[i]),
+         |                           list_transform(range(1, 65), i -> qv[i] - r[i])) AS adist
+         |      FROM rec CROSS JOIN q WHERE qid <> rec.vec_id),
+         |rk AS (SELECT qid AS query_id, corpus_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adist, corpus_id) AS rnk FROM s)
+         |SELECT query_id, corpus_id, rnk FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q62_skew_join" ->
       """WITH d AS (
         |  SELECT event_type,
