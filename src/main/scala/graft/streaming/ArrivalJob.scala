@@ -42,11 +42,20 @@ object ArrivalJob {
       }
       .start()
 
-  /** Exposed for direct batch testing (same code path foreachBatch runs). */
+  /** Exposed for direct batch testing (same code path foreachBatch runs).
+    *
+    * Exactly-once: foreachBatch delivers at-least-once (a crash between the
+    * data write and checkpoint commit re-runs the epoch), so both writes
+    * use DYNAMIC partition overwrite scoped to this run's own partitions —
+    * a retried batch replaces exactly what its first attempt wrote, other
+    * runs untouched. With the run id in the partition path this makes the
+    * whole arrival leg idempotent without a transaction log.
+    */
   def writeBatch(batch: DataFrame, batchId: Long, dataPath: String,
                  ledgerPath: String): Unit = {
     val stamped = batch.withColumn("job_run_id", lit(batchId))
-    stamped.write.mode("append")
+    stamped.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("topic", "partition", "job_run_id")
       .parquet(dataPath)
     // Ledger row per (topic, partition): offsets are [from, until).
@@ -54,7 +63,10 @@ object ArrivalJob {
       .agg(min(col("offset")).as("fromOffset"),
         (max(col("offset")) + 1).as("untilOffset"))
       .withColumn("jobRunId", lit(batchId))
-      .write.mode("append").parquet(ledgerPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("jobRunId")
+      .parquet(ledgerPath)
   }
 
   /** Arrival → Conform: promote a run window into the conformed layer,

@@ -45,6 +45,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(Checks.offsetCountMatch(led, 80L, "t1").testResult == ValidationResult.PASSED)
   }
 
+  test("a retried micro-batch is idempotent: replay replaces its own run, duplicates nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_retry").toString
+    val (data, ledger) = (s"$dir/data", s"$dir/ledger")
+    val batch0 = (0L until 20L).map(o => KRec("t3", (o % 2).toInt, o / 2, s"v$o")).toDF()
+    val batch1 = (20L until 30L).map(o => KRec("t3", (o % 2).toInt, o / 2, s"v$o")).toDF()
+
+    ArrivalJob.writeBatch(batch0, 0L, data, ledger)
+    ArrivalJob.writeBatch(batch0, 0L, data, ledger) // foreachBatch retry of the same epoch
+    ArrivalJob.writeBatch(batch1, 1L, data, ledger)
+
+    val arrived = spark.read.parquet(data)
+    assert(arrived.count() == 30) // 20 + 10, the replay replaced itself
+    assert(arrived.filter(col("job_run_id") === 0L).count() == 20)
+    val led = spark.read.parquet(ledger)
+    assert(led.count() == 4) // 2 runs × 2 partitions — no duplicate ledger rows
+    assert(Checks.offsetContinuity(led, "t3").testResult == ValidationResult.PASSED)
+    assert(Checks.offsetCountMatch(led, 30L, "t3").testResult == ValidationResult.PASSED)
+  }
+
   test("conformRuns lays out create_date/source_file_name partitions") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_conform").toString
