@@ -1011,6 +1011,19 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF + PQ two-stage index (coarse cells → ADC rank on codes; q30 is
+    * the exact baseline, q67 the unfiltered ADC scan).
+    */
+  def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val e = t(spark, dir, "embeddings")
+    graft.functions.Pq.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        cb, k = 10, nCentroids = 32, nProbe = 8)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1082,7 +1095,8 @@ object Queries {
     "q64_repetition" -> (repetitionRatio _),
     "q65_oov_rate" -> (oovRateDocs _),
     "q66_pq_codes" -> (pqCodes _),
-    "q67_pq_adc" -> (pqAdcTopK _))
+    "q67_pq_adc" -> (pqAdcTopK _),
+    "q68_ivf_pq" -> (ivfPqQuery _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1165,6 +1179,23 @@ object Queries {
       |          FROM sub) WHERE r = 1),
       |codes AS (SELECT vec_id, CAST(sum(cidx << (4*j)) AS BIGINT) AS pq_code
       |          FROM best GROUP BY vec_id)""".stripMargin
+
+  /** PQ reconstruction CTEs (decode the packed code back to centroid
+    * slices, concatenated in subvector order) — shared by q67 and q68.
+    */
+  private val PqRecSql: String =
+    """dec AS (SELECT codes.vec_id, js.j, ((codes.pq_code >> (4*js.j)) & 15) AS cidx
+      |        FROM codes CROSS JOIN js),
+      |slices AS (SELECT dec.vec_id, dec.j, cb.cv[dec.j*8+1 : dec.j*8+8] AS sl
+      |           FROM dec JOIN cb USING (cidx)),
+      |rec AS (SELECT vec_id, flatten(list(sl ORDER BY j)) AS r FROM slices GROUP BY vec_id)""".stripMargin
+
+  /** Sequential squared-L2 in SQL: `list_inner_product(diff, diff)` —
+    * the same ascending accumulation as the native L2/ADC expressions.
+    */
+  private def l2Sql(a: String, b: String, dim: Int): String =
+    s"""list_inner_product(list_transform(range(1, ${dim + 1}), i -> $a[i] - $b[i]),
+       |                   list_transform(range(1, ${dim + 1}), i -> $a[i] - $b[i]))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1387,16 +1418,37 @@ object Queries {
          |SELECT vec_id, pq_code FROM codes ORDER BY vec_id""".stripMargin,
     "q67_pq_adc" ->
       s"""WITH $PqCodesSql,
-         |dec AS (SELECT codes.vec_id, js.j, ((codes.pq_code >> (4*js.j)) & 15) AS cidx
-         |        FROM codes CROSS JOIN js),
-         |slices AS (SELECT dec.vec_id, dec.j, cb.cv[dec.j*8+1 : dec.j*8+8] AS sl
-         |           FROM dec JOIN cb USING (cidx)),
-         |rec AS (SELECT vec_id, flatten(list(sl ORDER BY j)) AS r FROM slices GROUP BY vec_id),
+         |$PqRecSql,
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
          |s AS (SELECT qid, rec.vec_id AS corpus_id,
-         |        list_inner_product(list_transform(range(1, 65), i -> qv[i] - r[i]),
-         |                           list_transform(range(1, 65), i -> qv[i] - r[i])) AS adist
+         |        ${l2Sql("qv", "r", 64)} AS adist
          |      FROM rec CROSS JOIN q WHERE qid <> rec.vec_id),
+         |rk AS (SELECT qid AS query_id, corpus_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adist, corpus_id) AS rnk FROM s)
+         |SELECT query_id, corpus_id, rnk FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q68_ivf_pq" ->
+      s"""WITH $PqCodesSql,
+         |$PqRecSql,
+         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e
+         |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824, vec_id
+         |          LIMIT 32),
+         |asg AS (SELECT corpus_id, cell_id FROM (
+         |          SELECT e.vec_id AS corpus_id, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                   ${l2Sql("e.v", "cents.cent", 64)},
+         |                   cents.cell_id) AS cr
+         |          FROM e CROSS JOIN cents) WHERE cr = 1),
+         |probes AS (SELECT qid, qv, cell_id FROM (
+         |          SELECT e.vec_id AS qid, e.v AS qv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                   ${l2Sql("e.v", "cents.cent", 64)},
+         |                   cents.cell_id) AS qr
+         |          FROM e CROSS JOIN cents WHERE e.vec_id < 5) WHERE qr <= 8),
+         |s AS (SELECT probes.qid, asg.corpus_id,
+         |        ${l2Sql("probes.qv", "rec.r", 64)} AS adist
+         |      FROM asg JOIN probes USING (cell_id)
+         |      JOIN rec ON rec.vec_id = asg.corpus_id
+         |      WHERE probes.qid <> asg.corpus_id),
          |rk AS (SELECT qid AS query_id, corpus_id,
          |         row_number() OVER (PARTITION BY qid ORDER BY adist, corpus_id) AS rnk FROM s)
          |SELECT query_id, corpus_id, rnk FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,

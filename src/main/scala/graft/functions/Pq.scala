@@ -75,6 +75,49 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** IVF + PQ — the standard two-stage vector index, composed from the two
+    * proven primitives: a coarse quantizer (hash-sampled cells, L2 argmin
+    * assignment — one centroid broadcast, the corpus never shuffles) limits
+    * each query to its `nProbe` nearest cells, and ADC over the packed
+    * codes ranks the surviving candidates. At scale the candidate scan
+    * reads codes from `nProbe/nCentroids` of the corpus — the bytes
+    * touched drop by both factors multiplied (≈ 32 × centroids/probes vs
+    * the exact scan).
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                cb: Codebook, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    import graft.plans.VectorExpressions.l2_distance
+    val cents = corpus
+      .select(corpusId.as("cell_id"), corpusVec.as("cent"))
+      .orderBy(Sampling.hashBucket(col("cell_id"), 1 << 30), col("cell_id"))
+      .limit(nCentroids)
+    val cw = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val assigned = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cd", l2_distance(col("cv"), col("cent")))
+      .withColumn("cr", row_number().over(cw))
+      .filter(col("cr") === 1)
+      .select(col("cell_id"), col("corpus_id"), encode(col("cv"), cb).as("code"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").asc, col("cell_id").asc)
+    val probes = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cd", l2_distance(col("qv"), col("cent")))
+      .withColumn("qr", row_number().over(qw))
+      .filter(col("qr") <= nProbe)
+      .select(col("cell_id"), col("query_id"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    assigned.join(broadcast(probes), "cell_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        adcDistance(col("code"), col("qv"), cb).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Mean squared quantization error over the corpus — the fit-quality
     * metric (ADC distance of each vector to its own code). One aggregate.
     */

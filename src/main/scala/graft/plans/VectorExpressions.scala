@@ -86,6 +86,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance — same codegen'd tight-loop rationale as
+  * [[DotProduct]], same ascending-index double accumulation, so the oracle's
+  * sequential `list_inner_product(diff, diff)` reproduces it bit-for-bit.
+  * (Computing it as `aa - 2ab + bb` from dot products would be cheaper per
+  * pair with precomputed norms but sums in a different order — not
+  * oracle-reproducible and numerically worse for near-identical vectors.)
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_distance requires array<float>/array<double> inputs, " +
+          s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.$lGet($i)) - ((double) $b.$rGet($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
   * pseudo-random hyperplanes. The hyperplane coefficient matrix (bits × dim,
   * uniform in [-1,1]) is derived deterministically from `seed` via
@@ -174,6 +247,11 @@ object VectorExpressions {
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(
       DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Squared L2 distance backed by the codegen'd [[L2Distance]]. */
+  def l2_distance(a: Column, b: Column): Column =
+    GraftBridge.toColumn(
+      L2Distance(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 
   /** Random-hyperplane LSH signature (native single-pass evaluation). */
   def hyperplane_signature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =

@@ -53,6 +53,23 @@ class PqSpec extends AnyFunSuite {
     assert(err >= 0.0 && err < 16.0, s"mse=$err")
   }
 
+  test("ivfPqTopK at full probe equals the unfiltered ADC scan") {
+    val cb = Pq.fit(fixture, col("id"), col("v"), m = 4, k = 16)
+    val queries = fixture.filter(col("id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = rows(Pq.ivfPqTopK(fixture, col("id"), col("v"),
+      queries, col("id"), col("v"), cb, k = 5, nCentroids = 8, nProbe = 8))
+    val adc = rows(Pq.adcTopK(fixture, col("id"), col("v"),
+      queries, col("id"), col("v"), cb, k = 5))
+    assert(full == adc) // probing every cell = no candidate is ever filtered
+    // narrow probe still returns k rows per query (cells cover the space)
+    val narrow = Pq.ivfPqTopK(fixture, col("id"), col("v"),
+      queries, col("id"), col("v"), cb, k = 5, nCentroids = 8, nProbe = 2)
+    assert(narrow.groupBy(col("query_id")).count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("adcTopK finds the planted nearest neighbor within top-3") {
     val cb = Pq.fit(fixture, col("id"), col("v"), m = 4, k = 16)
     // query = vector 6's cluster; its nearest raw neighbors share its cluster
