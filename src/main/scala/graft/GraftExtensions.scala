@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, HyperplaneSignature, MinHashes, Shingles, SimHash32Md5, SimHash64}
+import graft.plans.{CharShingles, DotProduct, HyperplaneSignature, L2Distance, MinHashes, Shingles, SimHash32Md5, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -17,8 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
   * }}}
   *
-  * Functions: dot_product(a, b) · min_hashes(shingles, n) ·
-  * shingles(tokens, k) · sim_hash64(tokens) ·
+  * Functions: dot_product(a, b) · l2_distance(a, b) ·
+  * min_hashes(shingles, n) · shingles(tokens, k) · char_shingles(text, k) ·
+  * sim_hash64(tokens) · sim_hash32_md5(tokens) ·
   * hyperplane_signature(vec, dim, bits[, seed]).
   */
 object GraftFunctions {
@@ -32,6 +33,9 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "l2_distance" -> ((args: Seq[Expression]) => L2Distance(args(0), args(1))),
+    "char_shingles" -> ((args: Seq[Expression]) =>
+      CharShingles(args(0), intArg(args(1), "char_shingles"))),
     "min_hashes" -> ((args: Seq[Expression]) =>
       MinHashes(args(0), intArg(args(1), "min_hashes"))),
     "shingles" -> ((args: Seq[Expression]) =>

@@ -85,5 +85,11 @@ class SkewExtensionsSpec extends AnyFunSuite {
     val sig = spark.sql(
       "SELECT hyperplane_signature(array(1.0D, -1.0D, 0.5D), 3, 4) AS h").head().getLong(0)
     assert(sig >= 0L && sig < 16L)
+    val l2 = spark.sql(
+      "SELECT l2_distance(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(l2 == 8.0)
+    val cs = spark.sql(
+      "SELECT char_shingles('abcd', 3) AS s").head().getSeq[String](0)
+    assert(cs == Seq("abc", "bcd"))
   }
 }
