@@ -732,6 +732,20 @@ object Queries {
       .select(col("doc_id"), Dedup.simHash32Md5(col("text")).as("sig"))
       .orderBy(col("doc_id"))
 
+  /** SimHash banded Hamming near-dup candidate pairs over the md5-portable
+    * 32-bit signatures — q52's signature derivation fed through the same
+    * banding machinery as the 64-bit fast path
+    * ([[graft.functions.Dedup.simHashCandidatesFromSigs]]), which puts the
+    * pair-level SimHash path under a real DuckDB oracle.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simHash32Md5(col("text")).as("sig"))
+    Dedup.simHashCandidatesFromSigs(sigs, bits = 32, bands = 2, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Brute-force exact cosine top-10 for query vectors (ANN baseline). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -1096,7 +1110,8 @@ object Queries {
     "q65_oov_rate" -> (oovRateDocs _),
     "q66_pq_codes" -> (pqCodes _),
     "q67_pq_adc" -> (pqAdcTopK _),
-    "q68_ivf_pq" -> (ivfPqQuery _))
+    "q68_ivf_pq" -> (ivfPqQuery _),
+    "q69_simhash_pairs" -> (simhashPairs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1179,6 +1194,18 @@ object Queries {
       |          FROM sub) WHERE r = 1),
       |codes AS (SELECT vec_id, CAST(sum(cidx << (4*j)) AS BIGINT) AS pq_code
       |          FROM best GROUP BY vec_id)""".stripMargin
+
+  /** The q52 md5-portable 32-bit SimHash derivation (no ORDER BY so it can
+    * nest) — shared with q69's banded Hamming candidate pairs.
+    */
+  private lazy val SimhashMd5Body: String =
+    s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+       |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM toks)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 32), b ->
+       |    CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+       |FROM h""".stripMargin
 
   /** PQ reconstruction CTEs (decode the packed code back to centroid
     * slices, concatenated in subvector order) — shared by q67 and q68.
@@ -1514,14 +1541,17 @@ object Queries {
       """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY region_name""".stripMargin,
-    "q52_simhash_md5" ->
-      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
-         |h AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM toks)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 32), b ->
-         |    CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
-         |FROM h ORDER BY doc_id""".stripMargin,
+    "q52_simhash_md5" -> s"$SimhashMd5Body\nORDER BY doc_id",
+    "q69_simhash_pairs" ->
+      s"""WITH sig AS ($SimhashMd5Body),
+         |bands AS (SELECT doc_id, sig, 0 AS band_id, sig & 65535 AS chunk FROM sig
+         |          UNION ALL SELECT doc_id, sig, 1 AS band_id, (sig >> 16) & 65535 AS chunk FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |          FROM bands a JOIN bands b USING (band_id, chunk)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q54_jaccard_blocked" ->
       """WITH s AS (
         |  SELECT doc_id, lang, source,

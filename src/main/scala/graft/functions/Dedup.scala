@@ -308,10 +308,22 @@ object Dedup {
     */
   def simHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         bands: Int = 4, maxHamming: Int = 3,
-                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val width = 64 / bands
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simHashCandidatesFromSigs(
+      docs.select(idCol.as("doc_id"), simHash64(textCol).as("sig")),
+      bits = 64, bands = bands, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+
+  /** The banding + bucket-pair machinery over precomputed `(doc_id, sig)`
+    * signatures of any width — the 64-bit fast path and the md5-portable
+    * 32-bit oracle path share it verbatim.
+    */
+  def simHashCandidatesFromSigs(sigs: DataFrame, bits: Int, bands: Int,
+                                maxHamming: Int,
+                                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(bits % bands == 0, s"bits $bits not divisible into $bands bands")
+    val width = bits / bands
     val mask = (1L << width) - 1
-    val sigs = docs.select(idCol.as("doc_id"), simHash64(textCol).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
