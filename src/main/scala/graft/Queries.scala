@@ -959,6 +959,17 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Data-mixing quota sample: a 200-doc mixture at 60% en / 15% es /
+    * 15% fr / 10% de (zh excluded) — the curation step that pins training
+    * mixture proportions.
+    */
+  def mixtureSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(spark, dir, "documents"), col("lang"), col("doc_id"),
+        weights = Map("en" -> 0.60, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.10),
+        total = 200L)
+      .select(col("lang"), col("doc_id"), col("mix_rank"))
+      .orderBy(col("lang"), col("mix_rank"))
+
   /** Benchmark decontamination over the q55 hash split: held-out docs
     * (bucket ≥ 90) sharing a word 5-gram with any train doc (bucket < 80),
     * with train-doc and shared-gram counts.
@@ -1111,7 +1122,8 @@ object Queries {
     "q66_pq_codes" -> (pqCodes _),
     "q67_pq_adc" -> (pqAdcTopK _),
     "q68_ivf_pq" -> (ivfPqQuery _),
-    "q69_simhash_pairs" -> (simhashPairs _))
+    "q69_simhash_pairs" -> (simhashPairs _),
+    "q70_mixture_sample" -> (mixtureSampleDocs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1407,6 +1419,18 @@ object Queries {
          |  UNION
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q70_mixture_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+        |           doc_id) AS mix_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, mix_rank FROM r
+        |WHERE mix_rank <= floor(CASE lang WHEN 'en' THEN 0.60 WHEN 'es' THEN 0.15
+        |                                  WHEN 'fr' THEN 0.15 WHEN 'de' THEN 0.10
+        |                                  ELSE 0.0 END * 200)
+        |ORDER BY lang, mix_rank""".stripMargin,
     "q63_contamination" ->
       s"""WITH b AS (SELECT doc_id, $DNTOKS AS tk,
          |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt

@@ -73,4 +73,25 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= perStratum)
   }
+
+  /** Data-mixing quota sample: draw a `total`-record mixture whose stratum
+    * proportions follow `weights` (stratum value → fraction; strata absent
+    * from the map get quota 0, i.e. are excluded from the mixture). Quota =
+    * `floor(weight × total)`, filled by the stratum's first records in hash
+    * order — so the mixture is reproducible, append-stable (a stratum's
+    * members only extend, never reshuffle), and plain SQL under the oracle.
+    * Same single shuffle as [[stratifiedSample]]; the weight CASE is a
+    * scan-local projection.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+                    weights: Map[String, Double], total: Long): DataFrame = {
+    val weightCol = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, wt)) => when(stratum === s, lit(wt)).otherwise(acc)
+    }
+    val quota = floor(weightCol * total).cast("long")
+    val w = Window.partitionBy(stratum)
+      .orderBy(hashBucket(key, 1 << 30), key)
+    df.withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= quota)
+  }
 }

