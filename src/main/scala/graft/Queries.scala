@@ -959,6 +959,20 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Document chunking into training windows: 32-token chunks advancing by
+    * 24 (8-token overlap), with the chunk text materialized from the token
+    * slice — the final shaping step before packing (q57).
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokens(Text.normalized(col("text"))).as("w"),
+        explode(Text.chunkSpans(col("text"), chunkSize = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_tok"), col("c.chunk_len"),
+        array_join(slice(col("w"), col("c.start_tok").cast("int") + 1,
+          col("c.chunk_len").cast("int")), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Data-mixing quota sample: a 200-doc mixture at 60% en / 15% es /
     * 15% fr / 10% de (zh excluded) — the curation step that pins training
     * mixture proportions.
@@ -1123,7 +1137,8 @@ object Queries {
     "q67_pq_adc" -> (pqAdcTopK _),
     "q68_ivf_pq" -> (ivfPqQuery _),
     "q69_simhash_pairs" -> (simhashPairs _),
-    "q70_mixture_sample" -> (mixtureSampleDocs _))
+    "q70_mixture_sample" -> (mixtureSampleDocs _),
+    "q71_chunking" -> (chunkDocs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1419,6 +1434,17 @@ object Queries {
          |  UNION
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q71_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $DNTOKS AS w FROM documents),
+         |nn AS (SELECT doc_id, w, len(w) AS n FROM tk),
+         |c AS (SELECT doc_id, w, n,
+         |        unnest(range(0, CASE WHEN n <= 32 THEN 1
+         |                             ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1 END)) AS chunk_id
+         |      FROM nn)
+         |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+         |       least(32, n - chunk_id * 24) AS chunk_len,
+         |       array_to_string(w[chunk_id*24+1 : chunk_id*24 + least(32, n - chunk_id*24)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q70_mixture_sample" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

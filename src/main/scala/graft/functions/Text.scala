@@ -108,6 +108,27 @@ object Text {
       "n_repeated" -> (size(sh) - size(array_distinct(sh))).cast("long"))
   }
 
+  /** Training-window chunk spans over the token sequence: fixed `chunkSize`
+    * windows advancing by `stride` tokens (overlap = chunkSize − stride);
+    * the last window truncates, and a document shorter than one window
+    * yields a single chunk. Returns an array of
+    * `struct(chunk_id, start_tok, chunk_len)` — callers explode it and
+    * slice the token array for the chunk text. Pure per-row projection: at
+    * corpus scale chunking shuffles nothing and fans out by
+    * ~`n_tokens / stride` rows per document.
+    */
+  def chunkSpans(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = size(tokens(normalized(text)))
+    val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
+      ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)
+    transform(sequence(lit(0L), nChunks - 1L), i => struct(
+      i.as("chunk_id"),
+      (i * stride).as("start_tok"),
+      least(lit(chunkSize.toLong), n - i * stride).as("chunk_len")))
+  }
+
   /** Character k-grams of the raw text (positional; fewer than k chars →
     * empty array). Native single-pass expression
     * ([[graft.plans.CharShingles]]); engine-portable semantics (`substr`

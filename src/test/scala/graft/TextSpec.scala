@@ -65,4 +65,22 @@ class TextSpec extends AnyFunSuite {
       .select(stats: _*).head()
     assert(none.getAs[Long]("n_repeated") == 0L)
   }
+  test("chunkSpans covers every token with stride overlap, truncated tail") {
+    val spans = Text.chunkSpans(col("text"), chunkSize = 4, stride = 3)
+    // 11 tokens, size 4, stride 3 -> full windows at 0,3,6 and a truncated
+    // tail at 9 (len 2); 10 tokens would need NO tail (window at 6 covers 6-9)
+    val r = Seq(((1 to 11).map(i => s"t$i").mkString(" "))).toDF("text")
+      .select(explode(spans).as("c"))
+      .select(col("c.chunk_id"), col("c.start_tok"), col("c.chunk_len"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 2L)))
+    val ten = Seq(((1 to 10).map(i => s"t$i").mkString(" "))).toDF("text")
+      .select(explode(spans).as("c")).count()
+    assert(ten == 3L)
+    // short doc -> exactly one chunk of its own length
+    val short = Seq("a b").toDF("text").select(explode(spans).as("c"))
+      .select(col("c.chunk_id"), col("c.chunk_len"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(short == Seq((0L, 2L)))
+  }
 }
