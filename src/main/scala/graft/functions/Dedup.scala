@@ -240,13 +240,24 @@ object Dedup {
     */
   def contamination(train: DataFrame, trainId: Column, trainText: Column,
                     test: DataFrame, testId: Column, testText: Column,
-                    k: Int): DataFrame = {
+                    k: Int, maxGramDf: Int = 1000): DataFrame = {
     def grams(df: DataFrame, id: Column, text: Column, out: String): DataFrame =
       df.select(id.as(out),
           explode(array_distinct(Text.shingles(text, k))).as("g"))
         .select(col(out), md5(col("g")).as("gh"))
+    val tr = grams(train, trainId, trainText, "train_id")
+    // Hot-gram cap: a boilerplate gram present in >maxGramDf train docs
+    // contributes trainDf × testDf join rows while signaling nothing about
+    // contamination — drop it, visibly (same no-silent-caps discipline as
+    // the LSH bucket caps). The hot list is small by construction, so the
+    // exclusion is a broadcast anti join.
+    val hot = tr.groupBy(col("gh"))
+      .agg(countDistinct(col("train_id")).as("df"))
+      .filter(col("df") > maxGramDf)
+      .select(col("gh"))
+      .observe("graft.contamination", count(lit(1)).as("hot_grams_dropped"))
     grams(test, testId, testText, "test_id")
-      .join(grams(train, trainId, trainText, "train_id"), "gh")
+      .join(tr.join(broadcast(hot), Seq("gh"), "left_anti"), "gh")
       .groupBy(col("test_id"))
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         countDistinct(col("gh")).as("n_shared_grams"))

@@ -208,4 +208,16 @@ class DedupSpec extends AnyFunSuite {
     // doc 20 shares exactly the one 3-gram with both contaminated train docs
     assert(out == Set((20L, 2L, 1L)))
   }
+  test("contamination drops ultra-common grams at the df cap") {
+    import spark.implicits._
+    // the same 3-gram sits in 3 train docs -> df cap 2 excludes it entirely
+    val train = (10L to 12L).map(i => (i, "alpha beta gamma filler " + i)).toDF("id", "txt")
+    val test_ = Seq((20L, "intro alpha beta gamma outro")).toDF("id", "txt")
+    val capped = Dedup.contamination(train, col("id"), col("txt"),
+      test_, col("id"), col("txt"), k = 3, maxGramDf = 2)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.contamination(train, col("id"), col("txt"),
+      test_, col("id"), col("txt"), k = 3, maxGramDf = 1000)
+    assert(uncapped.count() == 1)
+  }
 }
