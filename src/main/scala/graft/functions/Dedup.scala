@@ -245,19 +245,23 @@ object Dedup {
       df.select(id.as(out),
           explode(array_distinct(Text.shingles(text, k))).as("g"))
         .select(col(out), md5(col("g")).as("gh"))
-    val tr = grams(train, trainId, trainText, "train_id")
     // Hot-gram cap: a boilerplate gram present in >maxGramDf train docs
     // contributes trainDf × testDf join rows while signaling nothing about
     // contamination — drop it, visibly (same no-silent-caps discipline as
-    // the LSH bucket caps). The hot list is small by construction, so the
-    // exclusion is a broadcast anti join.
-    val hot = tr.groupBy(col("gh"))
-      .agg(countDistinct(col("train_id")).as("df"))
-      .filter(col("df") > maxGramDf)
-      .select(col("gh"))
-      .observe("graft.contamination", count(lit(1)).as("hot_grams_dropped"))
+    // the LSH bucket caps). df comes from a count over the gh window:
+    // (train_id, gh) rows are distinct by construction, the window's gh
+    // shuffle is the one the join needs anyway (co-partitioned sort-merge),
+    // and the gram subtree is computed once — a groupBy+anti-join form
+    // would re-run the explode over the train text a second time.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val tr = grams(train, trainId, trainText, "train_id")
+      .withColumn("df", count(lit(1)).over(w))
+      .observe("graft.contamination",
+        count(when(col("df") > maxGramDf, 1)).as("hot_gram_rows_dropped"))
+      .filter(col("df") <= maxGramDf)
+      .drop("df")
     grams(test, testId, testText, "test_id")
-      .join(tr.join(broadcast(hot), Seq("gh"), "left_anti"), "gh")
+      .join(tr, "gh")
       .groupBy(col("test_id"))
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         countDistinct(col("gh")).as("n_shared_grams"))
