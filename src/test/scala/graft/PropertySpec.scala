@@ -146,6 +146,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkSpans: chunks tile the token sequence — full coverage, stride starts, truncated tail only") {
+    import graft.functions.Text
+    val textGen = Gen.chooseNum(1, 40).map(n => (1 to n).map(i => s"t$i").mkString(" "))
+    forAll(Gen.zip(textGen, Gen.chooseNum(2, 6), Gen.chooseNum(1, 6)), n = 8) {
+      case (text, size0, stride0) =>
+        val (sz, st) = (size0 max stride0, stride0) // require stride <= size
+        val n = text.split(" ").length
+        val spans = Seq(text).toDF("text")
+          .select(explode(Text.chunkSpans(col("text"), sz, st)).as("c"))
+          .select(col("c.chunk_id"), col("c.start_tok"), col("c.chunk_len"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        // contiguous ids, stride-spaced starts
+        assert(spans.map(_._1) == spans.indices.map(_.toLong).toList)
+        spans.foreach { case (id, start, len) =>
+          assert(start == id * st)
+          assert(len >= 1 && len <= sz)
+          assert(start + len <= n)
+        }
+        // every token index falls inside at least one chunk
+        val covered = spans.flatMap { case (_, s, l) => s until (s + l) }.toSet
+        assert(covered == (0L until n.toLong).toSet, s"n=$n sz=$sz st=$st")
+        // only the last chunk may truncate
+        spans.dropRight(1).foreach { case (_, _, len) => assert(len == sz) }
+    }
+  }
+
+  test("pq encode/adc: codes stay in their lanes, self-distance decreases with k") {
+    import graft.functions.Pq
+    val vecsGen = Gen.chooseNum(8, 24).map { n =>
+      (0 until n).map(i => (i.toLong,
+        Seq.tabulate(8)(d => ((i * 13 + d * 7) % 19).toFloat / 19f)))
+    }
+    forAll(vecsGen, n = 4) { vecs =>
+      val df = vecs.toDF("id", "v")
+      val kSmall = 2 min vecs.length
+      val kBig = 8 min vecs.length
+      val cbS = Pq.fit(df, col("id"), col("v"), m = 2, k = kSmall)
+      val cbB = Pq.fit(df, col("id"), col("v"), m = 2, k = kBig)
+      val codes = df.select(Pq.encode(col("v"), cbB).as("c")).collect().map(_.getLong(0))
+      assert(codes.forall(c => c >= 0 && c < (1L << 8))) // 2 lanes × 4 bits
+      // a richer codebook can never fit worse (it contains strictly more choices
+      // only when sampled prefixes nest — they do: hash order is stable)
+      val eS = Pq.quantizationError(df, col("v"), cbS)
+      val eB = Pq.quantizationError(df, col("v"), cbB)
+      assert(eB <= eS + 1e-12, s"k=$kBig mse=$eB vs k=$kSmall mse=$eS")
+    }
+  }
+
   test("sorted_set_jaccard ≡ builtin intersect/union on arbitrary string arrays") {
     import graft.plans.TextExpressions
     val arrGen = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "c", "", "aaa"))
