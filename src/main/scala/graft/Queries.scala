@@ -854,15 +854,16 @@ object Queries {
       .orderBy(col("shard"), col("pack_bin"))
 
   /** Multimodal pipeline end-to-end (rows-only: DuckDB can't decode
-    * pixels): synthetic binary media — real PNG bytes for images —
-    * partition-batched feature extraction through the real
-    * [[graft.functions.Multimodal.ImageIoCodec]] decode (deterministic
-    * fake for audio/video) → per-kind rollup of the extracted features.
+    * pixels or samples): synthetic binary media — real PNG bytes for
+    * images, real WAV bytes for audio — partition-batched feature
+    * extraction through the JDK-native decoders
+    * ([[graft.functions.Multimodal.JvmCodec]]; only video remains on the
+    * deterministic fake) → per-kind rollup of the extracted features.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.functions.Multimodal.syntheticMedia(spark, 300)
     val feats = graft.functions.Multimodal
-      .extractFeatures(media, graft.functions.Multimodal.ImageIoCodec, dim = 16)
+      .extractFeatures(media, graft.functions.Multimodal.JvmCodec, dim = 16)
       .toDF()
     feats
       .groupBy(col("kind"))

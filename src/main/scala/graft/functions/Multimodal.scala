@@ -131,6 +131,96 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV/PCM — pure
+    * JVM): RMS, peak, zero-crossing rate, mean absolute amplitude, duration
+    * seconds, and channel count in the first 6 slots, a normalized
+    * |amplitude| histogram over the remaining `dim - 6`. Non-audio kinds
+    * and undecodable bytes fall back to [[FakeCodec]], like
+    * [[ImageIoCodec]] does for images.
+    */
+  object WavPcmCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "audio" || dim < 6) return FakeCodec.extract(kind, bytes, dim)
+      val samples =
+        try decodePcm(bytes)
+        catch { case _: Exception => null }
+      if (samples == null || samples._1.length == 0) return FakeCodec.extract(kind, bytes, dim)
+      val (s, sampleRate, channels) = samples
+      val n = s.length
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
+      val histBins = dim - 6
+      val hist = new Array[Double](math.max(histBins, 1))
+      var i = 0
+      while (i < n) {
+        val v = s(i)
+        sumSq += v * v
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        if (i > 0 && ((s(i - 1) >= 0) != (v >= 0))) zc += 1
+        if (histBins > 0) hist(math.min((a * histBins).toInt, histBins - 1)) += 1.0
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      out(0) = math.sqrt(sumSq / n).toFloat // rms
+      out(1) = peak.toFloat
+      out(2) = (zc.toDouble / n).toFloat // zero-crossing rate
+      out(3) = (sumAbs / n).toFloat
+      out(4) = (n.toDouble / (sampleRate * channels)).toFloat // seconds
+      out(5) = channels.toFloat
+      var b = 0
+      while (b < histBins) { out(6 + b) = (hist(b) / n).toFloat; b += 1 }
+      out
+    }
+
+    /** Decode WAV bytes to normalized samples in [-1, 1] (interleaved if
+      * multi-channel), returning (samples, sampleRate, channels). Only
+      * 8/16-bit PCM — the formats the JDK writes without plugins.
+      */
+    private def decodePcm(bytes: Array[Byte]): (Array[Double], Double, Int) = {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16, s"unsupported sample size $bits")
+        val raw = ais.readAllBytes()
+        val out =
+          if (bits == 8) {
+            // WAV 8-bit is unsigned, centered at 128
+            raw.map(b => ((b & 0xff) - 128) / 128.0)
+          } else {
+            val n = raw.length / 2
+            val arr = new Array[Double](n)
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1) & 0xff
+              val v = if (le) (hi << 8) | lo else (lo << 8) | hi
+              arr(i) = v.toShort / 32768.0
+              i += 1
+            }
+            arr
+          }
+        (out, fmt.getSampleRate.toDouble, fmt.getChannels)
+      } finally ais.close()
+    }
+  }
+
+  /** JDK-native media codec: real decodes for images ([[ImageIoCodec]])
+    * and WAV audio ([[WavPcmCodec]]); only video remains on the
+    * deterministic stub (no pure-JVM video decoder exists).
+    */
+  object JvmCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
+      kind match {
+        case "image" => ImageIoCodec.extract(kind, bytes, dim)
+        case "audio" => WavPcmCodec.extract(kind, bytes, dim)
+        case _ => FakeCodec.extract(kind, bytes, dim)
+      }
+  }
+
   /** Deterministic tiny PNG — real bytes a real decoder accepts (a per-id
     * color gradient), so the image path of the pipeline exercises an actual
     * decode, not just byte plumbing. Encoded executor-side, per row.
@@ -155,11 +245,35 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic tiny WAV — a per-id sine tone as real 16-bit PCM bytes
+    * the JDK decoder accepts. Encoded executor-side, per row.
+    */
+  private def wavBytes(id: Long, sampleRate: Int, durationMs: Int): Array[Byte] = {
+    val n = sampleRate * durationMs / 1000
+    val freq = 110.0 * (1 + (id % 8))
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.5 * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media table (no media files ship with the test
-    * data): images are real PNGs ([[pngBytes]]) so [[ImageIoCodec]] decodes
-    * genuine pixels; audio/video payloads are deterministic opaque bytes,
-    * metadata consistent with the kind. Used by specs and q42 to exercise
-    * the pipeline end-to-end.
+    * data): images are real PNGs ([[pngBytes]]) and audio rows are real
+    * WAVs ([[wavBytes]]), so [[JvmCodec]] decodes genuine pixels and
+    * samples; video payloads are deterministic opaque bytes, metadata
+    * consistent with the kind. Used by specs and q42 to exercise the
+    * pipeline end-to-end.
     */
   def syntheticMedia(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaItem] = {
     import spark.implicits._
@@ -169,12 +283,16 @@ object Multimodal {
       }
       val width = if (kind == "image" || kind == "video") 64 + (id % 4).toInt * 32 else 0
       val height = if (kind == "image" || kind == "video") 64 else 0
-      val bytes =
-        if (kind == "image") pngBytes(id, width, height)
-        else Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
+      val durationMs = if (kind != "image") 1000 + (id % 10).toInt * 500 else 0
+      val bytes = kind match {
+        case "image" => pngBytes(id, width, height)
+        case "audio" => wavBytes(id, 16000, durationMs)
+        case _ =>
+          Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
+      }
       MediaItem(id, kind, bytes, width, height,
         sample_rate = if (kind == "audio") 16000 else 0,
-        duration_ms = if (kind != "image") 1000 + (id % 10).toInt * 500 else 0)
+        duration_ms = durationMs)
     }
   }
 

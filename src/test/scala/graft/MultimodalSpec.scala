@@ -86,4 +86,29 @@ class MultimodalSpec extends AnyFunSuite {
     val dur = m.filter(col("media_id") === 2L).select(col("duration_ms")).head().getInt(0)
     assert(one.count() == (dur + 499) / 500)
   }
+  test("WavPcmCodec decodes a real sine-wave WAV into sample statistics") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 12).filter(col("kind") === "audio")
+    val feats = Multimodal.extractFeatures(media, Multimodal.JvmCodec, dim = 16)
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val Array(rms, peak, zcr, meanAbs, seconds, channels) = f.feature.take(6)
+      // 0.5-amplitude sine: rms = 0.5/sqrt(2), peak ~= 0.5
+      assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=$rms")
+      assert(math.abs(peak - 0.5) < 0.01, s"peak=$peak")
+      assert(zcr > 0.001 && zcr < 0.5, s"zcr=$zcr")
+      assert(meanAbs > 0.2 && meanAbs < 0.4, s"meanAbs=$meanAbs")
+      assert(seconds >= 0.9f && seconds <= 6.0f, s"seconds=$seconds")
+      assert(channels == 1.0f)
+      // histogram over |amplitude| is a distribution
+      assert(math.abs(f.feature.drop(6).sum - 1.0) < 1e-3)
+    }
+    // zero-crossing rate tracks the per-id tone frequency: 2f/sr
+    val byId = feats.map(f => f.media_id -> f.feature(2)).toMap
+    byId.foreach { case (id, zcr) =>
+      val freq = 110.0 * (1 + (id % 8))
+      assert(math.abs(zcr - 2 * freq / 16000.0) < 0.005, s"id=$id zcr=$zcr")
+    }
+  }
 }
