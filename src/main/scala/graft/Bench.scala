@@ -28,7 +28,12 @@ object Bench {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter: `runMain graft.Bench q54,q60` times
+    // just those queries (driver runs with no args = full catalog).
+    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(s => s.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query must be VISIBLE in the output (an err entry), never a
       // fast fake success.

@@ -1064,6 +1064,66 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The k-means model q72/q75 share: 8 clusters, 2 Lloyd iterations over
+    * the 64-dim embeddings — hash-ordered init and fixed-point means
+    * ([[graft.functions.Kmeans]]), so the oracle's iteration-CTE chain
+    * reproduces the fit bit-for-bit.
+    */
+  private def kmeansModel(spark: SparkSession, dir: String): graft.functions.Kmeans.Model =
+    graft.functions.Kmeans.fit(t(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 8, iters = 2)
+
+  /** Distributed k-means (semantic clustering for curation): cluster sizes
+    * + fixed-point inertia after two Lloyd iterations. Each iteration is
+    * one corpus scan — assignment is a pure projection (centroids ride
+    * inside the expression), the mean update a k×dim-row aggregate.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Kmeans.clusterProfile(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"), kmeansModel(spark, dir))
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"), col("inertia"))
+      .orderBy(col("cluster"))
+
+  /** Majority-label purity per k-means cluster — do the clusters track the
+    * label facet (topic balancing / cluster-sampling diagnostic).
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val assigned = graft.functions.Kmeans.assign(e, col("vec_id"), col("embedding"),
+      kmeansModel(spark, dir))
+    graft.functions.Kmeans.purity(assigned,
+        e.select(col("vec_id"), col("label")), col("label"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+        col("top_label").cast("long").as("top_label"), col("top_n"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Duplicated-span fraction per document (word 5-grams shared with any
+    * other document) — the scalable exact-substring-dedup signal
+    * ([[graft.functions.Dedup.duplicatedSpanStats]]).
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.duplicatedSpanStats(
+        t(spark, dir, "documents"), col("doc_id"), col("text"), k = 5)
+      .orderBy(col("doc_id"))
+
+  /** Int8 scalar quantization of the embeddings with per-label
+    * reconstruction-error rollup ([[graft.functions.Quant]]): the 4×
+    * embedding-storage compression next to PQ's 32× (q66).
+    */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val scale = graft.functions.Quant.fitScale(e, col("embedding"))
+    e.select(col("label").cast("long").as("label"),
+        graft.functions.Quant.reconstructionError(col("embedding"), scale).as("err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("err") * lit(1e12)).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1e12)).as("total_err"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("label"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1139,7 +1199,11 @@ object Queries {
     "q68_ivf_pq" -> (ivfPqQuery _),
     "q69_simhash_pairs" -> (simhashPairs _),
     "q70_mixture_sample" -> (mixtureSampleDocs _),
-    "q71_chunking" -> (chunkDocs _))
+    "q71_chunking" -> (chunkDocs _),
+    "q72_kmeans" -> (kmeansClusters _),
+    "q73_dup_spans" -> (dupSpans _),
+    "q74_int8_quant" -> (int8Quant _),
+    "q75_cluster_purity" -> (clusterPurity _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1251,6 +1315,45 @@ object Queries {
   private def l2Sql(a: String, b: String, dim: Int): String =
     s"""list_inner_product(list_transform(range(1, ${dim + 1}), i -> $a[i] - $b[i]),
        |                   list_transform(range(1, ${dim + 1}), i -> $a[i] - $b[i]))""".stripMargin
+
+  /** The q72/q75 k-means chain in portable SQL — the
+    * [[graft.functions.Kmeans.fit]] derivation verbatim: hash-ordered seed
+    * (cb0), then per Lloyd iteration an argmin assignment (aN) and the
+    * fixed-point mean update (mN → cbN; the COALESCE keeps a starved
+    * cluster's previous centroid, mirroring the Scala clone-then-update).
+    * `floor(x·1e9)` sums are exact integers, so the distributed partial
+    * aggregation and DuckDB's single-threaded sum agree bit-for-bit; the
+    * chain ends in the final-assignment CTE `af(vec_id, cluster, dist)`.
+    */
+  private lazy val KmeansBody: String = {
+    val k = 8; val iters = 2; val dim = 64
+    def assignCte(name: String, cb: String): String =
+      s"""$name AS (SELECT vec_id, v, cidx AS cluster, d AS dist FROM (
+         |  SELECT vec_id, v, cidx, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS r
+         |  FROM (SELECT e.vec_id, e.v, $cb.cidx,
+         |          ${l2Sql("e.v", s"$cb.cv", dim)} AS d
+         |        FROM e CROSS JOIN $cb)) WHERE r = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"cb${i - 1}")},
+         |m$i AS (SELECT cluster, j,
+         |          sum(CAST(floor(v[j+1] * 1e9) AS DECIMAL(38,0))) AS s,
+         |          count(*) AS n
+         |        FROM a$i CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) js
+         |        GROUP BY cluster, j),
+         |cb$i AS (SELECT cb${i - 1}.cidx, COALESCE(u.cv, cb${i - 1}.cv) AS cv
+         |         FROM cb${i - 1} LEFT JOIN (
+         |           SELECT cluster AS cidx,
+         |                  list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 ORDER BY j) AS cv
+         |           FROM m$i GROUP BY cluster) u USING (cidx))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb0 AS (SELECT cidx, cv FROM (
+       |        SELECT row_number() OVER (ORDER BY $IvfCentroidOrderSql) - 1 AS cidx,
+       |               v AS cv FROM e) WHERE cidx < $k),
+       |$steps,
+       |${assignCte("af", s"cb$iters")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1753,6 +1856,47 @@ object Queries {
          |  FROM scored)
          |SELECT doc_id, term, tf, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
+    "q72_kmeans" ->
+      s"""$KmeansBody
+         |SELECT cluster, count(*) AS n_vecs,
+         |       CAST(sum(CAST(floor(dist * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS inertia
+         |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q75_cluster_purity" ->
+      s"""$KmeansBody,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cnt AS (SELECT cluster, label, count(*) AS top_n
+         |        FROM af JOIN lab USING (vec_id) GROUP BY cluster, label)
+         |SELECT cluster, n_vecs, label AS top_label, top_n FROM (
+         |  SELECT cluster, label, top_n,
+         |         CAST(sum(top_n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+         |         row_number() OVER (PARTITION BY cluster ORDER BY top_n DESC, label) AS r
+         |  FROM cnt) WHERE r = 1 ORDER BY cluster""".stripMargin,
+    "q73_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(tk) - 3),
+         |                 i -> md5(array_to_string(tk[i:i+4], ' ')))) AS gh
+         |      FROM toks WHERE len(tk) >= 5),
+         |pg AS (SELECT doc_id, gh, count(*) AS occ FROM g GROUP BY doc_id, gh),
+         |d AS (SELECT doc_id, occ,
+         |        count(*) OVER (PARTITION BY gh) AS gram_docs FROM pg)
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN gram_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |       CAST(sum(CASE WHEN gram_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
+         |         / CAST(sum(occ) AS DOUBLE) AS dup_fraction
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q74_int8_quant" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS sc FROM e),
+         |r0 AS (SELECT label, v,
+         |         list_transform(v, x -> CAST(floor(x / sc * 127.0 + 0.5) AS DOUBLE) * sc / 127.0) AS rec
+         |       FROM e CROSS JOIN s),
+         |r AS (SELECT label, ${l2Sql("v", "rec", 64)} AS err FROM r0)
+         |SELECT label, count(*) AS n_vecs,
+         |       CAST(sum(CAST(floor(err * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS total_err,
+         |       max(err) AS max_err
+         |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

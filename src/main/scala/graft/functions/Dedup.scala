@@ -267,6 +267,38 @@ object Dedup {
         countDistinct(col("gh")).as("n_shared_grams"))
   }
 
+  /** Per-document duplicated-span statistics: what fraction of a document's
+    * word k-gram occurrences belong to grams that also appear in at least
+    * one OTHER document. This is the scalable relaxation of exact-substring
+    * dedup (a corpus-wide suffix array finds the exact duplicated spans;
+    * hashed k-gram document frequency approximates them with one
+    * equi-shuffle): threshold `dup_fraction` to drop boilerplate-heavy
+    * documents, or feed the flagged grams to a span-removal pass.
+    *
+    * Scale shape: explode → (doc, gram-hash) pre-aggregate (map-side
+    * combine collapses intra-doc repeats) → gram-df count over the gh
+    * window (the shuffle the aggregate already produced, carrying md5
+    * hashes, never text) → per-doc rollup. Intra-document repeats count
+    * toward `n_grams` but NOT toward cross-document df — repetition inside
+    * one document is q64's separate signal.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: Column, textCol: Column,
+                          k: Int): DataFrame = {
+    val perDocGram = docs
+      .select(idCol.as("doc_id"), explode(Text.shingles(textCol, k)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("occ"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    perDocGram
+      .withColumn("gram_docs", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("gram_docs") > 1, col("occ")).otherwise(lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** SimHash: 64-bit signature whose bits are the signs of per-bit weighted
     * sums over token hashes. Near-duplicates have small Hamming distance.
     * Evaluated by the native [[graft.plans.SimHash64]] expression — one pass

@@ -220,4 +220,23 @@ class DedupSpec extends AnyFunSuite {
       test_, col("id"), col("txt"), k = 3, maxGramDf = 1000)
     assert(uncapped.count() == 1)
   }
+  test("duplicatedSpanStats: cross-doc spans count, intra-doc repeats don't") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1+2 share the 3-gram "alpha beta gamma"; doc 1 has 4 grams total
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro alpha beta gamma outro"),
+      // doc 3 repeats its own 3-gram twice but shares nothing across docs
+      (3L, "solo uno duo solo uno duo solo uno"),
+      (4L, "completely different words here")
+    ).toDF("id", "txt")
+    val out = Dedup.duplicatedSpanStats(docs, col("id"), col("txt"), k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams")))).toMap
+    assert(out(1L) == ((4L, 1L)))
+    assert(out(2L) == ((3L, 1L)))
+    // "solo uno duo" occurs twice in doc 3 alone: 2 occurrences, 0 cross-doc
+    assert(out(3L)._2 == 0L)
+    assert(out(4L)._2 == 0L)
+  }
 }
