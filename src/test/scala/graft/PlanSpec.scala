@@ -88,4 +88,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q72: k-means profile is scan→project→two-phase agg — no join, no window") {
+    val plan = finalPlan(SparkEntry.queries("q72_kmeans")(spark, sf))
+    // Assignment rides inside the projection (centroids are expression
+    // constants); a Join or Window here would mean the corpus shuffles
+    // per iteration — the shape that dies at 100 TB.
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    // Column pruning: only the vector column feeds the profile scan.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("embedding") && !readSchema.contains("label"),
+      readSchema)
+  }
+
+  test("q73: duplicated-span df joins nothing — one gram-hash window, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q73_dup_spans")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // df comes from a count over the gh window on the pre-aggregated
+    // (doc, gh) rows — re-exploding the text for an anti-join form would
+    // double the gram computation (the q63/tf-idf lesson).
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q74: int8 quantization error is a pure projection into a two-phase agg") {
+    val plan = finalPlan(SparkEntry.queries("q74_int8_quant")(spark, sf))
+    // The fitted scale is a literal inside the expression — no join, no
+    // scalar-subquery re-evaluation against the corpus.
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
 }
