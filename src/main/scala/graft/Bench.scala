@@ -41,7 +41,14 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Drop state a query left behind (cached tables, localCheckpoint
+      // RDDs) OUTSIDE its timed window: otherwise storage-memory pressure
+      // from one query inflates every later measurement.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, elapsed, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
