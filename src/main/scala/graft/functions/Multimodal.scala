@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * Media (image/audio/video) travels as an opaque `binary` column plus a
   * typed metadata struct; decode / feature-extraction runs per partition so
   * a real decoder would amortize native-library initialization across a
-  * batch (the Scala analog of `mapInPandas` batch processing). The actual
-  * pixel/sample decode is STUBBED — media codecs are not available in this
-  * environment — behind [[MediaCodec]], with a deterministic fake whose
-  * output shape matches what a real decoder would produce. Everything
-  * around the stub (schema, encoders, partition-batched execution, feature
-  * shape) is real and tested.
+  * batch (the Scala analog of `mapInPandas` batch processing). Decode sits
+  * behind the [[MediaCodec]] seam: the JDK-native [[JvmCodec]] really
+  * decodes PNG/JPEG pixels, WAV/PCM samples, and multi-frame GIF video
+  * with zero native dependencies; [[FakeCodec]] is the deterministic
+  * fallback for undecodable payloads and the stand-in a production stack
+  * would replace with JNI codecs for the heavier containers (MP4/H.264,
+  * FLAC, …).
   *
   * Scale notes: media bytes are the widest column by far — always project
   * them away before any shuffle (`select` metadata + features first), keep
@@ -208,15 +209,84 @@ object Multimodal {
     }
   }
 
-  /** JDK-native media codec: real decodes for images ([[ImageIoCodec]])
-    * and WAV audio ([[WavPcmCodec]]); only video remains on the
-    * deterministic stub (no pure-JVM video decoder exists).
+  /** Real video decode via the JDK's multi-frame GIF reader (the one
+    * frame-sequence container ImageIO handles without plugins): frame
+    * count, mean/stddev/motion of the per-frame luminance track, and
+    * frame dimensions in the first 6 slots; the remaining `dim - 6` slots
+    * carry an evenly frame-sampled luminance track (the "sample every
+    * k-th frame" primitive). Non-video kinds and undecodable bytes fall
+    * back to [[FakeCodec]], like the image and audio codecs do.
+    */
+  object GifVideoCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "video" || dim < 6) return FakeCodec.extract(kind, bytes, dim)
+      val frames =
+        try decodeFrames(bytes)
+        catch { case _: Exception => null }
+      if (frames == null || frames.isEmpty) return FakeCodec.extract(kind, bytes, dim)
+      val lums = frames.map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s / (255.0 * w * h)
+      }
+      val n = lums.length
+      val mean = lums.sum / n
+      val variance = lums.map(l => (l - mean) * (l - mean)).sum / n
+      val motion =
+        if (n > 1) lums.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (n - 1)
+        else 0.0
+      val out = new Array[Float](dim)
+      out(0) = n.toFloat
+      out(1) = mean.toFloat
+      out(2) = math.sqrt(variance).toFloat
+      out(3) = motion.toFloat // temporal activity: mean |Δ luminance|
+      out(4) = frames.head.getWidth.toFloat
+      out(5) = frames.head.getHeight.toFloat
+      val slots = dim - 6
+      var i = 0
+      while (i < slots) { out(6 + i) = lums((i.toLong * n / slots).toInt).toFloat; i += 1 }
+      out
+    }
+
+    private def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          // Frames are written full-size (no delta compression), so each
+          // index reads back as a complete image.
+          (0 until reader.getNumImages(true)).map(reader.read(_))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** JDK-native media codec: real decodes for images ([[ImageIoCodec]]),
+    * WAV audio ([[WavPcmCodec]]), and GIF-container video
+    * ([[GifVideoCodec]]); only unknown kinds and undecodable payloads hit
+    * the deterministic stub.
     */
   object JvmCodec extends MediaCodec {
     override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
       kind match {
         case "image" => ImageIoCodec.extract(kind, bytes, dim)
         case "audio" => WavPcmCodec.extract(kind, bytes, dim)
+        case "video" => GifVideoCodec.extract(kind, bytes, dim)
         case _ => FakeCodec.extract(kind, bytes, dim)
       }
   }
@@ -245,6 +315,44 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic tiny animated GIF — real multi-frame container bytes the
+    * JDK reader accepts (per-frame shifted gradient, so the luminance track
+    * moves frame-over-frame). Encoded executor-side, per row.
+    */
+  private def gifBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // Brightness ramps with the frame index (no mod-256 wrap, which
+            // would leave every frame's MEAN identical) → nonzero motion.
+            val v = (f * 25 + ((id * 17 + x * 2 + y) % 64)).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   /** Deterministic tiny WAV — a per-id sine tone as real 16-bit PCM bytes
     * the JDK decoder accepts. Encoded executor-side, per row.
     */
@@ -269,11 +377,10 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (no media files ship with the test
-    * data): images are real PNGs ([[pngBytes]]) and audio rows are real
-    * WAVs ([[wavBytes]]), so [[JvmCodec]] decodes genuine pixels and
-    * samples; video payloads are deterministic opaque bytes, metadata
-    * consistent with the kind. Used by specs and q42 to exercise the
-    * pipeline end-to-end.
+    * data): images are real PNGs ([[pngBytes]]), audio rows real WAVs
+    * ([[wavBytes]]), and video rows real animated GIFs ([[gifBytes]]), so
+    * [[JvmCodec]] decodes genuine pixels, samples, and frames end-to-end.
+    * Used by specs and q42 to exercise the pipeline.
     */
   def syntheticMedia(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaItem] = {
     import spark.implicits._
@@ -287,8 +394,7 @@ object Multimodal {
       val bytes = kind match {
         case "image" => pngBytes(id, width, height)
         case "audio" => wavBytes(id, 16000, durationMs)
-        case _ =>
-          Array.tabulate[Byte](payloadBytes)(i => ((id * 31 + i * 7) % 251).toByte)
+        case _ => gifBytes(id, width, height, nFrames = 2 + (id % 5).toInt)
       }
       MediaItem(id, kind, bytes, width, height,
         sample_rate = if (kind == "audio") 16000 else 0,

@@ -86,6 +86,31 @@ class MultimodalSpec extends AnyFunSuite {
     val dur = m.filter(col("media_id") === 2L).select(col("duration_ms")).head().getInt(0)
     assert(one.count() == (dur + 499) / 500)
   }
+  test("GifVideoCodec decodes real animated-GIF frames into a motion track") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 12).filter(col("kind") === "video")
+    val items = media.collect()
+    val feats = Multimodal.extractFeatures(media, Multimodal.JvmCodec, dim = 16)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats.nonEmpty)
+    items.foreach { m =>
+      val f = feats(m.media_id)
+      val expectedFrames = 2 + (m.media_id % 5).toInt
+      assert(f(0) == expectedFrames.toFloat, s"id=${m.media_id} n_frames=${f(0)}")
+      assert(f(1) > 0.05f && f(1) < 0.95f, s"mean lum=${f(1)}")
+      assert(f(3) > 0f, s"sliding gradient must register motion, got ${f(3)}")
+      assert(f(4) == m.width.toFloat && f(5) == m.height.toFloat)
+      // sampled luminance track: all entries are valid luminances
+      assert(f.drop(6).forall(l => l >= 0f && l <= 1f))
+    }
+    // corrupt video bytes degrade to the fake, not a partition failure
+    val corrupt = Seq(Multimodal.MediaItem(99L, "video", Array[Byte](1, 2, 3),
+      64, 64, 0, 1000)).toDS()
+    val cf = Multimodal.extractFeatures(corrupt, Multimodal.JvmCodec, dim = 16).head()
+    assert(cf.feature.sameElements(
+      Multimodal.FakeCodec.extract("video", Array[Byte](1, 2, 3), 16)))
+  }
+
   test("WavPcmCodec decodes a real sine-wave WAV into sample statistics") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, 12).filter(col("kind") === "audio")
