@@ -1124,6 +1124,28 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Gopher-style quality-rule pass rates per (lang, source) facet
+    * ([[graft.functions.Text.gopherFlags]]): the rule-based curation gate
+    * a pretraining pipeline runs before any model-based filter. One
+    * corpus scan, one small shuffle of facet-keyed partial sums.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Text.gopherFlags(col("text"))
+    val flagged = t(spark, dir, "documents")
+      .select(col("lang") +: col("source") +: flags.map { case (n, c) => c.as(n) }: _*)
+    flagged
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_ok")).as("n_len_ok"),
+        sum(col("word_len_ok")).as("n_word_len_ok"),
+        sum(col("alpha_ok")).as("n_alpha_ok"),
+        sum(col("stop_ok")).as("n_stop_ok"),
+        sum(col("rep_ok")).as("n_rep_ok"),
+        sum(col("len_ok") * col("word_len_ok") * col("alpha_ok") *
+          col("stop_ok") * col("rep_ok")).as("n_pass"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1203,7 +1225,8 @@ object Queries {
     "q72_kmeans" -> (kmeansClusters _),
     "q73_dup_spans" -> (dupSpans _),
     "q74_int8_quant" -> (int8Quant _),
-    "q75_cluster_purity" -> (clusterPurity _))
+    "q75_cluster_purity" -> (clusterPurity _),
+    "q76_gopher_rules" -> (gopherRules _))
 
   // DuckDB dialect fragments shared by the text oracles.
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
@@ -1897,6 +1920,32 @@ object Queries {
          |       CAST(sum(CAST(floor(err * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS total_err,
          |       max(err) AS max_err
          |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    "q76_gopher_rules" ->
+      s"""WITH toks AS (SELECT lang, source, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
+         |sh AS (SELECT lang, source, tk,
+         |        CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(nt) - 1), i -> array_to_string(nt[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |f AS (SELECT lang, source,
+         |        CASE WHEN len(tk) >= 30 THEN 1 ELSE 0 END AS len_ok,
+         |        CASE WHEN list_sum(list_transform(tk, t -> len(t))) * 1000 >= len(tk) * 3000
+         |              AND list_sum(list_transform(tk, t -> len(t))) * 1000 <= len(tk) * 10000
+         |             THEN 1 ELSE 0 END AS word_len_ok,
+         |        CASE WHEN len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(tk) * 4
+         |             THEN 1 ELSE 0 END AS alpha_ok,
+         |        CASE WHEN len(list_filter(tk, t -> list_contains($DSTOP, t))) >= 2
+         |             THEN 1 ELSE 0 END AS stop_ok,
+         |        CASE WHEN (len(s) - len(list_distinct(s))) * 5 <= len(s)
+         |             THEN 1 ELSE 0 END AS rep_ok
+         |      FROM sh)
+         |SELECT lang, source, count(*) AS n_docs,
+         |       CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+         |       CAST(sum(word_len_ok) AS BIGINT) AS n_word_len_ok,
+         |       CAST(sum(alpha_ok) AS BIGINT) AS n_alpha_ok,
+         |       CAST(sum(stop_ok) AS BIGINT) AS n_stop_ok,
+         |       CAST(sum(rep_ok) AS BIGINT) AS n_rep_ok,
+         |       CAST(sum(len_ok * word_len_ok * alpha_ok * stop_ok * rep_ok) AS BIGINT) AS n_pass
+         |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -129,6 +129,29 @@ object Text {
       least(lit(chunkSize.toLong), n - i * stride).as("chunk_len")))
   }
 
+  /** Gopher-style document-quality rules as 0/1 flag columns, ready to sum
+    * into per-facet pass-rate reports: minimum token count, mean word
+    * length in [3, 10], ≥80% of words containing an alphabetic character,
+    * ≥2 stopword hits, and repeated-3-gram fraction ≤ 20%. Every
+    * comparison is integer cross-multiplication (no float division), so
+    * the flags are exact on any engine. Pure per-row projection.
+    */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val sh = shingles(text, 3)
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    Seq(
+      "len_ok" -> flag(n >= 30L),
+      "word_len_ok" -> flag(totalLen * 1000L >= n * 3000L &&
+        totalLen * 1000L <= n * 10000L),
+      "alpha_ok" -> flag(alphaToks * 5L >= n * 4L),
+      "stop_ok" -> flag(tokensIn(text, EnglishStopwords) >= 2),
+      "rep_ok" -> flag((size(sh) - size(array_distinct(sh))) * 5 <= size(sh)))
+  }
+
   /** Character k-grams of the raw text (positional; fewer than k chars →
     * empty array). Native single-pass expression
     * ([[graft.plans.CharShingles]]); engine-portable semantics (`substr`
