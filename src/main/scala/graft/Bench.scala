@@ -44,10 +44,12 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Drop state a query left behind (cached tables, localCheckpoint
       // RDDs) OUTSIDE its timed window: otherwise storage-memory pressure
-      // from one query inflates every later measurement.
+      // from one query inflates every later measurement. Eviction must
+      // BLOCK — async unpersist would still be running inside the next
+      // query's timed window.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       (name, elapsed, err)
     }
     def jstr(s: String): String =

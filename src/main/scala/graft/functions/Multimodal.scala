@@ -212,34 +212,34 @@ object Multimodal {
   /** Real video decode via the JDK's multi-frame GIF reader (the one
     * frame-sequence container ImageIO handles without plugins): frame
     * count, mean/stddev/motion of the per-frame luminance track, and
-    * frame dimensions in the first 6 slots; the remaining `dim - 6` slots
-    * carry an evenly frame-sampled luminance track (the "sample every
-    * k-th frame" primitive). Non-video kinds and undecodable bytes fall
-    * back to [[FakeCodec]], like the image and audio codecs do.
+    * logical-screen dimensions in the first 6 slots; the remaining
+    * `dim - 6` slots carry an evenly frame-sampled luminance track (the
+    * "sample every k-th frame" primitive). Delta-coded GIFs (frames that
+    * are sub-rectangle patches) are composited onto the logical screen at
+    * their metadata offsets before luminance is measured, so features are
+    * defined for real-world inputs, not just full-frame writers.
+    * Non-video kinds and undecodable bytes fall back to [[FakeCodec]],
+    * like the image and audio codecs do.
+    *
+    * Adversarial-input bounds: at most [[MaxFrames]] frames are decoded
+    * (one composited canvas at a time — never the whole sequence in
+    * memory), and a logical screen above [[MaxPixels]] falls back to the
+    * stub instead of allocating an executor-threatening canvas.
     */
   object GifVideoCodec extends MediaCodec {
+    /** Frame-count cap: 256 frames ≈ 10s of video at 25fps, far past the
+      * point where the sampled track is saturated. */
+    val MaxFrames = 256
+    /** Logical-screen pixel cap (4M ≈ 2048×2048 RGB canvas = 16 MB). */
+    val MaxPixels = 1 << 22
+
     override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       if (kind != "video" || dim < 6) return FakeCodec.extract(kind, bytes, dim)
-      val frames =
-        try decodeFrames(bytes)
+      val track =
+        try luminanceTrack(bytes)
         catch { case _: Exception => null }
-      if (frames == null || frames.isEmpty) return FakeCodec.extract(kind, bytes, dim)
-      val lums = frames.map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        var s = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        s / (255.0 * w * h)
-      }
+      if (track == null) return FakeCodec.extract(kind, bytes, dim)
+      val (lums, w, h) = track
       val n = lums.length
       val mean = lums.sum / n
       val variance = lums.map(l => (l - mean) * (l - mean)).sum / n
@@ -251,15 +251,22 @@ object Multimodal {
       out(1) = mean.toFloat
       out(2) = math.sqrt(variance).toFloat
       out(3) = motion.toFloat // temporal activity: mean |Δ luminance|
-      out(4) = frames.head.getWidth.toFloat
-      out(5) = frames.head.getHeight.toFloat
+      out(4) = w.toFloat
+      out(5) = h.toFloat
       val slots = dim - 6
       var i = 0
       while (i < slots) { out(6 + i) = lums((i.toLong * n / slots).toInt).toFloat; i += 1 }
       out
     }
 
-    private def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    /** Streaming decode: composite each frame onto a single logical-screen
+      * canvas (GIF delta frames carry `imageLeftPosition`/`imageTopPosition`
+      * offsets in their `ImageDescriptor`), measure its mean luminance, and
+      * move on — memory is one canvas regardless of frame count. Returns
+      * (per-frame luminance, screen width, screen height), or null when the
+      * payload isn't decodable within bounds.
+      */
+    private def luminanceTrack(bytes: Array[Byte]): (Array[Double], Int, Int) = {
       val iis = javax.imageio.ImageIO
         .createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       try {
@@ -268,11 +275,82 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis, false)
-          // Frames are written full-size (no delta compression), so each
-          // index reads back as a complete image.
-          (0 until reader.getNumImages(true)).map(reader.read(_))
+          val total = reader.getNumImages(true)
+          if (total <= 0) return null
+          val (sw, sh) = logicalScreen(reader)
+          if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxPixels) return null
+          val canvas = new java.awt.image.BufferedImage(
+            sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          try {
+            val n = math.min(total, MaxFrames)
+            val lums = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val frame = reader.read(i)
+              val (ox, oy) = frameOffset(reader, i)
+              g.drawImage(frame, ox, oy, null)
+              lums(i) = meanLuminance(canvas)
+              i += 1
+            }
+            (lums, sw, sh)
+          } finally g.dispose()
         } finally reader.dispose()
       } finally iis.close()
+    }
+
+    /** Logical screen size from the GIF stream metadata; falls back to
+      * frame 0's dimensions for containers without one. */
+    private def logicalScreen(reader: javax.imageio.ImageReader): (Int, Int) = {
+      val fromMeta =
+        try {
+          val md = reader.getStreamMetadata
+          if (md == null) None
+          else {
+            val tree = md.getAsTree("javax_imageio_gif_stream_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+            if (lsd.getLength == 0) None
+            else {
+              val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+              Some((e.getAttribute("logicalScreenWidth").toInt,
+                e.getAttribute("logicalScreenHeight").toInt))
+            }
+          }
+        } catch { case _: Exception => None }
+      fromMeta.getOrElse((reader.getWidth(0), reader.getHeight(0)))
+    }
+
+    /** Per-frame placement from the ImageDescriptor; (0,0) when absent. */
+    private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val desc = tree.getElementsByTagName("ImageDescriptor")
+        if (desc.getLength == 0) (0, 0)
+        else {
+          val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      } catch { case _: Exception => (0, 0) }
+
+    private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+      val w = img.getWidth; val h = img.getHeight
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s / (255.0 * w * h)
     }
   }
 
@@ -382,7 +460,7 @@ object Multimodal {
     * [[JvmCodec]] decodes genuine pixels, samples, and frames end-to-end.
     * Used by specs and q42 to exercise the pipeline.
     */
-  def syntheticMedia(spark: SparkSession, n: Int, payloadBytes: Int = 256): Dataset[MediaItem] = {
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val kind = (id % 3) match {

@@ -136,4 +136,82 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(zcr - 2 * freq / 16000.0) < 0.005, s"id=$id zcr=$zcr")
     }
   }
+
+  /** A real delta-coded GIF: frame 0 is a full-size gray screen, frame 1 a
+    * quarter-size bright patch placed at (w/2, h/2) via its ImageDescriptor
+    * offsets — the shape a naive per-frame reader gets wrong.
+    */
+  private def deltaGif(w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    def gray(v: Int, gw: Int, gh: Int) = {
+      val img = new java.awt.image.BufferedImage(gw, gh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, gw, gh); g.dispose()
+      img
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writer.writeToSequence(new IIOImage(gray(40, w, h), null, null), null)
+      val patch = gray(240, w / 4, h / 4)
+      val md = writer.getDefaultImageMetadata(new ImageTypeSpecifier(patch), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", (w / 2).toString)
+      desc.setAttribute("imageTopPosition", (h / 2).toString)
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(patch, null, md), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("GifVideoCodec composites delta-coded frames onto the logical screen") {
+    val w = 64; val h = 64
+    val f = Multimodal.GifVideoCodec.extract("video", deltaGif(w, h), 16)
+    // dimensions are the LOGICAL SCREEN, not the last frame's patch size
+    assert(f(4) == w.toFloat && f(5) == h.toFloat, s"dims=${f(4)}x${f(5)}")
+    assert(f(0) == 2f)
+    // composited frame 1 = gray-40 screen with a bright patch over 1/16 of
+    // it; a patch-only reading would be ~0.94, the composite ~0.206
+    val lum0 = 40 / 255.0
+    val lum1 = (40 * 15.0 / 16 + 240 / 16.0) / 255.0
+    val track = f.drop(6)
+    assert(math.abs(track.head - lum0) < 0.02, s"frame0 lum=${track.head}")
+    assert(math.abs(track.last - lum1) < 0.02,
+      s"frame1 lum=${track.last}: patch not composited at its offset")
+    assert(math.abs(f(1) - (lum0 + lum1) / 2) < 0.02, s"mean=${f(1)}")
+  }
+
+  test("GifVideoCodec bounds frame count and canvas size") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // 300 tiny frames → track capped at MaxFrames, streamed one canvas at
+    // a time (no all-frames materialization)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until Multimodal.GifVideoCodec.MaxFrames + 44)
+        .foreach(_ => writer.writeToSequence(new IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val many = Multimodal.GifVideoCodec.extract("video", out.toByteArray, 8)
+    assert(many(0) == Multimodal.GifVideoCodec.MaxFrames.toFloat)
+    // a logical screen over MaxPixels degrades to the deterministic stub
+    // instead of allocating the canvas
+    val big = deltaGif(2100, 2100) // 4.41M px > 4M cap
+    val bf = Multimodal.GifVideoCodec.extract("video", big, 8)
+    assert(bf.sameElements(Multimodal.FakeCodec.extract("video", big, 8)))
+  }
 }
