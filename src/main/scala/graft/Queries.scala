@@ -1146,6 +1146,105 @@ object Queries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** PII detect + redact over documents ([[Text.piiCounts]] /
+    * [[Text.redactPii]]). The synthetic corpus carries no organic PII, so
+    * the query first plants deterministic emails/IPs/phones keyed off
+    * `doc_id` — the SAME arithmetic the oracle SQL applies — then counts
+    * and scrubs them. Redaction fidelity is pinned by length + md5 of the
+    * scrubbed text. Pure projection: zero shuffles besides the final sort.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = t(spark, dir, "documents").withColumn("t2", concat(
+      col("text"),
+      when(d % 3 === 0,
+        concat(lit(" contact user"), d.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(d % 5 === 0, lit(" or admin@test.org")).otherwise(lit("")),
+      when(d % 4 === 0, concat(lit(" from 10."), (d % 32).cast("string"),
+        lit(".0."), (d % 256).cast("string"))).otherwise(lit("")),
+      when(d % 7 === 0, lit(" call 555-0199")).otherwise(lit(""))))
+    val counts = Text.piiCounts(col("t2")).map { case (n, c) => c.as(n) }
+    planted
+      .select(d +: counts :+
+        length(Text.redactPii(col("t2"))).cast("long").as("redacted_len") :+
+        md5(Text.redactPii(col("t2"))).as("redacted_md5"): _*)
+      .orderBy(d)
+  }
+
+  /** Domain-frequency stats with a blocklist filter over URLs mentioned in
+    * the corpus ([[Text.urlHosts]]): the reach/diversity signal a crawl
+    * curation pass computes before sampling. URLs are planted like q77's
+    * PII (the corpus has none). Shuffle carries (domain, doc_id) only.
+    */
+  def urlDomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = t(spark, dir, "documents").withColumn("t2", concat(
+      col("text"),
+      when(d % 2 === 0, concat(lit(" see https://site"), (d % 20).cast("string"),
+        lit(".example.com/p"), d.cast("string"))).otherwise(lit("")),
+      when(d % 3 === 0, concat(lit(" ref http://www.ref"), (d % 7).cast("string"),
+        lit(".org/page"))).otherwise(lit(""))))
+    planted
+      .select(d, explode(Text.urlHosts(col("t2"))).as("domain"))
+      .filter(!col("domain").isin("site3.example.com", "www.ref2.org"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(d).as("n_docs"), count(lit(1)).as("n_refs"))
+      .orderBy(col("domain"))
+  }
+
+  /** C4-style boilerplate-line removal ([[graft.functions.Dedup
+    * .boilerplateSummary]]): lines recurring across ≥100 documents are
+    * boilerplate; per-doc counts + characters kept. Boilerplate lines are
+    * planted (corpus text is single-line): two hot lines cross the
+    * threshold, one rare line stays content.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = t(spark, dir, "documents").withColumn("t2", concat(
+      col("text"),
+      when(d % 3 === 0, lit("\nsubscribe to our newsletter today"))
+        .otherwise(lit("")),
+      when(d % 4 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+      when(d % 50 === 0, lit("\nrare promo line")).otherwise(lit(""))))
+    graft.functions.Dedup
+      .boilerplateSummary(planted, d, col("t2"), minDocs = 100L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Group-wise z-score outliers on event values
+    * ([[graft.dq.Checks.zscoreOutliers]]): exact integer-sum moments per
+    * event type, broadcast back over the fact scan, |z| > 3 survives.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Checks.zscoreOutliers(
+        t(spark, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"), threshold = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** Bloom-filter membership ([[graft.ops.Bloom]]): high-spend order
+    * custkeys fold into a 1024-bit filter; every customer is tested by
+    * broadcast, with the exact member set alongside so the per-nation
+    * rollup exposes the false-positive overhead a re-verify pass would
+    * pay. The probe side never shuffles on the key.
+    */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val keys = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("key")).distinct()
+    val bloom = graft.ops.Bloom.build(keys, col("key"))
+    graft.ops.Bloom.mightContain(cust, col("c_custkey"), bloom)
+      .join(broadcast(keys.withColumnRenamed("key", "mk")),
+        col("c_custkey") === col("mk"), "left")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("mk").isNotNull, 1L).otherwise(0L)).as("n_members"))
+      .orderBy(col("nation"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1226,9 +1325,21 @@ object Queries {
     "q73_dup_spans" -> (dupSpans _),
     "q74_int8_quant" -> (int8Quant _),
     "q75_cluster_purity" -> (clusterPurity _),
-    "q76_gopher_rules" -> (gopherRules _))
+    "q76_gopher_rules" -> (gopherRules _),
+    "q77_pii_scrub" -> (piiScrub _),
+    "q78_url_domains" -> (urlDomainStats _),
+    "q79_boilerplate" -> (boilerplateStrip _),
+    "q80_outliers" -> (valueOutliers _),
+    "q81_bloom_filter" -> (bloomMembership _))
 
   // DuckDB dialect fragments shared by the text oracles.
+  // The PII/URL patterns are the EXACT strings the Spark side compiles
+  // (Text.scala keeps them RE2∩Java-compatible), spliced into single-quoted
+  // SQL literals — DuckDB's default strings don't process backslashes, so
+  // the regex arrives verbatim.
+  private val PiiEmailSql = Text.EmailPattern
+  private val PiiIpv4Sql = Text.Ipv4Pattern
+  private val PiiPhoneSql = Text.PhonePattern
   private val DTOKS = "string_split_regex(trim(text), '\\s+')"
   private val DNORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val DNTOKS = s"string_split_regex(trim($DNORM), '\\s+')"
@@ -1946,6 +2057,81 @@ object Queries {
          |       CAST(sum(rep_ok) AS BIGINT) AS n_rep_ok,
          |       CAST(sum(len_ok * word_len_ok * alpha_ok * stop_ok * rep_ok) AS BIGINT) AS n_pass
          |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q77_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' or admin@test.org' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 32 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-0199' ELSE '' END AS t2
+         |  FROM documents),
+         |r AS (SELECT doc_id, t2,
+         |  regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$PiiEmailSql', '<EMAIL>', 'g'),
+         |    '$PiiIpv4Sql', '<IP>', 'g'),
+         |    '$PiiPhoneSql', '<PHONE>', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$PiiEmailSql')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '$PiiIpv4Sql')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '$PiiPhoneSql')) AS BIGINT) AS n_phones,
+         |  CAST(len(red) AS BIGINT) AS redacted_len,
+         |  md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q78_url_domains" ->
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p' || CAST(doc_id AS VARCHAR) ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' ref http://www.ref' || CAST(doc_id % 7 AS VARCHAR) || '.org/page' ELSE '' END AS t2
+         |  FROM documents),
+         |d AS (SELECT doc_id, unnest(regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM p)
+         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       count(*) AS n_refs
+         |FROM d WHERE domain NOT IN ('site3.example.com', 'www.ref2.org')
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+    "q79_boilerplate" ->
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END
+         |  || CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'rare promo line' ELSE '' END AS t2
+         |  FROM documents),
+         |l AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line FROM p),
+         |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 100)
+         |SELECT l.doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN hot.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(sum(CASE WHEN hot.line IS NULL THEN len(l.line) ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM l LEFT JOIN hot ON l.line = hot.line
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "q80_outliers" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS s,
+        |       CAST(sum(vc * vc) AS BIGINT) AS ss FROM c GROUP BY event_type)
+        |SELECT event_id, c.event_type, value,
+        |  (CAST(vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n) /
+        |  sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n) AS z
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |WHERE abs((CAST(vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n) /
+        |  sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n)) > 3.0
+        |ORDER BY c.event_type, event_id""".stripMargin,
+    "q81_bloom_filter" ->
+      """WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 400000),
+        |kpos AS (SELECT key, (('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8*j, 8))::BIGINT) % 1024 AS pos
+        |         FROM keys, (VALUES (0), (1), (2)) jt(j)),
+        |bloom AS (SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+        |          FROM kpos GROUP BY pos // 32),
+        |cpos AS (SELECT c_custkey, (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1 + 8*j, 8))::BIGINT) % 1024 AS pos
+        |         FROM customer, (VALUES (0), (1), (2)) jt(j)),
+        |verd AS (SELECT c_custkey,
+        |           min(CASE WHEN (coalesce(bits, 0) & (1::BIGINT << (pos % 32))) = (1::BIGINT << (pos % 32))
+        |                    THEN 1 ELSE 0 END) AS hit
+        |         FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word
+        |         GROUP BY c_custkey)
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN v.hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+        |  CAST(sum(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members
+        |FROM customer c
+        |JOIN verd v ON c.c_custkey = v.c_custkey
+        |LEFT JOIN keys k ON c.c_custkey = k.key
+        |GROUP BY c.c_nationkey ORDER BY nation""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -149,6 +149,38 @@ object Checks {
       s"batches=${durations.size} over_budget=$over worst_ms=$worst max_ms=$maxMs")
   }
 
+  /** Group-wise z-score outliers over a fixed-point rescale of `valueCol`:
+    * values are rounded to `scale` units (cents by default), per-group
+    * mean/stddev derived from EXACT integer sums, and rows with
+    * |z| > `threshold` returned with their score. The integer-sum detour is
+    * what makes the result deterministic and engine-portable — double sums
+    * are partition-order-dependent, exact BIGINT/DECIMAL sums are not, and
+    * every later double op (divide, sqrt) is IEEE-deterministic given
+    * identical inputs.
+    *
+    * Scale shape: the stats aggregate is a map-side-combined groupBy on the
+    * (low-cardinality) group key; the tiny stats table broadcasts back onto
+    * the fact scan, so the detector is one shuffle of partial aggregates +
+    * one broadcast join. Integer sums hold to ~9e18: at 100 TB per-group
+    * row counts push sum(vc²) past BIGINT — swap the two sums to
+    * DECIMAL(38,0) there (same plan shape, still exact).
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+                     threshold: Double, scale: Int = 100): DataFrame = {
+    val vc = round(valueCol * scale).cast("long")
+    val scored = df.withColumn("__vc", vc)
+    val stats = scored.groupBy(groupCol.as("__grp"))
+      .agg(count(lit(1)).as("__n"), sum(col("__vc")).as("__s"),
+        sum(col("__vc") * col("__vc")).as("__ss"))
+    val n = col("__n"); val s = col("__s").cast("double")
+    val mean = s / n
+    val sd = sqrt((col("__ss").cast("double") - s * s / n) / n)
+    scored.join(broadcast(stats), groupCol === col("__grp"))
+      .withColumn("z", (col("__vc").cast("double") - mean) / sd)
+      .filter(abs(col("z")) > threshold)
+      .drop("__vc", "__grp", "__n", "__s", "__ss")
+  }
+
   /** Run all four standard per-stage checks (SURVEY §5.2) and return the
     * audit rows ready for an append-mode write.
     */

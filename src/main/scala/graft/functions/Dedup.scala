@@ -397,4 +397,33 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C4-style boilerplate-line removal summary: split each document on
+    * newlines, count how many DISTINCT documents each line appears in, and
+    * flag lines at or above `minDocs` as boilerplate. Returns one row per
+    * document: total lines, boilerplate lines, and characters kept after
+    * stripping them.
+    *
+    * Scale shape: the line-frequency aggregate shuffles `md5(line)` (16
+    * bytes) + doc id — never line text — and the surviving hot-line set is
+    * tiny BY CONSTRUCTION (only lines repeated across ≥ `minDocs` docs), so
+    * it broadcasts back onto the exploded lines; per-doc rollup then
+    * re-shuffles only ids and counts. Two passes over the line explode is
+    * the price of the broadcast; both are map-side-heavy scans.
+    */
+  def boilerplateSummary(docs: DataFrame, idCol: Column, textCol: Column,
+                         minDocs: Long): DataFrame = {
+    val lines = docs.select(idCol.as("__doc"),
+      explode(split(textCol, "\n")).as("line"))
+      .withColumn("line_key", md5(col("line")))
+    val hot = lines.groupBy(col("line_key"))
+      .agg(countDistinct(col("__doc")).as("line_docs"))
+      .filter(col("line_docs") >= minDocs)
+    lines.join(broadcast(hot), Seq("line_key"), "left")
+      .groupBy(col("__doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_docs").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("line_docs").isNull, length(col("line")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+  }
 }

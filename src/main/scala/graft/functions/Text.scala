@@ -160,4 +160,41 @@ object Text {
     */
   def charShingles(text: Column, k: Int): Column =
     graft.plans.TextExpressions.char_shingles(text, k)
+
+  // -------------------------------------------------------------------
+  // PII scrubbing + URL extraction (training-data curation projections)
+  // -------------------------------------------------------------------
+
+  /** PII patterns shared by the detector and the redactor. Deliberately
+    * alternation-free constructs (`\d`, `\b`, bounded classes) that mean
+    * the same thing to Java's regex engine and RE2 — oracle-portable.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Per-document PII hit counts — pure codegen'd projections, no shuffle. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+    "n_ips" -> regexp_count(text, lit(Ipv4Pattern)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhonePattern)).cast("long"))
+
+  /** Redaction with a FIXED pass order — emails first (their host part
+    * would otherwise be shredded by the IP pass), then IPs, then phones —
+    * so every engine produces byte-identical scrubbed text.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** URL hostnames mentioned in the text (the capture group after the
+    * scheme), the unit for domain-frequency stats and blocklist filters.
+    */
+  val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 }

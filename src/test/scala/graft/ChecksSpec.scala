@@ -114,4 +114,23 @@ class ChecksSpec extends AnyFunSuite {
     assert(math.abs(q("a").head - 50.0) <= 2.0)
     assert(math.abs(q("b").head - 100.0) <= 4.0)
   }
+
+  test("zscoreOutliers flags only far-from-group-mean values, per group") {
+    // group a: 20 values at ~10 plus one at 1000; group b: tight around 50
+    // with a spike that is only an outlier relative to b's own stddev
+    val a = (1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3))) :+ (("a", 99L, 1000.0))
+    val b = (1 to 20).map(i => ("b", 100L + i, 50.0 + (i % 2) * 0.02)) :+ (("b", 199L, 51.0))
+    val df = (a ++ b).toDF("grp", "id", "v")
+    val out = Checks.zscoreOutliers(df, col("grp"), col("v"), threshold = 3.0)
+      .select(col("grp"), col("id"), col("z"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 99L), ("b", 199L)))
+    // z is derived from exact integer sums: recompute group a's z by hand
+    val vc = a.map(x => math.round(x._3 * 100))
+    val n = vc.length; val s = vc.sum.toDouble; val ss = vc.map(v => v * v).sum.toDouble
+    val z = (100000.0 - s / n) / math.sqrt((ss - s * s / n) / n)
+    val got = Checks.zscoreOutliers(df, col("grp"), col("v"), 3.0)
+      .filter(col("id") === 99L).select(col("z")).head().getDouble(0)
+    assert(got == z, s"exact z: got $got want $z")
+  }
 }

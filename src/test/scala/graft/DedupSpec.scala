@@ -239,4 +239,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L)
     assert(out(4L)._2 == 0L)
   }
+
+  test("boilerplateSummary flags lines repeated across enough documents") {
+    // "footer" appears in 3 docs (>= minDocs), "rare" in 2 (< minDocs);
+    // doc-internal repetition must not inflate the distinct-doc count
+    val docs = Seq(
+      (1L, "unique one\nfooter\nrare"),
+      (2L, "unique two\nfooter\nfooter"),
+      (3L, "unique three\nfooter"),
+      (4L, "unique four\nrare")
+    ).toDF("id", "txt")
+    val out = Dedup.boilerplateSummary(docs, col("id"), col("txt"), minDocs = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+          r.getAs[Long]("kept_chars")))).toMap
+    assert(out(1L) == ((3L, 1L, ("unique one" + "rare").length.toLong)))
+    // both footer copies in doc 2 are stripped (same line instance-wise)
+    assert(out(2L) == ((3L, 2L, "unique two".length.toLong)))
+    assert(out(3L) == ((2L, 1L, "unique three".length.toLong)))
+    assert(out(4L) == ((2L, 0L, ("unique four" + "rare").length.toLong)))
+  }
 }

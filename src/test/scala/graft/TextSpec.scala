@@ -83,4 +83,29 @@ class TextSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(short == Seq((0L, 2L)))
   }
+
+  test("piiCounts and redactPii find and scrub emails, IPs, phones in order") {
+    val txt = "mail a.b@x.co or c@y.org from 10.0.3.7 call 555-0199 not 1234-5678"
+    val df = Seq(txt).toDF("text")
+    val counts = df.select(Text.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(counts.getLong(0) == 2L, "emails")
+    assert(counts.getLong(1) == 1L, "ips")
+    // 555-0199 matches; 1234-5678 does not (\b\d{3}- needs exactly 3 digits)
+    assert(counts.getLong(2) == 1L, "phones")
+    val red = df.select(Text.redactPii(col("text")).as("r")).head().getString(0)
+    assert(red == "mail <EMAIL> or <EMAIL> from <IP> call <PHONE> not 1234-5678")
+    // email pass must run before the IP pass: a digits-and-dots local/host
+    // part would otherwise be shredded into an <IP> island
+    val tricky = Seq("v1.2.3.4@host.example.com").toDF("text")
+      .select(Text.redactPii(col("text"))).head().getString(0)
+    assert(tricky == "<EMAIL>")
+  }
+
+  test("urlHosts extracts the hostname capture from http(s) URLs") {
+    val hosts = Seq("see https://a.example.com/path?q=1 and http://www.b.org/x plain c.com")
+      .toDF("text").select(Text.urlHosts(col("text")).as("h"))
+      .head().getSeq[String](0)
+    assert(hosts == Seq("a.example.com", "www.b.org"))
+  }
 }
