@@ -11,10 +11,18 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * row count, null count, approximate distinct, min/max (rendered as
   * strings so all columns stack into one result).
   *
-  * One pass over the data: every per-column aggregate runs in a single
-  * Aggregate node (no per-column jobs), then unpivots driver-side from the
-  * single collected row — the 100 TB cost is one scan + one partial/final
-  * aggregate, independent of column count.
+  * The approx default is ONE pass over the data: every per-column aggregate
+  * runs in a single Aggregate node (no per-column jobs), then unpivots
+  * driver-side from the single collected row — the 100 TB cost is one scan
+  * + one partial/final aggregate, independent of column count.
+  *
+  * The exact variant deliberately does NOT put N `countDistinct`s in one
+  * Aggregate: Spark plans that as an Expand that multiplies every scanned
+  * row by N+1 before the shuffle — the one catalog plan that degrades
+  * superlinearly with column count. Instead each column gets its own
+  * pre-aggregation (`groupBy(value) → count`, map-side combined, shuffle
+  * width = #distinct values not #rows), unioned into one job; the scans
+  * are column-pruned to a single parquet column each.
   */
 object Profile {
 
@@ -27,15 +35,14 @@ object Profile {
       max_str: String)
 
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    if (exact) return profileExact(df)
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns.toSeq
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      val distinct =
-        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        distinct.as(s"${c}__distinct"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
@@ -49,6 +56,25 @@ object Profile {
         Option(row.getAs[String](s"${c}__max")).orNull)
     }.toDS().toDF()
   }
+
+  /** Exact profile, Expand-free: per column, pre-aggregate to
+    * (value → occurrence count) — the distinct count is then the number of
+    * non-null groups, and rows/nulls/min/max fold from the same grouped
+    * rows, so exactness costs one extra (narrow) shuffle per column
+    * instead of an (N+1)× row explosion of the full scan.
+    */
+  private def profileExact(df: DataFrame): DataFrame =
+    df.columns.toSeq.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L)).as("n_nulls"),
+          count(col("__v")).as("approx_distinct"), // exact here: non-null groups
+          min(col("__v")).cast("string").as("min_str"),
+          max(col("__v")).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("approx_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionAll _)
 
   /** Approximate quantiles per numeric column (Greenwald-Khanna sketch —
     * one pass, mergeable across partitions; relativeError trades sketch
