@@ -1245,6 +1245,47 @@ object Queries {
       .orderBy(col("nation"))
   }
 
+  /** Char-bigram LM fluency scores ([[graft.functions.LmScore]]): the
+    * corpus-trained transition model broadcasts onto one explode of each
+    * document's bigrams; scores are exact BIGINT sums of integer-scaled
+    * conditional frequencies (the engine-portable perplexity stand-in).
+    */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.functions.LmScore.bigramModel(docs, col("text"))
+    graft.functions.LmScore.score(docs, col("doc_id"), col("text"), model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental batch-vs-corpus dedup ([[graft.functions.Dedup
+    * .incrementalNew]]): docs split 80/20 into corpus/new batch by id, with
+    * every 50th corpus doc re-planted into the batch under a shifted id —
+    * the anti join must remove exactly those replants.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    graft.functions.Dedup.incrementalNew(corpus, batch, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language quality deciles ([[Sampling.quantileBins]]): rank docs by
+    * length inside each language, cut into 10 equal-count bins, roll up
+    * counts + length bounds per bin — the labels a quality-weighted
+    * mixture sampler draws from.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quantileBins(t(spark, dir, "documents"),
+        col("lang"), col("n_chars"), col("doc_id"), n = 10)
+      .groupBy(col("lang"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("bin"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1330,7 +1371,10 @@ object Queries {
     "q78_url_domains" -> (urlDomainStats _),
     "q79_boilerplate" -> (boilerplateStrip _),
     "q80_outliers" -> (valueOutliers _),
-    "q81_bloom_filter" -> (bloomMembership _))
+    "q81_bloom_filter" -> (bloomMembership _),
+    "q82_lm_score" -> (lmFluency _),
+    "q83_incremental_dedup" -> (incrementalDedup _),
+    "q84_quality_deciles" -> (qualityDeciles _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2132,6 +2176,33 @@ object Queries {
         |JOIN verd v ON c.c_custkey = v.c_custkey
         |LEFT JOIN keys k ON c.c_custkey = k.key
         |GROUP BY c.c_nationkey ORDER BY nation""".stripMargin,
+    "q82_lm_score" ->
+      s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(n)), i -> n[i:i+1])) AS bigram FROM nt),
+         |m AS (SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram),
+         |p AS (SELECT substr(bigram, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS prefix_cnt FROM m GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CAST(floor(1000000 * cnt / prefix_cnt) AS BIGINT)) AS BIGINT) AS lm_score
+         |FROM g JOIN m USING (bigram) JOIN p ON substr(g.bigram, 1, 1) = p.c1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        |          UNION ALL
+        |          SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 50 = 0),
+        |bf AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM batch),
+        |cf AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM corpus)
+        |SELECT min(b.doc_id) AS doc_id, b.fp
+        |FROM bf b LEFT JOIN cf c ON b.fp = c.fp
+        |WHERE c.fp IS NULL
+        |GROUP BY b.fp ORDER BY doc_id""".stripMargin,
+    "q84_quality_deciles" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |            ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+        |           FROM documents)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -398,6 +398,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental-corpus dedup: of a new `batch`, keep only documents whose
+    * normalized-text fingerprint appears neither in the existing `corpus`
+    * (anti join on the 16-byte fingerprint — document text never shuffles)
+    * nor earlier in the batch itself (min-id per fingerprint). This is the
+    * daily-increment shape of a growing training corpus: the corpus side
+    * reduces to a distinct fingerprint column, so each increment costs one
+    * narrow anti join however big the corpus text is — and because
+    * [[graft.functions.Text.fingerprint]] is deterministic, yesterday's
+    * survivors never flip.
+    */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame, idCol: Column,
+                     textCol: Column): DataFrame = {
+    val b = batch.select(idCol.as("doc_id"), Text.fingerprint(textCol).as("fp"))
+    val c = corpus.select(Text.fingerprint(textCol).as("fp")).distinct()
+    b.join(c, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** C4-style boilerplate-line removal summary: split each document on
     * newlines, count how many DISTINCT documents each line appears in, and
     * flag lines at or above `minDocs` as boilerplate. Returns one row per

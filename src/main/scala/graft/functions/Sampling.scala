@@ -94,4 +94,17 @@ object Sampling {
     df.withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= quota)
   }
+
+  /** Per-stratum quantile binning: rank by (`metric`, `tiebreak`) inside
+    * each stratum and cut into `n` equal-count bins (`ntile` — SQL-standard
+    * bucket sizing, so any engine agrees). The unique tiebreak makes the
+    * assignment total-order deterministic. This is the quality-decile
+    * labeling a mixture sampler weights by ("sample 3× more from the top
+    * quality decile"): one shuffle on the stratum key, bounded per-stratum
+    * sort.
+    */
+  def quantileBins(df: DataFrame, stratum: Column, metric: Column,
+                   tiebreak: Column, n: Int): DataFrame =
+    df.withColumn("bin",
+      ntile(n).over(Window.partitionBy(stratum).orderBy(metric, tiebreak)))
 }

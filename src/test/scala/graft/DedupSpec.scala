@@ -240,6 +240,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._2 == 0L)
   }
 
+  test("incrementalNew keeps only batch docs unseen in corpus or earlier batch") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "txt")
+    val batch = Seq(
+      (10L, "ALPHA   beta"),    // normalized dup of corpus doc 1 → dropped
+      (11L, "epsilon zeta"),    // new → kept
+      (12L, "epsilon  ZETA"),   // intra-batch dup of 11 → folded into 11
+      (13L, "eta theta")        // new → kept
+    ).toDF("id", "txt")
+    val out = Dedup.incrementalNew(corpus, batch, col("id"), col("txt"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("boilerplateSummary flags lines repeated across enough documents") {
     // "footer" appears in 3 docs (>= minDocs), "rare" in 2 (< minDocs);
     // doc-internal repetition must not inflate the distinct-doc count

@@ -94,4 +94,20 @@ class SamplingSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(again == mix.select(col("id")).collect().map(_.getLong(0)).toSet)
   }
+
+  test("quantileBins cuts each stratum into n equal-count ordered bins") {
+    import spark.implicits._
+    // 23 docs in one stratum → ntile(4) buckets of 6,6,6,5 in metric order
+    val docs = (1L to 23L).map(i => ("en", i, i * 10)) :+ (("es", 100L, 5L))
+    val df = docs.toDF("lang", "id", "len")
+    val out = Sampling.quantileBins(df, col("lang"), col("len"), col("id"), n = 4)
+    val en = out.filter(col("lang") === "en")
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"), max(col("len")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(en == Map(1 -> ((6L, 60L)), 2 -> ((6L, 120L)),
+      3 -> ((6L, 180L)), 4 -> ((5L, 230L))))
+    // bins respect the metric order: every bin-2 len > every bin-1 len, etc.
+    val es = out.filter(col("lang") === "es").select(col("bin")).head().getInt(0)
+    assert(es == 1) // a 1-doc stratum lands entirely in the first bin
+  }
 }
