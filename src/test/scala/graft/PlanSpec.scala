@@ -120,4 +120,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
+
+  test("q77: PII scrub is a pure projection — no join, no window, one sort") {
+    val plan = finalPlan(SparkEntry.queries("q77_pii_scrub")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // regex counting + redaction ride the scan inside codegen
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("q80: outlier stats broadcast back — the fact side never re-shuffles") {
+    val plan = finalPlan(SparkEntry.queries("q80_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only shuffles are the stats aggregate (5 groups) + final sort;
+    // a SortMergeJoin would mean the whole fact table shuffled on group key
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q81: bloom probe joins are all broadcast; customer never shuffles on key") {
+    val plan = finalPlan(SparkEntry.queries("q81_bloom_filter")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q82: LM model broadcasts onto the bigram explode — no sort-merge join") {
+    val plan = finalPlan(SparkEntry.queries("q82_lm_score")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {
+    val plan = finalPlan(SparkEntry.queries("q36_profile")(spark, sf))
+    // N countDistincts in one Aggregate would plan an Expand multiplying
+    // the scan by N+1 — the shape this query exists to avoid.
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+  }
 }
