@@ -1286,6 +1286,41 @@ object Queries {
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("bin"))
 
+  /** The full curation funnel as ONE query — the composite a pretraining
+    * data pipeline actually runs, each stage a verified operator from this
+    * catalog applied cumulatively, reported as docs surviving per stage:
+    * raw → exact dedup (q23) → Gopher quality gate (q76) → train split
+    * (q55) → decontamination vs the test split (q63) → bottom-decile
+    * length trim (q84). At 100 TB every stage keeps its own scale shape
+    * (fingerprint shuffle, scan-local flags, hash-bucket projection,
+    * gram-hash semi join, per-stratum ntile); the funnel adds nothing but
+    * the final 6-row count union.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val keep1 = d.withColumn("fp", Text.fingerprint(col("text")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk", "fp")
+    val keep2 = keep1.filter(
+      Text.gopherFlags(col("text")).map(_._2).reduce(_ * _) === 1L)
+    val bkt = Sampling.hashBucket(col("doc_id"), 100)
+    val keep3 = keep2.filter(bkt < 80)
+    val test = d.filter(bkt >= 90)
+    val dropIds = Dedup.contaminatedIds(keep3, col("doc_id"), col("text"),
+      test, col("doc_id"), col("text"), k = 5)
+    val keep4 = keep3.join(dropIds, Seq("doc_id"), "left_anti")
+    val keep5 = Sampling.quantileBins(keep4, col("lang"), col("n_chars"),
+      col("doc_id"), n = 10).filter(col("bin") >= 2)
+    Seq("0_raw" -> d, "1_exact_dedup" -> keep1, "2_quality_gate" -> keep2,
+        "3_train_split" -> keep3, "4_decontaminated" -> keep4,
+        "5_decile_trim" -> keep5)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs")) }
+      .reduce(_ unionAll _)
+      .orderBy(col("stage"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1374,7 +1409,8 @@ object Queries {
     "q81_bloom_filter" -> (bloomMembership _),
     "q82_lm_score" -> (lmFluency _),
     "q83_incremental_dedup" -> (incrementalDedup _),
-    "q84_quality_deciles" -> (qualityDeciles _))
+    "q84_quality_deciles" -> (qualityDeciles _),
+    "q85_curation_funnel" -> (curationFunnel _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2196,6 +2232,43 @@ object Queries {
         |FROM bf b LEFT JOIN cf c ON b.fp = c.fp
         |WHERE c.fp IS NULL
         |GROUP BY b.fp ORDER BY doc_id""".stripMargin,
+    "q85_curation_funnel" ->
+      s"""WITH base AS (SELECT doc_id, lang, n_chars,
+         |         md5($DNORM) AS fp,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |       FROM documents),
+         |k1 AS (SELECT * FROM base QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |toks AS (SELECT doc_id, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
+         |sh AS (SELECT doc_id, tk, nt,
+         |        CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(nt) - 1), i -> array_to_string(nt[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |flags AS (SELECT doc_id FROM sh WHERE
+         |   len(tk) >= 30
+         |   AND list_sum(list_transform(tk, t -> len(t))) * 1000 >= len(tk) * 3000
+         |   AND list_sum(list_transform(tk, t -> len(t))) * 1000 <= len(tk) * 10000
+         |   AND len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(tk) * 4
+         |   AND len(list_filter(tk, t -> list_contains($DSTOP, t))) >= 2
+         |   AND (len(s) - len(list_distinct(s))) * 5 <= len(s)),
+         |k2 AS (SELECT k1.* FROM k1 JOIN flags USING (doc_id)),
+         |k3 AS (SELECT * FROM k2 WHERE bkt < 80),
+         |tgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(nt) - 3),
+         |                 i -> md5(array_to_string(nt[i:i+4], ' '))))) AS gh
+         |        FROM toks JOIN base USING (doc_id) WHERE base.bkt >= 90),
+         |kgr AS (SELECT k3.doc_id, unnest(list_distinct(list_transform(range(1, len(nt) - 3),
+         |                 i -> md5(array_to_string(nt[i:i+4], ' '))))) AS gh
+         |        FROM toks JOIN k3 USING (doc_id)),
+         |drop4 AS (SELECT DISTINCT kgr.doc_id FROM kgr JOIN tgr USING (gh)),
+         |k4 AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+         |k5 AS (SELECT * FROM k4 QUALIFY ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) >= 2)
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '1_exact_dedup', count(*) FROM k1
+         |  UNION ALL SELECT '2_quality_gate', count(*) FROM k2
+         |  UNION ALL SELECT '3_train_split', count(*) FROM k3
+         |  UNION ALL SELECT '4_decontaminated', count(*) FROM k4
+         |  UNION ALL SELECT '5_decile_trim', count(*) FROM k5
+         |) ORDER BY stage""".stripMargin,
     "q84_quality_deciles" ->
       """WITH b AS (SELECT lang, n_chars,
         |            ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin

@@ -238,13 +238,18 @@ object Dedup {
     * shape: two projections + one equi-shuffle on the gram hash + one
     * aggregate — no all-pairs anything.
     */
+  /** (id, md5(word-k-gram)) rows, one per DISTINCT gram per document. */
+  private def gramHashes(df: DataFrame, id: Column, text: Column, out: String,
+                         k: Int): DataFrame =
+    df.select(id.as(out),
+        explode(array_distinct(Text.shingles(text, k))).as("g"))
+      .select(col(out), md5(col("g")).as("gh"))
+
   def contamination(train: DataFrame, trainId: Column, trainText: Column,
                     test: DataFrame, testId: Column, testText: Column,
                     k: Int, maxGramDf: Int = 1000): DataFrame = {
     def grams(df: DataFrame, id: Column, text: Column, out: String): DataFrame =
-      df.select(id.as(out),
-          explode(array_distinct(Text.shingles(text, k))).as("g"))
-        .select(col(out), md5(col("g")).as("gh"))
+      gramHashes(df, id, text, out, k)
     // Hot-gram cap: a boilerplate gram present in >maxGramDf train docs
     // contributes trainDf × testDf join rows while signaling nothing about
     // contamination — drop it, visibly (same no-silent-caps discipline as
@@ -396,6 +401,22 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Ids of `train` documents sharing at least one word-k-gram with any
+    * `test` document — the train-side drop set of a decontamination pass
+    * ([[contamination]] reports the per-test-doc view; this is the verdict
+    * a curation funnel acts on). The test side reduces to its distinct
+    * gram hashes before the semi join, so the shuffle carries 16-byte
+    * hashes + ids only.
+    */
+  def contaminatedIds(train: DataFrame, trainId: Column, trainText: Column,
+                      test: DataFrame, testId: Column, testText: Column,
+                      k: Int): DataFrame = {
+    val tr = gramHashes(train, trainId, trainText, "doc_id", k)
+    val te = gramHashes(test, testId, testText, "test_id", k)
+      .select(col("gh")).distinct()
+    tr.join(te, Seq("gh"), "left_semi").select(col("doc_id")).distinct()
   }
 
   /** Incremental-corpus dedup: of a new `batch`, keep only documents whose

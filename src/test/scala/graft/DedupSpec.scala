@@ -240,6 +240,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._2 == 0L)
   }
 
+  test("contaminatedIds returns exactly the train docs sharing a test k-gram") {
+    val train = Seq(
+      (1L, "one two three four five six"),   // shares "two three four five six"? no — test has different grams
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "clean text with no overlap at all")
+    ).toDF("id", "txt")
+    val test = Seq(
+      (10L, "x alpha beta gamma delta epsilon y") // 5-gram overlap with doc 2
+    ).toDF("id", "txt")
+    val ids = Dedup.contaminatedIds(train, col("id"), col("txt"),
+      test, col("id"), col("txt"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
   test("incrementalNew keeps only batch docs unseen in corpus or earlier batch") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "txt")
     val batch = Seq(
