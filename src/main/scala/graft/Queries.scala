@@ -1305,11 +1305,15 @@ object Queries {
     val keep2 = keep1.filter(
       Text.gopherFlags(col("text")).map(_._2).reduce(_ * _) === 1L)
     val bkt = Sampling.hashBucket(col("doc_id"), 100)
-    val keep3 = keep2.filter(bkt < 80)
+    // The train-split boundary feeds three consumers (its own count, the
+    // contamination gram explode, the anti join) — cache it, as a real
+    // funnel would materialize stage boundaries, so the fingerprint window
+    // + quality flags run once instead of three times.
+    val keep3 = keep2.filter(bkt < 80).persist()
     val test = d.filter(bkt >= 90)
     val dropIds = Dedup.contaminatedIds(keep3, col("doc_id"), col("text"),
       test, col("doc_id"), col("text"), k = 5)
-    val keep4 = keep3.join(dropIds, Seq("doc_id"), "left_anti")
+    val keep4 = keep3.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val keep5 = Sampling.quantileBins(keep4, col("lang"), col("n_chars"),
       col("doc_id"), n = 10).filter(col("bin") >= 2)
     Seq("0_raw" -> d, "1_exact_dedup" -> keep1, "2_quality_gate" -> keep2,
