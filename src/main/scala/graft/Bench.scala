@@ -67,11 +67,14 @@ object Bench {
     // The catalog grows round-over-round, so the grand total is not
     // comparable across rounds; value_q49 re-sums the round-1 query set
     // (q01..q49) for an apples-to-apples trend.
-    val r01Set = results.collect {
+    def subsetTotal(maxQ: Int): Double = results.collect {
       case (k, v, None) if k.take(3).drop(1).forall(_.isDigit) &&
-        k.slice(1, 3).toInt <= 49 => v
+        k.slice(1, 3).toInt <= maxQ => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"value_q49":$r01Set,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val r01Set = subsetTotal(49)
+    // value_q76 = the round-6 catalog: the comparable subset for rounds ≥ 7.
+    val r06Set = subsetTotal(76)
+    println(s"""{"metric":"total","value":$total,"value_q49":$r01Set,"value_q76":$r06Set,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
