@@ -412,8 +412,16 @@ object Dedup {
     */
   def contaminatedIds(train: DataFrame, trainId: Column, trainText: Column,
                       test: DataFrame, testId: Column, testText: Column,
-                      k: Int): DataFrame = {
+                      k: Int, maxGramDf: Int = 1000): DataFrame = {
+    // Same hot-gram discipline as [[contamination]]: a boilerplate gram in
+    // >maxGramDf train docs sends every one of those rows to a single gh
+    // reducer while signaling nothing — drop it, visibly via observe().
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
     val tr = gramHashes(train, trainId, trainText, "doc_id", k)
+      .withColumn("df", count(lit(1)).over(w))
+      .observe("graft.contaminated_ids",
+        count(when(col("df") > maxGramDf, 1)).as("hot_gram_rows_dropped"))
+      .filter(col("df") <= maxGramDf)
     val te = gramHashes(test, testId, testText, "test_id", k)
       .select(col("gh")).distinct()
     tr.join(te, Seq("gh"), "left_semi").select(col("doc_id")).distinct()
