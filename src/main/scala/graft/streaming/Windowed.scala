@@ -47,6 +47,25 @@ object Windowed {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Streaming curation gate: watermarked exact dedup + the Gopher quality
+    * rules applied to documents as they arrive — the continuous front of
+    * the batch funnel (q85). The quality flags are pure projections so the
+    * gate adds NO state beyond dedup's fingerprint store; rejected rows are
+    * counted via `observe` (visible in each progress event), never silently
+    * dropped.
+    */
+  def curationGateStream(docs: DataFrame, watermark: String): DataFrame = {
+    val pass = graft.functions.Text.gopherFlags(col("text"))
+      .map(_._2).reduce(_ * _) === 1L
+    dedupStream(docs, watermark)
+      .withColumn("__pass", pass)
+      .observe("graft.curation_gate",
+        count(lit(1)).as("n_after_dedup"),
+        count(when(!col("__pass"), 1)).as("n_quality_rejected"))
+      .filter(col("__pass"))
+      .drop("__pass")
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to the
     * same user's clicks in the preceding `maxDelay` (the continuous twin of
     * the batch as-of/range joins, `graft.ops.AsOf` / `graft.ops.RangeJoin`).

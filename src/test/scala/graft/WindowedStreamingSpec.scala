@@ -64,6 +64,35 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(texts.count(_.toLowerCase.contains("cat")) == 1)
   }
 
+  test("curationGateStream dedups then quality-gates with observable rejects") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val gated = Windowed.curationGateStream(stream.toDF(), "10 minutes")
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate_out").start()
+
+    val good = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away with great speed for many days while the sun sets slowly " +
+      "behind tall green hills today"
+    stream.addData(
+      Doc(ts("2024-01-01 00:01:00"), good),
+      Doc(ts("2024-01-01 00:02:00"), good.toUpperCase), // dedup removes first
+      Doc(ts("2024-01-01 00:03:00"), "tiny doc"))       // quality rejects
+    q.processAllAvailable()
+    val out = spark.table("gate_out").collect().map(_.getString(1)).toSeq
+    val metrics = q.recentProgress.flatMap { p =>
+      Option(p.observedMetrics.get("graft.curation_gate"))
+    }
+    q.stop()
+    assert(out == Seq(good))
+    // dedup dropped the uppercase twin BEFORE the gate counted it; the
+    // tiny doc is visible as a quality reject, not silently gone
+    val totalAfterDedup = metrics.map(_.getLong(0)).sum
+    val totalRejected = metrics.map(_.getLong(1)).sum
+    assert(totalAfterDedup == 2L, s"after_dedup=$totalAfterDedup")
+    assert(totalRejected == 1L, s"rejected=$totalRejected")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Windowed.SessionInput]
