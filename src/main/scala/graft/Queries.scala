@@ -1325,6 +1325,15 @@ object Queries {
       .orderBy(col("stage"))
   }
 
+  /** Content-defined chunking with cross-doc chunk dedup
+    * ([[graft.functions.Dedup.cdcChunkStats]]): rolling 8-char-window
+    * boundaries at hash ≡ 0 mod 64, chunk doc-frequency over md5 hashes.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.cdcChunkStats(
+        t(spark, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1414,7 +1423,8 @@ object Queries {
     "q82_lm_score" -> (lmFluency _),
     "q83_incremental_dedup" -> (incrementalDedup _),
     "q84_quality_deciles" -> (qualityDeciles _),
-    "q85_curation_funnel" -> (curationFunnel _))
+    "q85_curation_funnel" -> (curationFunnel _),
+    "q86_cdc_chunks" -> (cdcChunks _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2273,6 +2283,26 @@ object Queries {
          |  UNION ALL SELECT '4_decontaminated', count(*) FROM k4
          |  UNION ALL SELECT '5_decile_trim', count(*) FROM k5
          |) ORDER BY stage""".stripMargin,
+    "q86_cdc_chunks" ->
+      s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
+         |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),
+         |cuts AS (SELECT doc_id, n, i AS cut FROM wins
+         |         WHERE ('0x' || substr(md5(n[i:i+7]), 1, 8))::BIGINT % 64 = 0
+         |         UNION
+         |         SELECT doc_id, n, len(n) AS cut FROM nt),
+         |chunks AS (SELECT doc_id,
+         |             md5(n[lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) + 1 : cut]) AS h,
+         |             cut - lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS clen
+         |           FROM cuts),
+         |stats AS (SELECT doc_id, count(*) AS n_chunks,
+         |            CAST(sum(clen) AS BIGINT) AS total_chars FROM chunks GROUP BY doc_id),
+         |dh AS (SELECT DISTINCT doc_id, h FROM chunks),
+         |shared AS (SELECT doc_id,
+         |             CAST(sum(CASE WHEN hdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |           FROM (SELECT doc_id, count(*) OVER (PARTITION BY h) AS hdf FROM dh)
+         |           GROUP BY doc_id)
+         |SELECT doc_id, n_chunks, total_chars, n_shared
+         |FROM stats JOIN shared USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q84_quality_deciles" ->
       """WITH b AS (SELECT lang, n_chars,
         |            ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin

@@ -447,6 +447,48 @@ object Dedup {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Content-defined chunking (CDC) + cross-document chunk dedup: cut each
+    * document where the hash of the `window`-char context ≡ 0 mod
+    * `avgChunk` — the rsync/LBFS boundary rule, which re-synchronizes
+    * after insertions where fixed-size blocks would shift every boundary —
+    * then report, per document, its chunk count, characters, and how many
+    * of its distinct chunks also occur in ANOTHER document (the span-level
+    * dup signal fixed k-grams approximate).
+    *
+    * Scale shape: the boundary scan is a map-only explode that keeps
+    * ~1/`avgChunk` of positions; chunk doc-frequency follows the q73
+    * pattern — distinct (doc, hash) rows, one count-over-window on the
+    * 16-byte hash — so no shuffle ever carries chunk text.
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: Column, textCol: Column,
+                    window: Int = 8, avgChunk: Int = 64): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
+    val cuts = base
+      .select(col("doc_id"), col("norm"),
+        posexplode(Text.charShingles(col("norm"), window)).as(Seq("p", "w")))
+      .filter(Sampling.hashBucket(col("w"), avgChunk) === 0)
+      .select(col("doc_id"), col("norm"), (col("p") + 1).as("cut"))
+      .unionByName(base.select(col("doc_id"), col("norm"),
+        length(col("norm")).as("cut")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cut"))
+    val chunks = cuts
+      .withColumn("prev", lag(col("cut"), 1, 0).over(w))
+      .select(col("doc_id"),
+        md5(expr("substring(norm, prev + 1, cut - prev)")).as("h"),
+        (col("cut") - col("prev")).cast("long").as("clen"))
+    val stats = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val shared = chunks.select(col("doc_id"), col("h")).distinct()
+      .withColumn("hdf", count(lit(1)).over(hw))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    stats.join(shared, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("total_chars"), col("n_shared"))
+  }
+
   /** C4-style boilerplate-line removal summary: split each document on
     * newlines, count how many DISTINCT documents each line appears in, and
     * flag lines at or above `minDocs` as boilerplate. Returns one row per

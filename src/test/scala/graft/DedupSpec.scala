@@ -240,6 +240,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._2 == 0L)
   }
 
+  test("cdcChunkStats: chunks tile the text; boundaries resync after inserts") {
+    val words = (1 to 60).map(i => s"w${i * 7 % 97}x${i % 13}").mkString(" ")
+    val docs = Seq((1L, words), (2L, "inserted prefix here " + words))
+      .toDF("id", "txt")
+    val out = Dedup.cdcChunkStats(docs, col("id"), col("txt"),
+      window = 8, avgChunk = 16)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_chunks"), r.getAs[Long]("total_chars"),
+        r.getAs[Long]("n_shared")))).toMap
+    // chunks tile the normalized text exactly: total_chars == len(norm)
+    assert(rows(1L)._2 == words.length.toLong)
+    assert(rows(2L)._2 == ("inserted prefix here " + words).length.toLong)
+    assert(rows(1L)._1 > 1L, "text long enough to cut more than one chunk")
+    // THE CDC property: an insertion shifts only the chunks before the
+    // first post-insert boundary — later cuts depend on local content, so
+    // both docs share trailing chunks (fixed-size blocks would share none)
+    assert(rows(1L)._3 >= 1L && rows(2L)._3 >= 1L,
+      s"no resynced chunks: $rows")
+  }
+
   test("contaminatedIds returns exactly the train docs sharing a test k-gram") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares "two three four five six"? no — test has different grams
