@@ -463,11 +463,13 @@ object Dedup {
   def cdcChunkStats(docs: DataFrame, idCol: Column, textCol: Column,
                     window: Int = 8, avgChunk: Int = 64): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
+    // Native one-pass boundary scan (graft.plans.CdcCuts) — identical cuts
+    // to posexplode(charShingles) + hashBucket==0, without a String + hex
+    // rendering + conv() per character position.
     val cuts = base
       .select(col("doc_id"), col("norm"),
-        posexplode(Text.charShingles(col("norm"), window)).as(Seq("p", "w")))
-      .filter(Sampling.hashBucket(col("w"), avgChunk) === 0)
-      .select(col("doc_id"), col("norm"), (col("p") + 1).as("cut"))
+        explode(graft.plans.CdcExpressions.cdc_cuts(
+          col("norm"), window, avgChunk)).as("cut"))
       .unionByName(base.select(col("doc_id"), col("norm"),
         length(col("norm")).as("cut")))
       .distinct()

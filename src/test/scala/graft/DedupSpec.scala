@@ -240,6 +240,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._2 == 0L)
   }
 
+  test("native CdcCuts matches the composable charShingles+hashBucket form") {
+    import graft.functions.Sampling
+    val texts = Seq(
+      (1 to 80).map(i => s"t${i * 13 % 89}").mkString(" "),
+      "héllo wörld ünïcode ça và bien aujourd'hui mes amis du monde entier",
+      "short", "", "exactly8")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+    val native = df.select(col("id"),
+        graft.plans.CdcExpressions.cdc_cuts(col("txt"), 8, 16).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val composable = df.select(col("id"),
+        posexplode(Text.charShingles(col("txt"), 8)).as(Seq("p", "w")))
+      .filter(Sampling.hashBucket(col("w"), 16) === 0)
+      .select(col("id"), (col("p") + 1).cast("int").as("cut"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getInt(1)).sorted.toList).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == composable.getOrElse(i.toLong, Nil),
+        s"id=$i native=${native(i.toLong)}")
+    }
+    // the pseudo-random text must actually produce cuts for this to test much
+    assert(native(0L).nonEmpty)
+  }
+
   test("cdcChunkStats: chunks tile the text; boundaries resync after inserts") {
     val words = (1 to 60).map(i => s"w${i * 7 % 97}x${i % 13}").mkString(" ")
     val docs = Seq((1L, words), (2L, "inserted prefix here " + words))
