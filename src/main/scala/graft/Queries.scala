@@ -1334,6 +1334,23 @@ object Queries {
         t(spark, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** The multimodal METADATA contract under a real oracle: q42's feature
+    * rollup stays rows-only (codec output isn't SQL), but the typed
+    * metadata the pipeline routes on — kind, dimensions, sample rate,
+    * duration — is deterministic arithmetic over the id
+    * ([[graft.functions.Multimodal.syntheticMedia]]), so DuckDB replays it
+    * from `range(300)` and pins the plumbing exactly: per-kind counts,
+    * duration totals, dimension bounds.
+    */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.syntheticMedia(spark, 300)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("duration_ms")).cast("long").as("total_duration_ms"),
+        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        max(col("sample_rate")).cast("long").as("max_sample_rate"))
+      .orderBy(col("kind"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1424,7 +1441,8 @@ object Queries {
     "q83_incremental_dedup" -> (incrementalDedup _),
     "q84_quality_deciles" -> (qualityDeciles _),
     "q85_curation_funnel" -> (curationFunnel _),
-    "q86_cdc_chunks" -> (cdcChunks _))
+    "q86_cdc_chunks" -> (cdcChunks _),
+    "q87_media_metadata" -> (mediaMetadata _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2283,6 +2301,19 @@ object Queries {
          |  UNION ALL SELECT '4_decontaminated', count(*) FROM k4
          |  UNION ALL SELECT '5_decile_trim', count(*) FROM k5
          |) ORDER BY stage""".stripMargin,
+    "q87_media_metadata" ->
+      """WITH m AS (SELECT i,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN i % 3 = 1 THEN 0 ELSE 64 + (i % 4) * 32 END AS width,
+        |  CASE WHEN i % 3 = 1 THEN 0 ELSE 64 END AS height,
+        |  CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i % 10) * 500 END AS duration_ms,
+        |  CASE WHEN i % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate
+        |  FROM range(300) t(i))
+        |SELECT kind, count(*) AS n_items,
+        |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+        |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
+        |  CAST(max(sample_rate) AS BIGINT) AS max_sample_rate
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),
