@@ -1351,6 +1351,51 @@ object Queries {
         max(col("sample_rate")).cast("long").as("max_sample_rate"))
       .orderBy(col("kind"))
 
+  /** Temporal-split cold-start audit: split events at the 80th time
+    * percentile (integer nano math), then measure, per event type, how
+    * many evaluation-window events belong to users with NO history in the
+    * training window — the leakage-vs-coverage number a time-based
+    * train/eval split reports before features are built. The train side
+    * reduces to distinct user ids (a narrow semi-join input), never
+    * re-scanning event payloads.
+    */
+  def coldStartAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_id"), col("event_type"),
+      col("user_id"), col("ts"))
+    // deterministic cut: min + 80% of the span (integer nanos)
+    val b = e.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5 * 4
+    val trainUsers = e.filter(col("ts") < cut).select(col("user_id")).distinct()
+      .withColumn("seen", lit(1L))
+    e.filter(col("ts") >= cut)
+      .join(broadcast(trainUsers), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval_events"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_cold_start"),
+        countDistinct(when(col("seen").isNull, col("user_id"))).as("n_cold_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** K-anonymity facet suppression: publishable per-(lang, source) rollups
+    * with facets under k=8 documents suppressed into an "__other__"
+    * bucket instead of dropped — group sizes stay truthful while no rare
+    * facet is exposed. The pre-publication privacy gate of a shared
+    * corpus-stats table.
+    */
+  def kAnonFacets(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8L
+    val d = t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    d.select(
+        when(col("n_docs") >= k, col("lang")).otherwise(lit("__other__")).as("lang_pub"),
+        when(col("n_docs") >= k, col("source")).otherwise(lit("__other__")).as("source_pub"),
+        col("n_docs"), col("total_chars"))
+      .groupBy(col("lang_pub"), col("source_pub"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
+      .orderBy(col("lang_pub"), col("source_pub"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1442,7 +1487,9 @@ object Queries {
     "q84_quality_deciles" -> (qualityDeciles _),
     "q85_curation_funnel" -> (curationFunnel _),
     "q86_cdc_chunks" -> (cdcChunks _),
-    "q87_media_metadata" -> (mediaMetadata _))
+    "q87_media_metadata" -> (mediaMetadata _),
+    "q88_cold_start" -> (coldStartAudit _),
+    "q89_kanon_facets" -> (kAnonFacets _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2301,6 +2348,26 @@ object Queries {
          |  UNION ALL SELECT '4_decontaminated', count(*) FROM k4
          |  UNION ALL SELECT '5_decile_trim', count(*) FROM k5
          |) ORDER BY stage""".stripMargin,
+    "q88_cold_start" ->
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events),
+        |cut AS (SELECT lo + (hi - lo) // 5 * 4 AS c FROM b),
+        |tr AS (SELECT DISTINCT user_id FROM events, cut WHERE epoch_ns(ts) < c),
+        |ev AS (SELECT e.event_id, e.event_type, e.user_id FROM events e, cut
+        |       WHERE epoch_ns(e.ts) >= c)
+        |SELECT event_type, count(*) AS n_eval_events,
+        |  CAST(sum(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_start,
+        |  count(DISTINCT CASE WHEN tr.user_id IS NULL THEN ev.user_id END) AS n_cold_users
+        |FROM ev LEFT JOIN tr ON ev.user_id = tr.user_id
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q89_kanon_facets" ->
+      """WITH d AS (SELECT lang, source, count(*) AS n_docs,
+        |            CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |           FROM documents GROUP BY lang, source)
+        |SELECT CASE WHEN n_docs >= 8 THEN lang ELSE '__other__' END AS lang_pub,
+        |       CASE WHEN n_docs >= 8 THEN source ELSE '__other__' END AS source_pub,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(total_chars) AS BIGINT) AS total_chars
+        |FROM d GROUP BY 1, 2 ORDER BY lang_pub, source_pub""".stripMargin,
     "q87_media_metadata" ->
       """WITH m AS (SELECT i,
         |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
