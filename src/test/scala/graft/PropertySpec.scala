@@ -208,4 +208,58 @@ class PropertySpec extends AnyFunSuite {
         both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
     }
   }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("the", "cat", "x1", "a@b.co", "10.0.0.1", "call",
+      "555-0199", "wörd", "http://h.io/p")).map(_.mkString(" "))
+
+  test("redactPii is idempotent and never lengthens PII-free text") {
+    forAll(textGen, n = 8) { t =>
+      val df = Seq(t).toDF("text")
+      val once = df.select(graft.functions.Text.redactPii(col("text")))
+        .head().getString(0)
+      val twice = Seq(once).toDF("text")
+        .select(graft.functions.Text.redactPii(col("text"))).head().getString(0)
+      assert(twice == once, s"not idempotent on: $t")
+      // every PII token was replaced: counts on the redacted text are zero
+      val counts = Seq(once).toDF("text")
+        .select(graft.functions.Text.piiCounts(col("text"))
+          .map { case (n2, c) => c.as(n2) }: _*).head()
+      assert((0 until 3).forall(counts.getLong(_) == 0L), s"residual PII in: $once")
+    }
+  }
+
+  test("cdcChunkStats: chunks always tile the normalized text exactly") {
+    forAll(textGen, n = 8) { t =>
+      whenever(t.nonEmpty) {
+        val df = Seq((1L, t)).toDF("id", "txt")
+        val normLen = df
+          .select(length(graft.functions.Text.normalized(col("txt"))))
+          .head().getInt(0).toLong
+        val row = Dedup.cdcChunkStats(df, col("id"), col("txt"),
+          window = 4, avgChunk = 4).head()
+        assert(row.getAs[Long]("total_chars") == normLen,
+          s"chunks don't tile: $t")
+        assert(row.getAs[Long]("n_chunks") >= 1L)
+      }
+    }
+  }
+
+  test("boilerplateSummary: a line is boilerplate iff its doc-frequency clears minDocs") {
+    forAll(Gen.listOfN(6, Gen.oneOf("hot line", "warm", "misc")), n = 6) { lines =>
+      whenever(lines.nonEmpty) {
+        val docs = lines.zipWithIndex
+          .map { case (l, i) => (i.toLong, s"body $i\n$l") }.toDF("id", "txt")
+        val out = Dedup.boilerplateSummary(docs, col("id"), col("txt"), minDocs = 3L)
+          .collect()
+        out.foreach(r => assert(r.getAs[Long]("n_lines") == 2L))
+        // expected: each doc's shared line is boilerplate exactly when the
+        // number of docs carrying that line is >= minDocs ("body i" never is)
+        val freq = lines.groupBy(identity).view.mapValues(_.size).toMap
+        val expected = lines.map(l => if (freq(l) >= 3) 1L else 0L).sum
+        assert(out.map(_.getAs[Long]("n_boiler")).sum == expected,
+          s"lines=$lines freq=$freq")
+      }
+    }
+  }
 }
