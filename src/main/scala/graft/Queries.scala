@@ -1396,6 +1396,23 @@ object Queries {
       .orderBy(col("lang_pub"), col("source_pub"))
   }
 
+  /** Sparse retrieval: top-10 corpus documents per query document (the
+    * first 5 docs stand in for the query set) via the inverted-index
+    * term-match score of [[graft.functions.Tfidf.sparseTopK]]. Integer idf
+    * weights keep the scores exact BIGINT sums, so ranking is under the
+    * differential oracle, not rows-only.
+    */
+  def sparseRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // 0.78: the synthetic vocabulary is ~31 terms with df ≈ 0.75-0.8·N, so
+    // this keeps the mid-frequency half of the index and visibly drops the
+    // hottest terms (a realistic 0.5 stopword cap would empty it here).
+    graft.functions.Tfidf.sparseTopK(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 5), col("doc_id"), col("text"),
+        k = 10, maxDfFrac = 0.78)
+      .orderBy(col("q"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1489,7 +1506,8 @@ object Queries {
     "q86_cdc_chunks" -> (cdcChunks _),
     "q87_media_metadata" -> (mediaMetadata _),
     "q88_cold_start" -> (coldStartAudit _),
-    "q89_kanon_facets" -> (kAnonFacets _))
+    "q89_kanon_facets" -> (kAnonFacets _),
+    "q90_sparse_retrieval" -> (sparseRetrieval _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2381,6 +2399,18 @@ object Queries {
         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
         |  CAST(max(sample_rate) AS BIGINT) AS max_sample_rate
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    "q90_sparse_retrieval" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
+         |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+         |wt AS (SELECT d, term, tf_d, CAST(floor(1000000 / df) AS BIGINT) AS w
+         |       FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM ct)
+         |       WHERE df <= (SELECT count(*) FROM documents) * 0.78),
+         |qt AS (SELECT d AS q, term, tf_d AS tf_q FROM ct WHERE d < 5),
+         |s AS (SELECT q, d, CAST(sum(tf_q * tf_d * w * w) AS BIGINT) AS score
+         |      FROM qt JOIN wt USING (term) GROUP BY 1, 2),
+         |rk AS (SELECT q, d, score,
+         |         row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rnk FROM s)
+         |SELECT q, d, score, rnk FROM rk WHERE rnk <= 10 ORDER BY q, rnk""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

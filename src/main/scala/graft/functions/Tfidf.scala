@@ -59,6 +59,48 @@ object Tfidf {
       .filter(col("rnk") <= k)
   }
 
+  /** Sparse retrieval: for each query document, the top-k corpus documents
+    * by an inverted-index term match — `score(q, d) = Σ_t tf_q · tf_d · w²`
+    * with the integer idf weight `w = floor(1e6 / df_corpus)`, so scores
+    * are EXACT BIGINT sums (real tf-idf's `ln` and float accumulation are
+    * neither engine-portable nor partition-order-free; the integer weight
+    * keeps the same rare-term emphasis and puts retrieval under the
+    * differential oracle).
+    *
+    * Scale shape: this is the classic inverted-index join — both sides
+    * shuffle once on the term, matches aggregate per (query, doc) pair,
+    * and a per-query window takes top-k. Stopword-scale terms flood the
+    * join (|q docs| × |d docs| rows per term): terms in more than
+    * `maxDfFrac` of the corpus are dropped — visibly, via `observe()` —
+    * which is what a real retrieval stack's stopword list does. The cap is
+    * a fraction, not a count, so the same query text survives a 100×
+    * corpus scale-up unchanged (the corpus-size scalar rides in on a
+    * broadcast, no extra shuffle).
+    */
+  def sparseTopK(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                 queries: DataFrame, queryId: Column, queryText: Column,
+                 k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    val ct = termCounts(corpus, corpusId, corpusText)
+      .withColumnRenamed("doc_id", "d").withColumnRenamed("tf", "tf_d")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .observe("graft.sparse_topk",
+        count(when(col("df") > col("n_corpus") * maxDfFrac, 1)).as("hot_term_rows_dropped"))
+      .filter(col("df") <= col("n_corpus") * maxDfFrac)
+      .withColumn("w", floor(lit(1000000L) / col("df")))
+    val qt = termCounts(queries, queryId, queryText)
+      .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
+    val rank = Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("d").asc)
+    qt.join(ct, Seq("term"))
+      .groupBy(col("q"), col("d"))
+      .agg(sum(col("tf_q") * col("tf_d") * col("w") * col("w")).as("score"))
+      .withColumn("rnk", row_number().over(rank))
+      .filter(col("rnk") <= k)
+      .select(col("q"), col("d"), col("score"), col("rnk"))
+  }
+
   /** The corpus's `vocabSize` most frequent terms (ties broken by term) —
     * the vocabulary a coverage/data-mixing pass scores against.
     */
