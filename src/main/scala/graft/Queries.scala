@@ -925,9 +925,15 @@ object Queries {
     * ([[graft.functions.Dedup.connectedComponents]]), cluster = min doc_id
     * of the component. DuckDB verifies with a recursive-CTE transitive
     * closure over the same pairs.
+    *
+    * `spark.graft.checkpoint.dir` (session conf) switches the iteration's
+    * lineage cuts from executor-local checkpoints to reliable ones against
+    * that directory — the cluster-mode setting (survives executor loss);
+    * unset = local-mode fast path.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(minhashPairs(spark, dir))
+    Dedup.connectedComponents(minhashPairs(spark, dir),
+        checkpointDir = spark.conf.getOption("spark.graft.checkpoint.dir"))
       .orderBy(col("id"))
 
   /** Production twin of q36: the same single-pass profile with
@@ -1362,12 +1368,19 @@ object Queries {
   def coldStartAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events").select(col("event_id"), col("event_type"),
       col("user_id"), col("ts"))
-    // deterministic cut: min + 80% of the span (integer nanos)
-    val b = e.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5 * 4
-    val trainUsers = e.filter(col("ts") < cut).select(col("user_id")).distinct()
+    // deterministic cut: min + 80% of the span (integer nanos). The 1-row
+    // min/max aggregate stays IN-PLAN as a broadcast cross join — no
+    // driver-side .head(), so the audit is a single job and is safe on an
+    // empty events table (zero rows out instead of an NPE).
+    val bounds = e.agg(min(col("ts")).as("__lo"), max(col("ts")).as("__hi"))
+    val withCut = e.crossJoin(broadcast(bounds))
+      // DIV = integral division, matching the oracle's `(hi - lo) // 5 * 4`
+      // exactly (Column./ would detour through double).
+      .withColumn("__cut", col("__lo") + expr("(__hi - __lo) DIV 5") * 4)
+    val trainUsers = withCut.filter(col("ts") < col("__cut"))
+      .select(col("user_id")).distinct()
       .withColumn("seen", lit(1L))
-    e.filter(col("ts") >= cut)
+    withCut.filter(col("ts") >= col("__cut"))
       .join(broadcast(trainUsers), Seq("user_id"), "left")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_eval_events"),
@@ -1395,6 +1408,19 @@ object Queries {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
       .orderBy(col("lang_pub"), col("source_pub"))
   }
+
+  /** SemDedup ([[graft.functions.Similarity.semDedupFlags]]): the q72
+    * k-means model blocks the embedding space; within each cluster any
+    * vector with a lower-id cosine-0.45 near-duplicate is dropped — the
+    * embedding-space twin of exact dedup's min-id keeper. DuckDB replays
+    * the full chain: the q72 centroid iteration CTEs, within-cluster
+    * cosine pairs, and the survivor flags.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.semDedupFlags(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"), kmeansModel(spark, dir), threshold = 0.45)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("kept"))
+      .orderBy(col("vec_id"))
 
   /** Sparse retrieval: top-10 corpus documents per query document (the
     * first 5 docs stand in for the query set) via the inverted-index
@@ -1507,7 +1533,8 @@ object Queries {
     "q87_media_metadata" -> (mediaMetadata _),
     "q88_cold_start" -> (coldStartAudit _),
     "q89_kanon_facets" -> (kAnonFacets _),
-    "q90_sparse_retrieval" -> (sparseRetrieval _))
+    "q90_sparse_retrieval" -> (sparseRetrieval _),
+    "q91_semdedup" -> (semDedup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2281,14 +2308,16 @@ object Queries {
       """WITH c AS (SELECT event_id, event_type, value,
         |            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
         |s AS (SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS s,
-        |       CAST(sum(vc * vc) AS BIGINT) AS ss FROM c GROUP BY event_type)
-        |SELECT event_id, c.event_type, value,
-        |  (CAST(vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n) /
-        |  sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n) AS z
-        |FROM c JOIN s ON c.event_type = s.event_type
-        |WHERE abs((CAST(vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n) /
-        |  sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n)) > 3.0
-        |ORDER BY c.event_type, event_id""".stripMargin,
+        |       CAST(sum(vc * vc) AS BIGINT) AS ss FROM c GROUP BY event_type),
+        |z AS (SELECT event_id, c.event_type, value,
+        |  CASE WHEN sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n) > 0
+        |    THEN (CAST(vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n) /
+        |      sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n)
+        |    ELSE 0.0 END AS z
+        |FROM c JOIN s ON c.event_type = s.event_type)
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
     "q81_bloom_filter" ->
       """WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 400000),
         |kpos AS (SELECT key, (('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8*j, 8))::BIGINT) % 1024 AS pos
@@ -2352,9 +2381,12 @@ object Queries {
          |tgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(nt) - 3),
          |                 i -> md5(array_to_string(nt[i:i+4], ' '))))) AS gh
          |        FROM toks JOIN base USING (doc_id) WHERE base.bkt >= 90),
-         |kgr AS (SELECT k3.doc_id, unnest(list_distinct(list_transform(range(1, len(nt) - 3),
+         |kgr0 AS (SELECT k3.doc_id, unnest(list_distinct(list_transform(range(1, len(nt) - 3),
          |                 i -> md5(array_to_string(nt[i:i+4], ' '))))) AS gh
          |        FROM toks JOIN k3 USING (doc_id)),
+         |kgr AS (SELECT doc_id, gh FROM
+         |          (SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM kgr0)
+         |        WHERE df <= 1000),
          |drop4 AS (SELECT DISTINCT kgr.doc_id FROM kgr JOIN tgr USING (gh)),
          |k4 AS (SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
          |k5 AS (SELECT * FROM k4 QUALIFY ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) >= 2)
@@ -2402,15 +2434,32 @@ object Queries {
     "q90_sparse_retrieval" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
          |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
-         |wt AS (SELECT d, term, tf_d, CAST(floor(1000000 / df) AS BIGINT) AS w
-         |       FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM ct)
-         |       WHERE df <= (SELECT count(*) FROM documents) * 0.78),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_corpus,
+         |              (SELECT sum(tf_d) FROM ct) AS total_tokens),
+         |dld AS (SELECT *, sum(tf_d) OVER (PARTITION BY d) AS dl,
+         |               count(*) OVER (PARTITION BY term) AS df FROM ct),
+         |wt AS (SELECT d, term, tf_d, dl,
+         |         CAST(floor(1000000 / df) AS BIGINT) AS w,
+         |         (10000 * 22 * tf_d * (total_tokens // n_corpus)) //
+         |           (10 * (total_tokens // n_corpus) * tf_d
+         |            + 3 * (total_tokens // n_corpus) + 9 * dl) AS tfc
+         |       FROM dld, st
+         |       WHERE df <= n_corpus * 0.78),
          |qt AS (SELECT d AS q, term, tf_d AS tf_q FROM ct WHERE d < 5),
-         |s AS (SELECT q, d, CAST(sum(tf_q * tf_d * w * w) AS BIGINT) AS score
+         |s AS (SELECT q, d, CAST(sum(tf_q * w * tfc) AS BIGINT) AS score
          |      FROM qt JOIN wt USING (term) GROUP BY 1, 2),
          |rk AS (SELECT q, d, score,
          |         row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rnk FROM s)
          |SELECT q, d, score, rnk FROM rk WHERE rnk <= 10 ORDER BY q, rnk""".stripMargin,
+    "q91_semdedup" ->
+      s"""$KmeansBody,
+         |drops AS (SELECT DISTINCT b.vec_id AS dv
+         |          FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |          WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+         |SELECT af.vec_id, CAST(af.cluster AS BIGINT) AS cluster,
+         |       (drops.dv IS NULL) AS kept
+         |FROM af LEFT JOIN drops ON af.vec_id = drops.dv
+         |ORDER BY af.vec_id""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

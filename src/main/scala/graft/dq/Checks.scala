@@ -175,8 +175,13 @@ object Checks {
     val n = col("__n"); val s = col("__s").cast("double")
     val mean = s / n
     val sd = sqrt((col("__ss").cast("double") - s * s / n) / n)
+    // Zero-variance guard: a constant group (or n=1) has sd=0, and
+    // 0/0 = NaN, which both Spark and DuckDB order ABOVE every number —
+    // so |z| > threshold would flag the entire group. Such groups have
+    // no outliers by definition; pin their z to 0.
     scored.join(broadcast(stats), groupCol === col("__grp"))
-      .withColumn("z", (col("__vc").cast("double") - mean) / sd)
+      .withColumn("z",
+        when(sd > 0, (col("__vc").cast("double") - mean) / sd).otherwise(lit(0.0)))
       .filter(abs(col("z")) > threshold)
       .drop("__vc", "__grp", "__n", "__s", "__ss")
   }

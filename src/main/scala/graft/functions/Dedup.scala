@@ -191,17 +191,40 @@ object Dedup {
     * set. This is the step that turns pairwise candidates into one-keeper-
     * per-group semantics at scale without collecting edges to the driver.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsIterated(pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * actually run — near-dup clusters are shallow, so convergence typically
+    * lands well before `maxIter` and the count is the spec's early-exit
+    * assertion.
+    *
+    * Checkpoint strategy: iterative label propagation MUST truncate lineage
+    * each round (the plan otherwise doubles per iteration), but HOW matters
+    * at scale. `localCheckpoint` stores blocks only on executors — fast, and
+    * fine in local mode, but on a real cluster one lost executor makes the
+    * truncated lineage unrecoverable and kills the whole job mid-iteration.
+    * Passing `checkpointDir` switches every cut to a reliable
+    * `checkpoint()` against that (HDFS/object-store) directory, which is the
+    * cluster-mode configuration; `None` keeps the local-mode fast path.
+    */
+  def connectedComponentsIterated(pairs: DataFrame, maxIter: Int = 10,
+                                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // Materialize the edge list once: `pairs` is typically the output of the
     // whole LSH candidate pipeline, and every iteration references edges
     // twice — without this checkpoint the shingle→minhash→band derivation
     // would re-run O(iterations) times.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(eager = true)
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -212,11 +235,10 @@ object Dedup {
       // Checkpoint the new labels FIRST (cuts the growing lineage), then run
       // the convergence probe on two materialized frames — the probe costs
       // one small join, not a recompute of the iteration.
-      val updated = labels
+      val updated = cut(labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(eager = true)
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
       val changed = updated.alias("u")
         .join(labels.alias("l"), "id")
         .filter(col("u.cluster") =!= col("l.cluster"))
@@ -225,7 +247,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Benchmark decontamination: for each held-out document, how many
@@ -463,23 +485,28 @@ object Dedup {
   def cdcChunkStats(docs: DataFrame, idCol: Column, textCol: Column,
                     window: Int = 8, avgChunk: Int = 64): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
-    // Native one-pass boundary scan (graft.plans.CdcCuts) — identical cuts
-    // to posexplode(charShingles) + hashBucket==0, without a String + hex
-    // rendering + conv() per character position.
-    val cuts = base
-      .select(col("doc_id"), col("norm"),
-        explode(graft.plans.CdcExpressions.cdc_cuts(
-          col("norm"), window, avgChunk)).as("cut"))
-      .unionByName(base.select(col("doc_id"), col("norm"),
-        length(col("norm")).as("cut")))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cut"))
-    val chunks = cuts
-      .withColumn("prev", lag(col("cut"), 1, 0).over(w))
-      .select(col("doc_id"),
-        md5(expr("substring(norm, prev + 1, cut - prev)")).as("h"),
-        (col("cut") - col("prev")).cast("long").as("clen"))
+    // Chunking is ENTIRELY map-side: the native one-pass boundary scan
+    // (graft.plans.CdcCuts — identical cuts to posexplode(charShingles) +
+    // hashBucket==0, without a String + hex rendering + conv() per char
+    // position), the end-of-text cut append, and the per-chunk
+    // (md5, length) derivation all happen inside one projection, so the
+    // explode emits 16-byte hashes + lengths and NO shuffle ever carries
+    // document text. (An earlier row-wise form dragged the normalized text
+    // through a distinct and a lag window — two full-text shuffles.)
+    val withCuts = base.select(col("doc_id"), col("norm"),
+      array_sort(array_distinct(concat(
+        graft.plans.CdcExpressions.cdc_cuts(col("norm"), window, avgChunk),
+        array(length(col("norm")))))).as("cuts"))
+    val chunks = withCuts
+      .select(col("doc_id"), explode(transform(col("cuts"), (c, i) => {
+        // CaseWhen branches evaluate lazily, so element_at never sees the
+        // out-of-range index 0 (ANSI mode would throw).
+        val prev = when(i === 0, lit(0)).otherwise(element_at(col("cuts"), i))
+        struct(
+          md5(col("norm").substr(prev + 1, c - prev)).as("h"),
+          (c - prev).cast("long").as("clen"))
+      })).as("ch"))
+      .select(col("doc_id"), col("ch.h").as("h"), col("ch.clen").as("clen"))
     val stats = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
     val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))

@@ -200,6 +200,45 @@ object Similarity {
     if (total == 0) 1.0 else hits / total
   }
 
+  /** SemDedup — semantic deduplication by k-means blocking (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): assign every vector to its nearest centroid, compare
+    * cosine only WITHIN a cluster, and drop any vector that has a
+    * lower-id near-duplicate (cosine ≥ `threshold`) in its cluster — the
+    * min-id keeper discipline of the exact-dedup family, applied in
+    * embedding space. Returns one row per input vector:
+    * (vec_id, cluster, kept).
+    *
+    * Scale shape: assignment is a pure projection (the k×dim centroid
+    * table rides inside [[graft.plans.NearestCentroid]] as an expression
+    * constant — no join, the corpus never shuffles for assignment); the
+    * pair join is one equi-shuffle on the cluster id, and pair expansion
+    * is quadratic only in the CLUSTER size — k is chosen so corpus/k fits
+    * a reducer (the SemDedup paper's trick, same role as the LSH bucket
+    * caps). Norms are projected once per row below the join, one codegen'd
+    * dot per surviving pair.
+    */
+  def semDedupFlags(corpus: DataFrame, idCol: Column, vecCol: Column,
+                    model: Kmeans.Model, threshold: Double): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val assigned = corpus.select(idCol.as("vec_id"), v.as("v"),
+        graft.plans.KmeansExpressions.nearest_centroid(v, model.cents)
+          .getField("cluster").as("cluster"))
+      .withColumn("n", norm(col("v")))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val drops = l.join(r, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFromParts(dot(col("v_a"), col("v_b")), col("n_a"), col("n_b"))
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__drop").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale: candidate pairs through
     * LSH buckets (exact within-bucket check, so precision is exact; recall
     * governed by `bits`).

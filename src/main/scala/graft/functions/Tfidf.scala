@@ -60,42 +60,66 @@ object Tfidf {
   }
 
   /** Sparse retrieval: for each query document, the top-k corpus documents
-    * by an inverted-index term match — `score(q, d) = Σ_t tf_q · tf_d · w²`
-    * with the integer idf weight `w = floor(1e6 / df_corpus)`, so scores
-    * are EXACT BIGINT sums (real tf-idf's `ln` and float accumulation are
-    * neither engine-portable nor partition-order-free; the integer weight
-    * keeps the same rare-term emphasis and puts retrieval under the
-    * differential oracle).
+    * by integer-scaled BM25 over the inverted index:
     *
-    * Scale shape: this is the classic inverted-index join — both sides
-    * shuffle once on the term, matches aggregate per (query, doc) pair,
-    * and a per-query window takes top-k. Stopword-scale terms flood the
-    * join (|q docs| × |d docs| rows per term): terms in more than
-    * `maxDfFrac` of the corpus are dropped — visibly, via `observe()` —
-    * which is what a real retrieval stack's stopword list does. The cap is
-    * a fraction, not a count, so the same query text survives a 100×
-    * corpus scale-up unchanged (the corpus-size scalar rides in on a
-    * broadcast, no extra shuffle).
+    *   score(q, d) = Σ_t  tf_q(t) · w(t) · tfc(t, d)
+    *
+    * where `w = floor(1e6 / df)` is the integer idf weight and `tfc` is the
+    * BM25 term-frequency saturation with k1 = 1.2, b = 0.75 held as exact
+    * rationals (k1 = 6/5, b = 3/4):
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = 22·tf·avgdl / (10·avgdl·tf + 3·avgdl + 9·dl)
+    *
+    * integer-scaled ×10⁴ with a single integral division per posting, and
+    * `avgdl = total_tokens DIV n_corpus`. Every intermediate is a BIGINT
+    * and every division is integral, so scores are EXACT integer sums
+    * (real BM25's `ln` and float accumulation are neither engine-portable
+    * nor partition-order-free; the scaled-rational form keeps rare-term
+    * emphasis, tf saturation AND length normalization while staying under
+    * the differential oracle).
+    *
+    * Scale shape: the classic inverted-index probe — the corpus side
+    * shuffles once on the term; the query side is tiny by construction
+    * (a handful of query documents vs the corpus), so it is PINNED as the
+    * broadcast side — without the pin, Spark can plan a sort-merge join
+    * that shuffles the entire postings list on term. Matches aggregate per
+    * (query, doc) pair and a per-query window takes top-k. Stopword-scale
+    * terms flood the join (|q docs| × |d docs| rows per term): terms in
+    * more than `maxDfFrac` of the corpus are dropped — visibly, via
+    * `observe()` — which is what a real retrieval stack's stopword list
+    * does. The cap is a fraction, not a count, so the same query text
+    * survives a 100× corpus scale-up unchanged. The corpus-stats scalars
+    * (n_corpus, total token count) ride in on 1-row broadcasts; at index
+    * scale a real stack persists the term-count pass and carries the
+    * stats from the indexing job instead of re-tokenizing.
     */
   def sparseTopK(corpus: DataFrame, corpusId: Column, corpusText: Column,
                  queries: DataFrame, queryId: Column, queryText: Column,
                  k: Int, maxDfFrac: Double = 0.5): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    val tot = termCounts(corpus, corpusId, corpusText)
+      .agg(sum(col("tf")).as("total_tokens"))
     val ct = termCounts(corpus, corpusId, corpusText)
       .withColumnRenamed("doc_id", "d").withColumnRenamed("tf", "tf_d")
+      .withColumn("dl", sum(col("tf_d")).over(Window.partitionBy(col("d"))))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
+      .crossJoin(broadcast(tot))
       .observe("graft.sparse_topk",
         count(when(col("df") > col("n_corpus") * maxDfFrac, 1)).as("hot_term_rows_dropped"))
       .filter(col("df") <= col("n_corpus") * maxDfFrac)
       .withColumn("w", floor(lit(1000000L) / col("df")))
+      .withColumn("avgdl", expr("total_tokens DIV n_corpus"))
+      .withColumn("tfc", expr(
+        "(10000 * 22 * tf_d * avgdl) DIV (10 * avgdl * tf_d + 3 * avgdl + 9 * dl)"))
     val qt = termCounts(queries, queryId, queryText)
       .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
     val rank = Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("d").asc)
-    qt.join(ct, Seq("term"))
+    broadcast(qt).join(ct, Seq("term"))
       .groupBy(col("q"), col("d"))
-      .agg(sum(col("tf_q") * col("tf_d") * col("w") * col("w")).as("score"))
+      .agg(sum(col("tf_q") * col("w") * col("tfc")).as("score"))
       .withColumn("rnk", row_number().over(rank))
       .filter(col("rnk") <= k)
       .select(col("q"), col("d"), col("score"), col("rnk"))

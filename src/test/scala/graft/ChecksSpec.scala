@@ -133,4 +133,13 @@ class ChecksSpec extends AnyFunSuite {
       .filter(col("id") === 99L).select(col("z")).head().getDouble(0)
     assert(got == z, s"exact z: got $got want $z")
   }
+
+  test("zscoreOutliers: zero-variance and singleton groups flag nothing") {
+    // sd = 0 makes z = 0/0 = NaN, and NaN sorts above every number — an
+    // unguarded |z| > t would flag EVERY row of a constant group.
+    val df = ((1 to 10).map(i => ("const", i.toLong, 42.0)) :+
+      (("single", 99L, 7.0))).toDF("grp", "id", "v")
+    val out = Checks.zscoreOutliers(df, col("grp"), col("v"), threshold = 3.0)
+    assert(out.count() == 0L)
+  }
 }

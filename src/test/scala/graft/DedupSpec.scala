@@ -190,6 +190,29 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(9L) == 1L)
     assert(cc(5L) == 5L && cc(6L) == 5L)
   }
+
+  test("connectedComponents exits early on convergence, well before maxIter") {
+    // Components of diameter ≤ 3: min-label propagation reaches fixpoint in
+    // 2-3 rounds + 1 probe round — an iteration count at maxIter would mean
+    // the early-exit broke and every q60 run pays maxIter shuffles.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val (labels, iters) = Dedup.connectedComponentsIterated(pairs, maxIter = 10)
+    assert(labels.count() == 6)
+    assert(iters < 10, s"expected early convergence, ran $iters rounds")
+    assert(iters <= 4, s"shallow clusters should converge in <=4 rounds, ran $iters")
+  }
+
+  test("connectedComponents reliable-checkpoint path (cluster mode) gives identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the reliable strategy actually wrote checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
   test("contamination counts train docs sharing a k-gram with each test doc") {
     import spark.implicits._
     val train = Seq(

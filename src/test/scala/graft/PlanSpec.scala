@@ -150,6 +150,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  /** A twin session with AQE off, used ONLY to inspect planned shuffles:
+    * exchanges are inserted by EnsureRequirements during executedPlan
+    * preparation, and under AQE they hide inside leaf query stages that
+    * TreeNode.collect cannot descend into. Planning here never executes
+    * the query.
+    */
+  private lazy val planningSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** Column names carried by every shuffle exchange in the physical plan —
+    * the payload check behind "text never shuffles" pins.
+    */
+  private def shuffledColumns(query: String): Seq[String] =
+    SparkEntry.queries(query)(planningSession, sf)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten.distinct
+
+  test("q83: incremental dedup anti-joins on the fingerprint — no shuffle carries text") {
+    val df = SparkEntry.queries("q83_incremental_dedup")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus side reduces to distinct fingerprints BEFORE the join: the
+    // 16-byte fp + id are the widest things any exchange moves
+    val cols = shuffledColumns("q83_incremental_dedup")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
+
+  test("q86: CDC chunking is a map-only explode — no shuffle carries document text") {
+    val df = SparkEntry.queries("q86_cdc_chunks")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // boundary scan + per-chunk hashing ride the projection; every exchange
+    // moves (doc_id, 16-byte chunk hash, length) — never text or norm
+    val cols = shuffledColumns("q86_cdc_chunks")
+    assert(cols.nonEmpty &&
+      !cols.exists(c => c.contains("text") || c.contains("norm")), cols.toString)
+  }
+
+  test("q90: the query-term table broadcasts onto the postings — no sort-merge join on term") {
+    val plan = finalPlan(SparkEntry.queries("q90_sparse_retrieval")(spark, sf))
+    // Without the broadcast(qt) pin Spark may SMJ, shuffling the entire
+    // inverted index on term — the shape that dies at corpus scale.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {
     val plan = finalPlan(SparkEntry.queries("q36_profile")(spark, sf))
     // N countDistincts in one Aggregate would plan an Expand multiplying

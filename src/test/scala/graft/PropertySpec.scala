@@ -245,6 +245,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNew is append-stable: survivors never flip as the corpus grows") {
+    // The q55/q83 discipline: once a batch document survives against a
+    // corpus, re-running the SAME batch against any GROWN corpus may only
+    // remove survivors whose fingerprint entered the corpus — it can never
+    // admit a previously-rejected doc or change a keeper's identity.
+    val batchGen = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    val corpusGen = Gen.listOf(Gen.oneOf("aa", "bb", "xx", "yy"))
+    val growthGen = Gen.listOf(Gen.oneOf("cc", "zz", "aa"))
+    forAll(Gen.zip(batchGen, corpusGen, growthGen), n = 6) {
+      case (batchTexts, corpusTexts, growth) =>
+        val batch = batchTexts.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("id", "txt")
+        val corpus = corpusTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+        val grown = (corpusTexts ++ growth).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+        def survivors(c: org.apache.spark.sql.DataFrame): Map[String, Long] =
+          Dedup.incrementalNew(c, batch, col("id"), col("txt"))
+            .collect().map(r => r.getAs[Any]("fp").toString -> r.getAs[Long]("doc_id"))
+            .toMap
+        val before = survivors(corpus)
+        val after = survivors(grown)
+        // grown-corpus survivors are a SUBSET of the original survivors...
+        assert(after.keySet.subsetOf(before.keySet),
+          s"batch=$batchTexts corpus=$corpusTexts growth=$growth")
+        // ...with identical keepers for every fingerprint that stayed
+        after.foreach { case (fp, id) =>
+          assert(before(fp) == id, s"keeper flipped for fp=$fp")
+        }
+        // and removals are exactly the fingerprints the growth introduced
+        val grownFps = grown.select(graft.functions.Text.fingerprint(col("txt")))
+          .collect().map(_.get(0).toString).toSet
+        assert((before.keySet -- after.keySet).forall(grownFps.contains))
+    }
+  }
+
   test("boilerplateSummary: a line is boilerplate iff its doc-frequency clears minDocs") {
     forAll(Gen.listOfN(6, Gen.oneOf("hot line", "warm", "misc")), n = 6) { lines =>
       whenever(lines.nonEmpty) {

@@ -124,6 +124,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("semDedupFlags drops the higher id of each within-cluster near-dup pair") {
+    // Two clusters around the axes; 2 is 1's near-dup (cluster 0), 4 is 3's
+    // (cluster 1); 5 sits in cluster 0 but far from everything.
+    val model = graft.functions.Kmeans.Model(k = 2, dim = 2, iters = 0,
+      cents = Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(1.00f, 0.00f)),
+      (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.00f, 1.00f)),
+      (4L, Seq(0.01f, 0.98f)),
+      (5L, Seq(0.70f, -0.70f))).toDF("id", "v")
+    val out = Similarity.semDedupFlags(df, col("id"), col("v"), model, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && !out(2L)._2, s"pair (1,2): $out")
+    assert(out(3L)._2 && !out(4L)._2, s"pair (3,4): $out")
+    assert(out(5L)._2, s"loner 5 must survive: $out")
+    assert(out(1L)._1 == 0 && out(3L)._1 == 1)
+  }
+
   test("lshRecall improves as bits decrease (bigger buckets, more candidates)") {
     val corpus = (0L to 200L).map(i =>
       (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f))).toDF("id", "v")

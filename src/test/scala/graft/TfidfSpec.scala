@@ -42,8 +42,12 @@ class TfidfSpec extends AnyFunSuite {
       .collect()
     assert(out.map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"))).toSet ==
       Set((1L, 1L)))
-    // zebra weight: floor(1e6/1) = 1_000_000; tf 1·1 → score w².
-    assert(out.head.getAs[Long]("score") == 1000000L * 1000000L)
+    // BM25 by hand: zebra idf weight floor(1e6/1) = 1_000_000. Doc 1 is
+    // exactly average length (dl = 2, avgdl = 9 DIV 4 = 2) with tf_d = 1,
+    // so the k1/b saturation is exactly 1.0 → tfc = 10_000 (the ×1e4
+    // scale): (10000·22·1·2) DIV (10·2·1 + 3·2 + 9·2) = 440000 DIV 44.
+    // score = tf_q(1) · w · tfc = 1e6 · 1e4.
+    assert(out.head.getAs[Long]("score") == 1000000L * 10000L)
   }
 
   test("sparseTopK caps results at k per query") {
