@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   * a real decoder would amortize native-library initialization across a
   * batch (the Scala analog of `mapInPandas` batch processing). Decode sits
   * behind the [[MediaCodec]] seam: the JDK-native [[JvmCodec]] really
-  * decodes PNG/JPEG pixels, WAV/PCM samples, and multi-frame GIF video
-  * with zero native dependencies; [[FakeCodec]] is the deterministic
-  * fallback for undecodable payloads and the stand-in a production stack
-  * would replace with JNI codecs for the heavier containers (MP4/H.264,
-  * FLAC, …).
+  * decodes PNG/JPEG pixels, WAV/PCM samples, and multi-frame video in both
+  * GIF and MJPEG-AVI containers with zero native dependencies;
+  * [[FakeCodec]] is the deterministic fallback for undecodable payloads
+  * and the stand-in a production stack would replace with JNI codecs for
+  * the genuinely-unknown containers (MP4/H.264, FLAC, …).
   *
   * Scale notes: media bytes are the widest column by far — always project
   * them away before any shuffle (`select` metadata + features first), keep
@@ -240,23 +240,7 @@ object Multimodal {
         catch { case _: Exception => null }
       if (track == null) return FakeCodec.extract(kind, bytes, dim)
       val (lums, w, h) = track
-      val n = lums.length
-      val mean = lums.sum / n
-      val variance = lums.map(l => (l - mean) * (l - mean)).sum / n
-      val motion =
-        if (n > 1) lums.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (n - 1)
-        else 0.0
-      val out = new Array[Float](dim)
-      out(0) = n.toFloat
-      out(1) = mean.toFloat
-      out(2) = math.sqrt(variance).toFloat
-      out(3) = motion.toFloat // temporal activity: mean |Δ luminance|
-      out(4) = w.toFloat
-      out(5) = h.toFloat
-      val slots = dim - 6
-      var i = 0
-      while (i < slots) { out(6 + i) = lums((i.toLong * n / slots).toInt).toFloat; i += 1 }
-      out
+      videoFeatures(lums, w, h, dim)
     }
 
     /** Streaming decode: composite each frame onto a single logical-screen
@@ -335,35 +319,146 @@ object Multimodal {
             e.getAttribute("imageTopPosition").toInt)
         }
       } catch { case _: Exception => (0, 0) }
+  }
 
-    private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
-      val w = img.getWidth; val h = img.getHeight
-      var s = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          x += 1
-        }
-        y += 1
+  /** The shared video feature vector: frame count, mean/stddev/motion of
+    * the per-frame luminance track, and frame dimensions in the first 6
+    * slots; an evenly frame-sampled luminance track (the "sample every
+    * k-th frame" primitive) in the rest. Both video containers (GIF and
+    * MJPEG-AVI) reduce to a luminance track and meet here.
+    */
+  private def videoFeatures(lums: Array[Double], w: Int, h: Int,
+                            dim: Int): Array[Float] = {
+    val n = lums.length
+    val mean = lums.sum / n
+    val variance = lums.map(l => (l - mean) * (l - mean)).sum / n
+    val motion =
+      if (n > 1) lums.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (n - 1)
+      else 0.0
+    val out = new Array[Float](dim)
+    out(0) = n.toFloat
+    out(1) = mean.toFloat
+    out(2) = math.sqrt(variance).toFloat
+    out(3) = motion.toFloat // temporal activity: mean |Δ luminance|
+    out(4) = w.toFloat
+    out(5) = h.toFloat
+    val slots = dim - 6
+    var i = 0
+    while (i < slots) { out(6 + i) = lums((i.toLong * n / slots).toInt).toFloat; i += 1 }
+    out
+  }
+
+  private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
       }
-      s / (255.0 * w * h)
+      y += 1
+    }
+    s / (255.0 * w * h)
+  }
+
+  /** Real video decode for MJPEG-in-AVI — the classic RIFF container with
+    * per-frame JPEG payloads, parsed pure-JVM: walk the RIFF chunk tree to
+    * the `movi` LIST, decode each `##dc`/`##db` frame chunk with ImageIO's
+    * JPEG reader, and reduce to the same luminance-track features as
+    * [[GifVideoCodec]] (reference surface: the conform layer's
+    * file-type routing, `Kafka_ArrivalToConform.sh:536-540`, generalized to
+    * media containers). Frame dimensions come from the `avih` main header
+    * when present, else from the first decoded frame. Non-video kinds,
+    * non-AVI bytes, and undecodable frames fall back to [[FakeCodec]];
+    * [[GifVideoCodec.MaxFrames]]/[[GifVideoCodec.MaxPixels]] bound
+    * adversarial inputs the same way the GIF path does (one decoded frame
+    * in memory at a time — never the whole sequence).
+    */
+  object AviMjpegCodec extends MediaCodec {
+    override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (kind != "video" || dim < 6) return FakeCodec.extract(kind, bytes, dim)
+      val track =
+        try luminanceTrack(bytes)
+        catch { case _: Exception => null }
+      if (track == null) return FakeCodec.extract(kind, bytes, dim)
+      val (lums, w, h) = track
+      videoFeatures(lums, w, h, dim)
+    }
+
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Streaming parse: one decoded frame at a time, luminance measured and
+      * the frame dropped. Returns null when the payload is not a decodable
+      * AVI within bounds.
+      */
+    private def luminanceTrack(bytes: Array[Byte]): (Array[Double], Int, Int) = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return null
+      val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+      var aviW = 0; var aviH = 0
+      val lums = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // Walk a chunk run [off, limit); recurse into LIST chunks. `avih`
+      // carries dwWidth/dwHeight at data offsets 32/36; frame chunks are
+      // `##dc`/`##db` (compressed/uncompressed video data for stream ##).
+      def walk(start: Int, limit: Int): Unit = {
+        var off = start
+        while (off + 8 <= limit && lums.length < GifVideoCodec.MaxFrames) {
+          val id = fourcc(bytes, off)
+          val size = le32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > limit) return
+          if (id == "LIST" && size >= 4) {
+            walk(off + 12, off + 8 + size)
+          } else if (id == "avih" && size >= 40) {
+            aviW = le32(bytes, off + 8 + 32)
+            aviH = le32(bytes, off + 8 + 36)
+            if (aviW < 0 || aviH < 0 ||
+              (aviW > 0 && aviH > 0 &&
+                aviW.toLong * aviH > GifVideoCodec.MaxPixels))
+              throw new java.io.IOException(s"canvas ${aviW}x$aviH over cap")
+          } else if (size > 0 && id.length == 4 &&
+            id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off + 8, size))
+            if (img == null) throw new java.io.IOException("undecodable frame")
+            if (img.getWidth.toLong * img.getHeight > GifVideoCodec.MaxPixels)
+              throw new java.io.IOException("frame over pixel cap")
+            if (aviW == 0) { aviW = img.getWidth; aviH = img.getHeight }
+            lums += meanLuminance(img)
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, end)
+      if (lums.isEmpty) null else (lums.toArray, aviW, aviH)
     }
   }
 
   /** JDK-native media codec: real decodes for images ([[ImageIoCodec]]),
-    * WAV audio ([[WavPcmCodec]]), and GIF-container video
-    * ([[GifVideoCodec]]); only unknown kinds and undecodable payloads hit
-    * the deterministic stub.
+    * WAV audio ([[WavPcmCodec]]), and video — container-sniffed to
+    * MJPEG-AVI ([[AviMjpegCodec]]) or GIF ([[GifVideoCodec]]); only
+    * genuinely unknown containers and undecodable payloads hit the
+    * deterministic stub.
     */
   object JvmCodec extends MediaCodec {
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
     override def extract(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
       kind match {
         case "image" => ImageIoCodec.extract(kind, bytes, dim)
         case "audio" => WavPcmCodec.extract(kind, bytes, dim)
+        case "video" if isAvi(bytes) => AviMjpegCodec.extract(kind, bytes, dim)
         case "video" => GifVideoCodec.extract(kind, bytes, dim)
         case _ => FakeCodec.extract(kind, bytes, dim)
       }
@@ -431,6 +526,59 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic tiny MJPEG-AVI — a real RIFF/AVI container (proper
+    * `hdrl` headers + `movi` frame list, word-aligned chunks) whose frames
+    * are ImageIO-encoded JPEGs of the same moving gradient as [[gifBytes]].
+    * Encoded executor-side, per row.
+    */
+  private def aviBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def chunk(cid: String, data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(cid.getBytes(ascii)); bb.putInt(data.length); bb.put(data)
+      bb.array() // trailing pad byte (odd sizes) is the zero from allocate
+    }
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(ascii) ++ payload)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (f * 25 + ((id * 17 + x * 2 + y) % 64)).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(100000) // dwMicroSecPerFrame: 10 fps
+    avih.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    avih.putInt(nFrames).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, sugBuf
+    avih.putInt(w).putInt(h) // dwWidth, dwHeight (+16 reserved zero bytes)
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes(ascii)).put("MJPG".getBytes(ascii))
+    strh.putInt(0).putInt(0).putInt(0) // flags, prio+lang, initialFrames
+    strh.putInt(1).putInt(10) // dwScale/dwRate = 10 fps
+    strh.putInt(0).putInt(nFrames).putInt(0).putInt(-1).putInt(0) // start, len, sugBuf, quality, sampleSize
+    strh.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER
+    strf.put("MJPG".getBytes(ascii)).putInt(w * h * 3) // biCompression, biSizeImage
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", frames.flatMap(fb => chunk("00dc", fb)).toArray)
+    chunk("RIFF", "AVI ".getBytes(ascii) ++ hdrl ++ movi)
+  }
+
   /** Deterministic tiny WAV — a per-id sine tone as real 16-bit PCM bytes
     * the JDK decoder accepts. Encoded executor-side, per row.
     */
@@ -456,9 +604,10 @@ object Multimodal {
 
   /** Deterministic synthetic media table (no media files ship with the test
     * data): images are real PNGs ([[pngBytes]]), audio rows real WAVs
-    * ([[wavBytes]]), and video rows real animated GIFs ([[gifBytes]]), so
-    * [[JvmCodec]] decodes genuine pixels, samples, and frames end-to-end.
-    * Used by specs and q42 to exercise the pipeline.
+    * ([[wavBytes]]), and video rows alternate between real animated GIFs
+    * ([[gifBytes]]) and real MJPEG-AVIs ([[aviBytes]]), so [[JvmCodec]]
+    * decodes genuine pixels, samples, and frames from BOTH video
+    * containers end-to-end. Used by specs and q42 to exercise the pipeline.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
@@ -472,7 +621,8 @@ object Multimodal {
       val bytes = kind match {
         case "image" => pngBytes(id, width, height)
         case "audio" => wavBytes(id, 16000, durationMs)
-        case _ => gifBytes(id, width, height, nFrames = 2 + (id % 5).toInt)
+        case _ if (id / 3) % 2 == 0 => gifBytes(id, width, height, nFrames = 2 + (id % 5).toInt)
+        case _ => aviBytes(id, width, height, nFrames = 2 + (id % 5).toInt)
       }
       MediaItem(id, kind, bytes, width, height,
         sample_rate = if (kind == "audio") 16000 else 0,
