@@ -1422,6 +1422,25 @@ object Queries {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("kept"))
       .orderBy(col("vec_id"))
 
+  /** Cluster-balanced diversity sample: the q72 k-means model assigns
+    * every vector (pure projection — centroids ride inside the
+    * expression), then a per-cluster hash-ordered top-10 take
+    * ([[graft.functions.Sampling.stratifiedSample]]) — the
+    * diversity-preserving downsampling a topic-balanced mixture runs
+    * (uniform per semantic cluster rather than per corpus), append-stable
+    * like every sampler here. Vectors never shuffle: only
+    * (vec_id, cluster) enters the sampling window.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.functions.Kmeans.assign(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"), kmeansModel(spark, dir))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    Sampling.stratifiedSample(assigned, Seq(col("cluster")),
+        col("vec_id"), perStratum = 10)
+      .select(col("vec_id"), col("cluster"), col("sample_rank"))
+      .orderBy(col("cluster"), col("sample_rank"))
+  }
+
   /** Sparse retrieval: top-10 corpus documents per query document (the
     * first 5 docs stand in for the query set) via the inverted-index
     * term-match score of [[graft.functions.Tfidf.sparseTopK]]. Integer idf
@@ -1534,7 +1553,8 @@ object Queries {
     "q88_cold_start" -> (coldStartAudit _),
     "q89_kanon_facets" -> (kAnonFacets _),
     "q90_sparse_retrieval" -> (sparseRetrieval _),
-    "q91_semdedup" -> (semDedup _))
+    "q91_semdedup" -> (semDedup _),
+    "q92_cluster_sample" -> (clusterSample _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2460,6 +2480,15 @@ object Queries {
          |       (drops.dv IS NULL) AS kept
          |FROM af LEFT JOIN drops ON af.vec_id = drops.dv
          |ORDER BY af.vec_id""".stripMargin,
+    "q92_cluster_sample" ->
+      s"""$KmeansBody,
+         |r AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |        row_number() OVER (PARTITION BY cluster ORDER BY
+         |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+         |          vec_id) AS sample_rank
+         |      FROM af)
+         |SELECT vec_id, cluster, sample_rank FROM r WHERE sample_rank <= 10
+         |ORDER BY cluster, sample_rank""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -202,6 +202,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q91: semdedup pair generation is cluster-blocked — never a cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q91_semdedup")(spark, sf))
+    // within-cluster pairs come from an equi-join on the cluster id;
+    // an unblocked form would be an all-pairs cartesian over the corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q92: cluster sample assigns by projection — no join anywhere in the plan") {
+    val plan = finalPlan(SparkEntry.queries("q92_cluster_sample")(spark, sf))
+    // centroids ride inside the NearestCentroid expression: the whole
+    // query is scan → project → window → filter → sort; a Join would mean
+    // the corpus shuffles against a centroid table
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {
     val plan = finalPlan(SparkEntry.queries("q36_profile")(spark, sf))
     // N countDistincts in one Aggregate would plan an Expand multiplying
