@@ -991,6 +991,18 @@ object Queries {
       .select(col("lang"), col("doc_id"), col("mix_rank"))
       .orderBy(col("lang"), col("mix_rank"))
 
+  /** Token-budget mixture ([[graft.functions.Sampling.tokenBudgetSample]]):
+    * a training mix stated in TOKENS — 30k en / 10k es / 10k fr / 5k de
+    * (zh excluded) — admitted as a per-language hash-order prefix whose
+    * running token sum stays within budget.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetSample(t(spark, dir, "documents"), col("lang"),
+        col("doc_id"), Text.tokenCount(col("text")),
+        budgets = Map("en" -> 30000L, "es" -> 10000L, "fr" -> 10000L, "de" -> 5000L))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+
   /** Benchmark decontamination over the q55 hash split: held-out docs
     * (bucket ≥ 90) sharing a word 5-gram with any train doc (bucket < 80),
     * with train-doc and shared-gram counts.
@@ -1554,7 +1566,8 @@ object Queries {
     "q89_kanon_facets" -> (kAnonFacets _),
     "q90_sparse_retrieval" -> (sparseRetrieval _),
     "q91_semdedup" -> (semDedup _),
-    "q92_cluster_sample" -> (clusterSample _))
+    "q92_cluster_sample" -> (clusterSample _),
+    "q93_token_budget_mix" -> (tokenBudgetMix _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2489,6 +2502,17 @@ object Queries {
          |      FROM af)
          |SELECT vec_id, cluster, sample_rank FROM r WHERE sample_rank <= 10
          |ORDER BY cluster, sample_rank""".stripMargin,
+    "q93_token_budget_mix" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, CAST(len($DTOKS) AS BIGINT) AS n_tokens,
+         |         CAST(sum(len($DTOKS)) OVER (PARTITION BY lang ORDER BY
+         |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+         |           doc_id) AS BIGINT) AS cum_tokens
+         |  FROM documents)
+         |SELECT lang, doc_id, n_tokens, cum_tokens FROM r
+         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 30000 WHEN 'es' THEN 10000
+         |                              WHEN 'fr' THEN 10000 WHEN 'de' THEN 5000 ELSE 0 END
+         |ORDER BY lang, cum_tokens""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -95,6 +95,31 @@ object Sampling {
       .filter(col("mix_rank") <= quota)
   }
 
+  /** Token-budget mixture: per stratum, admit documents in the repo-wide
+    * deterministic hash order until the stratum's TOKEN budget is spent —
+    * the mixture primitive when a training mix is specified in tokens
+    * rather than document counts (how pretraining mixes are actually
+    * stated). The running token sum is a per-stratum window cumsum over a
+    * unique total order, so the admitted set is a strict prefix in hash
+    * order: once the cumsum exceeds the budget every later document is out
+    * too — deterministic and plain SQL under the oracle. Strata absent
+    * from `budgets` get budget 0 (excluded). Same single shuffle on the
+    * stratum key as [[stratifiedSample]]; the token count is a scan-local
+    * projection.
+    */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
+                        tokenCount: Column,
+                        budgets: Map[String, Long]): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, b)) => when(stratum === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratum)
+      .orderBy(hashBucket(key, 1 << 30), key)
+    df.withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+  }
+
   /** Per-stratum quantile binning: rank by (`metric`, `tiebreak`) inside
     * each stratum and cut into `n` equal-count bins (`ntile` — SQL-standard
     * bucket sizing, so any engine agrees). The unique tiebreak makes the

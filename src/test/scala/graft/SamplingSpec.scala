@@ -95,6 +95,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == mix.select(col("id")).collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetSample admits a hash-order prefix per stratum within the token budget") {
+    import spark.implicits._
+    // ids 1..40 in en (7 tokens each), 50..60 in es (3 tokens each), plus a
+    // zh doc with no budget entry
+    val docs = ((1L to 40L).map(i => ("en", i, "a b c d e f g")) ++
+      (50L to 60L).map(i => ("es", i, "x y z")) :+ (("zh", 99L, "w"))).toDF("lang", "id", "txt")
+    val out = Sampling.tokenBudgetSample(docs, col("lang"), col("id"),
+        graft.functions.Text.tokenCount(col("txt")),
+        budgets = Map("en" -> 70L, "es" -> 7L))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    // budgets admit exactly floor(70/7)=10 en docs and floor(7/3)=2 es docs
+    assert(out.count(_._1 == "en") == 10, out.mkString(","))
+    assert(out.count(_._1 == "es") == 2)
+    assert(!out.exists(_._1 == "zh")) // no budget → excluded
+    // the admitted set is the PREFIX of the deterministic hash order
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % (1L << 30)
+    }
+    val expectedEn = (1L to 40L).sortBy(i => (bucket(i), i)).take(10).toSet
+    assert(out.filter(_._1 == "en").map(_._2).toSet == expectedEn)
+    // cumsum is consistent: max cum_tokens = 10 * 7
+    assert(out.filter(_._1 == "en").map(_._4).max == 70L)
+  }
+
   test("quantileBins cuts each stratum into n equal-count ordered bins") {
     import spark.implicits._
     // 23 docs in one stratum → ntile(4) buckets of 6,6,6,5 in metric order
