@@ -90,19 +90,28 @@ object Tfidf {
     * `observe()` — which is what a real retrieval stack's stopword list
     * does. The cap is a fraction, not a count, so the same query text
     * survives a 100× corpus scale-up unchanged. The corpus-stats scalars
-    * (n_corpus, total token count) ride in on 1-row broadcasts; at index
-    * scale a real stack persists the term-count pass and carries the
-    * stats from the indexing job instead of re-tokenizing.
+    * (n_corpus, total token count) ride in on 1-row broadcasts —
+    * total_tokens is a scan-local `sum(size(tokens))` (no explode, no
+    * shuffle), and the per-doc length `dl` rides through the term-count
+    * aggregate as a functionally-dependent group key instead of costing
+    * its own full-index window shuffle.
     */
   def sparseTopK(corpus: DataFrame, corpusId: Column, corpusText: Column,
                  queries: DataFrame, queryId: Column, queryText: Column,
                  k: Int, maxDfFrac: Double = 0.5): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
-    val tot = termCounts(corpus, corpusId, corpusText)
-      .agg(sum(col("tf")).as("total_tokens"))
-    val ct = termCounts(corpus, corpusId, corpusText)
-      .withColumnRenamed("doc_id", "d").withColumnRenamed("tf", "tf_d")
-      .withColumn("dl", sum(col("tf_d")).over(Window.partitionBy(col("d"))))
+    val corpusToks = Text.tokens(Text.normalized(corpusText))
+    val tot = corpus.agg(sum(size(corpusToks)).as("total_tokens"))
+    // dl MUST become an attribute BEFORE the explode select: a generator
+    // select evaluates its non-generator expressions ABOVE the Generate,
+    // so an inline size(tokens) would re-tokenize once per exploded TOKEN
+    // (a measured 3.6x on the whole query), not once per document.
+    val ct = corpus
+      .select(corpusId.as("d"), corpusToks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(col("d"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("d"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf_d"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(tot))
