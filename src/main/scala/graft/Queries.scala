@@ -1316,10 +1316,14 @@ object Queries {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
+    // keep1 feeds three consumers (its own stage count, keep2's count, the
+    // keep3 build) — persist it like keep3/keep4 below, or the fingerprint
+    // window runs three times.
     val keep1 = d.withColumn("fp", Text.fingerprint(col("text")))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("__rk") === 1).drop("__rk", "fp")
+      .persist()
     val keep2 = keep1.filter(
       Text.gopherFlags(col("text")).map(_._2).reduce(_ * _) === 1L)
     val bkt = Sampling.hashBucket(col("doc_id"), 100)

@@ -38,4 +38,14 @@ class QueriesSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, sf).columns.toSet == cols, q)
     }
   }
+
+  test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
+    // The 80th-percentile cut is an in-plan broadcast cross join of the
+    // 1-row min/max aggregate — a driver-side .head() here would
+    // NullPointerException on getLong(null) before this query ever ran.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    spark.read.parquet(s"$sf/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("q88_cold_start")(spark, dir).count() == 0L)
+  }
 }
