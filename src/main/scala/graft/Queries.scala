@@ -1211,6 +1211,36 @@ object Queries {
       .orderBy(col("domain"))
   }
 
+  /** URL canonicalization + dedup ([[graft.functions.Text
+    * .canonicalizeUrl]]): raw URLs planted with the variation a crawl
+    * frontier actually sees — mixed-case hosts, `www.` prefixes, trailing
+    * slashes, `utm_*` tracking params, fragments — collapse onto their
+    * canonical form; per canonical URL the dedup reports document reach,
+    * how many distinct raw spellings it absorbed, and the min-doc keeper.
+    * Pure projection → one narrow groupBy shuffle: the
+    * have-we-fetched-this-already gate at frontier scale.
+    */
+  def urlCanonDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val raw = concat(
+      lit("https://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (d % 10).cast("string"),
+      lit(".Example.com/doc/"), (d % 5).cast("string"),
+      when(d % 2 === 0, lit("/")).otherwise(lit("")),
+      when(d % 3 === 1, concat(lit("?utm_source=feed&ref="), (d % 2).cast("string")))
+        .when(d % 3 === 2, concat(lit("?ref="), (d % 2).cast("string")))
+        .otherwise(lit("")),
+      when(d % 5 === 0, concat(lit("#sec"), (d % 3).cast("string"))).otherwise(lit("")))
+    t(spark, dir, "documents").select(d, raw.as("raw_url"))
+      .withColumn("canonical_url", Text.canonicalizeUrl(col("raw_url")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(d).as("keep_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** C4-style boilerplate-line removal ([[graft.functions.Dedup
     * .boilerplateSummary]]): lines recurring across ≥100 documents are
     * boilerplate; per-doc counts + characters kept. Boilerplate lines are
@@ -1571,7 +1601,8 @@ object Queries {
     "q90_sparse_retrieval" -> (sparseRetrieval _),
     "q91_semdedup" -> (semDedup _),
     "q92_cluster_sample" -> (clusterSample _),
-    "q93_token_budget_mix" -> (tokenBudgetMix _))
+    "q93_token_budget_mix" -> (tokenBudgetMix _),
+    "q94_url_canon" -> (urlCanonDedup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2517,6 +2548,33 @@ object Queries {
          |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 30000 WHEN 'es' THEN 10000
          |                              WHEN 'fr' THEN 10000 WHEN 'de' THEN 5000 ELSE 0 END
          |ORDER BY lang, cum_tokens""".stripMargin,
+    "q94_url_canon" ->
+      """WITH r AS (SELECT doc_id,
+        |  'https://' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |  'Site' || CAST(doc_id % 10 AS VARCHAR) ||
+        |  '.Example.com/doc/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&ref=' || CAST(doc_id % 2 AS VARCHAR)
+        |       WHEN doc_id % 3 = 2 THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS raw_url
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS nofrag FROM r),
+        |p AS (SELECT doc_id, raw_url,
+        |        lower(regexp_extract(nofrag, '^(https?)://', 1)) AS scheme,
+        |        regexp_replace(lower(regexp_extract(nofrag, '^https?://([^/?]+)', 1)), '^www\.', '') AS host,
+        |        regexp_replace(regexp_extract(nofrag, '^https?://[^/?]+([^?]*)', 1), '/$', '') AS path,
+        |        array_to_string(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |          q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'fbclid'))), '&') AS qk
+        |      FROM n),
+        |c AS (SELECT doc_id, raw_url,
+        |        scheme || '://' || host || path ||
+        |        CASE WHEN qk <> '' THEN '?' || qk ELSE '' END AS canonical_url
+        |      FROM p)
+        |SELECT canonical_url, count(*) AS n_docs,
+        |       count(DISTINCT raw_url) AS n_raw_forms,
+        |       min(doc_id) AS keep_doc
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -197,4 +197,28 @@ object Text {
 
   def urlHosts(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
+
+  /** Canonical URL form for frontier dedup — the normalization a crawl
+    * pipeline applies before "have we fetched this already": drop the
+    * fragment, lowercase scheme and host, strip a leading `www.`, strip a
+    * trailing slash on the path, and drop tracking query parameters
+    * (`utm_*`, `fbclid*`) while preserving the rest in order. The scheme
+    * is preserved (http and https stay distinct). A root path collapses to
+    * the bare host. Pure per-row string ops in the Java∩RE2 regex subset,
+    * replayable verbatim in DuckDB.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(nofrag, "^(https?)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(nofrag, "^https?://([^/?]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(nofrag, "^https?://[^/?]+([^?]*)", 1), "/$", "")
+    val qs = regexp_extract(nofrag, "\\?(.*)$", 1)
+    val qk = array_join(
+      filter(split(qs, "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("fbclid"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qk =!= "", concat(lit("?"), qk)).otherwise(lit("")))
+  }
 }

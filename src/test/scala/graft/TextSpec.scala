@@ -108,4 +108,21 @@ class TextSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(hosts == Seq("a.example.com", "www.b.org"))
   }
+
+  test("canonicalizeUrl: case/www/slash/tracking/fragment variants collapse; real params survive") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Text.canonicalizeUrl(col("u"))).head().getString(0)
+    // the full gauntlet in one URL
+    assert(canon("https://WWW.Example.COM/a/b/?utm_source=x&ref=1#frag")
+      == "https://example.com/a/b?ref=1")
+    // scheme is preserved, host lowercased, path case kept
+    assert(canon("http://Site.ORG/Path") == "http://site.org/Path")
+    // root path + tracking-only query collapses to the bare host
+    assert(canon("https://site.org/?utm_a=1") == "https://site.org")
+    // fbclid dropped, param order of survivors preserved
+    assert(canon("https://s.io/p?b=2&fbclid=xyz&a=1") == "https://s.io/p?b=2&a=1")
+    // already-canonical URLs are fixpoints
+    val fix = "https://example.com/a/b?ref=1"
+    assert(canon(fix) == fix && canon(canon(fix)) == canon(fix))
+  }
 }
