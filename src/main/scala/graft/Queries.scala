@@ -1211,6 +1211,23 @@ object Queries {
       .orderBy(col("domain"))
   }
 
+  /** Quality-aware dedup survivorship
+    * ([[graft.functions.Dedup.bestQualityKeepers]]): duplicate groups
+    * planted by collapsing every 7th document onto one of 3 shared bodies;
+    * the keeper is the copy with the most original characters (ties to the
+    * smallest id), not the first-crawled one — the survivorship policy of
+    * a real curation pass.
+    */
+  def qualityKeeperDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = t(spark, dir, "documents").withColumn("t2",
+      when(d % 7 === 0,
+        concat(lit("shared duplicate body "), (d % 3).cast("string")))
+        .otherwise(col("text")))
+    Dedup.bestQualityKeepers(planted, d, col("t2"), col("n_chars").cast("long"))
+      .orderBy(col("fp"))
+  }
+
   /** URL canonicalization + dedup ([[graft.functions.Text
     * .canonicalizeUrl]]): raw URLs planted with the variation a crawl
     * frontier actually sees — mixed-case hosts, `www.` prefixes, trailing
@@ -1602,7 +1619,8 @@ object Queries {
     "q91_semdedup" -> (semDedup _),
     "q92_cluster_sample" -> (clusterSample _),
     "q93_token_budget_mix" -> (tokenBudgetMix _),
-    "q94_url_canon" -> (urlCanonDedup _))
+    "q94_url_canon" -> (urlCanonDedup _),
+    "q95_quality_keeper" -> (qualityKeeperDedup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2575,6 +2593,20 @@ object Queries {
         |       count(DISTINCT raw_url) AS n_raw_forms,
         |       min(doc_id) AS keep_doc
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "q95_quality_keeper" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS q,
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN 'shared duplicate body ' || CAST(doc_id % 3 AS VARCHAR)
+        |             ELSE text END AS t2
+        |        FROM documents),
+        |f AS (SELECT doc_id, q,
+        |        md5(lower(regexp_replace(trim(t2), '\s+', ' ', 'g'))) AS fp FROM p),
+        |r AS (SELECT fp, doc_id, q,
+        |        row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY fp) AS group_size
+        |      FROM f)
+        |SELECT fp, doc_id AS keep_id, q AS keep_quality, group_size
+        |FROM r WHERE rk = 1 ORDER BY fp""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -37,6 +37,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Exact dedup with a QUALITY-aware survivor policy: one keeper per
+    * normalized-text fingerprint — the row with the highest `quality`
+    * (ties to the smallest id) — instead of [[exactDuplicateGroups]]'
+    * min-id rule. This is the survivorship step of a real curation pass:
+    * duplicate copies differ by extraction (truncation, boilerplate,
+    * encoding damage) and the best copy should win, not the first-crawled
+    * one. Same narrow shuffle discipline: only (id, 16-byte fingerprint,
+    * quality metric) ever move — document text stays at the scan.
+    */
+  def bestQualityKeepers(docs: DataFrame, idCol: Column, textCol: Column,
+                         quality: Column): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs.select(idCol.as("doc_id"), Text.fingerprint(textCol).as("fp"),
+        quality.as("q"))
+      .withColumn("__rk", row_number().over(
+        byFp.orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("group_size", count(lit(1)).over(byFp))
+      .filter(col("__rk") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"),
+        col("q").as("keep_quality"), col("group_size"))
+  }
+
   /** Ids to drop under exact dedup (everything but the keeper per group). */
   def exactDropIds(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val withFp = docs.select(idCol.as("doc_id"), Text.fingerprint(textCol).as("fp"))

@@ -183,6 +183,19 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 45) // all C(10,2) pairs
   }
 
+  test("bestQualityKeepers keeps the highest-quality copy per group, ties to smallest id") {
+    val docs = Seq(
+      (1L, "same body here", 10L),  // group A, low quality
+      (2L, "same  body   here", 95L), // group A (whitespace-normalized dup), BEST
+      (3L, "same body here", 95L),  // group A, ties with 2 -> 2 wins (smaller id)
+      (4L, "unique document", 50L)  // singleton group
+    ).toDF("id", "txt", "score")
+    val out = Dedup.bestQualityKeepers(docs, col("id"), col("txt"), col("score"))
+      .collect().map(r => r.getAs[Long]("keep_id") ->
+        ((r.getAs[Long]("keep_quality"), r.getAs[Long]("group_size")))).toMap
+    assert(out == Map(2L -> ((95L, 3L)), 4L -> ((50L, 1L))))
+  }
+
   test("connectedComponents resolves transitive duplicate clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
