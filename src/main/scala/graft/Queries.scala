@@ -834,10 +834,12 @@ object Queries {
       .orderBy(col("split"))
 
   /** Deterministic stratified sample: first 5 docs per language in
-    * hash-bucket order (one shuffle on the stratum key).
+    * hash-bucket order. The input is projected to (lang, doc_id) at the
+    * scan — the sampler's shuffle carries two narrow columns, never text.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Sampling.stratifiedSample(t(spark, dir, "documents"),
+    Sampling.stratifiedSample(
+        t(spark, dir, "documents").select(col("lang"), col("doc_id")),
         Seq(col("lang")), col("doc_id"), perStratum = 5)
       .select(col("lang"), col("doc_id"), col("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
@@ -985,7 +987,9 @@ object Queries {
     * mixture proportions.
     */
   def mixtureSampleDocs(spark: SparkSession, dir: String): DataFrame =
-    Sampling.mixtureSample(t(spark, dir, "documents"), col("lang"), col("doc_id"),
+    Sampling.mixtureSample(
+        t(spark, dir, "documents").select(col("lang"), col("doc_id")),
+        col("lang"), col("doc_id"),
         weights = Map("en" -> 0.60, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.10),
         total = 200L)
       .select(col("lang"), col("doc_id"), col("mix_rank"))
@@ -997,8 +1001,12 @@ object Queries {
     * running token sum stays within budget.
     */
   def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
-    Sampling.tokenBudgetSample(t(spark, dir, "documents"), col("lang"),
-        col("doc_id"), Text.tokenCount(col("text")),
+    Sampling.tokenBudgetSample(
+        // token count is computed IN the scan projection: only
+        // (lang, doc_id, n_tokens) ever shuffles, text is pruned at the scan
+        t(spark, dir, "documents").select(col("lang"), col("doc_id"),
+          Text.tokenCount(col("text")).as("__tok")),
+        col("lang"), col("doc_id"), col("__tok"),
         budgets = Map("en" -> 30000L, "es" -> 10000L, "fr" -> 10000L, "de" -> 5000L))
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("lang"), col("cum_tokens"))
@@ -1344,7 +1352,8 @@ object Queries {
     * mixture sampler draws from.
     */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame =
-    Sampling.quantileBins(t(spark, dir, "documents"),
+    Sampling.quantileBins(
+        t(spark, dir, "documents").select(col("lang"), col("n_chars"), col("doc_id")),
         col("lang"), col("n_chars"), col("doc_id"), n = 10)
       .groupBy(col("lang"), col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1383,8 +1392,13 @@ object Queries {
     val dropIds = Dedup.contaminatedIds(keep3, col("doc_id"), col("text"),
       test, col("doc_id"), col("text"), k = 5)
     val keep4 = keep3.join(dropIds, Seq("doc_id"), "left_anti").persist()
-    val keep5 = Sampling.quantileBins(keep4, col("lang"), col("n_chars"),
-      col("doc_id"), n = 10).filter(col("bin") >= 2)
+    // narrow projection into the decile operator: the funnel only counts
+    // survivors, so the bin labeling needs (doc_id, lang, n_chars) — text
+    // stays behind at the keep4 boundary
+    val keep5 = Sampling.quantileBins(
+      keep4.select(col("doc_id"), col("lang"), col("n_chars")),
+      col("lang"), col("n_chars"), col("doc_id"), n = 10)
+      .filter(col("bin") >= 2)
     Seq("0_raw" -> d, "1_exact_dedup" -> keep1, "2_quality_gate" -> keep2,
         "3_train_split" -> keep3, "4_decontaminated" -> keep4,
         "5_decile_trim" -> keep5)
@@ -2556,15 +2570,22 @@ object Queries {
          |SELECT vec_id, cluster, sample_rank FROM r WHERE sample_rank <= 10
          |ORDER BY cluster, sample_rank""".stripMargin,
     "q93_token_budget_mix" ->
-      s"""WITH r AS (
+      // budget > 0 BEFORE the window mirrors the Spark-side scan-local
+      // prefilter: zero-budget strata are unconditionally empty (even a
+      // hypothetical zero-token row can't sneak in at cum_tokens = 0)
+      s"""WITH b AS (
          |  SELECT lang, doc_id, CAST(len($DTOKS) AS BIGINT) AS n_tokens,
-         |         CAST(sum(len($DTOKS)) OVER (PARTITION BY lang ORDER BY
+         |         CASE lang WHEN 'en' THEN 30000 WHEN 'es' THEN 10000
+         |                   WHEN 'fr' THEN 10000 WHEN 'de' THEN 5000 ELSE 0 END AS budget
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_tokens, budget,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY
          |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
          |           doc_id) AS BIGINT) AS cum_tokens
-         |  FROM documents)
+         |  FROM b WHERE budget > 0)
          |SELECT lang, doc_id, n_tokens, cum_tokens FROM r
-         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 30000 WHEN 'es' THEN 10000
-         |                              WHEN 'fr' THEN 10000 WHEN 'de' THEN 5000 ELSE 0 END
+         |WHERE cum_tokens <= budget
          |ORDER BY lang, cum_tokens""".stripMargin,
     "q94_url_canon" ->
       """WITH r AS (SELECT doc_id,

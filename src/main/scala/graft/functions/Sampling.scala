@@ -59,20 +59,91 @@ object Sampling {
         floor((sum(weight).over(w) - weight) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** The hash-order space used by every sampler below: ranks and running
+    * sums are taken in `(hashBucket(key, 2^30), key)` order, a total order
+    * when keys are unique.
+    */
+  private val HashSpace: Long = 1L << 30
+
+  /** Default shard count for the two-phase samplers. 64 shards splits even
+    * a 5-stratum corpus over 320 reducers; raise for bigger clusters (the
+    * output is shard-count-invariant, so this is purely a parallelism
+    * knob).
+    */
+  val DefaultShards: Int = 64
+
+  /** Monotone range-shard of the hash-order key: shard boundaries are fixed
+    * cuts of the hash space, so sorting by `(shard, h, key)` IS sorting by
+    * `(h, key)` — which is what makes the per-shard partials below exactly
+    * composable into the global per-stratum rank/cumsum.
+    */
+  private def hashShard(h: Column, shards: Int): Column =
+    floor(h / lit(HashSpace.toDouble / shards)).cast("long")
+
   /** Deterministic per-stratum sample: the `perStratum` records of each
-    * stratum that rank first in hash order (key as tiebreak). One shuffle on
-    * the strata columns; equivalent to uniform sampling within each stratum
-    * but reproducible and oracle-checkable, unlike `TABLESAMPLE`/`rand()`.
-    * At scale prefer strata that match the table's existing partitioning so
-    * the window sorts within partitions.
+    * stratum that rank first in hash order (key as tiebreak). Equivalent to
+    * uniform sampling within each stratum but reproducible and
+    * oracle-checkable, unlike `TABLESAMPLE`/`rand()`.
+    *
+    * Scale shape (two-phase, the [[packByBudget]] discipline): a stratum is
+    * low-cardinality (~5 languages), so a single
+    * `Window.partitionBy(stratum)` would hand most of a 100 TB corpus to
+    * one reducer. Instead the hash order is range-sharded into
+    * `shards` monotone slices: (1) a tiny per-(stratum, shard) count
+    * summary plus a prefix sum over shard index locates each shard's
+    * starting rank (`__before`); (2) the summary broadcasts back and whole
+    * shards with `__before >= perStratum` are dropped scan-locally — only
+    * ~1/shards of each stratum ever reaches the rank window; (3) the
+    * window partitions by (stratum, shard) — `shards`× the parallelism —
+    * and the global rank is exactly `__before + local_rank` because the
+    * shard cut is monotone in the hash order. Bit-identical to the
+    * single-window form for any shard count.
+    *
+    * Pass a NARROW projection (key + strata + whatever the caller needs
+    * back): every input column rides the rank shuffle, so project before
+    * sampling and join survivors back by key if wide columns are needed —
+    * document text must never enter a sampler window.
     */
   def stratifiedSample(df: DataFrame, strata: Seq[Column], key: Column,
-                       perStratum: Int): DataFrame = {
-    val w = Window.partitionBy(strata: _*)
-      .orderBy(hashBucket(key, 1 << 30), key)
-    df.withColumn("sample_rank", row_number().over(w))
+                       perStratum: Int, shards: Int = DefaultShards): DataFrame = {
+    val (aug, keys, sNames) = withShard(df, strata, key, shards)
+    val summ = shardSummary(aug, keys, sNames, count(lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"), key)
+    aug.join(broadcast(summ), keys)
+      .filter(col("__before") < perStratum)
+      .withColumn("sample_rank",
+        (col("__before") + row_number().over(w)).cast("int"))
       .filter(col("sample_rank") <= perStratum)
+      .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
+
+  /** Strata materialized as named columns (`__s0`…) + the hash-order key
+    * (`__h`) + its monotone range shard (`__shard`) — the join/window keys
+    * every two-phase sampler shares.
+    */
+  private def withShard(df: DataFrame, strata: Seq[Column], key: Column,
+                        shards: Int): (DataFrame, Seq[String], Seq[String]) = {
+    val sNames = strata.indices.map(i => s"__s$i")
+    val aug = strata.zipWithIndex
+      .foldLeft(df) { case (d, (c, i)) => d.withColumn(s"__s$i", c) }
+      .withColumn("__h", hashBucket(key, 1 << 30))
+      .withColumn("__shard", hashShard(col("__h"), shards))
+    (aug, sNames :+ "__shard", sNames)
+  }
+
+  /** Per-(stratum, shard) total of `weight` with the prefix sum over
+    * preceding shards (`__before`). strata×shards rows — tiny, broadcast to
+    * the scan side. The prefix window partitions by the stratum alone, but
+    * over this pre-aggregated summary, not the corpus.
+    */
+  private def shardSummary(aug: DataFrame, keys: Seq[String],
+                           sNames: Seq[String], weight: Column): DataFrame =
+    aug.groupBy(keys.map(col): _*)
+      .agg(weight.as("__c"))
+      .withColumn("__before",
+        sum(col("__c")).over(Window.partitionBy(sNames.map(col): _*)
+          .orderBy(col("__shard"))) - col("__c"))
+      .select(keys.map(col) :+ col("__before"): _*)
 
   /** Data-mixing quota sample: draw a `total`-record mixture whose stratum
     * proportions follow `weights` (stratum value → fraction; strata absent
@@ -80,56 +151,124 @@ object Sampling {
     * `floor(weight × total)`, filled by the stratum's first records in hash
     * order — so the mixture is reproducible, append-stable (a stratum's
     * members only extend, never reshuffle), and plain SQL under the oracle.
-    * Same single shuffle as [[stratifiedSample]]; the weight CASE is a
-    * scan-local projection.
+    *
+    * Same two-phase shape as [[stratifiedSample]] — shard summary, prefix,
+    * scan-local shard pruning against the per-stratum quota (the weight
+    * CASE is a scan-local projection), sharded rank window. Pass a narrow
+    * projection; see [[stratifiedSample]].
     */
   def mixtureSample(df: DataFrame, stratum: Column, key: Column,
-                    weights: Map[String, Double], total: Long): DataFrame = {
+                    weights: Map[String, Double], total: Long,
+                    shards: Int = DefaultShards): DataFrame = {
     val weightCol = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (s, wt)) => when(stratum === s, lit(wt)).otherwise(acc)
     }
     val quota = floor(weightCol * total).cast("long")
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashBucket(key, 1 << 30), key)
-    df.withColumn("mix_rank", row_number().over(w))
+    val (aug, keys, sNames) = withShard(df, Seq(stratum), key, shards)
+    val summ = shardSummary(aug, keys, sNames, count(lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"), key)
+    aug.join(broadcast(summ), keys)
+      .filter(col("__before") < quota)
+      .withColumn("mix_rank", (col("__before") + row_number().over(w)).cast("int"))
       .filter(col("mix_rank") <= quota)
+      .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
 
   /** Token-budget mixture: per stratum, admit documents in the repo-wide
     * deterministic hash order until the stratum's TOKEN budget is spent —
     * the mixture primitive when a training mix is specified in tokens
     * rather than document counts (how pretraining mixes are actually
-    * stated). The running token sum is a per-stratum window cumsum over a
-    * unique total order, so the admitted set is a strict prefix in hash
-    * order: once the cumsum exceeds the budget every later document is out
-    * too — deterministic and plain SQL under the oracle. Strata absent
-    * from `budgets` get budget 0 (excluded). Same single shuffle on the
-    * stratum key as [[stratifiedSample]]; the token count is a scan-local
-    * projection.
+    * stated). The running token sum is taken over a unique total order, so
+    * the admitted set is a strict prefix in hash order: once the cumsum
+    * exceeds the budget every later document is out too — deterministic
+    * and plain SQL under the oracle. Strata absent from `budgets` get
+    * budget 0 and are filtered out SCAN-LOCALLY before anything shuffles
+    * (which also closes the zero-token-document loophole: a zero-budget
+    * stratum is unconditionally empty, even for rows with `cum_tokens = 0`).
+    *
+    * Two-phase like [[stratifiedSample]], with token-sum partials instead
+    * of counts: the shard summary's prefix gives each shard's starting
+    * token offset; shards starting beyond the budget are dropped at the
+    * scan (`<=`, not `<`, so a zero-weight row exactly AT the boundary
+    * still reaches the window — bit-identical to the single-window form);
+    * the sharded cumsum + the offset is the exact global cumsum. The token
+    * count is a scan-local projection — compute it in a narrow select
+    * before calling so text never shuffles.
     */
   def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
-                        tokenCount: Column,
-                        budgets: Map[String, Long]): DataFrame = {
+                        tokenCount: Column, budgets: Map[String, Long],
+                        shards: Int = DefaultShards): DataFrame = {
     val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (s, b)) => when(stratum === s, lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashBucket(key, 1 << 30), key)
-    df.withColumn("n_tokens", tokenCount.cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val (aug, keys, sNames) =
+      withShard(df.withColumn("n_tokens", tokenCount.cast("long"))
+        .filter(budgetCol > 0), Seq(stratum), key, shards)
+    val summ = shardSummary(aug, keys, sNames, sum(col("n_tokens")))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"), key)
+    aug.join(broadcast(summ), keys)
+      .filter(col("__before") <= budgetCol)
+      .withColumn("cum_tokens", col("__before") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetCol)
+      .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
 
   /** Per-stratum quantile binning: rank by (`metric`, `tiebreak`) inside
-    * each stratum and cut into `n` equal-count bins (`ntile` — SQL-standard
-    * bucket sizing, so any engine agrees). The unique tiebreak makes the
-    * assignment total-order deterministic. This is the quality-decile
-    * labeling a mixture sampler weights by ("sample 3× more from the top
-    * quality decile"): one shuffle on the stratum key, bounded per-stratum
-    * sort.
+    * each stratum and cut into `n` equal-count bins with SQL-standard
+    * `ntile` sizing (first `total % n` buckets take one extra row), so any
+    * engine agrees. The unique tiebreak makes the assignment total-order
+    * deterministic. This is the quality-decile labeling a mixture sampler
+    * weights by ("sample 3× more from the top quality decile").
+    *
+    * Scale shape — histogram two-phase, no corpus-wide sort at all: ntile
+    * only needs each row's rank in (metric, tiebreak) order, and rank
+    * decomposes into "rows with a smaller metric" + "tie position". (1) A
+    * per-(stratum, metric-value) count histogram (narrow aggregate; small
+    * because the metric is discrete — lengths, scores) gets a prefix sum →
+    * each value's starting rank and the stratum total. (2) The histogram
+    * broadcasts back; a value-group whose whole rank range [start,
+    * start+count-1] lands in ONE bucket — the overwhelming majority —
+    * takes its bin as a pure scan-local projection. (3) Only groups that
+    * STRADDLE a bucket boundary (≤ n−1 per stratum) go through a tie
+    * window, partitioned by (stratum, metric), to split exactly at the
+    * boundary. Bit-identical to single-window `ntile`; the only residual
+    * hot spot is one metric VALUE dominating a stratum, which no exact
+    * tie order can shard. Pass a narrow projection (see
+    * [[stratifiedSample]]).
     */
   def quantileBins(df: DataFrame, stratum: Column, metric: Column,
-                   tiebreak: Column, n: Int): DataFrame =
-    df.withColumn("bin",
-      ntile(n).over(Window.partitionBy(stratum).orderBy(metric, tiebreak)))
+                   tiebreak: Column, n: Int): DataFrame = {
+    val aug = df.withColumn("__st", stratum).withColumn("__m", metric)
+    val wPrefix = Window.partitionBy(col("__st")).orderBy(col("__m"))
+    val summ = aug.groupBy(col("__st"), col("__m"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", sum(col("__c")).over(wPrefix) - col("__c"))
+      .withColumn("__total",
+        sum(col("__c")).over(Window.partitionBy(col("__st"))))
+    // ntile bucket of global rank r: first (total % n) buckets hold
+    // floor(total/n)+1 rows, the rest floor(total/n). The otherwise-branch
+    // division is guarded: when base = 0 (fewer rows than buckets) every
+    // rank satisfies the first branch, so base is never a zero divisor.
+    def bucketOf(r: Column, total: Column): Column = {
+      val base = floor(total / lit(n)).cast("long")
+      val rem = total % lit(n)
+      val capFirst = rem * (base + 1)
+      when(r <= capFirst, floor((r - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + floor((r - capFirst - 1) / base).cast("long") + 1)
+    }
+    val joined = aug.join(broadcast(summ), Seq("__st", "__m"))
+      .withColumn("__lo", bucketOf(col("__before") + 1, col("__total")))
+      .withColumn("__hi", bucketOf(col("__before") + col("__c"), col("__total")))
+    val internal = Seq("__st", "__m", "__c", "__before", "__total", "__lo", "__hi")
+    val whole = joined.filter(col("__lo") === col("__hi"))
+      .withColumn("bin", col("__lo").cast("int"))
+      .drop(internal: _*)
+    val tieW = Window.partitionBy(col("__st"), col("__m")).orderBy(tiebreak)
+    val straddling = joined.filter(col("__lo") =!= col("__hi"))
+      .withColumn("bin",
+        bucketOf(col("__before") + row_number().over(tieW), col("__total"))
+          .cast("int"))
+      .drop(internal: _*)
+    whole.unionByName(straddling)
+  }
 }

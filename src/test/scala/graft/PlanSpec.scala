@@ -210,13 +210,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("q92: cluster sample assigns by projection — no join anywhere in the plan") {
+  test("q92: cluster sample assigns by projection — only the shard summary joins, as a broadcast") {
     val plan = finalPlan(SparkEntry.queries("q92_cluster_sample")(spark, sf))
-    // centroids ride inside the NearestCentroid expression: the whole
-    // query is scan → project → window → filter → sort; a Join would mean
-    // the corpus shuffles against a centroid table
-    assert(!plan.contains("Join"), plan)
+    // centroids ride inside the NearestCentroid expression (no centroid
+    // join); the only join is the tiny per-(cluster, shard) rank-offset
+    // summary broadcasting back onto the scan — never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Window"), plan)
+  }
+
+  /** WindowExec nodes of a query's (AQE-off) physical plan — the shape
+    * check behind the sampler pins: no corpus rows may flow through a
+    * window partitioned by a lone low-cardinality stratum.
+    */
+  private def windowNodes(query: String) =
+    SparkEntry.queries(query)(planningSession, sf)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+
+  test("samplers: every corpus window is sharded (or runs over a pre-aggregated summary) and text never enters a window") {
+    val samplers = Seq("q56_stratified_sample", "q70_mixture_sample",
+      "q84_quality_deciles", "q92_cluster_sample", "q93_token_budget_mix")
+    for (q <- samplers) {
+      val ws = windowNodes(q)
+      assert(ws.nonEmpty, s"$q: expected window nodes")
+      ws.foreach { w =>
+        // A window partitioned by a single expression is only allowed over
+        // a pre-aggregated summary (the strata×shards / per-metric-value
+        // histograms — recognizable because every column is an internal
+        // `__`-prefixed one): partitioning raw corpus rows by the ~5-value
+        // stratum alone is the one-reducer-per-language shape that dies at
+        // 100 TB.
+        assert(w.partitionSpec.length >= 2 ||
+          w.child.output.forall(a =>
+            a.name.startsWith("__") || a.name.startsWith("_we")),
+          s"$q: window over raw rows partitioned by a lone stratum:\n$w")
+        assert(!w.child.output.exists(_.name.contains("text")),
+          s"$q: text enters a window: ${w.child.output.map(_.name)}")
+      }
+      // The summary joins back as a broadcast — a sort-merge join here
+      // would re-shuffle the corpus on the stratum key.
+      val plan = SparkEntry.queries(q)(planningSession, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q: $plan")
+    }
+  }
+
+  test("samplers: no shuffle carries document text") {
+    for (q <- Seq("q56_stratified_sample", "q70_mixture_sample",
+        "q84_quality_deciles", "q93_token_budget_mix")) {
+      val cols = shuffledColumns(q)
+      assert(cols.nonEmpty && !cols.exists(_.contains("text")),
+        s"$q: $cols")
+    }
   }
 
   test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {

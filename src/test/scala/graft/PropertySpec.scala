@@ -298,4 +298,90 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val samplerCorpusGen: Gen[List[(Long, String, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 500L),
+      Gen.oneOf("en", "es", "fr", "de", "zh"), Gen.chooseNum(1L, 50L)))
+      .map(_.distinctBy(_._1))
+
+  test("two-phase samplers are bit-identical to the single-window form for any shard count") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    forAll(samplerCorpusGen, n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "lang", "w")
+        val hw = Window.partitionBy(col("lang"))
+          .orderBy(Sampling.hashBucket(col("id"), 1 << 30), col("id"))
+        val naiveRank = df.withColumn("sample_rank", row_number().over(hw))
+          .filter(col("sample_rank") <= 3)
+          .select("id", "sample_rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        val naiveCum = df.withColumn("cum_tokens", sum(col("w")).over(hw))
+          .filter(col("cum_tokens") <= when(col("lang") === "en", 60L)
+            .when(col("lang") === "es", 25L).otherwise(0L))
+          .select("id", "cum_tokens").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (shards <- Seq(1, 5, 64)) {
+          val gotRank = Sampling.stratifiedSample(df, Seq(col("lang")), col("id"),
+            perStratum = 3, shards = shards)
+            .select("id", "sample_rank").collect()
+            .map(r => (r.getLong(0), r.getInt(1))).toSet
+          assert(gotRank == naiveRank, s"stratified shards=$shards rows=$rows")
+          val gotCum = Sampling.tokenBudgetSample(df, col("lang"), col("id"),
+            col("w"), Map("en" -> 60L, "es" -> 25L), shards = shards)
+            .select("id", "cum_tokens").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(gotCum == naiveCum, s"tokenBudget shards=$shards rows=$rows")
+        }
+        val naiveBins = df.withColumn("bin",
+          ntile(4).over(Window.partitionBy(col("lang")).orderBy(col("w"), col("id"))))
+          .select("id", "bin").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        val gotBins = Sampling.quantileBins(df, col("lang"), col("w"), col("id"), 4)
+          .select("id", "bin").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        assert(gotBins == naiveBins, s"quantileBins rows=$rows")
+      }
+    }
+  }
+
+  test("tokenBudgetSample: zero-budget strata are unconditionally empty, even for zero-token rows") {
+    import graft.functions.Sampling
+    // A zero-token document first in hash order used to satisfy
+    // `cum_tokens (0) <= budget (0)` and leak into an excluded stratum;
+    // the scan-local `budget > 0` prefilter closes that.
+    val df = Seq((1L, "zh", 0L), (2L, "zh", 5L), (3L, "en", 0L), (4L, "en", 2L))
+      .toDF("id", "lang", "w")
+    val out = Sampling.tokenBudgetSample(df, col("lang"), col("id"), col("w"),
+      Map("en" -> 10L))
+    assert(out.filter(col("lang") === "zh").isEmpty)
+    // positive-budget strata keep zero-token rows (they cost nothing)
+    assert(out.filter(col("lang") === "en").count() == 2)
+  }
+
+  test("tokenBudgetSample is append-stable: growth can evict but never admit, and cum_tokens never shrinks") {
+    import graft.functions.Sampling
+    val growthGen = Gen.listOf(Gen.zip(Gen.chooseNum(501L, 900L),
+      Gen.oneOf("en", "es"), Gen.chooseNum(1L, 50L))).map(_.distinctBy(_._1))
+    forAll(Gen.zip(samplerCorpusGen, growthGen), n = 6) { case (base, growth) =>
+      whenever(base.nonEmpty) {
+        def admitted(rows: List[(Long, String, Long)]): Map[Long, Long] =
+          Sampling.tokenBudgetSample(rows.toDF("id", "lang", "w"),
+            col("lang"), col("id"), col("w"), Map("en" -> 60L, "es" -> 25L))
+            .select("id", "cum_tokens").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val before = admitted(base)
+        val after = admitted(base ++ growth)
+        val baseIds = base.map(_._1).toSet
+        // no previously-rejected doc is ever admitted by growth...
+        assert((after.keySet & baseIds).subsetOf(before.keySet),
+          s"base=$base growth=$growth")
+        // ...and a surviving doc's running total only grows (hash-order
+        // inserts can push tokens ahead of it, never remove any)
+        (after.keySet & before.keySet).foreach { id =>
+          assert(after(id) >= before(id), s"cum shrank for id=$id")
+        }
+      }
+    }
+  }
 }
