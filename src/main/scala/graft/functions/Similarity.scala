@@ -216,18 +216,39 @@ object Similarity {
     * is quadratic only in the CLUSTER size — k is chosen so corpus/k fits
     * a reducer (the SemDedup paper's trick, same role as the LSH bucket
     * caps). Norms are projected once per row below the join, one codegen'd
-    * dot per surviving pair.
+    * dot per surviving pair. The assignment frame feeds three consumers
+    * (both pair sides + the final survivor join), so it is persisted —
+    * without it the projection and norm run three times.
+    *
+    * `maxClusterSize` is the [[Dedup.DefaultMaxBucketSize]] discipline
+    * applied to k-means blocks: one degenerate cluster (e.g. near-zero
+    * embeddings all landing on the same centroid) would go quadratic at
+    * 100 TB. Oversized clusters contribute NO drop pairs — their members
+    * are all kept, and the skip is observable via the "graft.semdedup"
+    * CollectMetrics node (dropped_clusters / max_cluster_size). Raise the
+    * cap above the corpus size when exact parity with the uncapped form
+    * is required.
     */
   def semDedupFlags(corpus: DataFrame, idCol: Column, vecCol: Column,
-                    model: Kmeans.Model, threshold: Double): DataFrame = {
+                    model: Kmeans.Model, threshold: Double,
+                    maxClusterSize: Int = 10000): DataFrame = {
     val v = vecCol.cast("array<double>")
     val assigned = corpus.select(idCol.as("vec_id"), v.as("v"),
         graft.plans.KmeansExpressions.nearest_centroid(v, model.cents)
           .getField("cluster").as("cluster"))
       .withColumn("n", norm(col("v")))
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      .persist()
+    val okClusters = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csize"))
+      .observe("graft.semdedup",
+        count(when(col("__csize") > maxClusterSize, true)).as("dropped_clusters"),
+        max(col("__csize")).as("max_cluster_size"))
+      .filter(col("__csize") <= maxClusterSize)
+      .select(col("cluster"))
+    val capped = assigned.join(broadcast(okClusters), "cluster")
+    val l = capped.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+    val r = capped.select(col("cluster"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
     val drops = l.join(r, "cluster")
       .filter(col("id_a") < col("id_b"))
@@ -242,14 +263,30 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs at scale: candidate pairs through
     * LSH buckets (exact within-bucket check, so precision is exact; recall
     * governed by `bits`).
+    *
+    * With only 2^bits buckets (64 at bits=6), one hot hyperplane bucket
+    * goes quadratic at corpus scale, so buckets above `maxBucketSize` are
+    * skipped — same cap-and-observe discipline as
+    * [[graft.functions.Dedup.minHashCandidates]]; skips are visible via
+    * the "graft.embdup" CollectMetrics node. Raise the cap above the
+    * corpus size for exact parity with the uncapped enumeration.
     */
   def embeddingNearDups(corpus: DataFrame, idCol: Column, vecCol: Column,
-                        dim: Int, threshold: Double, bits: Int = 6): DataFrame = {
+                        dim: Int, threshold: Double, bits: Int = 6,
+                        maxBucketSize: Int = 10000): DataFrame = {
     val c = corpus.select(idCol.as("id"), vecCol.as("v"),
       hyperplaneSignature(vecCol, dim, bits).as("bucket"))
       .withColumn("n", norm(col("v")))
-    val l = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
-    val r = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val okBuckets = c.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bsize"))
+      .observe("graft.embdup",
+        count(when(col("__bsize") > maxBucketSize, true)).as("dropped_buckets"),
+        max(col("__bsize")).as("max_bucket_size"))
+      .filter(col("__bsize") <= maxBucketSize)
+      .select(col("bucket"))
+    val capped = c.join(broadcast(okBuckets), "bucket")
+    val l = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

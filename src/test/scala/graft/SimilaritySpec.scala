@@ -143,6 +143,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L)._1 == 0 && out(3L)._1 == 1)
   }
 
+  /** Batch CollectMetrics rows land on QueryExecutionListener
+    * asynchronously; runs `body`, then waits for the named metric row.
+    */
+  private def withObservedMetric(name: String)(body: => Unit): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.currentTimeMillis() + 10000
+      while (!seen.containsKey(name) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val row = seen.get(name)
+      assert(row != null, s"observed metric '$name' never arrived")
+      row
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("semDedupFlags: an oversized cluster is skipped whole (all kept) and the drop metric fires") {
+    val model = graft.functions.Kmeans.Model(k = 2, dim = 2, iters = 0,
+      cents = Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    // 6 mutual near-dups land in cluster 0 (over the cap of 5); a 2-vector
+    // near-dup pair lands in cluster 1 (under the cap)
+    val df = ((1L to 6L).map(i => (i, Seq(1.0f, i * 1e-4f))) ++
+      Seq((10L, Seq(0.0f, 1.0f)), (11L, Seq(0.001f, 1.0f)))).toDF("id", "v")
+    val m = withObservedMetric("graft.semdedup") {
+      val out = Similarity.semDedupFlags(df, col("id"), col("v"), model,
+        threshold = 0.9, maxClusterSize = 5)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // the mega-cluster contributes NO pairs: every member survives
+      (1L to 6L).foreach(i => assert(out(i), s"$i must be kept: $out"))
+      // the within-cap cluster still dedups normally
+      assert(out(10L) && !out(11L), out.toString)
+    }
+    assert(m.getAs[Long]("dropped_clusters") == 1L, m.toString)
+    assert(m.getAs[Long]("max_cluster_size") == 6L, m.toString)
+  }
+
+  test("embeddingNearDups: a hot LSH bucket is skipped and the drop metric fires") {
+    // 8 identical vectors share one bucket (over the cap of 5); an
+    // orthogonal near-dup pair hashes to its own bucket (under the cap)
+    val df = ((1L to 8L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f))) ++
+      Seq((10L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (11L, Seq(0.0f, 1.0f, 0.001f, 0.0f))))
+      .toDF("id", "v")
+    val m = withObservedMetric("graft.embdup") {
+      val pairs = Similarity.embeddingNearDups(df, col("id"), col("v"),
+        dim = 4, threshold = 0.99, bits = 4, maxBucketSize = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // no pair from the hot bucket; the small bucket's pair survives
+      assert(pairs == Set((10L, 11L)), pairs.toString)
+    }
+    assert(m.getAs[Long]("dropped_buckets") == 1L, m.toString)
+    assert(m.getAs[Long]("max_bucket_size") == 8L, m.toString)
+  }
+
   test("lshRecall improves as bits decrease (bigger buckets, more candidates)") {
     val corpus = (0L to 200L).map(i =>
       (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f))).toDF("id", "v")
