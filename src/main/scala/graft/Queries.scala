@@ -1370,28 +1370,52 @@ object Queries {
     * gram-hash semi join, per-stratum ntile); the funnel adds nothing but
     * the final 6-row count union.
     */
+  /** Stage-boundary materialization for multi-stage funnels, selected by
+    * the session conf `spark.graft.funnel.storage`:
+    *
+    *  - unset → `persist()` (MEMORY_AND_DISK) — the local/interactive
+    *    default;
+    *  - a StorageLevel name (`DISK_ONLY`, `MEMORY_AND_DISK_SER`, …) →
+    *    persist at that level;
+    *  - `checkpoint` → reliable write-through to the q60 seam's
+    *    `spark.graft.checkpoint.dir` — the cluster default for a 100 TB
+    *    funnel, where stage boundaries belong in storage, not executor
+    *    memory, and must survive executor loss.
+    */
+  private def stageBoundary(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.funnel.storage") match {
+      case Some("checkpoint") =>
+        val sc = spark.sparkContext
+        spark.conf.getOption("spark.graft.checkpoint.dir").foreach { cd =>
+          if (!sc.getCheckpointDir.exists(_.contains(cd))) sc.setCheckpointDir(cd)
+        }
+        df.checkpoint(eager = false)
+      case Some(level) =>
+        df.persist(org.apache.spark.storage.StorageLevel.fromString(level))
+      case None => df.persist()
+    }
+
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     // keep1 feeds three consumers (its own stage count, keep2's count, the
-    // keep3 build) — persist it like keep3/keep4 below, or the fingerprint
-    // window runs three times.
-    val keep1 = d.withColumn("fp", Text.fingerprint(col("text")))
+    // keep3 build) — materialize it like keep3/keep4 below, or the
+    // fingerprint window runs three times.
+    val keep1 = stageBoundary(spark, d.withColumn("fp", Text.fingerprint(col("text")))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("__rk") === 1).drop("__rk", "fp")
-      .persist()
+      .filter(col("__rk") === 1).drop("__rk", "fp"))
     val keep2 = keep1.filter(
       Text.gopherFlags(col("text")).map(_._2).reduce(_ * _) === 1L)
     val bkt = Sampling.hashBucket(col("doc_id"), 100)
     // The train-split boundary feeds three consumers (its own count, the
-    // contamination gram explode, the anti join) — cache it, as a real
-    // funnel would materialize stage boundaries, so the fingerprint window
+    // contamination gram explode, the anti join) — materialize it, as a
+    // real funnel would its stage boundaries, so the fingerprint window
     // + quality flags run once instead of three times.
-    val keep3 = keep2.filter(bkt < 80).persist()
+    val keep3 = stageBoundary(spark, keep2.filter(bkt < 80))
     val test = d.filter(bkt >= 90)
     val dropIds = Dedup.contaminatedIds(keep3, col("doc_id"), col("text"),
       test, col("doc_id"), col("text"), k = 5)
-    val keep4 = keep3.join(dropIds, Seq("doc_id"), "left_anti").persist()
+    val keep4 = stageBoundary(spark, keep3.join(dropIds, Seq("doc_id"), "left_anti"))
     // narrow projection into the decile operator: the funnel only counts
     // survivors, so the bin labeling needs (doc_id, lang, n_chars) — text
     // stays behind at the keep4 boundary

@@ -230,12 +230,23 @@ object Dedup {
     * Passing `checkpointDir` switches every cut to a reliable
     * `checkpoint()` against that (HDFS/object-store) directory, which is the
     * cluster-mode configuration; `None` keeps the local-mode fast path.
+    *
+    * NOTE `setCheckpointDir` is SESSION-GLOBAL state: it is only called
+    * when the context has no checkpoint dir or points elsewhere, so
+    * same-dir concurrent callers don't race — but two concurrent callers
+    * passing DIFFERENT dirs still contend (last set wins; both remain
+    * correct, files just land in one dir). Per-iteration checkpoint files
+    * are not cleaned up here; set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (as
+    * [[graft.Bench]] does) to have the ContextCleaner remove them as the
+    * checkpointed frames are GC'd, or clean the directory after the job.
     */
   def connectedComponentsIterated(pairs: DataFrame, maxIter: Int = 10,
                                   checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
     }

@@ -48,4 +48,30 @@ class QueriesSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(SparkEntry.queries("q88_cold_start")(spark, dir).count() == 0L)
   }
+
+  test("q85 funnel is identical under in-memory and checkpoint stage-boundary strategies") {
+    // The conf seam a 100 TB run flips: stage boundaries written through
+    // to reliable storage instead of pinned in executor memory. Both
+    // strategies must produce the same funnel counts.
+    def counts(s: org.apache.spark.sql.SparkSession): Seq[(String, Long)] =
+      SparkEntry.queries("q85_curation_funnel")(s, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val inMem = counts(spark)
+    val ckptSession = spark.newSession()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt")
+    ckptSession.conf.set("spark.graft.funnel.storage", "checkpoint")
+    ckptSession.conf.set("spark.graft.checkpoint.dir", ckptDir.toString)
+    assert(counts(ckptSession) == inMem, "strategies disagree")
+    // the write-through actually hit the reliable directory
+    def treeSize(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(treeSize).sum else p.length()
+    assert(treeSize(ckptDir.toFile) > 0L, "checkpoint dir never written")
+    // and an explicit StorageLevel name is accepted too (cache cleared
+    // first — the shared CacheManager would otherwise serve the previous
+    // strategy's frames and never exercise this level)
+    spark.catalog.clearCache()
+    val serSession = spark.newSession()
+    serSession.conf.set("spark.graft.funnel.storage", "DISK_ONLY")
+    assert(counts(serSession) == inMem)
+  }
 }
