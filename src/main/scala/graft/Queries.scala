@@ -2624,15 +2624,17 @@ object Queries {
         |  FROM documents),
         |n AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS nofrag FROM r),
         |p AS (SELECT doc_id, raw_url,
-        |        lower(regexp_extract(nofrag, '^(https?)://', 1)) AS scheme,
-        |        regexp_replace(lower(regexp_extract(nofrag, '^https?://([^/?]+)', 1)), '^www\.', '') AS host,
-        |        regexp_replace(regexp_extract(nofrag, '^https?://[^/?]+([^?]*)', 1), '/$', '') AS path,
+        |        lower(regexp_extract(nofrag, '(?i)^(https?)://', 1)) AS scheme,
+        |        regexp_replace(lower(regexp_extract(nofrag, '(?i)^https?://([^/?]+)', 1)), '^www\.', '') AS host,
+        |        regexp_replace(regexp_extract(nofrag, '(?i)^https?://[^/?]+([^?]*)', 1), '/$', '') AS path,
         |        array_to_string(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
         |          q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'fbclid'))), '&') AS qk
         |      FROM n),
         |c AS (SELECT doc_id, raw_url,
-        |        scheme || '://' || host || path ||
-        |        CASE WHEN qk <> '' THEN '?' || qk ELSE '' END AS canonical_url
+        |        CASE WHEN host = '' THEN raw_url
+        |             ELSE scheme || '://' || host || path ||
+        |                  CASE WHEN qk <> '' THEN '?' || qk ELSE '' END
+        |        END AS canonical_url
         |      FROM p)
         |SELECT canonical_url, count(*) AS n_docs,
         |       count(DISTINCT raw_url) AS n_raw_forms,

@@ -203,22 +203,27 @@ object Text {
     * fragment, lowercase scheme and host, strip a leading `www.`, strip a
     * trailing slash on the path, and drop tracking query parameters
     * (`utm_*`, `fbclid*`) while preserving the rest in order. The scheme
-    * is preserved (http and https stay distinct). A root path collapses to
-    * the bare host. Pure per-row string ops in the Java∩RE2 regex subset,
-    * replayable verbatim in DuckDB.
+    * is preserved (http and https stay distinct) and matched
+    * case-insensitively (`HTTP://` is valid per RFC 3986 and must not
+    * produce an empty scheme). A root path collapses to the bare host.
+    * Anything that doesn't parse as an http(s) URL passes through
+    * UNCHANGED — a frontier must not collapse every unparseable entry
+    * onto one degenerate `://` key. Pure per-row string ops in the
+    * Java∩RE2 regex subset, replayable verbatim in DuckDB.
     */
   def canonicalizeUrl(url: Column): Column = {
     val nofrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(nofrag, "^(https?)://", 1))
+    val scheme = lower(regexp_extract(nofrag, "(?i)^(https?)://", 1))
     val host = regexp_replace(
-      lower(regexp_extract(nofrag, "^https?://([^/?]+)", 1)), "^www\\.", "")
+      lower(regexp_extract(nofrag, "(?i)^https?://([^/?]+)", 1)), "^www\\.", "")
     val path = regexp_replace(
-      regexp_extract(nofrag, "^https?://[^/?]+([^?]*)", 1), "/$", "")
+      regexp_extract(nofrag, "(?i)^https?://[^/?]+([^?]*)", 1), "/$", "")
     val qs = regexp_extract(nofrag, "\\?(.*)$", 1)
     val qk = array_join(
       filter(split(qs, "&"),
         p => !(p.startsWith("utm_") || p.startsWith("fbclid"))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(qk =!= "", concat(lit("?"), qk)).otherwise(lit("")))
+    when(host === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qk =!= "", concat(lit("?"), qk)).otherwise(lit(""))))
   }
 }

@@ -124,5 +124,14 @@ class TextSpec extends AnyFunSuite {
     // already-canonical URLs are fixpoints
     val fix = "https://example.com/a/b?ref=1"
     assert(canon(fix) == fix && canon(canon(fix)) == canon(fix))
+    // uppercase SCHEME is valid per RFC 3986 and must canonicalize, not
+    // collapse to an empty-scheme '://' key
+    assert(canon("HTTP://A.com/x") == "http://a.com/x")
+    assert(canon("HTTPS://WWW.B.net/") == "https://b.net")
+    // unparseable entries pass through unchanged — distinct garbage must
+    // never merge onto one degenerate frontier key
+    assert(canon("notaurl") == "notaurl")
+    assert(canon("ftp://files.example.com/a") == "ftp://files.example.com/a")
+    assert(canon("mailto:a@b.c") == "mailto:a@b.c")
   }
 }
