@@ -1236,6 +1236,23 @@ object Queries {
       .orderBy(col("fp"))
   }
 
+  /** Near-dup CLUSTER survivorship
+    * ([[graft.functions.Dedup.clusterQualityKeepers]]): q60's connected
+    * components composed with q95's quality policy — per duplicate
+    * cluster (transitive closure of the LSH candidate pairs, not per
+    * exact fingerprint), keep the highest-quality member (ties to the
+    * smallest id). This is the step a real minhash pipeline runs after
+    * clustering: the capstone of candidates (q28) → components (q60) →
+    * survivors. DuckDB replays the full chain — recursive-CTE closure
+    * over the same pairs, then the keeper window per label.
+    */
+  def clusterSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterQualityKeepers(
+        Dedup.connectedComponents(minhashPairs(spark, dir),
+          checkpointDir = spark.conf.getOption("spark.graft.checkpoint.dir")),
+        t(spark, dir, "documents"), col("doc_id"), col("n_chars").cast("long"))
+      .orderBy(col("cluster"))
+
   /** URL canonicalization + dedup ([[graft.functions.Text
     * .canonicalizeUrl]]): raw URLs planted with the variation a crawl
     * frontier actually sees — mixed-case hosts, `www.` prefixes, trailing
@@ -1658,7 +1675,8 @@ object Queries {
     "q92_cluster_sample" -> (clusterSample _),
     "q93_token_budget_mix" -> (tokenBudgetMix _),
     "q94_url_canon" -> (urlCanonDedup _),
-    "q95_quality_keeper" -> (qualityKeeperDedup _))
+    "q95_quality_keeper" -> (qualityKeeperDedup _),
+    "q96_cluster_survivors" -> (clusterSurvivorship _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2654,6 +2672,23 @@ object Queries {
         |      FROM f)
         |SELECT fp, doc_id AS keep_id, q AS keep_quality, group_size
         |FROM r WHERE rk = 1 ORDER BY fp""".stripMargin,
+    "q96_cluster_survivors" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsBody),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |j AS (SELECT lab.cluster, lab.id, CAST(d.n_chars AS BIGINT) AS q
+         |      FROM lab JOIN documents d ON lab.id = d.doc_id),
+         |r AS (SELECT cluster, id, q,
+         |        row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |      FROM j)
+         |SELECT cluster, id AS keep_id, q AS keep_quality, cluster_size
+         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

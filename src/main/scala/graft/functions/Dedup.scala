@@ -283,6 +283,34 @@ object Dedup {
     (labels, i)
   }
 
+  /** Survivorship over near-dup CLUSTERS: given component labels
+    * (id, cluster) from [[connectedComponents]] and a per-id quality
+    * metric, keep the highest-quality member of each cluster (ties to the
+    * smallest id) — the step a minhash-dedup pipeline runs AFTER
+    * clustering, and the cluster-level twin of [[bestQualityKeepers]]'
+    * per-fingerprint rule: near-duplicate copies differ by extraction
+    * damage, and the best copy should represent the cluster, not the
+    * arbitrary min-id one.
+    *
+    * Scale shape: the labels frame is already narrow (two ids); the
+    * quality join is an equi-join on the high-cardinality id, and the
+    * keeper window partitions by the cluster LABEL — also high-cardinality
+    * (one partition per duplicate group). Only (id, cluster, quality)
+    * ever shuffle.
+    */
+  def clusterQualityKeepers(labels: DataFrame, docs: DataFrame,
+                            idCol: Column, quality: Column): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    labels.join(docs.select(idCol.as("id"), quality.as("q")), "id")
+      .withColumn("__rk", row_number().over(
+        byCluster.orderBy(col("q").desc, col("id"))))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("__rk") === 1)
+      .select(col("cluster"), col("id").as("keep_id"),
+        col("q").as("keep_quality"), col("cluster_size"))
+  }
+
   /** Benchmark decontamination: for each held-out document, how many
     * training documents share at least one word k-gram with it, and how many
     * distinct k-grams are shared. The unit is md5(gram) — fixed-width, so

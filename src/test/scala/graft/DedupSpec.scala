@@ -226,6 +226,21 @@ class DedupSpec extends AnyFunSuite {
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "no reliable checkpoint files written")
   }
+  test("clusterQualityKeepers keeps one best member per connected component") {
+    // component {1,2,3,9} (via 1-2, 2-3, 9-3) and component {5,6}; the
+    // keeper is the highest quality, ties to the smallest id
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val docs = Seq((1L, 10L), (2L, 80L), (3L, 80L), (9L, 5L),
+      (5L, 7L), (6L, 7L)).toDF("id", "quality")
+    val out = Dedup.clusterQualityKeepers(labels, docs, col("id"), col("quality"))
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("keep_quality"),
+          r.getAs[Long]("cluster_size")))).toMap
+    // cluster 1: quality tie 80 between ids 2 and 3 -> 2 wins
+    assert(out == Map(1L -> ((2L, 80L, 4L)), 5L -> ((5L, 7L, 2L))), out.toString)
+  }
+
   test("contamination counts train docs sharing a k-gram with each test doc") {
     import spark.implicits._
     val train = Seq(
