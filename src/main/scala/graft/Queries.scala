@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Sampling, Similarity, Text}
+import graft.functions.{Dedup, Domains, Sampling, Similarity, Text}
 import graft.ops.{Events, Relational}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1253,6 +1253,58 @@ object Queries {
         t(spark, dir, "documents"), col("doc_id"), col("n_chars").cast("long"))
       .orderBy(col("cluster"))
 
+  /** α=½ temperature mixture ([[graft.functions.Sampling
+    * .sqrtMixtureSample]]): draw a 2000-document corpus whose language
+    * proportions follow sqrt-smoothed shares — the standard multilingual
+    * rare-language upweighting — with quotas in exact BIGINT isqrt
+    * arithmetic, so DuckDB replays weight, quota, and admission
+    * bit-for-bit.
+    */
+  def alphaMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sqrtMixtureSample(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), total = 2000L)
+      .select(col("doc_id"), col("lang"), col("mix_rank"), col("quota"))
+      .orderBy(col("lang"), col("mix_rank"))
+
+  /** Domain-reputation blocklist ([[graft.functions.Domains
+    * .domainReputation]]): synthetic crawl URLs spread the corpus over 17
+    * registered domains (with `www.`/`cdn.` subdomain variants and one
+    * `:port` form rolling up); two domains are poisoned the way spam
+    * domains actually look — site5 half-filled with one short
+    * click-bait string, site11 three-quarters-filled with one boilerplate
+    * body — and the exact-arithmetic verdict (dup share > 25% at ≥ 20
+    * docs, or mean length < 60 chars) blocks precisely those. The report
+    * is the differential surface; [[graft.functions.Domains
+    * .blocklistFilter]]'s anti-join is spec-covered.
+    */
+  def domainBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(lit("https://"),
+      when(d % 3 === 0, lit("www.")).when(d % 3 === 1, lit("cdn."))
+        .otherwise(lit("")),
+      lit("site"), (d % 17).cast("string"), lit(".net"),
+      when(d % 17 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/page/"), (d % 7).cast("string"))
+    val planted = t(spark, dir, "documents")
+      .withColumn("t2",
+        when(d % 17 === 5 && d % 2 === 0,
+          lit("click here to win a free prize"))
+          .when(d % 17 === 11 && d % 4 =!= 0, lit(BoilerplateBody))
+          .otherwise(col("text")))
+      .select(url.as("u"), col("t2"))
+    Domains.domainReputation(planted, col("u"), col("t2"),
+        length(col("t2")), minDocs = 20L, maxDupPct = 25L,
+        minMeanChars = 60L)
+      .orderBy(col("domain"))
+  }
+
+  /** The constant spam body planted on q98's site11 — one string shared
+    * verbatim with the DuckDB oracle. */
+  private val BoilerplateBody =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do" +
+      " eiusmod tempor incididunt ut labore et dolore magna aliqua"
+
   /** URL canonicalization + dedup ([[graft.functions.Text
     * .canonicalizeUrl]]): raw URLs planted with the variation a crawl
     * frontier actually sees — mixed-case hosts, `www.` prefixes, trailing
@@ -1676,7 +1728,9 @@ object Queries {
     "q93_token_budget_mix" -> (tokenBudgetMix _),
     "q94_url_canon" -> (urlCanonDedup _),
     "q95_quality_keeper" -> (qualityKeeperDedup _),
-    "q96_cluster_survivors" -> (clusterSurvivorship _))
+    "q96_cluster_survivors" -> (clusterSurvivorship _),
+    "q97_alpha_mixture" -> (alphaMixture _),
+    "q98_domain_blocklist" -> (domainBlocklist _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2689,6 +2743,50 @@ object Queries {
          |      FROM j)
          |SELECT cluster, id AS keep_id, q AS keep_quality, cluster_size
          |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin,
+    "q97_alpha_mixture" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+        |q AS (SELECT lang,
+        |        (2000 * w) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS quota
+        |      FROM w),
+        |r AS (SELECT lang, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824,
+        |          doc_id) AS mix_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(mix_rank AS INT) AS mix_rank, quota
+        |FROM r JOIN q USING (lang) WHERE mix_rank <= quota
+        |ORDER BY lang, mix_rank""".stripMargin,
+    "q98_domain_blocklist" ->
+      s"""WITH u AS (
+         |  SELECT 'https://' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |         WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+         |    'site' || CAST(doc_id % 17 AS VARCHAR) || '.net' ||
+         |    CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END ||
+         |    '/page/' || CAST(doc_id % 7 AS VARCHAR) AS url,
+         |    CASE WHEN doc_id % 17 = 5 AND doc_id % 2 = 0
+         |           THEN 'click here to win a free prize'
+         |         WHEN doc_id % 17 = 11 AND doc_id % 4 <> 0
+         |           THEN '$BoilerplateBody'
+         |         ELSE text END AS t2
+         |  FROM documents),
+         |e AS (SELECT
+         |    regexp_extract(regexp_replace(lower(
+         |        regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)),
+         |      ':[0-9]+$$', ''), '([^.]+\\.[^.]+)$$', 1) AS domain,
+         |    md5(lower(regexp_replace(trim(t2), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len(t2) AS BIGINT) AS nc
+         |  FROM u),
+         |r AS (SELECT domain, count(*) AS n_docs,
+         |        count(DISTINCT fp) AS n_unique,
+         |        CAST(sum(nc) AS BIGINT) AS sum_chars
+         |      FROM e GROUP BY domain)
+         |SELECT domain, n_docs, n_unique, sum_chars,
+         |  (n_docs >= 20 AND (100 * (n_docs - n_unique) > 25 * n_docs
+         |                     OR sum_chars < 60 * n_docs)) AS blocked
+         |FROM r ORDER BY domain""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -174,6 +174,48 @@ object Sampling {
       .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
 
+  /** α=½-smoothed ("temperature-scaled") mixture: the rare-stratum
+    * upweighting of multilingual pretraining — sample stratum `s` in
+    * proportion to `p_s^α` rather than `p_s`, here with α = 1/2 — kept
+    * INTEGER-EXACT so the whole mixture sits under the differential
+    * oracle: the stratum weight is `isqrt(n_s) = floor(sqrt(n_s))`
+    * (deterministic for n < 2^52: correctly-rounded IEEE sqrt is exact on
+    * squares and never lands on an integer for non-squares, so both
+    * engines agree bit-for-bit) and `quota_s = (total · isqrt(n_s)) div
+    * Σ_t isqrt(n_t)` in pure BIGINT — no floating-point SUM whose
+    * association order could differ across engines (the q90 integer-BM25
+    * discipline). Each stratum admits its first `quota_s` records in the
+    * repo-wide hash order, so the draw is reproducible and append-biased
+    * the same way as [[mixtureSample]].
+    *
+    * Scale shape: the stratum-count aggregate, its isqrt weights, and the
+    * quota frame are strata-sized (broadcast); the single-row weight-sum
+    * joins in-plan (no driver collect). Admission reuses the two-phase
+    * sharded rank of [[stratifiedSample]] — no stratum-only window ever
+    * sees the corpus. `total · isqrt(n_s)` stays in BIGINT up to
+    * total ≈ 9e18 / isqrt(max n_s) — at 10^12 docs per stratum that is
+    * total ≤ ~9·10^12, far beyond any mixture size. Pass a narrow
+    * projection (see [[stratifiedSample]]).
+    */
+  def sqrtMixtureSample(df: DataFrame, stratum: Column, key: Column,
+                        total: Long, shards: Int = DefaultShards): DataFrame = {
+    val (aug, keys, sNames) = withShard(df, Seq(stratum), key, shards)
+    val wts = aug.groupBy(col("__s0")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val quotas = wts
+      .crossJoin(broadcast(wts.agg(sum(col("__w")).as("__wsum"))))
+      .withColumn("quota", expr(s"(${total}L * __w) DIV __wsum"))
+      .select(col("__s0"), col("quota"))
+    val summ = shardSummary(aug, keys, sNames, count(lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"), key)
+    aug.join(broadcast(summ), keys)
+      .join(broadcast(quotas), sNames)
+      .filter(col("__before") < col("quota"))
+      .withColumn("mix_rank", (col("__before") + row_number().over(w)).cast("int"))
+      .filter(col("mix_rank") <= col("quota"))
+      .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
+  }
+
   /** Token-budget mixture: per stratum, admit documents in the repo-wide
     * deterministic hash order until the stratum's TOKEN budget is spent —
     * the mixture primitive when a training mix is specified in tokens

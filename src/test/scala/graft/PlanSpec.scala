@@ -233,7 +233,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("samplers: every corpus window is sharded (or runs over a pre-aggregated summary) and text never enters a window") {
     val samplers = Seq("q56_stratified_sample", "q70_mixture_sample",
-      "q84_quality_deciles", "q92_cluster_sample", "q93_token_budget_mix")
+      "q84_quality_deciles", "q92_cluster_sample", "q93_token_budget_mix",
+      "q97_alpha_mixture")
     for (q <- samplers) {
       val ws = windowNodes(q)
       assert(ws.nonEmpty, s"$q: expected window nodes")
@@ -261,7 +262,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("samplers: no shuffle carries document text") {
     for (q <- Seq("q56_stratified_sample", "q70_mixture_sample",
-        "q84_quality_deciles", "q93_token_budget_mix")) {
+        "q84_quality_deciles", "q93_token_budget_mix",
+        "q97_alpha_mixture")) {
       val cols = shuffledColumns(q)
       assert(cols.nonEmpty && !cols.exists(_.contains("text")),
         s"$q: $cols")

@@ -137,4 +137,33 @@ class SamplingSpec extends AnyFunSuite {
     val es = out.filter(col("lang") === "es").select(col("bin")).head().getInt(0)
     assert(es == 1) // a 1-doc stratum lands entirely in the first bin
   }
+
+  test("sqrtMixtureSample quotas follow integer isqrt shares exactly") {
+    // strata 900 / 90 / 10 → isqrt weights 30 / 9 / 3, Σ = 42:
+    // quotas for total=420 are 300 / 90 / 30 — rare strata upweighted
+    // (raw shares would give 378 / 37 / 4)
+    val df = (0L until 1000L).map { i =>
+      (i, if (i < 900) "en" else if (i < 990) "de" else "fr")
+    }.toDF("doc_id", "lang")
+    val out = Sampling.sqrtMixtureSample(df, col("lang"), col("doc_id"),
+      total = 420L)
+    val quotas = out.groupBy("lang").agg(max("quota").as("q"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(quotas == Map("en" -> ((300L, 300L)), "de" -> ((90L, 90L)),
+      "fr" -> ((30L, 10L))), quotas.toString) // fr: quota 30, only 10 exist
+  }
+
+  test("sqrtMixtureSample is shard-count-invariant and a hash-order prefix") {
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "es" else "en"))
+      .toDF("doc_id", "lang")
+    def run(shards: Int) = Sampling.sqrtMixtureSample(df, col("lang"),
+        col("doc_id"), total = 100L, shards = shards)
+      .select("doc_id", "lang", "mix_rank", "quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val base = run(1) // single window — the brute-force reference
+    assert(run(7) == base)
+    assert(run(64) == base)
+  }
 }
