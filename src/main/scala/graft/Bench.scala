@@ -70,12 +70,22 @@ object Bench {
     // if it STILL can't reach the floor it is emitted under "suspect",
     // making the two states different artifact states.
     val benchRef: Map[String, Double] = {
-      val f = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))
-      if (!f.exists()) Map.empty
-      else """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-        .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(f.toPath)))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // Resolve against cwd first, then next to this jar's classes (the
+      // repo root) — the floor must not silently disarm when the driver
+      // launches from another directory.
+      val repoRoot = scala.util.Try(new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getParentFile.getParentFile.getParentFile).toOption
+      val candidates =
+        sys.env.get("SPARK_GRAFT_BENCH_REF").map(new java.io.File(_)).toList ++
+          List(new java.io.File("BENCH_REF.json")) ++
+          repoRoot.map(new java.io.File(_, "BENCH_REF.json"))
+      candidates.find(_.exists()) match {
+        case None => Map.empty
+        case Some(f) => """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
     // Each query is timed TWICE and the min reported: a single timed pass
     // makes the artifact hostage to transient sandbox CPU contention (the

@@ -1299,6 +1299,29 @@ object Queries {
       .orderBy(col("domain"))
   }
 
+  /** Dataset "data card" ([[graft.functions.Sampling.exactQuantiles]]):
+    * the per-(source, lang) release table — doc counts, exact token and
+    * char totals, and EXACT median/p90 length via histogram rank-math
+    * (inverse ECDF), where `approx_percentile` would be engine-specific
+    * and fall out of the differential oracle. The quantile windows run
+    * over the (source, lang, length) histogram, never the corpus.
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val stats = d.select(col("source"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("toks"), col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+    val quants = Sampling.exactQuantiles(
+        d.select(col("source"), col("lang"), col("n_chars")),
+        Seq("source", "lang"), col("n_chars"), Seq(0.5, 0.9))
+      .withColumnRenamed("p50", "median_chars")
+      .withColumnRenamed("p90", "p90_chars")
+    stats.join(quants, Seq("source", "lang"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** The constant spam body planted on q98's site11 — one string shared
     * verbatim with the DuckDB oracle. */
   private val BoilerplateBody =
@@ -1730,7 +1753,8 @@ object Queries {
     "q95_quality_keeper" -> (qualityKeeperDedup _),
     "q96_cluster_survivors" -> (clusterSurvivorship _),
     "q97_alpha_mixture" -> (alphaMixture _),
-    "q98_domain_blocklist" -> (domainBlocklist _))
+    "q98_domain_blocklist" -> (domainBlocklist _),
+    "q99_data_card" -> (dataCard _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2787,6 +2811,31 @@ object Queries {
          |  (n_docs >= 20 AND (100 * (n_docs - n_unique) > 25 * n_docs
          |                     OR sum_chars < 60 * n_docs)) AS blocked
          |FROM r ORDER BY domain""".stripMargin,
+    "q99_data_card" ->
+      s"""WITH b AS (SELECT source, lang, n_chars AS m,
+         |             CAST(len(string_split_regex(trim(text), '\\s+'))
+         |               AS BIGINT) AS toks FROM documents),
+         |s AS (SELECT source, lang, count(*) AS n_docs,
+         |        CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |        CAST(sum(m) AS BIGINT) AS sum_chars
+         |      FROM b GROUP BY source, lang),
+         |h AS (SELECT source, lang, m, count(*) AS c
+         |      FROM b GROUP BY source, lang, m),
+         |cw AS (SELECT source, lang, m,
+         |         CAST(sum(c) OVER (PARTITION BY source, lang ORDER BY m)
+         |           AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER (PARTITION BY source, lang) AS BIGINT) AS n
+         |       FROM h),
+         |qv AS (SELECT source, lang,
+         |         min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+         |               THEN m END) AS median_chars,
+         |         min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+         |               THEN m END) AS p90_chars
+         |       FROM cw GROUP BY source, lang)
+         |SELECT s.source, s.lang, n_docs, sum_tokens, sum_chars,
+         |       median_chars, p90_chars
+         |FROM s JOIN qv USING (source, lang)
+         |ORDER BY source, lang""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

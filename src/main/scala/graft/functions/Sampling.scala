@@ -255,6 +255,41 @@ object Sampling {
       .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
 
+  /** Exact per-stratum quantiles of a DISCRETE metric (lengths, token
+    * counts, scores) by histogram rank-math — the quantile column of a
+    * dataset "data card", exact where `approx_percentile` is
+    * engine-specific (q61's HLL lesson: estimates are never under a
+    * differential oracle). For each q in `qs`, the reported value is the
+    * smallest metric value whose cumulative count reaches `ceil(q·n)` —
+    * the inverse-ECDF (type-1) quantile. `ceil(q·n)` is one IEEE multiply
+    * + ceil on both engines: identical bit pattern in, identical integer
+    * out; every sum/count is BIGINT-exact.
+    *
+    * Scale shape: one narrow `(strata, value)` count histogram over the
+    * corpus — the same two-phase discipline as [[quantileBins]] — then
+    * BOTH windows (running cum, stratum total) run over the histogram,
+    * whose size is strata × distinct-values, not the corpus. No corpus
+    * sort, no corpus window, nothing wide ever shuffles. One metric VALUE
+    * dominating a stratum costs nothing here (it is one histogram row).
+    *
+    * `strata` are column NAMES (they come back as the grouping key);
+    * quantile columns are named `p<round(q*100)>`.
+    */
+  def exactQuantiles(df: DataFrame, strata: Seq[String], metric: Column,
+                     qs: Seq[Double]): DataFrame = {
+    val sCols = strata.map(col)
+    val hist = df.withColumn("__m", metric.cast("long"))
+      .groupBy(sCols :+ col("__m"): _*).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(sCols: _*).orderBy(col("__m"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(sCols: _*)))
+    val aggs = qs.map(q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__m")))
+        .as(s"p${(q * 100).round}"))
+    cum.groupBy(sCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-stratum quantile binning: rank by (`metric`, `tiebreak`) inside
     * each stratum and cut into `n` equal-count bins with SQL-standard
     * `ntile` sizing (first `total % n` buckets take one extra row), so any

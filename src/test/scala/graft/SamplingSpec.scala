@@ -166,4 +166,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(7) == base)
     assert(run(64) == base)
   }
+
+  test("exactQuantiles reports inverse-ECDF values per stratum") {
+    // en: values 1..10 → p50 = value at rank ceil(5) = 5, p90 at rank 9
+    // de: 4× the value 7 → every quantile is 7
+    val df = ((1L to 10L).map(v => ("en", v)) ++ Seq.fill(4)(("de", 7L)))
+      .toDF("lang", "len")
+    val out = Sampling.exactQuantiles(df, Seq("lang"), col("len"),
+        Seq(0.5, 0.9)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("en" -> ((5L, 9L)), "de" -> ((7L, 7L))), out.toString)
+  }
 }
