@@ -150,9 +150,12 @@ object Bench {
     // The catalog grows round-over-round, so the grand total is not
     // comparable across rounds; value_q49 re-sums the round-1 query set
     // (q01..q49) for an apples-to-apples trend.
+    // Parse the FULL numeric prefix: a fixed slice(1,3) would read "q100"
+    // as 10 and leak three-digit queries into the historical subsets.
     def subsetTotal(maxQ: Int): Double = results.collect {
-      case (k, v, None, _, _) if k.take(3).drop(1).forall(_.isDigit) &&
-        k.slice(1, 3).toInt <= maxQ => v
+      case (k, v, None, _, _)
+        if k.drop(1).takeWhile(_.isDigit).nonEmpty &&
+          k.drop(1).takeWhile(_.isDigit).toInt <= maxQ => v
     }.sum
     val r01Set = subsetTotal(49)
     // value_q76 = the round-6 catalog: the comparable subset for rounds ≥ 7.

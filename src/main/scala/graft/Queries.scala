@@ -1651,6 +1651,29 @@ object Queries {
       .orderBy(col("q"), col("rnk"))
   }
 
+  /** Hybrid retrieval ([[graft.functions.Fusion.reciprocalRankFusion]]):
+    * the same 5 query documents ranked by BOTH the integer-BM25 inverted
+    * index (q90's ranker) and brute-force embedding cosine (q30's ranker,
+    * ids aligned doc_id = vec_id), merged by reciprocal-rank fusion with
+    * integer 1e6 DIV (60+rank) weights. Only the two top-10 rank lists —
+    * never text or vectors — cross the fusion boundary.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val sparse = graft.functions.Tfidf.sparseTopK(docs, col("doc_id"),
+        col("text"), docs.filter(col("doc_id") < 5), col("doc_id"),
+        col("text"), k = 10, maxDfFrac = 0.78)
+      .select(col("q").as("query"), col("d").as("item"), col("rnk").as("rank"))
+    val dense = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id").as("query"), col("corpus_id").as("item"),
+        col("rank"))
+    graft.functions.Fusion.reciprocalRankFusion(
+        Seq(sparse, dense), "query", "item", "rank", k = 10)
+      .orderBy(col("query"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1754,7 +1777,8 @@ object Queries {
     "q96_cluster_survivors" -> (clusterSurvivorship _),
     "q97_alpha_mixture" -> (alphaMixture _),
     "q98_domain_blocklist" -> (domainBlocklist _),
-    "q99_data_card" -> (dataCard _))
+    "q99_data_card" -> (dataCard _),
+    "q100_hybrid_rrf" -> (hybridRetrieval _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2836,6 +2860,41 @@ object Queries {
          |       median_chars, p90_chars
          |FROM s JOIN qv USING (source, lang)
          |ORDER BY source, lang""".stripMargin,
+    "q100_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
+         |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_corpus,
+         |              (SELECT sum(tf_d) FROM ct) AS total_tokens),
+         |dld AS (SELECT *, sum(tf_d) OVER (PARTITION BY d) AS dl,
+         |               count(*) OVER (PARTITION BY term) AS df FROM ct),
+         |wt AS (SELECT d, term, tf_d, dl,
+         |         CAST(floor(1000000 / df) AS BIGINT) AS w,
+         |         (10000 * 22 * tf_d * (total_tokens // n_corpus)) //
+         |           (10 * (total_tokens // n_corpus) * tf_d
+         |            + 3 * (total_tokens // n_corpus) + 9 * dl) AS tfc
+         |       FROM dld, st
+         |       WHERE df <= n_corpus * 0.78),
+         |qt AS (SELECT d AS q, term, tf_d AS tf_q FROM ct WHERE d < 5),
+         |sc AS (SELECT q, d, CAST(sum(tf_q * w * tfc) AS BIGINT) AS score
+         |       FROM qt JOIN wt USING (term) GROUP BY 1, 2),
+         |sp AS (SELECT q AS query, d AS item,
+         |         row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rank
+         |       FROM sc QUALIFY rank <= 10),
+         |qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |ce AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |de AS (SELECT qid AS query, cid AS item,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY list_cosine_similarity(cv, qv) DESC, cid) AS rank
+         |       FROM ce CROSS JOIN qe WHERE qid <> cid QUALIFY rank <= 10),
+         |u AS (SELECT * FROM sp UNION ALL SELECT * FROM de),
+         |f AS (SELECT query, item,
+         |        CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+         |        count(*) AS n_lists FROM u GROUP BY 1, 2),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query
+         |         ORDER BY rrf_score DESC, item) AS rnk FROM f)
+         |SELECT query, item, rrf_score, n_lists, rnk
+         |FROM rr WHERE rnk <= 10 ORDER BY query, rnk""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),
