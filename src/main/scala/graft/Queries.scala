@@ -1674,6 +1674,27 @@ object Queries {
       .orderBy(col("query"), col("rnk"))
   }
 
+  /** Crawl-frontier host authority ([[graft.functions.Graph.pageRankInt]]):
+    * a host-level link graph derived deterministically from doc ids (the
+    * q94 pattern — site `d mod 10` links to site `(d div 10) mod 10`,
+    * weight = link count), ranked by 8 rounds of ALL-INTEGER weighted
+    * PageRank at scale 1e9 / damping 0.85. Exact BIGINT fixed-point, so
+    * the full iterative computation sits under the differential oracle
+    * (unrolled to 8 chained CTEs in DuckDB).
+    */
+  def hostAuthority(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "documents")
+      .select(expr("doc_id % 10").as("src"),
+        expr("(doc_id DIV 10) % 10").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.functions.Graph.pageRankInt(edges, col("src"), col("dst"),
+        col("w"), iterations = 8,
+        checkpointDir = spark.conf.getOption("spark.graft.checkpoint.dir"))
+      .select(col("host"), col("rank").as("authority"))
+      .orderBy(col("authority").desc, col("host"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1778,7 +1799,8 @@ object Queries {
     "q97_alpha_mixture" -> (alphaMixture _),
     "q98_domain_blocklist" -> (domainBlocklist _),
     "q99_data_card" -> (dataCard _),
-    "q100_hybrid_rrf" -> (hybridRetrieval _))
+    "q100_hybrid_rrf" -> (hybridRetrieval _),
+    "q101_host_authority" -> (hostAuthority _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2895,6 +2917,24 @@ object Queries {
          |         ORDER BY rrf_score DESC, item) AS rnk FROM f)
          |SELECT query, item, rrf_score, n_lists, rnk
          |FROM rr WHERE rnk <= 10 ORDER BY query, rnk""".stripMargin,
+    "q101_host_authority" -> {
+      // One CTE pair per PageRank round, unrolled — integer fixed-point
+      // makes every round's ranks bit-identical to the Spark loop.
+      val rounds = (1 to 8).map { k =>
+        s"""f$k AS (SELECT e.dst AS host, CAST(sum((p.r * e.w) // o.ow) AS BIGINT) AS inflow
+           |      FROM p${k - 1} p JOIN ed e ON p.host = e.src JOIN o ON o.src = e.src GROUP BY 1),
+           |p$k AS (SELECT h.host, CAST((15 * b.base + 85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS r
+           |      FROM h CROSS JOIN b LEFT JOIN f$k f ON f.host = h.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT doc_id % 10 AS src, (doc_id // 10) % 10 AS dst, CAST(count(*) AS BIGINT) AS w
+         |      FROM documents WHERE doc_id % 10 <> (doc_id // 10) % 10 GROUP BY 1, 2),
+         |h AS (SELECT src AS host FROM ed UNION SELECT dst FROM ed),
+         |b AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS base FROM h),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY 1),
+         |p0 AS (SELECT host, base AS r FROM h CROSS JOIN b),
+         |$rounds
+         |SELECT host, r AS authority FROM p8 ORDER BY authority DESC, host""".stripMargin
+    },
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

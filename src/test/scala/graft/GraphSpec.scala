@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int = 8) =
+    Graph.pageRankInt(edges.toDF("s", "d", "w"), col("s"), col("d"),
+        col("w"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a symmetric cycle is a fixed point at base rank") {
+    // 2-cycle: inflow(v) = rank(u), so every round keeps
+    // (15*base + 85*base) DIV 100 = base exactly.
+    val out = ranks(Seq((1L, 2L, 5L), (2L, 1L, 5L)))
+    assert(out == Map(1L -> 500000000L, 2L -> 500000000L))
+  }
+
+  test("link authority orders hub > linker > unlinked, deterministically") {
+    // A(0)->B(1), C(2)->B(1), B(1)->A(0): B collects two links, A one,
+    // C only teleport mass. The A<->B 2-cycle oscillates with amplitude
+    // 0.85^t, so order the CONVERGED ranks (40 rounds, amplitude ~1e-3;
+    // converged gap B-A ~0.02 of total mass).
+    val e = Seq((0L, 1L, 1L), (2L, 1L, 1L), (1L, 0L, 1L))
+    val out = ranks(e, iters = 40)
+    assert(out(1L) > out(0L) && out(0L) > out(2L), out.toString)
+    assert(ranks(e, iters = 40) == out) // pure integer math: bit-identical re-run
+  }
+
+  test("weighted edges split a source's rank proportionally") {
+    // A->B w=3, A->C w=1: first round gives B floor(r*3/4) vs C floor(r/4).
+    val out = ranks(Seq((0L, 1L, 3L), (0L, 2L, 1L)), iters = 1)
+    val base = 1000000000L / 3
+    assert(out(1L) == (15 * base + 85 * (base * 3 / 4)) / 100)
+    assert(out(2L) == (15 * base + 85 * (base / 4)) / 100)
+  }
+}
