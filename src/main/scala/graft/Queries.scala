@@ -1695,6 +1695,26 @@ object Queries {
       .orderBy(col("authority").desc, col("host"))
   }
 
+  /** DSIR-style importance selection
+    * ([[graft.functions.Importance.importanceScores]]): src0 documents
+    * define the target domain; every other document is scored by its
+    * hashed-unigram bucket ratio sum (integer-exact), length-normalized,
+    * and the top 100 candidates are selected. The global top-k runs as
+    * sort+limit (TakeOrderedAndProject), never a corpus-wide
+    * single-partition window; ranks are assigned on the 100 survivors.
+    */
+  def importanceSelection(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.functions.Importance.importanceScores(
+      t(spark, dir, "documents"), col("doc_id"), col("text"),
+      col("source") === "src0")
+    scored.orderBy(col("imp_per_tok").desc, col("id")).limit(100)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("imp_per_tok").desc, col("id"))))
+      .select(col("id").as("doc_id"), col("n_toks"), col("imp_per_tok"),
+        col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1800,7 +1820,8 @@ object Queries {
     "q98_domain_blocklist" -> (domainBlocklist _),
     "q99_data_card" -> (dataCard _),
     "q100_hybrid_rrf" -> (hybridRetrieval _),
-    "q101_host_authority" -> (hostAuthority _))
+    "q101_host_authority" -> (hostAuthority _),
+    "q102_importance_select" -> (importanceSelection _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2935,6 +2956,20 @@ object Queries {
          |$rounds
          |SELECT host, r AS authority FROM p8 ORDER BY authority DESC, host""".stripMargin
     },
+    "q102_importance_select" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest($DNTOKS) AS term FROM documents),
+         |tb AS (SELECT doc_id, source = 'src0' AS is_tgt,
+         |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS b FROM toks),
+         |w AS (SELECT b, CAST((count(CASE WHEN is_tgt THEN 1 END) * 1000000) // count(*) AS BIGINT) AS w
+         |      FROM tb GROUP BY b),
+         |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum(w.w) AS BIGINT) AS imp
+         |       FROM tb JOIN w USING (b) WHERE NOT is_tgt GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n_toks, imp // n_toks AS imp_per_tok,
+         |          row_number() OVER (ORDER BY imp // n_toks DESC, doc_id) AS rnk
+         |        FROM ds)
+         |SELECT doc_id, n_toks, CAST(imp_per_tok AS BIGINT) AS imp_per_tok, rnk
+         |FROM fin WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),
