@@ -67,17 +67,21 @@ object Graph {
     val base = hosts.agg((lit(scale) / count(lit(1))).cast("long").as("base"))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val withBase = hosts.crossJoin(broadcast(base))
-    var r = cut(withBase.withColumn("rank", col("base")))
-    for (_ <- 1 to iterations) {
+    var r = withBase.withColumn("rank", col("base"))
+    for (i <- 1 to iterations) {
       val inflow = r.join(e, r("host") === e("src"))
         .join(outw, "src")
         .select(col("dst").as("host"),
           expr("(rank * w) DIV ow").as("contrib"))
         .groupBy(col("host")).agg(sum(col("contrib")).as("inflow"))
-      r = cut(withBase.join(inflow, Seq("host"), "left")
+      r = withBase.join(inflow, Seq("host"), "left")
         .withColumn("rank",
           expr(s"((100 - $dampingPct) * base + $dampingPct * coalesce(inflow, 0L)) DIV 100"))
-        .select(col("host"), col("base"), col("rank")))
+        .select(col("host"), col("base"), col("rank"))
+      // Cut every OTHER round: a depth-2 uncut chain costs Catalyst
+      // nothing, and halving the cuts halves the checkpoint I/O — the
+      // dominant per-round cost under a reliable checkpoint dir.
+      if (i % 2 == 0 || i == iterations) r = cut(r)
     }
     r.select(col("host"), col("rank"))
   }

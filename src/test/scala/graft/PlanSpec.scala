@@ -277,4 +277,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
   }
+
+  test("q100: both rankers keep their broadcast shapes through the fusion — no sort-merge join anywhere") {
+    // The sparse side must broadcast the query-term table (q90's pin) and
+    // the dense side the query vectors; the fusion itself adds only a
+    // narrow (query, item, rank) union + aggregate. An SMJ appearing
+    // anywhere means a ranker re-shuffled its corpus-sized side.
+    val plan = finalPlan(SparkEntry.queries("q100_hybrid_rrf")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q102: the weight table broadcasts and the global top-k is TakeOrderedAndProject; text never shuffles") {
+    val plan = finalPlan(SparkEntry.queries("q102_importance_select")(spark, sf))
+    // 64-row bucket-weight table joins onto the exploded terms as a
+    // broadcast; a shuffle join here would move every (id, bucket) row
+    // on the bucket key.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // global top-100 = per-partition top-k + merge, never a global sort
+    // of the scored corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val cols = shuffledColumns("q102_importance_select")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
 }
