@@ -1715,6 +1715,28 @@ object Queries {
       .orderBy(col("rnk"))
   }
 
+  /** Hashed bag-of-words quality classifier
+    * ([[graft.functions.Classifier]]): the fastText-style model-based
+    * filter step of a pretraining pipeline, end to end — train integer
+    * token weights on the 30% md5 split (positive class: English), keep
+    * the 256 most discriminative hash buckets, score every held-out
+    * document by broadcast-joined weighted bag-of-words sum. All-BIGINT
+    * train AND inference, so the whole learn-then-filter pipeline replays
+    * exactly in DuckDB.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isTrain = Sampling.hashBucket(col("doc_id"), 100) < 30
+    val model = graft.functions.Classifier.hashedLinearModel(
+      docs.filter(isTrain), col("text"), col("lang") === "en")
+    val held = docs.filter(!isTrain)
+    graft.functions.Classifier.scoreDocs(held, col("doc_id"), col("text"), model)
+      .join(held.select(col("doc_id").as("id"), col("lang")), "id")
+      .select(col("id").as("doc_id"), col("lang"), col("score"),
+        col("pred").cast("int").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1821,7 +1843,8 @@ object Queries {
     "q99_data_card" -> (dataCard _),
     "q100_hybrid_rrf" -> (hybridRetrieval _),
     "q101_host_authority" -> (hostAuthority _),
-    "q102_importance_select" -> (importanceSelection _))
+    "q102_importance_select" -> (importanceSelection _),
+    "q103_quality_classifier" -> (qualityClassifier _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -2970,6 +2993,23 @@ object Queries {
          |        FROM ds)
          |SELECT doc_id, n_toks, CAST(imp_per_tok AS BIGINT) AS imp_per_tok, rnk
          |FROM fin WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    "q103_quality_classifier" ->
+      s"""WITH split AS (SELECT doc_id, text, lang,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30 AS is_train
+         |       FROM documents),
+         |toks AS (SELECT doc_id, lang, is_train, unnest($DNTOKS) AS term FROM split),
+         |tb AS (SELECT doc_id, lang, is_train,
+         |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS b FROM toks),
+         |w0 AS (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |       FROM tb WHERE is_train GROUP BY b),
+         |model AS (SELECT b, w FROM w0 WHERE w <> 0 ORDER BY abs(w) DESC, b LIMIT 256),
+         |sums AS (SELECT doc_id, CAST(sum(model.w) AS BIGINT) AS score
+         |         FROM tb JOIN model USING (b) WHERE NOT is_train GROUP BY doc_id),
+         |fin AS (SELECT s.doc_id, s.lang, coalesce(sums.score, 0) AS score
+         |        FROM split s LEFT JOIN sums USING (doc_id) WHERE NOT s.is_train)
+         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+         |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM fin ORDER BY doc_id""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

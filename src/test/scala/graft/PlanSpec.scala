@@ -301,4 +301,17 @@ class PlanSpec extends AnyFunSuite {
     val cols = shuffledColumns("q102_importance_select")
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
+
+  test("q103: the trained model broadcasts into the scorer; the feature cut is TakeOrderedAndProject; text never shuffles") {
+    val plan = finalPlan(SparkEntry.queries("q103_quality_classifier")(spark, sf))
+    // the 256-row model must join the exploded held-out terms as a
+    // broadcast — an SMJ would shuffle every (id, bucket) pair on bucket
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // top-K feature selection = per-partition partial top-K + tiny merge,
+    // never a global sort of the bucket-weight table
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val cols = shuffledColumns("q103_quality_classifier")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
 }
