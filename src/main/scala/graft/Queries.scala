@@ -1737,6 +1737,20 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted document sample ([[graft.functions.Sampling
+    * .sequentialPoissonSample]]): 50 documents per language drawn with
+    * probability proportional to length — sequential Poisson sampling
+    * with the portable md5 hash as the uniform, priority `h / n_chars`
+    * one exact-rounded IEEE division, so DuckDB orders identically.
+    * Two-phase per-shard top-k: no stratum-only window over the corpus.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sequentialPoissonSample(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        col("lang"), col("doc_id"), col("n_chars"), k = 50)
+      .orderBy(col("lang"), col("samp_rank"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1844,7 +1858,8 @@ object Queries {
     "q100_hybrid_rrf" -> (hybridRetrieval _),
     "q101_host_authority" -> (hostAuthority _),
     "q102_importance_select" -> (importanceSelection _),
-    "q103_quality_classifier" -> (qualityClassifier _))
+    "q103_quality_classifier" -> (qualityClassifier _),
+    "q104_weighted_sample" -> (weightedSample _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3010,6 +3025,17 @@ object Queries {
          |SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
          |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred
          |FROM fin ORDER BY doc_id""".stripMargin,
+    "q104_weighted_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824 AS DOUBLE)
+         |           / CAST(n_chars AS DOUBLE) AS p
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT doc_id, lang, n_chars,
+         |        row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS samp_rank
+         |      FROM pri)
+         |SELECT doc_id, lang, n_chars, CAST(samp_rank AS INT) AS samp_rank
+         |FROM r WHERE samp_rank <= 50 ORDER BY lang, samp_rank""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

@@ -255,6 +255,46 @@ object Sampling {
       .drop("__h" :: "__shard" :: "__before" :: sNames.toList: _*)
   }
 
+  /** Weighted (probability-proportional-to-size) sample: per stratum, the
+    * `k` records with the smallest priority `hash(key) / weight` — Ohlsson's
+    * SEQUENTIAL POISSON SAMPLING, with the engine-portable md5 hash standing
+    * in for the uniform draw. Heavier records get proportionally smaller
+    * priorities, so inclusion probability grows with weight while the draw
+    * stays a pure function of the key: reproducible run-over-run, and
+    * append-stable in the weighted sense (a new record displaces at most
+    * the current worst). Records with `weight <= 0` are excluded
+    * scan-locally.
+    *
+    * The priority is ONE correctly-rounded IEEE division over two exact
+    * BIGINTs, so both engines order identically (the repo's deterministic-
+    * doubles discipline: division is exact-rounded; only transcendentals
+    * and float SUMS are not portable). Ties break by key.
+    *
+    * Scale shape: per-stratum top-k, two-phase — a (stratum, shard) window
+    * takes each shard's local top-k (narrow rows: pass a narrow
+    * projection), then the stratum-only window re-ranks the ≤ k·shards
+    * survivors per stratum. No stratum-only window ever sees the corpus;
+    * the per-shard top-k retains every global top-k member, so the result
+    * is bit-identical to the single-window form.
+    */
+  def sequentialPoissonSample(df: DataFrame, stratum: Column, key: Column,
+                              weight: Column, k: Int,
+                              shards: Int = DefaultShards): DataFrame = {
+    val (aug, keys, sNames) =
+      withShard(df.withColumn("__w", weight.cast("long")).filter(col("__w") > 0),
+        Seq(stratum), key, shards)
+    val pri = aug.withColumn("__pri",
+      col("__h").cast("double") / col("__w").cast("double"))
+    val wLocal = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__pri"), key)
+    val wStratum = Window.partitionBy(sNames.map(col): _*)
+      .orderBy(col("__pri"), key)
+    pri.withColumn("__r", row_number().over(wLocal)).filter(col("__r") <= k)
+      .withColumn("samp_rank", row_number().over(wStratum).cast("int"))
+      .filter(col("samp_rank") <= k)
+      .drop("__h" :: "__shard" :: "__pri" :: "__r" :: "__w" :: sNames.toList: _*)
+  }
+
   /** Exact per-stratum quantiles of a DISCRETE metric (lengths, token
     * counts, scores) by histogram rank-math — the quantile column of a
     * dataset "data card", exact where `approx_percentile` is

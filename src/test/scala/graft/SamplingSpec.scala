@@ -167,6 +167,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(64) == base)
   }
 
+  test("sequentialPoissonSample: shard-count-invariant per-stratum top-k by h/w priority") {
+    val df = (0L until 400L)
+      .map(i => (i, if (i % 4 == 0) "es" else "en", 1L + i % 97))
+      .toDF("doc_id", "lang", "n_chars")
+    def run(shards: Int) = Sampling.sequentialPoissonSample(df, col("lang"),
+        col("doc_id"), col("n_chars"), k = 20, shards = shards)
+      .select("doc_id", "lang", "n_chars", "samp_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val base = run(1) // single window — the brute-force reference
+    assert(base.count(_._2 == "en") == 20 && base.count(_._2 == "es") == 20)
+    assert(run(5) == base)
+    assert(run(64) == base)
+    // heavier records have smaller priorities: the sample's mean weight
+    // must exceed the population's (PPS bias, deterministic here)
+    val popMean = (0L until 400L).map(i => 1L + i % 97).sum.toDouble / 400
+    val sampMean = base.toSeq.map(_._3).sum.toDouble / base.size
+    assert(sampMean > popMean, s"$sampMean vs $popMean")
+  }
+
+  test("sequentialPoissonSample excludes non-positive weights scan-locally") {
+    val df = Seq((1L, "en", 0L), (2L, "en", -3L), (3L, "en", 5L))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.sequentialPoissonSample(df, col("lang"), col("doc_id"),
+      col("w"), k = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L))
+  }
+
   test("exactQuantiles reports inverse-ECDF values per stratum") {
     // en: values 1..10 → p50 = value at rank ceil(5) = 5, p90 at rank 9
     // de: 4× the value 7 → every quantile is 7
