@@ -1751,6 +1751,17 @@ object Queries {
         col("lang"), col("doc_id"), col("n_chars"), k = 50)
       .orderBy(col("lang"), col("samp_rank"))
 
+  /** Mixture epoch plan ([[graft.functions.Sampling.epochPlan]]): per
+    * source, the repeat factor realizing a 1M-token budget under
+    * sqrt-temperature weights — exact BIGINT ceil/floor rationals. One
+    * corpus pass; normalization runs over the sources-sized summary.
+    */
+  def epochPlanQuery(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochPlan(
+        t(spark, dir, "documents").select(col("source"), col("text")),
+        col("source"), Text.tokenCount(col("text")), budget = 1000000L)
+      .orderBy(col("stratum"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1859,7 +1870,8 @@ object Queries {
     "q101_host_authority" -> (hostAuthority _),
     "q102_importance_select" -> (importanceSelection _),
     "q103_quality_classifier" -> (qualityClassifier _),
-    "q104_weighted_sample" -> (weightedSample _))
+    "q104_weighted_sample" -> (weightedSample _),
+    "q105_epoch_plan" -> (epochPlanQuery _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3036,6 +3048,20 @@ object Queries {
          |      FROM pri)
          |SELECT doc_id, lang, n_chars, CAST(samp_rank AS INT) AS samp_rank
          |FROM r WHERE samp_rank <= 50 ORDER BY lang, samp_rank""".stripMargin,
+    "q105_epoch_plan" ->
+      s"""WITH avail AS (
+         |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($DTOKS)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS w
+         |      FROM avail),
+         |s AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS wsum FROM w),
+         |fin AS (SELECT stratum, n_docs, avail_tokens,
+         |          (1000000 * w) // wsum AS target_tokens FROM s)
+         |SELECT stratum, n_docs, avail_tokens,
+         |       CAST(target_tokens AS BIGINT) AS target_tokens,
+         |       CAST((1000 * target_tokens + avail_tokens - 1) // avail_tokens AS BIGINT) AS epochs_milli
+         |FROM fin ORDER BY stratum""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

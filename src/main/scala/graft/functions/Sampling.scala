@@ -295,6 +295,37 @@ object Sampling {
       .drop("__h" :: "__shard" :: "__pri" :: "__r" :: "__w" :: sNames.toList: _*)
   }
 
+  /** Mixture EPOCH plan: how many times to repeat each stratum (source)
+    * to realize a token budget under sqrt-temperature mixture weights —
+    * the step that turns "mix these corpora at these weights" into the
+    * per-source repeat factors a training run actually consumes (e.g.
+    * "books ×2.4 epochs, web ×0.3"). Weights are `isqrt(avail_tokens)`
+    * (exact for the same reason as [[sqrtMixtureSample]]); the stratum's
+    * token target is `budget · w DIV Σw` and its repeat factor
+    * `epochs_milli = ceil(1000 · target / avail)` — all BIGINT ceil/floor
+    * rationals, so the plan replays exactly in any engine.
+    *
+    * Scale shape: one pass — the per-stratum aggregate is a
+    * low-cardinality groupBy (map-side partials), and the weight
+    * normalization runs as a window over the STRATA-SIZED summary (the
+    * [[exactQuantiles]] pattern), not a second corpus scan the
+    * self-join-on-aggregate form would cost.
+    */
+  def epochPlan(df: DataFrame, stratum: Column, tokenCount: Column,
+                budget: Long): DataFrame = {
+    val avail = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("avail_tokens"))
+      .withColumn("__w",
+        floor(sqrt(col("avail_tokens").cast("double"))).cast("long"))
+    avail
+      .withColumn("__wsum", sum(col("__w")).over(Window.partitionBy()))
+      .withColumn("target_tokens", expr(s"(${budget}L * __w) DIV __wsum"))
+      .withColumn("epochs_milli",
+        expr("(1000L * target_tokens + avail_tokens - 1) DIV avail_tokens"))
+      .drop("__w", "__wsum")
+  }
+
   /** Exact per-stratum quantiles of a DISCRETE metric (lengths, token
     * counts, scores) by histogram rank-math — the quantile column of a
     * dataset "data card", exact where `approx_percentile` is

@@ -195,6 +195,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == Set(3L))
   }
 
+  test("epochPlan: isqrt weights, exact rational targets and ceil repeat factors") {
+    // avail: a = 16 tokens (w 4), b = 9 tokens (w 3); wsum 7, budget 700
+    // -> targets 400 / 300; epochs ceil(1000*400/16) = 25000,
+    //    ceil(1000*300/9) = 33334.
+    val df = Seq(("a", 7L), ("a", 9L), ("b", 9L)).toDF("src", "toks")
+    val out = Sampling.epochPlan(df, col("src"), col("toks"), budget = 700L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "a" -> ((2L, 16L, 400L, 25000L)),
+      "b" -> ((1L, 9L, 300L, 33334L))), out.toString)
+  }
+
   test("exactQuantiles reports inverse-ECDF values per stratum") {
     // en: values 1..10 → p50 = value at rank ceil(5) = 5, p90 at rank 9
     // de: 4× the value 7 → every quantile is 7
