@@ -1762,6 +1762,18 @@ object Queries {
         col("source"), Text.tokenCount(col("text")), budget = 1000000L)
       .orderBy(col("stratum"))
 
+  /** Per-epoch training order ([[graft.functions.Sampling.epochShuffle]]):
+    * every document's exact global position in 2 differently-shuffled
+    * epochs — epoch-seeded md5 order, positions assembled from monotone
+    * shard partials, never a corpus-wide sort.
+    */
+  def epochShuffleQuery(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(
+        t(spark, dir, "documents").select(col("doc_id")),
+        col("doc_id"), epochs = 2)
+      .select(col("doc_id"), col("epoch"), col("pos"))
+      .orderBy(col("epoch"), col("pos"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1871,7 +1883,8 @@ object Queries {
     "q102_importance_select" -> (importanceSelection _),
     "q103_quality_classifier" -> (qualityClassifier _),
     "q104_weighted_sample" -> (weightedSample _),
-    "q105_epoch_plan" -> (epochPlanQuery _))
+    "q105_epoch_plan" -> (epochPlanQuery _),
+    "q106_epoch_shuffle" -> (epochShuffleQuery _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3062,6 +3075,14 @@ object Queries {
          |       CAST(target_tokens AS BIGINT) AS target_tokens,
          |       CAST((1000 * target_tokens + avail_tokens - 1) // avail_tokens AS BIGINT) AS epochs_milli
          |FROM fin ORDER BY stratum""".stripMargin,
+    "q106_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([1, 2]) AS epoch FROM documents),
+        |h AS (SELECT doc_id, epoch,
+        |        ('0x' || substr(md5(CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1073741824 AS hh
+        |      FROM e)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, pos""".stripMargin,
     "q86_cdc_chunks" ->
       s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
          |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),

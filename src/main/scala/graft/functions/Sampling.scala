@@ -295,6 +295,42 @@ object Sampling {
       .drop("__h" :: "__shard" :: "__pri" :: "__r" :: "__w" :: sNames.toList: _*)
   }
 
+  /** Deterministic per-epoch training order: every record gets an exact
+    * global position for each of `epochs` epochs, re-shuffled between
+    * epochs by seeding the portable md5 hash with the epoch number — the
+    * "reshuffle the corpus every epoch" step of a training run, as a pure
+    * function of (epoch, key): reproducible, resumable mid-epoch (position
+    * is a value, not an iterator state), and identical in any engine.
+    *
+    * Scale shape: a global ORDER BY per epoch would be a single-partition
+    * sort of the corpus. Instead the hash order is range-sharded
+    * ([[hashShard]] is monotone), a per-(epoch, shard) count summary +
+    * prefix sum locates each shard's starting position, and the exact
+    * global position is `shard_start + local_rank` from a window that
+    * partitions by (epoch, shard) — `shards`× the parallelism, no
+    * corpus-wide sort anywhere, bit-identical to the single-window form.
+    * Pass a narrow projection (the key); join wide columns back by key.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int,
+                   shards: Int = DefaultShards): DataFrame = {
+    val aug = df
+      .withColumn("epoch", explode(lit((1 to epochs).toArray)))
+      .withColumn("__h", hashBucket(
+        concat(col("epoch").cast("string"), lit("|"), key.cast("string")),
+        1 << 30))
+      .withColumn("__shard", hashShard(col("__h"), shards))
+    val summ = aug.groupBy(col("epoch"), col("__shard"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", sum(col("__c")).over(
+        Window.partitionBy(col("epoch")).orderBy(col("__shard"))) - col("__c"))
+      .select(col("epoch"), col("__shard"), col("__before"))
+    val w = Window.partitionBy(col("epoch"), col("__shard"))
+      .orderBy(col("__h"), key)
+    aug.join(broadcast(summ), Seq("epoch", "__shard"))
+      .withColumn("pos", (col("__before") + row_number().over(w)).cast("long"))
+      .drop("__h", "__shard", "__before", "__c")
+  }
+
   /** Mixture EPOCH plan: how many times to repeat each stratum (source)
     * to realize a token budget under sqrt-temperature mixture weights —
     * the step that turns "mix these corpora at these weights" into the

@@ -195,6 +195,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == Set(3L))
   }
 
+  test("epochShuffle: exact per-epoch permutations, reshuffled between epochs, shard-invariant") {
+    val df = (0L until 300L).toDF("doc_id")
+    def run(shards: Int) = Sampling.epochShuffle(df, col("doc_id"),
+        epochs = 2, shards = shards)
+      .select("doc_id", "epoch", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base = run(1) // single window — the brute-force reference
+    // each epoch is a complete permutation of 1..n
+    for (e <- 1 to 2)
+      assert(base.filter(_._2 == e).map(_._3) == (1L to 300L).toSet)
+    // the two epochs order the corpus differently
+    val o1 = base.filter(_._2 == 1).toSeq.sortBy(_._3).map(_._1)
+    val o2 = base.filter(_._2 == 2).toSeq.sortBy(_._3).map(_._1)
+    assert(o1 != o2)
+    assert(run(7) == base)
+    assert(run(64) == base)
+  }
+
   test("epochPlan: isqrt weights, exact rational targets and ceil repeat factors") {
     // avail: a = 16 tokens (w 4), b = 9 tokens (w 3); wsum 7, budget 700
     // -> targets 400 / 300; epochs ceil(1000*400/16) = 25000,
