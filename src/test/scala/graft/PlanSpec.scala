@@ -302,6 +302,31 @@ class PlanSpec extends AnyFunSuite {
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
 
+  test("q104/q106: two-phase order assembly — the corpus window is (stratum, shard)-partitioned; lone-key windows see only bounded frames") {
+    // q104: phase-1 rank window partitions by (lang, shard); the lone
+    // stratum window re-ranks only phase-1 survivors — visible as a
+    // WindowGroupLimit (partial top-k) in its child subtree, so no
+    // unbounded corpus rows reach it. q106: the (epoch, shard) rank
+    // window is 2-key; the lone 'epoch' window runs over the
+    // pre-aggregated shard-count summary (its input carries __c).
+    for ((q, boundedChild) <- Seq[(String,
+        org.apache.spark.sql.execution.window.WindowExec => Boolean)](
+        "q104_weighted_sample" ->
+          (w => w.child.toString.contains("WindowGroupLimit")),
+        "q106_epoch_shuffle" ->
+          (w => w.child.output.exists(_.name == "__c")))) {
+      val ws = windowNodes(q)
+      assert(ws.nonEmpty, s"$q: expected window nodes")
+      ws.foreach { w =>
+        assert(w.partitionSpec.length >= 2 || boundedChild(w),
+          s"$q: lone-key window over an unbounded frame:\n$w")
+      }
+      val plan = SparkEntry.queries(q)(planningSession, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q: $plan")
+    }
+  }
+
   test("q103: the trained model broadcasts into the scorer; the feature cut is TakeOrderedAndProject; text never shuffles") {
     val plan = finalPlan(SparkEntry.queries("q103_quality_classifier")(spark, sf))
     // the 256-row model must join the exploded held-out terms as a
