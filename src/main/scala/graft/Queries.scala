@@ -1715,27 +1715,70 @@ object Queries {
       .orderBy(col("rnk"))
   }
 
-  /** Hashed bag-of-words quality classifier
-    * ([[graft.functions.Classifier]]): the fastText-style model-based
-    * filter step of a pretraining pipeline, end to end — train integer
-    * token weights on the 30% md5 split (positive class: English), keep
-    * the 256 most discriminative hash buckets, score every held-out
-    * document by broadcast-joined weighted bag-of-words sum. All-BIGINT
-    * train AND inference, so the whole learn-then-filter pipeline replays
-    * exactly in DuckDB.
+  /** The spam phrase appended to every 5th document (`doc_id % 5 = 2`)
+    * for the q103/q107 classifier queries — the planted ground truth the
+    * model must learn, shared verbatim with the DuckDB oracle (the q98
+    * planting discipline). The words are disjoint from the synthetic
+    * corpus vocabulary, so the signal is real but the base text stays.
     */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  private val SpamMarker =
+    "click here to win your free prize unsubscribe now limited offer exclusive deal"
+
+  /** (doc_id, is_spam, score, pred) for every held-out document under
+    * the q103 classifier — shared by q103 (per-doc surface) and q107
+    * (calibration table). One in five documents carries [[SpamMarker]];
+    * the model trains on the 30% md5 split and must recover the planted
+    * label on the held-out 70%.
+    */
+  private def classifierScored(spark: SparkSession, dir: String): DataFrame = {
+    val planted = col("doc_id") % 5 === 2
     val docs = t(spark, dir, "documents")
+      .withColumn("text",
+        when(planted, concat(col("text"), lit(s" $SpamMarker")))
+          .otherwise(col("text")))
+      .withColumn("is_spam", planted.cast("int"))
     val isTrain = Sampling.hashBucket(col("doc_id"), 100) < 30
     val model = graft.functions.Classifier.hashedLinearModel(
-      docs.filter(isTrain), col("text"), col("lang") === "en")
+      docs.filter(isTrain), col("doc_id"), col("text"), col("is_spam") === 1)
     val held = docs.filter(!isTrain)
     graft.functions.Classifier.scoreDocs(held, col("doc_id"), col("text"), model)
-      .join(held.select(col("doc_id").as("id"), col("lang")), "id")
-      .select(col("id").as("doc_id"), col("lang"), col("score"),
+      .join(held.select(col("doc_id").as("id"), col("is_spam")), "id")
+      .select(col("id").as("doc_id"), col("is_spam"), col("score"),
         col("pred").cast("int").as("pred"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Hashed bag-of-words spam classifier ([[graft.functions.Classifier]]):
+    * the fastText-style model-based filter step of a pretraining
+    * pipeline, end to end — class-rate token weights trained on the 30%
+    * md5 split, top-256 feature cut, held-out docs scored by
+    * broadcast-joined weighted bag-of-words sum. All-BIGINT train AND
+    * inference, so the whole learn-then-filter pipeline replays exactly
+    * in DuckDB.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierScored(spark, dir).orderBy(col("doc_id"))
+
+  /** Classifier calibration table ([[graft.functions.Sampling
+    * .quantileBins]] over the q103 scores): held-out documents cut into
+    * 10 exact score deciles, each reporting its spam-label count — the
+    * reliability check run on every production quality filter (the
+    * planted positives must concentrate in the top deciles). Binning is
+    * the two-phase histogram form: windows run over distinct score
+    * values, never the held-out corpus.
+    */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    // quantileBins reads its input from several branches (summary, join,
+    // whole/straddling) — materialize the narrow scored frame once or the
+    // whole train-and-score pipeline runs per branch.
+    Sampling.quantileBins(
+        stageBoundary(spark, classifierScored(spark, dir).drop("pred")),
+        lit("all"), col("score"), col("doc_id"), n = 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_spam")).cast("long").as("n_pos"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("bin"))
 
   /** Weighted document sample ([[graft.functions.Sampling
     * .sequentialPoissonSample]]): 50 documents per language drawn with
@@ -1884,7 +1927,8 @@ object Queries {
     "q103_quality_classifier" -> (qualityClassifier _),
     "q104_weighted_sample" -> (weightedSample _),
     "q105_epoch_plan" -> (epochPlanQuery _),
-    "q106_epoch_shuffle" -> (epochShuffleQuery _))
+    "q106_epoch_shuffle" -> (epochShuffleQuery _),
+    "q107_score_calibration" -> (scoreCalibration _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -1899,6 +1943,35 @@ object Queries {
   private val DNTOKS = s"string_split_regex(trim($DNORM), '\\s+')"
   private val DSTOP =
     "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+
+  /** The q103 classifier's train-then-score pipeline as a shared oracle
+    * CTE chain (`cfin` = held-out (doc_id, lang, score)); q103 reads the
+    * per-doc surface, q107 the calibration deciles.
+    */
+  private lazy val ClassifierChainSql =
+    s"""planted AS (SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 2 THEN text || ' $SpamMarker' ELSE text END AS text,
+       |         CAST(doc_id % 5 = 2 AS INT) AS is_spam
+       |       FROM documents),
+       |split AS (SELECT doc_id, text, is_spam,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30 AS is_train
+       |       FROM planted),
+       |toks AS (SELECT doc_id, is_spam, is_train, unnest($DNTOKS) AS term FROM split),
+       |tb AS (SELECT DISTINCT doc_id, is_spam, is_train,
+       |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS b FROM toks),
+       |tot AS (SELECT CAST(count(CASE WHEN is_spam = 1 THEN 1 END) AS BIGINT) AS np,
+       |               CAST(count(CASE WHEN is_spam = 0 THEN 1 END) AS BIGINT) AS nn
+       |        FROM split WHERE is_train),
+       |w0 AS (SELECT b,
+       |         (CAST(count(CASE WHEN is_spam = 1 THEN 1 END) AS BIGINT) * 1000000) // np
+       |           - (CAST(count(CASE WHEN is_spam = 0 THEN 1 END) AS BIGINT) * 1000000) // nn AS w
+       |       FROM tb CROSS JOIN tot WHERE is_train GROUP BY b, np, nn),
+       |model AS (SELECT b, CAST(w AS BIGINT) AS w FROM w0 WHERE w <> 0
+       |          ORDER BY abs(w) DESC, b LIMIT 256),
+       |sums AS (SELECT doc_id, CAST(sum(model.w) AS BIGINT) AS score
+       |         FROM tb JOIN model USING (b) WHERE NOT is_train GROUP BY doc_id),
+       |cfin AS (SELECT s.doc_id, s.is_spam, coalesce(sums.score, 0) AS score
+       |        FROM split s LEFT JOIN sums USING (doc_id) WHERE NOT s.is_train)""".stripMargin
 
   private def langScore(vocab: Seq[String]): String =
     s"len(list_filter($DTOKS, t -> list_contains([${vocab.map(w => s"'$w'").mkString(",")}], t)))"
@@ -3034,22 +3107,19 @@ object Queries {
          |SELECT doc_id, n_toks, CAST(imp_per_tok AS BIGINT) AS imp_per_tok, rnk
          |FROM fin WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "q103_quality_classifier" ->
-      s"""WITH split AS (SELECT doc_id, text, lang,
-         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30 AS is_train
-         |       FROM documents),
-         |toks AS (SELECT doc_id, lang, is_train, unnest($DNTOKS) AS term FROM split),
-         |tb AS (SELECT doc_id, lang, is_train,
-         |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS b FROM toks),
-         |w0 AS (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT) AS w
-         |       FROM tb WHERE is_train GROUP BY b),
-         |model AS (SELECT b, w FROM w0 WHERE w <> 0 ORDER BY abs(w) DESC, b LIMIT 256),
-         |sums AS (SELECT doc_id, CAST(sum(model.w) AS BIGINT) AS score
-         |         FROM tb JOIN model USING (b) WHERE NOT is_train GROUP BY doc_id),
-         |fin AS (SELECT s.doc_id, s.lang, coalesce(sums.score, 0) AS score
-         |        FROM split s LEFT JOIN sums USING (doc_id) WHERE NOT s.is_train)
-         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+      s"""WITH $ClassifierChainSql
+         |SELECT doc_id, is_spam, CAST(score AS BIGINT) AS score,
          |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred
-         |FROM fin ORDER BY doc_id""".stripMargin,
+         |FROM cfin ORDER BY doc_id""".stripMargin,
+    "q107_score_calibration" ->
+      s"""WITH $ClassifierChainSql,
+         |b AS (SELECT doc_id, is_spam, score,
+         |        ntile(10) OVER (ORDER BY score, doc_id) AS bin FROM cfin)
+         |SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+         |       CAST(sum(is_spam) AS BIGINT) AS n_pos,
+         |       CAST(min(score) AS BIGINT) AS min_score,
+         |       CAST(max(score) AS BIGINT) AS max_score
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * bag-of-words sum.
   *
   * Training is count-based, not gradient-based: the weight of hash
-  * bucket `b` is `(#positive-token-occurrences − #negative-token-
-  * occurrences)` over the train split — the integer "log-odds-shaped"
-  * linear model a single pass of counting yields. Feature selection
+  * bucket `b` is the integer-scaled difference of its per-class
+  * DOCUMENT-PRESENCE rates over the train split (the Bernoulli
+  * naive-Bayes feature shape) — the class-balanced linear model a
+  * single pass of counting yields. Feature selection
   * keeps the `topK` buckets by |weight| (ties broken by bucket id), so
   * the deployed model is a FIXED-SIZE table no matter how large the
   * train corpus grows — that is what makes the scorer a broadcast join
@@ -23,41 +24,66 @@ import org.apache.spark.sql.functions._
   * Buckets use [[Sampling.hashBucket]]'s engine-portable md5 hash (NOT
   * xxhash64): the model must be reproducible anywhere.
   *
-  * Scale shape: training explodes tokens scan-locally and aggregates by
-  * bucket — a low-cardinality groupBy is SAFE (unlike a low-cardinality
-  * window) because map-side partial aggregation collapses each task's
-  * contribution to ≤ `buckets` rows before the shuffle. The top-K cut is
-  * `orderBy.limit(topK)` — Spark's TakeOrdered, a per-partition partial
-  * top-K then a tiny driver merge, never a single-partition sort.
-  * Inference broadcasts the K-row model, joins it map-side against the
-  * exploded (id, bucket) pairs, and sums per document — a groupBy keyed
-  * by the high-cardinality doc id carrying only longs. Text never
-  * shuffles.
+  * Scale shape: training explodes tokens scan-locally, dedups to
+  * distinct (doc, bucket) presence pairs (a shuffle keyed by the
+  * high-cardinality pair, with map-side partial dedup), then aggregates
+  * by bucket — a low-cardinality groupBy is SAFE (unlike a
+  * low-cardinality window) because map-side partial aggregation
+  * collapses each task's contribution to ≤ `buckets` rows before the
+  * shuffle. The top-K cut is `orderBy.limit(topK)` — Spark's
+  * TakeOrdered, a per-partition partial top-K then a tiny driver merge,
+  * never a single-partition sort. Inference dedups the same way,
+  * broadcasts the K-row model against the distinct (id, bucket) pairs,
+  * and sums per document — a groupBy keyed by the high-cardinality doc
+  * id carrying only longs. Text never shuffles.
   */
 object Classifier {
 
   /** The trained model: (b, w) — hashed bucket and its integer weight,
     * the `topK` buckets most discriminative between `label` = true/false
-    * token occurrences in `docs` (which should already be the train
-    * split). Deterministic: ties at the |w| cut break by bucket id.
+    * documents in `docs` (which should already be the train split). The
+    * weight is the DOCUMENT-PRESENCE rate difference, integer-scaled:
+    *
+    *   w(b) = docs_pos(b)·scale DIV n_pos − docs_neg(b)·scale DIV n_neg
+    *
+    * i.e. how much more of the positive class contains the bucket than
+    * the negative class. Presence rates (not occurrence rates) for two
+    * reasons: raw count differences would let the majority class swamp
+    * every bucket, and occurrence rates are diluted by whatever else a
+    * labeled document contains — a token in every positive and every
+    * negative document cancels EXACTLY here, while a token exclusive to
+    * one class scores the full ±scale. All BIGINT. Requires both classes
+    * present in the train split. Deterministic: ties at the |w| cut
+    * break by bucket id.
     */
-  def hashedLinearModel(docs: DataFrame, text: Column, label: Column,
-                        buckets: Int = 4096, topK: Int = 256): DataFrame =
-    docs
-      .select(label.as("y"),
+  def hashedLinearModel(docs: DataFrame, id: Column, text: Column,
+                        label: Column, buckets: Int = 4096, topK: Int = 256,
+                        scale: Long = 1000000L): DataFrame = {
+    val present = docs
+      .select(id.as("id"), label.as("y"),
         explode(Text.tokens(Text.normalized(text))).as("term"))
       .withColumn("b", Sampling.hashBucket(col("term"), buckets))
-      .groupBy(col("b"))
-      .agg(sum(when(col("y"), 1L).otherwise(-1L)).as("w"))
+      .select(col("id"), col("y"), col("b")).distinct()
+    val totals = docs.agg(
+      count(when(label, 1)).as("np"),
+      count(when(!label, 1)).as("nn"))
+    present.groupBy(col("b"))
+      .agg(count(when(col("y"), 1)).as("cp"),
+        count(when(!col("y"), 1)).as("cn"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr(s"(cp * ${scale}L) DIV np - (cn * ${scale}L) DIV nn").as("w"))
       .filter(col("w") =!= 0L)
       .orderBy(abs(col("w")).desc, col("b").asc)
       .limit(topK)
+  }
 
   /** Score `docs` with a trained model: returns (id, score, pred) —
-    * the integer weighted bag-of-words sum over the document's tokens
-    * that hit a model bucket (0 if none do — every input document gets a
-    * row) and the sign prediction `score > 0`. The model is pinned as
-    * the broadcast side; only (id, bucket) longs shuffle.
+    * the integer weight sum over the DISTINCT model buckets present in
+    * the document (matching the model's presence semantics; 0 if none —
+    * every input document gets a row) and the sign prediction
+    * `score > 0`. The model is pinned as the broadcast side; only
+    * distinct (id, bucket) longs shuffle.
     */
   def scoreDocs(docs: DataFrame, id: Column, text: Column,
                 model: DataFrame, buckets: Int = 4096): DataFrame = {
@@ -65,6 +91,7 @@ object Classifier {
       .select(id.as("id"),
         explode(Text.tokens(Text.normalized(text))).as("term"))
       .withColumn("b", Sampling.hashBucket(col("term"), buckets))
+      .select(col("id"), col("b")).distinct()
       .join(broadcast(model), "b")
       .groupBy(col("id"))
       .agg(sum(col("w")).as("score"))

@@ -8,44 +8,57 @@ class ClassifierSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("weights are pos-minus-neg occurrence counts; scoring separates the classes") {
-    // positive class speaks {good fine}, negative speaks {spam junk};
-    // "both" appears once on each side and must cancel out of the model.
+  test("weights are presence-rate differences; class-universal tokens cancel exactly") {
+    // "common" is in every doc of BOTH classes (3 pos vs 1 neg — the
+    // imbalance that swamps raw-count weights) and must weigh 0;
+    // repeating a token inside one doc must not change its weight.
     val train = Seq(
-      (0L, "good fine good both", true),
-      (1L, "fine good fine", true),
-      (2L, "spam junk spam both", false),
-      (3L, "junk spam junk", false)
+      (0L, "common alpha alpha", true),
+      (1L, "common beta", true),
+      (2L, "common alpha beta", true),
+      (3L, "common clean", false)
     ).toDF("id", "text", "y")
-    val model = Classifier.hashedLinearModel(train, col("text"), col("y"))
+    val model = Classifier.hashedLinearModel(train, col("id"), col("text"),
+        col("y"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // good: +3, fine: +3, spam: -3, junk: -3, both: 0 (dropped).
-    assert(model.values.toSet == Set(3L, -3L), model.toString)
-    assert(model.size == 4)
+    // alpha: 2 of 3 pos docs -> 666666; beta: 666666; clean: -1000000;
+    // common: 1e6 DIV 1 - 1e6 DIV 1 ... rates 3/3 vs 1/1 -> 0, dropped.
+    assert(model.values.toList.sorted == List(-1000000L, 666666L, 666666L),
+      model.toString)
+  }
 
+  test("scoring sums distinct-presence weights; unmatched docs keep a zero row") {
+    val train = Seq(
+      (0L, "good fine", true),
+      (1L, "fine good", true),
+      (2L, "spam junk", false),
+      (3L, "junk spam", false)
+    ).toDF("id", "text", "y")
+    val model = Classifier.hashedLinearModel(train, col("id"), col("text"),
+      col("y"))
     val held = Seq(
-      (10L, "good fine day"),
+      (10L, "good fine good fine day"), // repeats must not double-count
       (11L, "spam junk offer"),
       (12L, "nothing matches here")
     ).toDF("id", "text")
-    val scored = Classifier.scoreDocs(held, col("id"), col("text"),
-        Classifier.hashedLinearModel(train, col("text"), col("y")))
+    val scored = Classifier.scoreDocs(held, col("id"), col("text"), model)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(scored(10L) == ((6L, true)))
-    assert(scored(11L) == ((-6L, false)))
-    // no model token at all -> score 0, negative prediction, row kept
+    assert(scored(10L) == ((2000000L, true)))
+    assert(scored(11L) == ((-2000000L, false)))
     assert(scored(12L) == ((0L, false)))
   }
 
   test("topK cut keeps the most discriminative buckets with a deterministic tie-break") {
-    // 3 tokens with |w| = 2 and 2 tokens with |w| = 1; topK = 3 must keep
-    // exactly the |w|=2 buckets regardless of input order.
+    // pos-exclusive aa/bb (+1e6), half-rate cc (+500000), neg-exclusive
+    // zz (-1e6): topK = 3 must keep aa, bb, zz and cut cc.
     val train = Seq(
-      (0L, "aa aa bb bb cc cc dd ee", true),
-      (1L, "", false)
+      (0L, "aa bb cc", true),
+      (1L, "aa bb", true),
+      (2L, "zz", false)
     ).toDF("id", "text", "y")
-    val m = Classifier.hashedLinearModel(train, col("text"), col("y"), topK = 3)
-      .collect().map(_.getLong(1))
-    assert(m.length == 3 && m.forall(_ == 2L), m.toList.toString)
+    val m = Classifier.hashedLinearModel(train, col("id"), col("text"),
+        col("y"), topK = 3)
+      .collect().map(_.getLong(1)).sorted
+    assert(m.toList == List(-1000000L, 1000000L, 1000000L), m.toList.toString)
   }
 }

@@ -328,11 +328,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q103: the trained model broadcasts into the scorer; the feature cut is TakeOrderedAndProject; text never shuffles") {
-    val plan = finalPlan(SparkEntry.queries("q103_quality_classifier")(spark, sf))
-    // the 256-row model must join the exploded held-out terms as a
-    // broadcast — an SMJ would shuffle every (id, bucket) pair on bucket
+    // the 256-row model must join the distinct (id, bucket) presence
+    // pairs as a broadcast — an SMJ ON THE BUCKET KEY would shuffle the
+    // corpus on a 4096-value key. Joins keyed by the high-cardinality
+    // doc id (the per-doc score left join) MAY legitimately shuffle.
+    val exec = SparkEntry.queries("q103_quality_classifier")(planningSession, sf)
+      .queryExecution.executedPlan
+    val smjs = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    smjs.foreach { j =>
+      assert(!j.leftKeys.exists(_.references.exists(_.name == "b")),
+        s"model bucket join planned as SMJ:\n$j")
+    }
+    val plan = exec.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
     // top-K feature selection = per-partition partial top-K + tiny merge,
     // never a global sort of the bucket-weight table
     assert(plan.contains("TakeOrderedAndProject"), plan)
