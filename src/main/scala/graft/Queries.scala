@@ -1817,6 +1817,25 @@ object Queries {
       .select(col("doc_id"), col("epoch"), col("pos"))
       .orderBy(col("epoch"), col("pos"))
 
+  /** Dataset release diff ([[graft.dq.Checks.releaseDiff]]): per source,
+    * the added / removed / changed / unchanged counts between two
+    * synthesized corpus snapshots (the q83 snapshot-arithmetic
+    * discipline: every 13th doc is new, every 19th was dropped, every
+    * 11th was revised) — the delta table of a dataset release note. Only
+    * (id, source, md5 fingerprint) ride the full-outer join.
+    */
+  def releaseDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val prev = docs.filter(col("doc_id") % 13 =!= 5)
+    val cur = docs.filter(col("doc_id") % 19 =!= 6)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    graft.dq.Checks.releaseDiff(prev, cur, col("doc_id"),
+        Text.fingerprint(col("text")), col("source"))
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1928,7 +1947,8 @@ object Queries {
     "q104_weighted_sample" -> (weightedSample _),
     "q105_epoch_plan" -> (epochPlanQuery _),
     "q106_epoch_shuffle" -> (epochShuffleQuery _),
-    "q107_score_calibration" -> (scoreCalibration _))
+    "q107_score_calibration" -> (scoreCalibration _),
+    "q108_release_diff" -> (releaseDiffQuery _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3120,6 +3140,23 @@ object Queries {
          |       CAST(min(score) AS BIGINT) AS min_score,
          |       CAST(max(score) AS BIGINT) AS max_score
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q108_release_diff" ->
+      s"""WITH prev AS (SELECT doc_id, source, md5($DNORM) AS fp
+         |              FROM documents WHERE doc_id % 13 <> 5),
+         |cur0 AS (SELECT doc_id, source,
+         |           CASE WHEN doc_id % 11 = 3 THEN text || ' rev2' ELSE text END AS text
+         |         FROM documents WHERE doc_id % 19 <> 6),
+         |cur AS (SELECT doc_id, source, md5($DNORM) AS fp FROM cur0),
+         |j AS (SELECT coalesce(p.source, c.source) AS grp,
+         |        CASE WHEN p.fp IS NULL THEN 'added'
+         |             WHEN c.fp IS NULL THEN 'removed'
+         |             WHEN p.fp = c.fp THEN 'unchanged' ELSE 'changed' END AS st
+         |      FROM prev p FULL OUTER JOIN cur c USING (doc_id))
+         |SELECT grp, CAST(count(CASE WHEN st = 'added' THEN 1 END) AS BIGINT) AS n_added,
+         |       CAST(count(CASE WHEN st = 'removed' THEN 1 END) AS BIGINT) AS n_removed,
+         |       CAST(count(CASE WHEN st = 'changed' THEN 1 END) AS BIGINT) AS n_changed,
+         |       CAST(count(CASE WHEN st = 'unchanged' THEN 1 END) AS BIGINT) AS n_unchanged
+         |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

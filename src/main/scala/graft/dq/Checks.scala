@@ -186,6 +186,36 @@ object Checks {
       .drop("__vc", "__grp", "__n", "__s", "__ss")
   }
 
+  /** Snapshot release diff: per `rollup` group, how many records were
+    * added, removed, changed (same id, different content fingerprint) or
+    * unchanged between two corpus snapshots — the delta table of a
+    * dataset release note, and the generalization of [[dataMatch]] from
+    * a boolean verdict to an attributable report.
+    *
+    * Scale shape: one full-outer join keyed by the high-cardinality id,
+    * carrying only (id, group, fingerprint) — text never shuffles (pass a
+    * fingerprint EXPRESSION, e.g. `Text.fingerprint`, evaluated
+    * scan-locally on each side); the rollup groupBy is low-cardinality
+    * with map-side partials.
+    */
+  def releaseDiff(prev: DataFrame, cur: DataFrame, id: Column, fp: Column,
+                  rollup: Column): DataFrame = {
+    val p = prev.select(id.as("id"), rollup.as("__gp"), fp.as("fp_prev"))
+    val c = cur.select(id.as("id"), rollup.as("__gc"), fp.as("fp_cur"))
+    val status =
+      when(col("fp_prev").isNull, "added")
+        .when(col("fp_cur").isNull, "removed")
+        .when(col("fp_prev") === col("fp_cur"), "unchanged")
+        .otherwise("changed")
+    p.join(c, Seq("id"), "full_outer")
+      .select(coalesce(col("__gp"), col("__gc")).as("grp"), status.as("st"))
+      .groupBy(col("grp"))
+      .agg(count(when(col("st") === "added", 1)).as("n_added"),
+        count(when(col("st") === "removed", 1)).as("n_removed"),
+        count(when(col("st") === "changed", 1)).as("n_changed"),
+        count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
+  }
+
   /** Run all four standard per-stage checks (SURVEY §5.2) and return the
     * audit rows ready for an append-mode write.
     */

@@ -134,6 +134,24 @@ class ChecksSpec extends AnyFunSuite {
     assert(got == z, s"exact z: got $got want $z")
   }
 
+  test("releaseDiff classifies added/removed/changed/unchanged per rollup group") {
+    import graft.functions.Text
+    val prev = Seq((1L, "s1", "alpha"), (2L, "s1", "beta"),
+      (3L, "s2", "gamma"), (4L, "s2", "delta")).toDF("id", "src", "text")
+    val cur = Seq((1L, "s1", "alpha"), // unchanged
+      (2L, "s1", "beta rev2"),         // changed
+      (5L, "s2", "new doc")            // added; 3 and 4 removed
+    ).toDF("id", "src", "text")
+    val out = Checks.releaseDiff(prev, cur, col("id"),
+        Text.fingerprint(col("text")), col("src"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "s1" -> ((0L, 0L, 1L, 1L)),
+      "s2" -> ((1L, 2L, 0L, 0L))), out.toString)
+  }
+
   test("zscoreOutliers: zero-variance and singleton groups flag nothing") {
     // sd = 0 makes z = 0/0 = NaN, and NaN sorts above every number — an
     // unguarded |z| > t would flag EVERY row of a constant group.
