@@ -341,6 +341,33 @@ class PropertySpec extends AnyFunSuite {
           .select("id", "bin").collect()
           .map(r => (r.getLong(0), r.getInt(1))).toMap
         assert(gotBins == naiveBins, s"quantileBins rows=$rows")
+        val pw = Window.partitionBy(col("lang")).orderBy(
+          (Sampling.hashBucket(col("id"), 1 << 30).cast("double") /
+            col("w").cast("double")).asc, col("id"))
+        val naivePps = df.withColumn("samp_rank", row_number().over(pw))
+          .filter(col("samp_rank") <= 3)
+          .select("id", "samp_rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        val naiveShuffle = df.select(col("id"))
+          .withColumn("epoch", explode(lit(Array(1, 2))))
+          .withColumn("pos", row_number().over(Window.partitionBy(col("epoch"))
+            .orderBy(Sampling.hashBucket(
+              concat(col("epoch").cast("string"), lit("|"), col("id").cast("string")),
+              1 << 30), col("id"))).cast("long"))
+          .select("id", "epoch", "pos").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        for (shards <- Seq(1, 5, 64)) {
+          val gotPps = Sampling.sequentialPoissonSample(df, col("lang"),
+            col("id"), col("w"), k = 3, shards = shards)
+            .select("id", "samp_rank").collect()
+            .map(r => (r.getLong(0), r.getInt(1))).toSet
+          assert(gotPps == naivePps, s"seqPoisson shards=$shards rows=$rows")
+          val gotShuffle = Sampling.epochShuffle(df.select(col("id")), col("id"),
+            epochs = 2, shards = shards)
+            .select("id", "epoch", "pos").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          assert(gotShuffle == naiveShuffle, s"epochShuffle shards=$shards rows=$rows")
+        }
       }
     }
   }
