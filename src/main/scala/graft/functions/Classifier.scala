@@ -78,6 +78,28 @@ object Classifier {
       .limit(topK)
   }
 
+  /** The scorer as ONE stateless expression over a driver-exported model
+    * (bucket → weight): distinct-presence bucket weights summed with
+    * array ops — [[scoreDocs]]' exact semantics without the
+    * explode+aggregate, which is what a STREAMING deployment needs (a
+    * per-row projection adds no state store; the 256-entry model rides as
+    * a map literal in the plan, the broadcast-join analogue for a
+    * micro-batch). Also the cheapest batch form when the model is already
+    * on the driver, e.g. loaded from a model registry.
+    */
+  def scoreExpr(model: Map[Long, Long], text: Column,
+                buckets: Int = 4096): Column =
+    if (model.isEmpty) lit(0L)
+    else {
+      val m = map(model.toSeq.sortBy(_._1)
+        .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+      val present = array_distinct(transform(
+        Text.tokens(Text.normalized(text)),
+        t => Sampling.hashBucket(t, buckets)))
+      aggregate(transform(present, b => coalesce(element_at(m, b), lit(0L))),
+        lit(0L), _ + _)
+    }
+
   /** Score `docs` with a trained model: returns (id, score, pred) —
     * the integer weight sum over the DISTINCT model buckets present in
     * the document (matching the model's presence semantics; 0 if none —

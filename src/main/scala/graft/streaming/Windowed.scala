@@ -66,6 +66,24 @@ object Windowed {
       .drop("__pass")
   }
 
+  /** Model-based spam gate on a stream: score each arriving document with
+    * a trained [[graft.functions.Classifier]] model exported to a
+    * stateless expression ([[graft.functions.Classifier.scoreExpr]]) and
+    * drop positive (spam) scores — the streaming twin of the q103 batch
+    * scorer, and the continuous deployment shape of a quality filter:
+    * train offline, export the fixed-size model into the stream job, gate
+    * per-row with NO state store. Rejects are counted via `observe`,
+    * never silently dropped.
+    */
+  def classifierGateStream(docs: DataFrame, model: Map[Long, Long]): DataFrame =
+    docs
+      .withColumn("score",
+        graft.functions.Classifier.scoreExpr(model, col("text")))
+      .observe("graft.classifier_gate",
+        count(lit(1)).as("n_scored"),
+        count(when(col("score") > 0L, 1)).as("n_spam_rejected"))
+      .filter(col("score") <= 0L)
+
   /** Watermarked stream-stream interval join: attribute each purchase to the
     * same user's clicks in the preceding `maxDelay` (the continuous twin of
     * the batch as-of/range joins, `graft.ops.AsOf` / `graft.ops.RangeJoin`).

@@ -48,6 +48,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(scored(12L) == ((0L, false)))
   }
 
+  test("scoreExpr (exported-model form) matches scoreDocs exactly") {
+    val train = Seq(
+      (0L, "good fine", true), (1L, "fine good extra", true),
+      (2L, "spam junk", false), (3L, "junk spam", false)
+    ).toDF("id", "text", "y")
+    val model = Classifier.hashedLinearModel(train, col("id"), col("text"),
+      col("y"))
+    val exported = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val held = Seq((10L, "good fine good"), (11L, "spam extra"),
+      (12L, "unrelated words"), (13L, "")).toDF("id", "text")
+    val viaDocs = Classifier.scoreDocs(held, col("id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = held.select(col("id"),
+        Classifier.scoreExpr(exported, col("text")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaDocs, s"expr=$viaExpr docs=$viaDocs")
+    // empty model scores everything 0
+    val zero = held.select(Classifier.scoreExpr(Map.empty, col("text")))
+      .collect().map(_.getLong(0))
+    assert(zero.forall(_ == 0L))
+  }
+
   test("topK cut keeps the most discriminative buckets with a deterministic tie-break") {
     // pos-exclusive aa/bb (+1e6), half-rate cc (+500000), neg-exclusive
     // zz (-1e6): topK = 3 must keep aa, bb, zz and cut cc.

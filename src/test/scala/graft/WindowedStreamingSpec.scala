@@ -93,6 +93,34 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(totalRejected == 1L, s"rejected=$totalRejected")
   }
 
+  test("classifierGateStream scores per-row with an exported model and rejects spam observably") {
+    implicit val sqlCtx = spark.sqlContext
+    // exported model: spam tokens carry positive weight
+    import graft.functions.{Classifier, Sampling}
+    import org.apache.spark.sql.functions.{col, lit}
+    val train = Seq((0L, "win free prize", true), (1L, "clean body text", false))
+      .toDF("id", "text", "y")
+    val model = Classifier.hashedLinearModel(train, col("id"), col("text"),
+        col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stream = MemoryStream[Doc]
+    val gated = Windowed.classifierGateStream(stream.toDF(), model)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("clf_gate_out").start()
+    stream.addData(
+      Doc(ts("2024-01-01 00:01:00"), "ordinary message body"),
+      Doc(ts("2024-01-01 00:02:00"), "win a free prize now"))
+    q.processAllAvailable()
+    val out = spark.table("clf_gate_out").collect().map(_.getString(1)).toSeq
+    val metrics = q.recentProgress.flatMap { p =>
+      Option(p.observedMetrics.get("graft.classifier_gate"))
+    }
+    q.stop()
+    assert(out == Seq("ordinary message body"))
+    assert(metrics.map(_.getLong(0)).sum == 2L)
+    assert(metrics.map(_.getLong(1)).sum == 1L)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Windowed.SessionInput]
