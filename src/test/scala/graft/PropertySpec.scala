@@ -411,4 +411,51 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sequentialPoissonSample is append-stable: growth can evict but never admit") {
+    import graft.functions.Sampling
+    val growthGen = Gen.listOf(Gen.zip(Gen.chooseNum(501L, 900L),
+      Gen.oneOf("en", "es"), Gen.chooseNum(1L, 50L))).map(_.distinctBy(_._1))
+    forAll(Gen.zip(samplerCorpusGen, growthGen), n = 6) { case (base, growth) =>
+      whenever(base.nonEmpty) {
+        def kept(rows: List[(Long, String, Long)]): Set[Long] =
+          Sampling.sequentialPoissonSample(rows.toDF("id", "lang", "w"),
+            col("lang"), col("id"), col("w"), k = 3)
+            .select("id").collect().map(_.getLong(0)).toSet
+        val before = kept(base)
+        val after = kept(base ++ growth)
+        // priorities are pure functions of (id, w): new records only ADD
+        // competition, so an original record admitted after growth must
+        // have been admitted before
+        assert((after & base.map(_._1).toSet).subsetOf(before),
+          s"base=$base growth=$growth")
+      }
+    }
+  }
+
+  test("epochShuffle is order-stable under growth: surviving pairs never swap") {
+    import graft.functions.Sampling
+    val idsGen = Gen.listOf(Gen.chooseNum(0L, 500L)).map(_.distinct)
+    val growGen = Gen.listOf(Gen.chooseNum(501L, 900L)).map(_.distinct)
+    forAll(Gen.zip(idsGen, growGen), n = 6) { case (base, growth) =>
+      whenever(base.size >= 2) {
+        def order(ids: List[Long]): Map[Int, List[Long]] =
+          Sampling.epochShuffle(ids.toDF("id"), col("id"), epochs = 2)
+            .select("id", "epoch", "pos").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+            .groupBy(_._2).view
+            .mapValues(_.sortBy(_._3).map(_._1).toList).toMap
+        val before = order(base)
+        val after = order(base ++ growth)
+        // a record's seeded hash never changes, so growth shifts absolute
+        // positions but never the relative order of existing records —
+        // what makes a mid-epoch resume meaningful after an append
+        for (e <- 1 to 2) {
+          val baseSet = base.toSet
+          assert(after(e).filter(baseSet) == before(e),
+            s"epoch $e reordered: base=$base growth=$growth")
+        }
+      }
+    }
+  }
 }
