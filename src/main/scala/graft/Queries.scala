@@ -1836,6 +1836,32 @@ object Queries {
       .orderBy(col("grp"))
   }
 
+  /** Decontamination sweep ([[graft.functions.Dedup.contamination]] at
+    * two shingle sizes): the overlap-vs-n-gram-size table a dataset card
+    * publishes — short grams over-flag (any shared phrase), long grams
+    * under-flag (only real copies); the sweep quantifies both ends on
+    * the same train/test split. Per gram size: contaminated test docs,
+    * total (test, train) contaminated pairs, total shared grams.
+    */
+  def contaminationSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bkt = Sampling.hashBucket(col("doc_id"), 100)
+    val train = docs.filter(bkt < 80)
+    val test = docs.filter(bkt >= 90)
+    Seq(3, 8).map { k =>
+      Dedup.contamination(train, col("doc_id"), col("text"),
+          test, col("doc_id"), col("text"), k = k,
+          metricName = s"graft.contamination_k$k")
+        .agg(count(lit(1)).as("n_test_contaminated"),
+          coalesce(sum(col("n_train_docs")), lit(0L)).as("total_pairs"),
+          coalesce(sum(col("n_shared_grams")), lit(0L)).as("total_shared_grams"))
+        .withColumn("gram_k", lit(k))
+    }.reduce(_ unionByName _)
+      .select(col("gram_k"), col("n_test_contaminated"), col("total_pairs"),
+        col("total_shared_grams"))
+      .orderBy(col("gram_k"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1948,7 +1974,8 @@ object Queries {
     "q105_epoch_plan" -> (epochPlanQuery _),
     "q106_epoch_shuffle" -> (epochShuffleQuery _),
     "q107_score_calibration" -> (scoreCalibration _),
-    "q108_release_diff" -> (releaseDiffQuery _))
+    "q108_release_diff" -> (releaseDiffQuery _),
+    "q109_contamination_sweep" -> (contaminationSweep _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3157,6 +3184,32 @@ object Queries {
          |       CAST(count(CASE WHEN st = 'changed' THEN 1 END) AS BIGINT) AS n_changed,
          |       CAST(count(CASE WHEN st = 'unchanged' THEN 1 END) AS BIGINT) AS n_unchanged
          |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+    "q109_contamination_sweep" -> {
+      def leg(k: Int): String = {
+        val hi = k - 1
+        s"""g$k AS (SELECT doc_id, bkt,
+           |        unnest(list_distinct(list_transform(range(1, len(tk) - ${k - 2}),
+           |                 i -> md5(array_to_string(tk[i:i+$hi], ' '))))) AS gh
+           |      FROM b WHERE len(tk) >= $k),
+           |tr$k AS (SELECT * FROM (SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df
+           |                        FROM g$k WHERE bkt < 80) WHERE df <= 1000),
+           |p$k AS (SELECT te.doc_id, count(DISTINCT tr.doc_id) AS ntr,
+           |          count(DISTINCT te.gh) AS nsh
+           |        FROM g$k te JOIN tr$k tr ON te.gh = tr.gh AND te.bkt >= 90
+           |        GROUP BY te.doc_id),
+           |s$k AS (SELECT CAST($k AS INT) AS gram_k,
+           |          CAST(count(*) AS BIGINT) AS n_test_contaminated,
+           |          CAST(coalesce(sum(ntr), 0) AS BIGINT) AS total_pairs,
+           |          CAST(coalesce(sum(nsh), 0) AS BIGINT) AS total_shared_grams
+           |        FROM p$k)""".stripMargin
+      }
+      s"""WITH b AS (SELECT doc_id, $DNTOKS AS tk,
+         |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |           FROM documents),
+         |${leg(3)},
+         |${leg(8)}
+         |SELECT * FROM s3 UNION ALL SELECT * FROM s8 ORDER BY gram_k""".stripMargin
+    },
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -330,7 +330,11 @@ object Dedup {
 
   def contamination(train: DataFrame, trainId: Column, trainText: Column,
                     test: DataFrame, testId: Column, testText: Column,
-                    k: Int, maxGramDf: Int = 1000): DataFrame = {
+                    k: Int, maxGramDf: Int = 1000,
+                    // observe() names must be unique within one query plan
+                    // — callers composing several gram sizes (q109) pass
+                    // distinct names
+                    metricName: String = "graft.contamination"): DataFrame = {
     def grams(df: DataFrame, id: Column, text: Column, out: String): DataFrame =
       gramHashes(df, id, text, out, k)
     // Hot-gram cap: a boilerplate gram present in >maxGramDf train docs
@@ -344,7 +348,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
     val tr = grams(train, trainId, trainText, "train_id")
       .withColumn("df", count(lit(1)).over(w))
-      .observe("graft.contamination",
+      .observe(metricName,
         count(when(col("df") > maxGramDf, 1)).as("hot_gram_rows_dropped"))
       .filter(col("df") <= maxGramDf)
       .drop("df")
