@@ -1862,6 +1862,43 @@ object Queries {
       .orderBy(col("gram_k"))
   }
 
+  /** Per-source quality-drift monitor ([[graft.functions.Sampling
+    * .exactQuantiles]] over (source, batch)): compare each source's exact
+    * median/p90 length between the old and new halves of the corpus and
+    * flag a >20% median shift — the distribution-shift alarm a continuous
+    * ingestion pipeline runs per source per day. One source (src7) gets a
+    * planted +200-char inflation in its new batch, so exactly one alarm
+    * fires. All rank-math and the drift test are exact integers; the
+    * quantile windows run over the (source, batch, value) histogram,
+    * never the corpus.
+    */
+  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    // batch by doc_id BLOCK, not parity: source is doc_id mod 20, so a
+    // parity split would correlate perfectly with the strata. Stratify by
+    // LANGUAGE (hundreds of docs per cell), not source (tens) — exact
+    // medians of tiny cells are noisy enough to trip any sane threshold,
+    // which is a property of the data, not the monitor.
+    val newBatch = expr("(doc_id DIV 20) % 2") === 1
+    val d = t(spark, dir, "documents")
+      .withColumn("batch", when(newBatch, "new").otherwise("old"))
+      .withColumn("m",
+        col("n_chars") + when(col("lang") === "de" && newBatch, 200L)
+          .otherwise(0L))
+    val q = Sampling.exactQuantiles(
+      d.select(col("lang"), col("batch"), col("m")),
+      Seq("lang", "batch"), col("m"), Seq(0.5, 0.9))
+    def side(b: String, c: String) = max(when(col("batch") === b, col(c)))
+    q.groupBy(col("lang"))
+      .agg(side("old", "p50").as("median_old"),
+        side("new", "p50").as("median_new"),
+        side("old", "p90").as("p90_old"),
+        side("new", "p90").as("p90_new"))
+      .withColumn("drift",
+        (abs(col("median_new") - col("median_old")) * 10L >
+          col("median_old") * 2L).cast("int"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -1975,7 +2012,8 @@ object Queries {
     "q106_epoch_shuffle" -> (epochShuffleQuery _),
     "q107_score_calibration" -> (scoreCalibration _),
     "q108_release_diff" -> (releaseDiffQuery _),
-    "q109_contamination_sweep" -> (contaminationSweep _))
+    "q109_contamination_sweep" -> (contaminationSweep _),
+    "q110_drift_monitor" -> (driftMonitor _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3210,6 +3248,31 @@ object Queries {
          |${leg(8)}
          |SELECT * FROM s3 UNION ALL SELECT * FROM s8 ORDER BY gram_k""".stripMargin
     },
+    "q110_drift_monitor" ->
+      s"""WITH b AS (SELECT lang,
+         |             CASE WHEN (doc_id // 20) % 2 = 1 THEN 'new' ELSE 'old' END AS batch,
+         |             n_chars + CASE WHEN lang = 'de' AND (doc_id // 20) % 2 = 1
+         |                            THEN 200 ELSE 0 END AS m
+         |           FROM documents),
+         |h AS (SELECT lang, batch, m, count(*) AS c FROM b GROUP BY lang, batch, m),
+         |cw AS (SELECT lang, batch, m,
+         |         CAST(sum(c) OVER (PARTITION BY lang, batch ORDER BY m) AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER (PARTITION BY lang, batch) AS BIGINT) AS n
+         |       FROM h),
+         |qv AS (SELECT lang, batch,
+         |         min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN m END) AS p50,
+         |         min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN m END) AS p90
+         |       FROM cw GROUP BY lang, batch),
+         |p AS (SELECT lang,
+         |        CAST(max(CASE WHEN batch = 'old' THEN p50 END) AS BIGINT) AS median_old,
+         |        CAST(max(CASE WHEN batch = 'new' THEN p50 END) AS BIGINT) AS median_new,
+         |        CAST(max(CASE WHEN batch = 'old' THEN p90 END) AS BIGINT) AS p90_old,
+         |        CAST(max(CASE WHEN batch = 'new' THEN p90 END) AS BIGINT) AS p90_new
+         |      FROM qv GROUP BY lang)
+         |SELECT lang, median_old, median_new, p90_old, p90_new,
+         |       CAST(CASE WHEN abs(median_new - median_old) * 10 > median_old * 2
+         |                 THEN 1 ELSE 0 END AS INT) AS drift
+         |FROM p ORDER BY lang""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,
