@@ -1899,6 +1899,25 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Tokenizer fertility per language: subword pieces emitted per
+    * whitespace word ([[Text.subwordCount]] / [[Text.tokenCount]]),
+    * integer-scaled ×1e6 — the standard multilingual tokenizer-equity
+    * metric (a high-fertility language pays more sequence length per
+    * word, so mixtures and budgets must correct for it). Scan-local
+    * projections into a low-cardinality groupBy with map-side partials.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("toks"),
+        Text.subwordCount(col("text")).cast("long").as("subs"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+        sum(col("subs")).as("total_subwords"))
+      .withColumn("fertility_ppm",
+        expr("(total_subwords * 1000000L) DIV total_tokens"))
+      .orderBy(col("lang"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2013,7 +2032,8 @@ object Queries {
     "q107_score_calibration" -> (scoreCalibration _),
     "q108_release_diff" -> (releaseDiffQuery _),
     "q109_contamination_sweep" -> (contaminationSweep _),
-    "q110_drift_monitor" -> (driftMonitor _))
+    "q110_drift_monitor" -> (driftMonitor _),
+    "q111_tokenizer_fertility" -> (tokenizerFertility _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3273,6 +3293,18 @@ object Queries {
          |       CAST(CASE WHEN abs(median_new - median_old) * 10 > median_old * 2
          |                 THEN 1 ELSE 0 END AS INT) AS drift
          |FROM p ORDER BY lang""".stripMargin,
+    "q111_tokenizer_fertility" ->
+      s"""WITH b AS (SELECT lang,
+         |             CAST(len($DTOKS) AS BIGINT) AS toks,
+         |             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS subs
+         |           FROM documents),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |        CAST(sum(subs) AS BIGINT) AS total_subwords
+         |      FROM b GROUP BY lang)
+         |SELECT lang, n_docs, total_tokens, total_subwords,
+         |       CAST((total_subwords * 1000000) // total_tokens AS BIGINT) AS fertility_ppm
+         |FROM s ORDER BY lang""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,
