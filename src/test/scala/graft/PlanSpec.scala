@@ -234,7 +234,7 @@ class PlanSpec extends AnyFunSuite {
   test("samplers: every corpus window is sharded (or runs over a pre-aggregated summary) and text never enters a window") {
     val samplers = Seq("q56_stratified_sample", "q70_mixture_sample",
       "q84_quality_deciles", "q92_cluster_sample", "q93_token_budget_mix",
-      "q97_alpha_mixture")
+      "q97_alpha_mixture", "q107_score_calibration", "q110_drift_monitor")
     for (q <- samplers) {
       val ws = windowNodes(q)
       assert(ws.nonEmpty, s"$q: expected window nodes")
@@ -242,21 +242,32 @@ class PlanSpec extends AnyFunSuite {
         // A window partitioned by a single expression is only allowed over
         // a pre-aggregated summary (the strata×shards / per-metric-value
         // histograms — recognizable because every column is an internal
-        // `__`-prefixed one): partitioning raw corpus rows by the ~5-value
-        // stratum alone is the one-reducer-per-language shape that dies at
-        // 100 TB.
+        // `__`-prefixed one) OR partitioned by the histogram VALUE key
+        // `__m` (quantileBins' straddling-value tie window: its input is
+        // bounded by the bin boundaries, and Catalyst prunes a constant
+        // stratum out of the spec, e.g. q107's lit("all")): partitioning
+        // raw corpus rows by the ~5-value stratum alone is the
+        // one-reducer-per-language shape that dies at 100 TB.
         assert(w.partitionSpec.length >= 2 ||
           w.child.output.forall(a =>
-            a.name.startsWith("__") || a.name.startsWith("_we")),
+            a.name.startsWith("__") || a.name.startsWith("_we")) ||
+          w.partitionSpec.flatMap(_.references.toSeq).map(_.name) == Seq("__m"),
           s"$q: window over raw rows partitioned by a lone stratum:\n$w")
         assert(!w.child.output.exists(_.name.contains("text")),
           s"$q: text enters a window: ${w.child.output.map(_.name)}")
       }
-      // The summary joins back as a broadcast — a sort-merge join here
-      // would re-shuffle the corpus on the stratum key.
-      val plan = SparkEntry.queries(q)(planningSession, sf)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("SortMergeJoin"), s"$q: $plan")
+      // The summary joins back as a broadcast — a sort-merge join keyed
+      // by an internal stratum/shard/metric column would re-shuffle the
+      // corpus on a low-cardinality key. Joins on a high-cardinality doc
+      // id (q107's score left join) may legitimately shuffle.
+      val smjs = SparkEntry.queries(q)(planningSession, sf)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      smjs.foreach { j =>
+        val keys = j.leftKeys.flatMap(_.references.toSeq).map(_.name)
+        assert(keys.forall(n => !n.startsWith("__") && n != "b"),
+          s"$q: SMJ on internal low-cardinality key $keys:\n$j")
+      }
     }
   }
 
