@@ -138,10 +138,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    // 3-decimal times: sub-millisecond digits are noise and the driver's
+    // artifact keeps only the LAST ~2000 chars of output — every byte of
+    // the line competes with the headline fields for that window.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, _, rs, _) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m), _, _) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val suspect = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
@@ -160,7 +164,11 @@ object Bench {
     val r01Set = subsetTotal(49)
     // value_q76 = the round-6 catalog: the comparable subset for rounds ≥ 7.
     val r06Set = subsetTotal(76)
-    println(s"""{"metric":"total","value":$total,"value_q49":$r01Set,"value_q76":$r06Set,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"suspect":$suspect,"sf":"$sfDir"}""")
+    // Field ORDER matters downstream: the driver's artifact stores only the
+    // tail of stdout, so the headline (metric/value/subset totals, errors,
+    // suspect) goes LAST on the line where the tail window always keeps it;
+    // the bulky per-query maps go first.
+    println(s"""{"queries":$qs,"runs":$raw,"sf":"$sfDir","errors":$errs,"suspect":$suspect,"metric":"total","unit":"sec","value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"value":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -26,8 +26,27 @@ object Queries {
 
   private type Builder = (SparkSession, String) => DataFrame
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(spark, dir, name)
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = Tables.load(spark, dir, name)
+    if (name == "events") normalizeEventTime(df) else df
+  }
+
+  /** events.ts arrives as epoch-nano INT64 (legacy TIMESTAMP(NANOS) files
+    * read under `spark.sql.legacy.parquet.nanosAsLong`) or as
+    * TIMESTAMP_NTZ / TIMESTAMP (micro-precision files). Normalize to
+    * epoch-nano longs — the unit all event-time integer math (`ts div n`)
+    * and the DuckDB oracle's `epoch_ns(ts)` agree on. The NTZ leg diffs
+    * against the epoch literal, which is session-timezone-independent.
+    */
+  private def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case _ => df
+    }
 
   /** Exact money column: double → DECIMAL(18,2). */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -1918,6 +1937,48 @@ object Queries {
         expr("(total_subwords * 1000000L) DIV total_tokens"))
       .orderBy(col("lang"))
 
+  /** Context-length truncation-loss curve: for each candidate max sequence
+    * length, the tokens kept vs lost if every document is truncated there —
+    * the table a team reads to pick a training context length. Scale shape:
+    * per-doc token counts collapse to one long AT THE SCAN (text never
+    * shuffles); the 4× explode fans out 8-byte rows into a 4-group rollup.
+    */
+  def truncationLoss(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("n_tokens"),
+        explode(array(lit(64L), lit(128L), lit(192L), lit(256L))).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > col("max_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(least(col("n_tokens"), col("max_len"))).as("tokens_kept"))
+      .withColumn("kept_ppm", expr("tokens_kept * 1000000L DIV tokens_total"))
+      .orderBy(col("max_len"))
+
+  /** Exact-dedup survivorship audit: per (lang, source), how many documents
+    * (and characters) exact dedup would REMOVE under the q23 policy (one
+    * keeper per normalized-text fingerprint, ties to min doc_id) — the
+    * "what did dedup delete, and from where" table every data card needs
+    * before the removal is applied. Scale shape: only (fp, doc_id, lang,
+    * source, n_chars) shuffles — fingerprints, never text — and the keeper
+    * window partitions by fp (cardinality ≈ corpus), so parallelism is full.
+    */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(Text.normalized(col("text"))).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    d.withColumn("keep_id", min(col("doc_id")).over(w))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("chars_removed"))
+      .withColumn("removed_ppm", expr("n_removed * 1000000L DIV n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2033,7 +2094,9 @@ object Queries {
     "q108_release_diff" -> (releaseDiffQuery _),
     "q109_contamination_sweep" -> (contaminationSweep _),
     "q110_drift_monitor" -> (driftMonitor _),
-    "q111_tokenizer_fertility" -> (tokenizerFertility _))
+    "q111_tokenizer_fertility" -> (tokenizerFertility _),
+    "q112_truncation_loss" -> (truncationLoss _),
+    "q113_dedup_survivorship" -> (dedupSurvivorship _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3305,6 +3368,24 @@ object Queries {
          |SELECT lang, n_docs, total_tokens, total_subwords,
          |       CAST((total_subwords * 1000000) // total_tokens AS BIGINT) AS fertility_ppm
          |FROM s ORDER BY lang""".stripMargin,
+    "q112_truncation_loss" ->
+      s"""WITH b AS (SELECT CAST(len($DTOKS) AS BIGINT) AS n_tokens FROM documents),
+         |e AS (SELECT n_tokens, unnest([64, 128, 192, 256]) AS max_len FROM b)
+         |SELECT CAST(max_len AS BIGINT) AS max_len,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |       CAST(sum(least(n_tokens, max_len)) AS BIGINT) AS tokens_kept,
+         |       CAST(sum(least(n_tokens, max_len)) * 1000000 // sum(n_tokens) AS BIGINT) AS kept_ppm
+         |FROM e GROUP BY max_len ORDER BY max_len""".stripMargin,
+    "q113_dedup_survivorship" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, md5($DNORM) AS fp FROM documents),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM d)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS removed_ppm
+         |FROM k GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -39,6 +39,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 truncation-loss curve is monotone and bounded") {
+    val rows = SparkEntry.queries("q112_truncation_loss")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, kept) => assert(kept <= total) }
+    // larger max_len never keeps fewer tokens
+    rows.sortBy(_._1).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => }
+  }
+
+  test("q113 removed docs equal corpus size minus distinct fingerprints") {
+    import org.apache.spark.sql.functions._
+    val removed = SparkEntry.queries("q113_dedup_survivorship")(spark, sf)
+      .agg(sum("n_removed")).head.getLong(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val distinctFp = docs
+      .select(md5(graft.functions.Text.normalized(col("text")))).distinct().count()
+    assert(removed == docs.count() - distinctFp)
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
