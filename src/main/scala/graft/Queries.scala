@@ -1979,6 +1979,47 @@ object Queries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Cross-split doc-level near-dup contamination: MinHash/LSH candidate
+    * pairs that CROSS the train (bucket < 80) / eval (bucket ≥ 90) hash
+    * split, verified with exact word-3-gram Jaccard and reported per eval
+    * doc with its closest train match — the doc-granularity
+    * benchmark-overlap report (q63 is the shared-n-gram containment twin;
+    * this answers "which eval docs are near-copies of a train doc").
+    * Scale shape: candidates come from the capped LSH band buckets (never
+    * a cross join); exact Jaccard runs only on the candidate set; shingle
+    * sets join in by id so the corpus is scanned, not re-shuffled.
+    */
+  def crossSplitNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    val cands = Dedup.minHashCandidates(d, col("doc_id"), col("text"),
+      shingleK = 3, bands = 2, rowsPerBand = 2)
+    def bkt(c: Column): Column = Sampling.hashBucket(c, 100)
+    val cross = cands
+      .filter((bkt(col("id_a")) < 80 && bkt(col("id_b")) >= 90) ||
+        (bkt(col("id_a")) >= 90 && bkt(col("id_b")) < 80))
+      .select(
+        when(bkt(col("id_a")) < 80, col("id_a")).otherwise(col("id_b")).as("train_id"),
+        when(bkt(col("id_a")) < 80, col("id_b")).otherwise(col("id_a")).as("eval_id"))
+    val sh = d.select(col("doc_id"),
+      array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    val scored = cross
+      .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh_t")), "train_id")
+      .join(sh.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")), "eval_id")
+      .withColumn("inter", size(array_intersect(col("sh_e"), col("sh_t"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_e")) + size(col("sh_t")) - col("inter")).cast("double"))
+    val byEval = Window.partitionBy(col("eval_id"))
+    scored
+      .withColumn("rn", row_number().over(
+        byEval.orderBy(col("jaccard").desc, col("train_id"))))
+      .withColumn("n_train_matches", count(lit(1)).over(byEval))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("n_train_matches"),
+        col("train_id").as("best_train_id"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("eval_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2096,7 +2137,8 @@ object Queries {
     "q110_drift_monitor" -> (driftMonitor _),
     "q111_tokenizer_fertility" -> (tokenizerFertility _),
     "q112_truncation_loss" -> (truncationLoss _),
-    "q113_dedup_survivorship" -> (dedupSurvivorship _))
+    "q113_dedup_survivorship" -> (dedupSurvivorship _),
+    "q114_cross_split_neardup" -> (crossSplitNearDup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3386,6 +3428,28 @@ object Queries {
          |       CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
          |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS removed_ppm
          |FROM k GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q114_cross_split_neardup" ->
+      s"""WITH pairs AS (SELECT * FROM ($MinhashPairsBody) pp),
+         |tok AS (SELECT doc_id, $DNTOKS AS tk,
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |        FROM documents),
+         |sd AS (SELECT doc_id, bkt,
+         |         list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sd
+         |       FROM tok),
+         |cr AS (SELECT CASE WHEN a.bkt < 80 THEN p.id_a ELSE p.id_b END AS train_id,
+         |              CASE WHEN a.bkt < 80 THEN p.id_b ELSE p.id_a END AS eval_id
+         |       FROM pairs p JOIN sd a ON p.id_a = a.doc_id JOIN sd b ON p.id_b = b.doc_id
+         |       WHERE (a.bkt < 80 AND b.bkt >= 90) OR (a.bkt >= 90 AND b.bkt < 80)),
+         |j AS (SELECT c.train_id, c.eval_id,
+         |        CAST(len(list_intersect(e.sd, t2.sd)) AS DOUBLE)
+         |          / (len(e.sd) + len(t2.sd) - len(list_intersect(e.sd, t2.sd))) AS jaccard
+         |      FROM cr c JOIN sd e ON c.eval_id = e.doc_id JOIN sd t2 ON c.train_id = t2.doc_id),
+         |best AS (SELECT eval_id, train_id AS best_train_id, jaccard AS best_jaccard FROM j
+         |         QUALIFY row_number() OVER (PARTITION BY eval_id ORDER BY jaccard DESC, train_id) = 1),
+         |agg AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_matches FROM j GROUP BY eval_id)
+         |SELECT a.eval_id, a.n_train_matches, b.best_train_id, b.best_jaccard
+         |FROM agg a JOIN best b USING (eval_id) ORDER BY eval_id""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

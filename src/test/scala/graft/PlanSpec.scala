@@ -183,6 +183,14 @@ class PlanSpec extends AnyFunSuite {
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
 
+  test("q113: dedup survivorship hashes text at the scan — no shuffle carries text") {
+    // the keeper window partitions by the 32-char md5 fingerprint; the
+    // fingerprint is computed BEFORE the first exchange, so only
+    // (fp, doc_id, lang, source, n_chars) ever moves
+    val cols = shuffledColumns("q113_dedup_survivorship")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
+
   test("q86: CDC chunking is a map-only explode — no shuffle carries document text") {
     val df = SparkEntry.queries("q86_cdc_chunks")(spark, sf)
     val plan = finalPlan(df)

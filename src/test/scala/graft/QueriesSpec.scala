@@ -59,6 +59,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(removed == docs.count() - distinctFp)
   }
 
+  test("q114 finds a planted cross-split near-duplicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xsplit").toString
+    // md5 hash buckets (Sampling.hashBucket(id, 100)): 0 → train (<80),
+    // 8 → eval (≥90); identical text plants a jaccard-1.0 cross pair.
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (1L, "one two three four five six seven", "en", "web", 33L),
+      (8L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q114_cross_split_neardup")(spark, dir).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getLong(0) == 8L, "eval side")
+    assert(r.getLong(1) == 1L, "match count")
+    assert(r.getLong(2) == 0L, "train side")
+    assert(r.getDouble(3) == 1.0, "exact-dup jaccard")
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
