@@ -2020,6 +2020,52 @@ object Queries {
       .orderBy(col("eval_id"))
   }
 
+  /** Ordered conversion funnel over the event stream: users who signed up,
+    * then clicked AFTER their first signup, then purchased AFTER that first
+    * click — each stage gated on the previous stage's first-completion
+    * time, not mere event co-occurrence. Scale shape: type filters push to
+    * the scan; every stage is a user_id-keyed aggregate joined to the
+    * (already user-unique, strictly shrinking) previous stage — three
+    * co-partitionable shuffles, no windows over the raw stream.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step.toLong).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(s1, 1, "signup")
+      .unionByName(stage(s2, 2, "signup>click"))
+      .unionByName(stage(s3, 3, "signup>click>purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** Retention cohort matrix: users grouped by first-active day, counted on
+    * each later active day as an offset from their cohort — the
+    * engagement-decay table behind every retention curve. Scale shape: the
+    * stream pre-aggregates to distinct (user, day) AT THE SCAN's first
+    * shuffle (the raw events never reach the join), then one user-keyed
+    * join against the per-user first-day aggregate and a low-card rollup.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2138,7 +2184,9 @@ object Queries {
     "q111_tokenizer_fertility" -> (tokenizerFertility _),
     "q112_truncation_loss" -> (truncationLoss _),
     "q113_dedup_survivorship" -> (dedupSurvivorship _),
-    "q114_cross_split_neardup" -> (crossSplitNearDup _))
+    "q114_cross_split_neardup" -> (crossSplitNearDup _),
+    "q115_funnel_steps" -> (funnelSteps _),
+    "q116_retention_cohorts" -> (retentionCohorts _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3450,6 +3498,27 @@ object Queries {
          |agg AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_matches FROM j GROUP BY eval_id)
          |SELECT a.eval_id, a.n_train_matches, b.best_train_id, b.best_jaccard
          |FROM agg a JOIN best b USING (eval_id) ORDER BY eval_id""".stripMargin,
+    "q115_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'signup>click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'signup>click>purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "q116_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -79,6 +79,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0, "exact-dup jaccard")
   }
 
+  test("q115 funnel stages shrink monotonically and q116 offsets start at the cohort") {
+    val funnel = SparkEntry.queries("q115_funnel_steps")(spark, sf)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(2))
+    funnel.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "a later stage outgrew an earlier one")
+      case _ => }
+    val cohorts = SparkEntry.queries("q116_retention_cohorts")(spark, sf).collect()
+    assert(cohorts.forall(_.getLong(1) >= 0L), "negative day offset")
+    // offset-0 cell exists for every cohort (a user is active on their first day)
+    val byCohort = cohorts.groupBy(_.getLong(0))
+    assert(byCohort.values.forall(_.exists(_.getLong(1) == 0L)))
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
