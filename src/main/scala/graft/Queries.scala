@@ -2066,6 +2066,23 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Exact per-group top-k without a group-only rank window
+    * ([[graft.ops.Relational.groupTopK]]): the 5 longest documents per
+    * language. A `row_number over (partition by lang)` would funnel the
+    * corpus into ~5 reducers at 100 TB; the two-phase rewrite ranks within
+    * (lang, hash shard) first and re-ranks only the ≤ shards×k survivors —
+    * exact for any order, since a group's global top-k is contained in the
+    * union of its per-shard top-ks.
+    */
+  def groupTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    Relational.groupTopK(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id")),
+        col("doc_id"), k = 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2186,7 +2203,8 @@ object Queries {
     "q113_dedup_survivorship" -> (dedupSurvivorship _),
     "q114_cross_split_neardup" -> (crossSplitNearDup _),
     "q115_funnel_steps" -> (funnelSteps _),
-    "q116_retention_cohorts" -> (retentionCohorts _))
+    "q116_retention_cohorts" -> (retentionCohorts _),
+    "q117_group_topk" -> (groupTopKDocs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3519,6 +3537,12 @@ object Queries {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q117_group_topk" ->
+      """SELECT lang, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id, n_chars
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -36,6 +36,30 @@ object Relational {
       .drop("rank")
   }
 
+  /** Exact per-group top-k WITHOUT a group-only rank window: when the group
+    * column is low-cardinality (languages, sources, event types), a
+    * `row_number over (partition by group)` funnels the whole corpus into
+    * a handful of reducers. Instead, phase 1 ranks within (group, hash
+    * shard) — `shards`× the parallelism — and keeps k per shard; phase 2
+    * re-ranks the ≤ shards×k survivors per group. The global top-k of a
+    * group is always contained in the union of its per-shard top-ks, so
+    * the rewrite is exact for ANY order columns. Callers must make
+    * `order` a total order (unique tiebreak) for determinism; `tiebreak`
+    * also seeds the shard hash so the sharding is stable across runs.
+    */
+  def groupTopK(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+                tiebreak: Column, k: Int, shards: Int = 64): DataFrame = {
+    val shard = pmod(xxhash64(tiebreak), lit(shards.toLong))
+    val survivors = df.withColumn("__shard", shard)
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy(groupCols :+ col("__shard"): _*).orderBy(order: _*)))
+      .filter(col("__r1") <= k)
+      .drop("__shard", "__r1")
+    survivors.withColumn("rank", row_number().over(
+        Window.partitionBy(groupCols: _*).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+  }
+
   /** Watermark computation: NVL(MAX(runId),0) / NVL(MIN(runId),0) over the
     * control table filtered to new successful runs
     * (`Fact_Dagg_automation.sh:71-75`, `KafkaScript_ConformToStaging.sh:76-121`).

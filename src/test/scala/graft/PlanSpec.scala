@@ -239,6 +239,18 @@ class PlanSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
 
+  test("q117: the group-only rank window sees only phase-1 survivors, never the raw corpus") {
+    val ws = windowNodes("q117_group_topk")
+    assert(ws.length == 2, s"expected the two-phase pair, got ${ws.length}")
+    val Seq(lone) = ws.filter(_.partitionSpec.length == 1)
+    // beneath the lang-only window there MUST be the per-(lang, shard)
+    // rank cut — the filter on phase 1's row number
+    assert("""__r1#\d+ <= 5""".r.findFirstIn(lone.child.toString).isDefined,
+      s"phase-2 window not fed by the shard-rank cut:\n${lone.child}")
+    val sharded = ws.filterNot(_.partitionSpec.length == 1)
+    assert(sharded.head.partitionSpec.length == 2)
+  }
+
   test("samplers: every corpus window is sharded (or runs over a pre-aggregated summary) and text never enters a window") {
     val samplers = Seq("q56_stratified_sample", "q70_mixture_sample",
       "q84_quality_deciles", "q92_cluster_sample", "q93_token_budget_mix",

@@ -77,6 +77,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter(Relational.likeAny(col("s"), Seq("widget", "bolt"))).count() == 2)
   }
 
+  test("groupTopK is bit-identical to the single-window form on a random frame") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(40)))
+    val df = rows.toDF("id", "g", "m")
+    for (shards <- Seq(1, 3, 64)) {
+      val two = Relational.groupTopK(df, Seq(col("g")),
+          Seq(col("m").desc, col("id")), col("id"), k = 7, shards = shards)
+        .select("g", "rank", "id", "m").collect().map(_.toSeq).toSet
+      val one = df.withColumn("rank", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("m").desc, col("id"))))
+        .filter(col("rank") <= 7)
+        .select("g", "rank", "id", "m").collect().map(_.toSeq).toSet
+      assert(two == one, s"shards=$shards diverged")
+    }
+  }
+
+  test("groupTopK returns whole groups smaller than k") {
+    val df = Seq((1L, "a", 5), (2L, "a", 3), (3L, "b", 9)).toDF("id", "g", "m")
+    val out = Relational.groupTopK(df, Seq(col("g")),
+      Seq(col("m").desc, col("id")), col("id"), k = 10).collect()
+    assert(out.length == 3)
+  }
+
   test("listAggBy orders values by a different column") {
     val df = Seq(("g", "first", 3), ("g", "second", 1), ("g", "third", 2))
       .toDF("g", "v", "ord")
