@@ -108,6 +108,45 @@ object Windowed {
       .drop("p_user_id")
   }
 
+  final case class FunnelInput(user_id: Long, event_type: String, ts: Timestamp)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = stage not reached
+  final case class FunnelOut(user_id: Long, step: Int, stage: String, at_ms: Long)
+
+  /** Streaming twin of the q115 ordered funnel: a fixed-size per-user state
+    * machine advances signup → click-after-signup → purchase-after-click,
+    * emitting one row the moment a user completes a NEW stage. State is
+    * three epoch-ms longs per user regardless of stream length — the
+    * bounded-state form of funnel tracking on an unbounded stream. Within
+    * a batch, events apply in event-time order; with in-order delivery the
+    * emitted stages match the batch funnel's first-completion gating.
+    */
+  def funnelStages(events: Dataset[FunnelInput]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val t = r.ts.getTime
+            r.event_type match {
+              case "signup" if s.t1 == 0L =>
+                s = s.copy(t1 = t); out += FunnelOut(uid, 1, "signup", t)
+              case "click" if s.t1 != 0L && s.t2 == 0L && t >= s.t1 =>
+                s = s.copy(t2 = t); out += FunnelOut(uid, 2, "signup>click", t)
+              case "purchase" if s.t2 != 0L && s.t3 == 0L && t >= s.t2 =>
+                s = s.copy(t3 = t)
+                out += FunnelOut(uid, 3, "signup>click>purchase", t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

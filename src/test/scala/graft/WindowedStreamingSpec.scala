@@ -143,6 +143,33 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(closed.head.user_id == 1L)
   }
 
+  test("streaming funnel advances stages across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Windowed.FunnelInput]
+    val stages = Windowed.funnelStages(stream.toDS())
+    val q = stages.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_out").start()
+    // batch 1: user 1 signs up then clicks; a click BEFORE signup (user 2)
+    // must not advance — stage order is gated on prior completion time
+    stream.addData(
+      Windowed.FunnelInput(1L, "signup", ts("2024-01-01 00:00:00")),
+      Windowed.FunnelInput(1L, "click", ts("2024-01-01 00:01:00")),
+      Windowed.FunnelInput(2L, "click", ts("2024-01-01 00:00:30")))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (stage 3 across a batch boundary — state
+    // carried); user 2 signs up but their earlier click stays unusable
+    stream.addData(
+      Windowed.FunnelInput(1L, "purchase", ts("2024-01-01 00:02:00")),
+      Windowed.FunnelInput(2L, "signup", ts("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    val out = spark.table("funnel_out").as[Windowed.FunnelOut].collect()
+    q.stop()
+    val u1 = out.filter(_.user_id == 1L).sortBy(_.step).map(_.stage).toSeq
+    assert(u1 == Seq("signup", "signup>click", "signup>click>purchase"))
+    val u2 = out.filter(_.user_id == 2L).map(_.stage).toSeq
+    assert(u2 == Seq("signup"), s"pre-signup click must not count: $u2")
+  }
+
   test("stream-stream attribution join matches purchases to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Click]
