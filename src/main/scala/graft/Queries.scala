@@ -26,27 +26,8 @@ object Queries {
 
   private type Builder = (SparkSession, String) => DataFrame
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = Tables.load(spark, dir, name)
-    if (name == "events") normalizeEventTime(df) else df
-  }
-
-  /** events.ts arrives as epoch-nano INT64 (legacy TIMESTAMP(NANOS) files
-    * read under `spark.sql.legacy.parquet.nanosAsLong`) or as
-    * TIMESTAMP_NTZ / TIMESTAMP (micro-precision files). Normalize to
-    * epoch-nano longs — the unit all event-time integer math (`ts div n`)
-    * and the DuckDB oracle's `epoch_ns(ts)` agree on. The NTZ leg diffs
-    * against the epoch literal, which is session-timezone-independent.
-    */
-  private def normalizeEventTime(df: DataFrame): DataFrame =
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts", expr(
-          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
-      case Some(org.apache.spark.sql.types.TimestampType) =>
-        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
-      case _ => df
-    }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
 
   /** Exact money column: double → DECIMAL(18,2). */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -21,9 +21,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one table from a scale-factor directory. The events stream's
+    * `ts` is normalized to epoch-nano longs (see [[normalizeEventTime]])
+    * so both the DataFrame and the SQL-view surface expose one event-time
+    * convention regardless of how the parquet files encode timestamps.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTime(df) else df
+  }
+
+  /** events.ts arrives as epoch-nano INT64 (legacy TIMESTAMP(NANOS) files
+    * read under `spark.sql.legacy.parquet.nanosAsLong`) or as
+    * TIMESTAMP_NTZ / TIMESTAMP (micro-precision files). Normalize to
+    * epoch-nano longs — the unit all event-time integer math (`ts div n`)
+    * and the DuckDB oracle's `epoch_ns(ts)` agree on. The NTZ leg diffs
+    * against the epoch literal, which is session-timezone-independent.
+    */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      case _ => df
+    }
 
   /** Register every table of the star schema as a temp view so queries can
     * also be expressed via `spark.sql` (the reference stores queries as data
