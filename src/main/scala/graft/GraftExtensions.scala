@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.plans", name), b))
     }
     ext.injectResolutionRule(_ => new graft.plans.IncrementalRead.InjectWatermark)
+    ext.injectOptimizerRule(_ => new graft.plans.ShardedTopK.RewriteRankFilter)
   }
 }
