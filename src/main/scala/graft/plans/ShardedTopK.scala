@@ -71,10 +71,26 @@ object ShardedTopK {
       case _ => false
     }
 
+    /** row_number / rank / dense_rank are all two-phase-safe: a row's
+      * per-shard rank never exceeds its global rank (its in-shard
+      * predecessors are a subset of its global predecessors), so cutting
+      * each shard at k keeps every row whose global rank ≤ k; and every
+      * row strictly better than a global-top-k row is itself global-top-k,
+      * so re-ranking the survivors reproduces the global ranks exactly.
+      * Phase 1 MUST reuse the SAME ranking function — a row_number cut
+      * under an original rank() would drop tied rows that globally tie
+      * into the top k.
+      */
+    private def rankLike(fn: Expression): Boolean = fn match {
+      case RowNumber() | Rank(_) | DenseRank(_) => true
+      case _ => false
+    }
+
     private def eligible(w: Window): Option[(Alias, Attribute)] = w match {
-      case Window(Seq(a @ Alias(WindowExpression(RowNumber(), _), _)),
+      case Window(Seq(a @ Alias(WindowExpression(fn, _), _)),
           Seq(p: Attribute), order, child, _)
-        if order.nonEmpty && lowCardCols.contains(p.name.toLowerCase) &&
+        if rankLike(fn) && order.nonEmpty &&
+          lowCardCols.contains(p.name.toLowerCase) &&
           !isPhase1(child) => Some((a, p))
       case _ => None
     }
@@ -84,6 +100,10 @@ object ShardedTopK {
       * rank away again so the original window slots on top unchanged.
       */
     private def phase1(w: Window, k: Int): LogicalPlan = {
+      val fn = w.windowExpressions.head match {
+        case Alias(WindowExpression(f, _), _) => f
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
       val orderExprs = w.orderSpec.map(_.child)
       // hash of (group, order exprs): stable per row, spreads each group
       // across shards; ties hash together, which is safe — phase 1 keeps
@@ -95,7 +115,7 @@ object ShardedTopK {
       val spec = WindowSpecDefinition(
         w.partitionSpec :+ shardAlias.toAttribute, w.orderSpec,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
-      val r1 = Alias(WindowExpression(RowNumber(), spec), "__r1")()
+      val r1 = Alias(WindowExpression(fn, spec), "__r1")()
       val win1 = Window(Seq(r1), w.partitionSpec :+ shardAlias.toAttribute,
         w.orderSpec, withShard)
       val cut = Filter(LessThanOrEqual(r1.toAttribute, Literal(k)), win1)

@@ -74,6 +74,29 @@ class ShardedTopKSpec extends AnyFunSuite {
       Set(("a", 2L), ("b", 3L)))
   }
 
+  test("rank() with boundary ties is rewritten and keeps every tied row") {
+    // 12 rows tie on the top metric — rank() assigns all of them rank 1,
+    // and the per-shard cut must keep all 12 (a row_number phase-1 cut
+    // would drop some); the next rank is 13, so rank <= 3 keeps exactly 12.
+    val rows = (1 to 12).map(i => (i.toLong, "a", 99)) ++
+      (13 to 40).map(i => (i.toLong, "a", 40 - i))
+    def q(s: SparkSession) = {
+      import s.implicits._
+      rows.toDF("id", "lang", "m")
+        .withColumn("rank", rank().over(
+          Window.partitionBy($"lang").orderBy($"m".desc)))
+        .filter($"rank" <= 3)
+    }
+    val rewritten = q(spark)
+    val windows = rewritten.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 2, rewritten.queryExecution.optimizedPlan.toString)
+    val got = rewritten.collect().map(_.toSeq).toSet
+    assert(got.size == 12, s"all ties must survive: ${got.size}")
+    assert(got == q(TestSpark.spark).collect().map(_.toSeq).toSet)
+  }
+
   test("unlisted partition columns are left alone") {
     import spark.implicits._
     val df = Seq((1L, "x", 3), (2L, "x", 9)).toDF("id", "other_col", "m")
