@@ -2064,6 +2064,38 @@ object Queries {
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rank"))
 
+  /** Incremental maintenance of the q116 retention matrix: the nightly-job
+    * form that merges a NEW day partition into yesterday's per-user state
+    * instead of recomputing history. The split point is an in-plan scalar
+    * (min day + 20, broadcast like q88's cut — no driver-side .head()).
+    * Old-side state is exactly what a real job persists: per-user first
+    * day + distinct (user, day) actives. The merge is
+    * min-of-mins for first days plus a union of actives — and the result
+    * must be INDISTINGUISHABLE from the full q116 recompute, which is
+    * what the oracle (the same full-recompute SQL) and the parity spec
+    * assert. At 100 TB the old side reads from the incremental store; only
+    * the new partition is scanned fresh.
+    */
+  def incrementalRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val cut = e.agg((min(col("day")) + lit(20L)).as("__cut"))
+    val withCut = e.crossJoin(broadcast(cut))
+    val old = withCut.filter(col("day") < col("__cut")).drop("__cut")
+    val fresh = withCut.filter(col("day") >= col("__cut")).drop("__cut")
+    // the persisted incremental state: per-user first day over OLD runs only
+    val firstOld = old.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+    val firstNew = fresh.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+    val first = firstOld.unionByName(firstNew)
+      .groupBy(col("user_id")).agg(min(col("f")).as("cohort_day"))
+    old.unionByName(fresh)
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2185,7 +2217,8 @@ object Queries {
     "q114_cross_split_neardup" -> (crossSplitNearDup _),
     "q115_funnel_steps" -> (funnelSteps _),
     "q116_retention_cohorts" -> (retentionCohorts _),
-    "q117_group_topk" -> (groupTopKDocs _))
+    "q117_group_topk" -> (groupTopKDocs _),
+    "q118_incremental_retention" -> (incrementalRetention _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3524,6 +3557,15 @@ object Queries {
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY lang, rank""".stripMargin,
+    // the incremental merge must be indistinguishable from the full
+    // recompute — so its oracle IS the full recompute
+    "q118_incremental_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q104_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, n_chars,

@@ -92,6 +92,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(byCohort.values.forall(_.exists(_.getLong(1) == 0L)))
   }
 
+  test("q118 incremental retention is bit-identical to the q116 full recompute") {
+    val full = SparkEntry.queries("q116_retention_cohorts")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val incr = SparkEntry.queries("q118_incremental_retention")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(incr == full)
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
