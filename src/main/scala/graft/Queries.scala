@@ -1990,6 +1990,9 @@ object Queries {
       .withColumn("inter", size(array_intersect(col("sh_e"), col("sh_t"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_e")) + size(col("sh_t")) - col("inter")).cast("double"))
+      // shingle sets are consumed — drop them so the per-eval rank
+      // exchange moves only (ids, jaccard), not text-derived arrays
+      .drop("sh_e", "sh_t", "inter")
     val byEval = Window.partitionBy(col("eval_id"))
     scored
       .withColumn("rn", row_number().over(

@@ -239,6 +239,21 @@ class PlanSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
 
+  test("q114: candidate joins broadcast the pair list and the rank window carries no shingle arrays") {
+    val exec = SparkEntry.queries("q114_cross_split_neardup")(planningSession, sf)
+      .queryExecution.executedPlan
+    val smjs = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.isEmpty, s"shingle sets re-shuffled by SMJ:\n$smjs")
+    exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(!w.child.output.exists(a =>
+        a.name.startsWith("sh_") || a.name.contains("text")),
+        s"arrays enter the rank window: ${w.child.output.map(_.name)}")
+    }
+  }
+
   test("q117: the group-only rank window sees only phase-1 survivors, never the raw corpus") {
     val ws = windowNodes("q117_group_topk")
     assert(ws.length == 2, s"expected the two-phase pair, got ${ws.length}")
