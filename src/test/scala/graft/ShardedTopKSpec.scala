@@ -97,6 +97,45 @@ class ShardedTopKSpec extends AnyFunSuite {
     assert(got == q(TestSpark.spark).collect().map(_.toSeq).toSet)
   }
 
+  test("property: rewrite is result-equal to the plain session across random frames, k, shards, functions") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(300)
+      val nLang = 1 + rnd.nextInt(4)
+      val maxM = 1 + rnd.nextInt(30) // small range → plenty of ties
+      val k = 1 + rnd.nextInt(8)
+      val rows = (1 to n).map(i => (i.toLong, s"l${rnd.nextInt(nLang)}", rnd.nextInt(maxM)))
+      spark.conf.set("spark.graft.topk.shards", (1 + rnd.nextInt(16)).toString)
+      // row_number needs a total order (ties make it nondeterministic in
+      // ANY plan); rank/dense_rank are deterministic SETS under ties, so
+      // they get the tie-heavy order on purpose.
+      def q(s: SparkSession, fnName: String) = {
+        import s.implicits._
+        val fn = fnName match {
+          case "row_number" => row_number()
+          case "rank" => rank()
+          case _ => dense_rank()
+        }
+        val w = if (fnName == "row_number")
+          Window.partitionBy($"lang").orderBy($"m".desc, $"id")
+        else Window.partitionBy($"lang").orderBy($"m".desc)
+        rows.toDF("id", "lang", "m")
+          .withColumn("rank", fn.over(w)).filter($"rank" <= k)
+      }
+      for (fnName <- Seq("row_number", "rank", "dense_rank")) {
+        val rewritten = q(spark, fnName)
+        val windows = rewritten.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+        assert(windows.length == 2, s"seed=$seed $fnName: rewrite did not fire")
+        val got = rewritten.collect().map(_.toSeq).toSet
+        val exp = q(TestSpark.spark, fnName).collect().map(_.toSeq).toSet
+        assert(got == exp, s"seed=$seed fn=$fnName k=$k diverged")
+      }
+    }
+    spark.conf.set("spark.graft.topk.shards", "8")
+  }
+
   test("unlisted partition columns are left alone") {
     import spark.implicits._
     val df = Seq((1L, "x", 3), (2L, "x", 9)).toDF("id", "other_col", "m")
