@@ -2119,6 +2119,29 @@ object Queries {
       .orderBy(col("shard"), col("pack_bin"), col("seq_pos"))
   }
 
+  /** Mergeable-sketch rollup (rows-only: HLL estimates are
+    * engine-specific): per-day HLL sketches of active users, UNIONED into
+    * per-week distinct estimates without rescanning the stream — the
+    * pre-aggregated sketch-table pattern that answers "distinct users any
+    * window" at 100 TB from kilobytes of state per day instead of a
+    * countDistinct over raw events. The exact twin is spec-checked to
+    * within HLL error; q116/q118 are the exact-arithmetic day rollups.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val daily = e.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy((col("day") - pmod(col("day"), lit(7L))).as("week_start"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"))
+      .orderBy(col("week_start"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2242,7 +2265,8 @@ object Queries {
     "q116_retention_cohorts" -> (retentionCohorts _),
     "q117_group_topk" -> (groupTopKDocs _),
     "q118_incremental_retention" -> (incrementalRetention _),
-    "q119_packed_layout" -> (packedLayout _))
+    "q119_packed_layout" -> (packedLayout _),
+    "q120_sketch_rollup" -> (sketchRollup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles

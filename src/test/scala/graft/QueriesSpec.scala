@@ -119,6 +119,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.length == docs.size, "every doc appears exactly once")
   }
 
+  test("q120 sketch-union estimates stay within HLL error of exact weekly distincts") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q120_sketch_rollup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy((col("day") - pmod(col("day"), lit(7L))).as("week_start"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (wk, e) =>
+      val x = exact(wk).toDouble
+      assert(math.abs(e - x) / x < 0.05, s"week $wk: est $e vs exact $x")
+    }
+  }
+
   test("q88 cold-start audit is empty-safe: zero events yields zero rows, not an NPE") {
     // The 80th-percentile cut is an in-plan broadcast cross join of the
     // 1-row min/max aggregate — a driver-side .head() here would
