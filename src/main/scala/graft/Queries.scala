@@ -2142,6 +2142,38 @@ object Queries {
       .orderBy(col("week_start"))
   }
 
+  /** Conversion-latency distribution per funnel transition: median and p90
+    * nanoseconds from first signup to first qualifying click, and from
+    * that click to first qualifying purchase — the "how long does
+    * conversion take" companion to q115's "how many convert". Same
+    * shrinking user-keyed aggregates; the exact percentile runs over one
+    * latency long per converted user.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    def lat(df: DataFrame, from: String, to: String, name: String): DataFrame =
+      df.select((col(to) - col(from)).as("lat"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile(lat, 0.5)").as("median_latency_ns"),
+          expr("percentile(lat, 0.9)").as("p90_latency_ns"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("median_latency_ns"), col("p90_latency_ns"))
+    lat(s2, "t1", "t2", "signup>click")
+      .unionByName(lat(s3, "t2", "t3", "click>purchase"))
+      .orderBy(col("stage"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2266,7 +2298,8 @@ object Queries {
     "q117_group_topk" -> (groupTopKDocs _),
     "q118_incremental_retention" -> (incrementalRetention _),
     "q119_packed_layout" -> (packedLayout _),
-    "q120_sketch_rollup" -> (sketchRollup _))
+    "q120_sketch_rollup" -> (sketchRollup _),
+    "q121_funnel_latency" -> (funnelLatency _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3578,6 +3611,21 @@ object Queries {
          |agg AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_matches FROM j GROUP BY eval_id)
          |SELECT a.eval_id, a.n_train_matches, b.best_train_id, b.best_jaccard
          |FROM agg a JOIN best b USING (eval_id) ORDER BY eval_id""".stripMargin,
+    "q121_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3, min(t2) AS t2 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 'signup>click' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |         quantile_cont(t2 - t1, 0.5) AS median_latency_ns,
+        |         quantile_cont(t2 - t1, 0.9) AS p90_latency_ns FROM s2
+        |  UNION ALL
+        |  SELECT 'click>purchase', count(*),
+        |         quantile_cont(t3 - t2, 0.5), quantile_cont(t3 - t2, 0.9) FROM s3)
+        |ORDER BY stage""".stripMargin,
     "q115_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
