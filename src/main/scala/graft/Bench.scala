@@ -93,6 +93,11 @@ object Bench {
     // min-of-2 is robust to a one-off stall; all raw passes are emitted
     // under "runs" so a real regression (every pass slow) stays visible.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    def loadavg: String = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0))
+      .getOrElse("-1")
+    val loadStart = loadavg
     val results = selected.map { case (name, fn) =>
       def onePass(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -164,11 +169,15 @@ object Bench {
     val r01Set = subsetTotal(49)
     // value_q76 = the round-6 catalog: the comparable subset for rounds ≥ 7.
     val r06Set = subsetTotal(76)
+    // 1-minute load average at start and end of the timed catalog: the
+    // direct evidence distinguishing "this box was contended" from "this
+    // query regressed" that past rounds had to infer from pass spreads.
+    val loadEnd = loadavg
     // Field ORDER matters downstream: the driver's artifact stores only the
     // tail of stdout, so the headline (metric/value/subset totals, errors,
     // suspect) goes LAST on the line where the tail window always keeps it;
     // the bulky per-query maps go first.
-    println(s"""{"queries":$qs,"runs":$raw,"sf":"$sfDir","errors":$errs,"suspect":$suspect,"metric":"total","unit":"sec","value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"value":${r3(total)}}""")
+    println(s"""{"queries":$qs,"runs":$raw,"sf":"$sfDir","errors":$errs,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"metric":"total","unit":"sec","value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"value":${r3(total)}}""")
     spark.stop()
   }
 }
