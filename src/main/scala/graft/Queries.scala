@@ -2174,6 +2174,44 @@ object Queries {
       .orderBy(col("stage"))
   }
 
+  /** kNN label propagation — the semi-supervised labeling step of a
+    * quality-classifier bootstrap: each held-out vector takes the majority
+    * label of its k nearest labeled neighbors (exact cosine). First use of
+    * the embeddings table's `label` column as a *training signal* rather
+    * than an evaluation facet (q75 measures clustering against it; here it
+    * propagates). Scale shape is q30's: the labeled corpus streams ONCE
+    * through a broadcast-nested-loop scan (held-out side broadcast, norms
+    * computed per row not per pair), and everything downstream of the
+    * per-query top-k window is q×k rows — votes, the winner window, and
+    * both label joins are broadcast-sized at any corpus scale. Ties break
+    * deterministically: vote count desc, then min label.
+    */
+  def knnLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val held = e.filter(col("vec_id") < 50)
+    val labeled = e.filter(col("vec_id") >= 50)
+    val nb = Similarity.bruteForceTopK(labeled, col("vec_id"), col("embedding"),
+      held, col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val votes = labeled.select(col("vec_id").as("corpus_id"), col("label"))
+      .join(broadcast(nb), "corpus_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n").desc, col("label").asc)
+    val pred = votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"))
+    pred
+      .join(broadcast(held.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), "query_id")
+      .select(col("query_id"),
+        col("predicted_label").cast("int").as("predicted_label"),
+        col("true_label").cast("int").as("true_label"),
+        when(col("predicted_label") === col("true_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2299,7 +2337,8 @@ object Queries {
     "q118_incremental_retention" -> (incrementalRetention _),
     "q119_packed_layout" -> (packedLayout _),
     "q120_sketch_rollup" -> (sketchRollup _),
-    "q121_funnel_latency" -> (funnelLatency _))
+    "q121_funnel_latency" -> (funnelLatency _),
+    "q122_knn_label" -> (knnLabelPropagation _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3626,6 +3665,22 @@ object Queries {
         |  SELECT 'click>purchase', count(*),
         |         quantile_cont(t3 - t2, 0.5), quantile_cont(t3 - t2, 0.9) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "q122_knn_label" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS tl
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label
+        |      FROM embeddings WHERE vec_id >= 50),
+        |s AS (SELECT qid, cid, label, list_cosine_similarity(cv, qv) AS sim
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, label FROM s
+        |      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 10),
+        |v AS (SELECT qid, label, count(*) AS n FROM r GROUP BY qid, label),
+        |p AS (SELECT qid, label AS predicted_label FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1)
+        |SELECT p.qid AS query_id, CAST(p.predicted_label AS INT) AS predicted_label,
+        |       CAST(q.tl AS INT) AS true_label,
+        |       CAST(CASE WHEN p.predicted_label = q.tl THEN 1 ELSE 0 END AS INT) AS correct
+        |FROM p JOIN q ON p.qid = q.qid ORDER BY query_id""".stripMargin,
     "q115_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

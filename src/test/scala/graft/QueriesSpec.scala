@@ -170,4 +170,25 @@ class QueriesSpec extends AnyFunSuite {
     serSession.conf.set("spark.graft.funnel.storage", "DISK_ONLY")
     assert(counts(serSession) == inMem)
   }
+
+  test("q122 kNN propagation: one vote per held-out vector, labels from the labeled domain") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q122_knn_label")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val held = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    assert(out.length == held.count().toInt, "every held-out vector gets exactly one prediction")
+    assert(out.map(_._1).distinct.length == out.length)
+    val labelDomain = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= 50)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { case (_, pred, _, correct) =>
+      assert(labelDomain.contains(pred), "prediction must come from a labeled neighbor")
+      assert(correct == 0 || correct == 1)
+    }
+    // the correct flag is derived, never asserted independently of its inputs
+    out.foreach { case (_, pred, truth, correct) =>
+      assert((pred == truth) == (correct == 1))
+    }
+  }
 }
