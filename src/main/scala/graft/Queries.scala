@@ -2212,6 +2212,42 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** N-gram diversity data card: per (lang, source) the type/token table
+    * over word 3-grams — total grams, per-doc-distinct gram total,
+    * corpus-distinct grams, and the distinct/total ratio in exact ppm.
+    * The inter-document repetition twin of q64 (which is intra-document):
+    * a shrinking corpus-level type/token ratio is template spam shared
+    * ACROSS documents — the signal domain caps (q98) and near-dup removal
+    * (q27/q60) act on, quantified per corpus slice for the data card.
+    * Scale shape: grams leave the scan as md5 hashes projected next to two
+    * facet columns — text never shuffles — and the exact distinct count is
+    * a (lang, source, hash) pre-aggregate (map-side combine collapses
+    * within-partition repeats) before the count; the two facet-level
+    * aggregates join at 100-row cardinality.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        array_distinct(Text.shingles(col("text"), 3)).as("dsh"),
+        size(Text.shingles(col("text"), 3)).cast("long").as("n_grams"))
+    val tot = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(size(col("dsh")).cast("long")).as("doc_distinct_grams"))
+    val dist = d.select(col("lang"), col("source"),
+        explode(col("dsh")).as("g"))
+      .select(col("lang"), col("source"), md5(col("g")).as("h"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("h")).as("distinct_grams"))
+    tot.join(dist, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_grams"),
+        col("distinct_grams"), col("doc_distinct_grams"),
+        when(col("total_grams") > 0,
+          expr("(distinct_grams * 1000000L) DIV total_grams"))
+          .otherwise(lit(0L)).cast("long").as("ttr_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2338,7 +2374,8 @@ object Queries {
     "q119_packed_layout" -> (packedLayout _),
     "q120_sketch_rollup" -> (sketchRollup _),
     "q121_funnel_latency" -> (funnelLatency _),
-    "q122_knn_label" -> (knnLabelPropagation _))
+    "q122_knn_label" -> (knnLabelPropagation _),
+    "q124_ngram_diversity" -> (ngramDiversity _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3681,6 +3718,22 @@ object Queries {
         |       CAST(q.tl AS INT) AS true_label,
         |       CAST(CASE WHEN p.predicted_label = q.tl THEN 1 ELSE 0 END AS INT) AS correct
         |FROM p JOIN q ON p.qid = q.qid ORDER BY query_id""".stripMargin,
+    "q124_ngram_diversity" ->
+      s"""WITH g AS (SELECT lang, source,
+         |             CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |                  ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS sh
+         |           FROM (SELECT lang, source, $DNTOKS AS tk FROM documents)),
+         |tot AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(len(sh)) AS BIGINT) AS total_grams,
+         |          CAST(sum(len(list_distinct(sh))) AS BIGINT) AS doc_distinct_grams
+         |        FROM g GROUP BY lang, source),
+         |d AS (SELECT lang, source, CAST(count(DISTINCT h) AS BIGINT) AS distinct_grams
+         |      FROM (SELECT lang, source, md5(unnest(list_distinct(sh))) AS h FROM g)
+         |      GROUP BY lang, source)
+         |SELECT lang, source, n_docs, total_grams, distinct_grams, doc_distinct_grams,
+         |       CAST(CASE WHEN total_grams > 0 THEN distinct_grams * 1000000 // total_grams
+         |            ELSE 0 END AS BIGINT) AS ttr_ppm
+         |FROM tot JOIN d USING (lang, source) ORDER BY lang, source""".stripMargin,
     "q115_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

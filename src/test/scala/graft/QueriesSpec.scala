@@ -171,6 +171,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(counts(serSession) == inMem)
   }
 
+  test("q124 diversity: distinct ≤ doc-distinct ≤ total grams, groups cover the corpus") {
+    val rows = SparkEntry.queries("q124_ngram_diversity")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nDocs, total, distinct, docDistinct, ttr) =>
+      assert(nDocs > 0)
+      assert(distinct <= docDistinct, "corpus-distinct can only merge per-doc distinct grams")
+      assert(docDistinct <= total, "per-doc distinct cannot exceed the raw gram count")
+      assert(ttr <= 1000000L && ttr >= 0L)
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._1).sum == corpus, "every document lands in exactly one facet group")
+  }
+
   test("q122 kNN propagation: one vote per held-out vector, labels from the labeled domain") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q122_knn_label")(spark, sf)
