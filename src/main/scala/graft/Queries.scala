@@ -2248,6 +2248,30 @@ object Queries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Duplicate-multiplicity histogram: how many fingerprint groups appear
+    * exactly k times (k capped at 5+), and how many languages each group
+    * spans — the "docs seen N times" table of a dedup report, with the
+    * cross-language facet surfacing machine-translated or spam duplicates
+    * that per-language dedup would miss. The answer to "how much does
+    * multiplicity-weighted dedup actually save" before running it (q113
+    * reports the per-slice outcome; this is the shape of the problem).
+    * Scale: only (16-byte fp, lang, n_chars) shuffles; the second rollup
+    * is over group-cardinality rows and lands at ≤ 5×|langs| cells.
+    */
+  def dupMultiplicity(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(
+      md5(Text.normalized(col("text"))).as("fp"), col("lang"), col("n_chars"))
+    val g = d.groupBy(col("fp"))
+      .agg(count(lit(1)).as("m"), countDistinct(col("lang")).as("nl"),
+        sum(col("n_chars")).as("chars"))
+    g.select(least(col("m"), lit(5L)).as("multiplicity"), col("nl").as("n_langs"),
+        col("m"), col("chars"))
+      .groupBy(col("multiplicity"), col("n_langs"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("m")).as("n_docs"),
+        sum(col("chars")).as("total_chars"))
+      .orderBy(col("multiplicity"), col("n_langs"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2375,7 +2399,8 @@ object Queries {
     "q120_sketch_rollup" -> (sketchRollup _),
     "q121_funnel_latency" -> (funnelLatency _),
     "q122_knn_label" -> (knnLabelPropagation _),
-    "q124_ngram_diversity" -> (ngramDiversity _))
+    "q124_ngram_diversity" -> (ngramDiversity _),
+    "q125_dup_multiplicity" -> (dupMultiplicity _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3734,6 +3759,16 @@ object Queries {
          |       CAST(CASE WHEN total_grams > 0 THEN distinct_grams * 1000000 // total_grams
          |            ELSE 0 END AS BIGINT) AS ttr_ppm
          |FROM tot JOIN d USING (lang, source) ORDER BY lang, source""".stripMargin,
+    "q125_dup_multiplicity" ->
+      s"""WITH d AS (SELECT md5($DNORM) AS fp, lang, n_chars FROM documents),
+         |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS m,
+         |        CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+         |        CAST(sum(n_chars) AS BIGINT) AS chars
+         |      FROM d GROUP BY fp)
+         |SELECT CAST(least(m, 5) AS BIGINT) AS multiplicity, nl AS n_langs,
+         |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
+         |       CAST(sum(chars) AS BIGINT) AS total_chars
+         |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
     "q115_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

@@ -185,6 +185,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._1).sum == corpus, "every document lands in exactly one facet group")
   }
 
+  test("q125 multiplicity histogram partitions the corpus; lang spans bounded by group size") {
+    val rows = SparkEntry.queries("q125_dup_multiplicity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (mult, nLangs, nGroups, nDocs) =>
+      assert(nLangs <= mult, "a group cannot span more languages than members")
+      assert(nGroups > 0)
+      if (mult < 5) assert(nDocs == nGroups * mult, "below the 5+ cap, size is exact")
+      else assert(nDocs >= nGroups * 5)
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._4).sum == corpus, "every document lands in exactly one cell")
+  }
+
   test("q122 kNN propagation: one vote per held-out vector, labels from the labeled domain") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q122_knn_label")(spark, sf)
