@@ -2272,6 +2272,52 @@ object Queries {
       .orderBy(col("multiplicity"), col("n_langs"))
   }
 
+  /** MinHash/LSH S-curve audit: for each exact-Jaccard bucket (5% wide),
+    * what fraction of overlapping pairs did the banded signature scheme
+    * (q28's bands=2 × rows=2) actually surface? This is the measured
+    * capture curve behind every minhash parameter choice: near-zero
+    * buckets SHOULD sit at ~0 ppm (banding correctly ignores incidental
+    * shared grams) and the near-dup buckets at ~10⁶ ppm — a flat curve
+    * means the band/row trade-off is mis-sized for the dedup threshold.
+    * Ground truth is the q54 discipline — exact set math only within
+    * (lang, source) blocks; at 100 TB the audit runs on a hash-sample of
+    * blocks BY DESIGN (exact all-pairs is what LSH exists to avoid), and
+    * candidates come from the capped band buckets over the same universe.
+    * Buckets are exact integer math ((inter*20) DIV union), so boundaries
+    * cannot drift between engines; the truth-candidate join moves only id
+    * pairs.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    // sorted + deduped ONCE per document; the per-pair work inside the
+    // blocked join is then a single allocation-free merge scan returning
+    // the exact integer intersection (the q54 lesson, integer-typed)
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_sort(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
+    val a = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+      col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+      col("sh").as("sh_b"))
+    val truth = a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", graft.plans.TextExpressions
+        .sorted_set_intersect_size(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .filter(col("inter") > 0L)
+      .select(col("id_a"), col("id_b"), expr("(inter * 20) DIV uni").as("bucket"))
+    val cands = Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+        shingleK = 3, bands = 2, rowsPerBand = 2)
+      .withColumn("caught", lit(1L))
+    truth.join(cands, Seq("id_a", "id_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("caught_ppm", expr("(n_caught * 1000000L) DIV n_true_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2400,6 +2446,7 @@ object Queries {
     "q121_funnel_latency" -> (funnelLatency _),
     "q122_knn_label" -> (knnLabelPropagation _),
     "q124_ngram_diversity" -> (ngramDiversity _),
+    "q123_lsh_recall" -> (lshRecallAudit _),
     "q125_dup_multiplicity" -> (dupMultiplicity _))
 
   // DuckDB dialect fragments shared by the text oracles.
@@ -3769,6 +3816,24 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q123_lsh_recall" ->
+      s"""WITH cand AS (SELECT * FROM ($MinhashPairsBody) c),
+         |s AS (SELECT doc_id, lang, source,
+         |        list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+         |      FROM (SELECT doc_id, lang, source, $DNTOKS AS tk FROM documents)),
+         |t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+         |      FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |      WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+         |tb AS (SELECT id_a, id_b, (inter * 20) // uni AS bucket FROM t WHERE inter > 0),
+         |j AS (SELECT tb.bucket, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |      FROM tb LEFT JOIN cand c ON tb.id_a = c.id_a AND tb.id_b = c.id_b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |       CAST(sum(caught) AS BIGINT) AS n_caught,
+         |       CAST(sum(caught) * 1000000 // count(*) AS BIGINT) AS caught_ppm
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q115_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over a shingle array.
@@ -361,6 +361,50 @@ case class SortedSetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two PRE-SORTED distinct string arrays — the integer
+  * half of [[SortedSetJaccard]]'s merge scan, for callers that need exact
+  * integer set math downstream (e.g. q123's `(inter*20) DIV union` bucket
+  * boundaries, where a double Jaccard could drift across engines). Same
+  * allocation-free single merge pass; union is derivable from the input
+  * sizes, so one expression covers both.
+  */
+case class SortedSetIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_set_intersect_size requires (array<string>, array<string>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedSetIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** All `numHashes` seeded-md5 MinHash values in one pass; element i equals
     * `array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))`.
@@ -387,5 +431,11 @@ object TextExpressions {
   /** Exact Jaccard of two sorted, distinct string arrays (linear merge). */
   def sorted_set_jaccard(a: Column, b: Column): Column =
     GraftBridge.toColumn(SortedSetJaccard(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Intersection size of two pre-sorted distinct string arrays (exact
+    * integer — union follows as |a| + |b| − inter). */
+  def sorted_set_intersect_size(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SortedSetIntersectSize(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }

@@ -209,6 +209,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_set_intersect_size ≡ builtin array_intersect size on arbitrary string arrays") {
+    import graft.plans.TextExpressions
+    val arrGen = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "c", "", "aaa"))
+    forAll(Gen.zip(Gen.listOfN(8, arrGen), Gen.listOfN(8, arrGen)), n = 3) {
+      case (as, bs) =>
+        val df = as.zip(bs).toDF("a", "b")
+        val both = df.select(
+          TextExpressions.sorted_set_intersect_size(
+            array_sort(array_distinct(col("a"))),
+            array_sort(array_distinct(col("b")))).as("native"),
+          size(array_intersect(array_distinct(col("a")),
+            array_distinct(col("b")))).as("builtin")).collect()
+        both.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    }
+  }
+
   private val textGen: Gen[String] =
     Gen.listOf(Gen.oneOf("the", "cat", "x1", "a@b.co", "10.0.0.1", "call",
       "555-0199", "wörd", "http://h.io/p")).map(_.mkString(" "))

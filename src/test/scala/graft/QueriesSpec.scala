@@ -185,6 +185,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._1).sum == corpus, "every document lands in exactly one facet group")
   }
 
+  test("q123 LSH S-curve: low-overlap pairs near 0 ppm, planted near-dups fully captured") {
+    val rows = SparkEntry.queries("q123_lsh_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, nTrue, nCaught, ppm) =>
+      assert(bucket >= 0 && bucket <= 20)
+      assert(nCaught <= nTrue)
+      assert(ppm == nCaught * 1000000L / nTrue)
+    }
+    // the curve's two ends: incidental overlap is ignored, near-dups are caught
+    val low = rows.filter(_._1 <= 2)
+    val high = rows.filter(_._1 >= 15)
+    assert(low.nonEmpty && high.nonEmpty, "corpus must exercise both curve ends")
+    assert(low.map(_._4).max < 100000L, "banding should ignore <15%-Jaccard pairs")
+    assert(high.map(_._4).min == 1000000L, "planted near-dups must all be captured")
+  }
+
   test("q125 multiplicity histogram partitions the corpus; lang spans bounded by group size") {
     val rows = SparkEntry.queries("q125_dup_multiplicity")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
