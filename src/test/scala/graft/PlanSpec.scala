@@ -394,4 +394,34 @@ class PlanSpec extends AnyFunSuite {
     val cols = shuffledColumns("q103_quality_classifier")
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
+
+  test("q122: labeled corpus streams once through the broadcast scan; vectors never shuffle") {
+    val plan = finalPlan(SparkEntry.queries("q122_knn_label")(spark, sf))
+    // held-out side broadcast into a nested-loop scan — the one place BNLJ
+    // is the RIGHT shape (bounded queries × unbounded corpus, q30's plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // everything past the top-k window is q×k rows: the vote/label joins
+    // broadcast, and no exchange ever carries an embedding array
+    val cols = shuffledColumns("q122_knn_label")
+    assert(!cols.exists(c => c.contains("embedding") || c == "cv" || c == "qv"),
+      cols.toString)
+  }
+
+  test("q123: truth pairs come from the blocked equi-join — never a cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q123_lsh_recall")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the truth-candidate join moves only (id_a, id_b, bucket/caught)
+    val cols = shuffledColumns("q123_lsh_recall")
+    assert(!cols.exists(_.contains("text")), cols.toString)
+  }
+
+  test("q124/q125: diversity and multiplicity shuffles carry hashes, never text or grams") {
+    for (q <- Seq("q124_ngram_diversity", "q125_dup_multiplicity")) {
+      val cols = shuffledColumns(q)
+      assert(cols.nonEmpty, q)
+      assert(!cols.exists(c => c.contains("text") || c == "g" || c == "dsh" ||
+        c == "sh"), s"$q: $cols")
+    }
+  }
 }
