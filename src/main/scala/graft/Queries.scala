@@ -2318,6 +2318,23 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** IVF recall curve: recall@10 of the q53 index per probe budget
+    * (nprobe ∈ 1,2,4,8) against the exact brute-force truth — the
+    * embedding-space twin of q123's minhash S-curve, and the table that
+    * picks q53's operating point. One corpus assignment pass serves all
+    * four settings (candidates carry their probe rank; a 4-row settings
+    * frame joins on `qr <= nprobe`); ground truth is one brute pass over
+    * a bounded query sample — the calibration cost paid once.
+    */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfRecallCurve(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        k = 10, nCentroids = 32, probeSettings = Seq(1, 2, 4, 8))
+      .select(col("nprobe").cast("int").as("nprobe"), col("n_queries"),
+        col("n_retrieved"), col("n_hits"), col("n_truth"), col("recall_ppm"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2447,7 +2464,8 @@ object Queries {
     "q122_knn_label" -> (knnLabelPropagation _),
     "q124_ngram_diversity" -> (ngramDiversity _),
     "q123_lsh_recall" -> (lshRecallAudit _),
-    "q125_dup_multiplicity" -> (dupMultiplicity _))
+    "q125_dup_multiplicity" -> (dupMultiplicity _),
+    "q126_ann_recall" -> (annRecallCurve _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3816,6 +3834,49 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q126_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e
+         |          ORDER BY $IvfCentroidOrderSql
+         |          LIMIT 32),
+         |asg AS (SELECT corpus_id, cv, cell_id FROM (
+         |          SELECT e.vec_id AS corpus_id, e.v AS cv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS cr
+         |          FROM e CROSS JOIN cents)
+         |        WHERE cr = 1),
+         |probes AS (SELECT qid, qv, cell_id, qr FROM (
+         |          SELECT e.vec_id AS qid, e.v AS qv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS qr
+         |          FROM e CROSS JOIN cents WHERE e.vec_id < 20)
+         |        WHERE qr <= 8),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |s AS (SELECT qid, corpus_id, qr, list_cosine_similarity(cv, qv) AS sim
+         |      FROM asg JOIN probes USING (cell_id) WHERE qid <> corpus_id),
+         |r AS (SELECT np.nprobe, s.qid, s.corpus_id,
+         |        row_number() OVER (PARTITION BY np.nprobe, s.qid
+         |          ORDER BY s.sim DESC, s.corpus_id) AS rnk
+         |      FROM s JOIN np ON s.qr <= np.nprobe),
+         |ap AS (SELECT nprobe, qid, corpus_id FROM r WHERE rnk <= 10),
+         |ex AS (SELECT qid, cid FROM (
+         |        SELECT q.qid, c.cid,
+         |               row_number() OVER (PARTITION BY q.qid
+         |                 ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) AS rnk
+         |        FROM (SELECT vec_id AS cid, v AS cv FROM e) c
+         |        CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20) q
+         |        WHERE qid <> cid) WHERE rnk <= 10),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ex),
+         |j AS (SELECT ap.nprobe, ap.qid,
+         |        CASE WHEN ex.qid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ap LEFT JOIN ex ON ap.qid = ex.qid AND ap.corpus_id = ex.cid)
+         |SELECT CAST(nprobe AS INT) AS nprobe,
+         |       CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+         |       CAST(count(*) AS BIGINT) AS n_retrieved,
+         |       CAST(sum(hit) AS BIGINT) AS n_hits,
+         |       (SELECT n_truth FROM tc) AS n_truth,
+         |       CAST(sum(hit) * 1000000 // (SELECT n_truth FROM tc) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     "q123_lsh_recall" ->
       s"""WITH cand AS (SELECT * FROM ($MinhashPairsBody) c),
          |s AS (SELECT doc_id, lang, source,

@@ -113,6 +113,25 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val (assigned, probes) = ivfParts(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nCentroids, nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    assigned.join(broadcast(probes.drop("qr")), "cell_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The two IVF legs shared by [[ivfTopK]] and [[ivfRecallCurve]]:
+    * cell-assigned corpus rows (one streaming pass, centroids broadcast)
+    * and each query's `maxProbe` nearest cells with their probe rank `qr`.
+    */
+  private def ivfParts(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       queries: DataFrame, queryId: Column, queryVec: Column,
+                       nCentroids: Int, maxProbe: Int): (DataFrame, DataFrame) = {
     val cents = corpus
       .select(corpusId.as("cell_id"), corpusVec.as("cent"))
       .orderBy(Sampling.hashBucket(col("cell_id"), 1 << 30), col("cell_id"))
@@ -129,7 +148,7 @@ object Similarity {
       .withColumn("cr", row_number().over(cw))
       .filter(col("cr") === 1)
       .select(col("cell_id"), col("corpus_id"), col("cv"), col("cn"))
-    // query → nProbe nearest cells
+    // query → maxProbe nearest cells, probe rank kept
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_cos").desc, col("cell_id").asc)
     val probes = queries.select(queryId.as("query_id"), queryVec.as("qv"))
@@ -138,16 +157,53 @@ object Similarity {
       .withColumn("cell_cos",
         cosineFromParts(dot(col("qv"), col("cent")), col("qn"), col("cent_n")))
       .withColumn("qr", row_number().over(qw))
-      .filter(col("qr") <= nProbe)
-      .select(col("cell_id"), col("query_id"), col("qv"), col("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    assigned.join(broadcast(probes), "cell_id")
+      .filter(col("qr") <= maxProbe)
+      .select(col("cell_id"), col("query_id"), col("qv"), col("qn"), col("qr"))
+    (assigned, probes)
+  }
+
+  /** Recall curve of the IVF path against the exact baseline, as a table:
+    * for each probe budget in `probeSettings`, how many of the true top-k
+    * neighbors the probed cells actually contain. The tuning artifact
+    * behind every nProbe choice — q53 picks one point on this curve.
+    *
+    * One corpus assignment pass serves EVERY setting: candidates keep the
+    * probe rank `qr` of the cell they came from, a 4-row settings frame
+    * joins on `qr <= nprobe`, and the per-(query, setting) top-k window
+    * runs over candidate-sized input. Ground truth is one brute-force
+    * pass — at 100 TB the audit runs over a bounded query sample by
+    * design (the truth pass is the cost LSH/IVF exist to avoid, paid
+    * here once to calibrate them).
+    */
+  def ivfRecallCurve(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, nCentroids: Int,
+                     probeSettings: Seq[Int]): DataFrame = {
+    val (assigned, probes) = ivfParts(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nCentroids, probeSettings.max)
+    val cand = assigned.join(broadcast(probes), "cell_id")
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
+      .select(col("query_id"), col("corpus_id"), col("qr"),
         cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("cosine"))
+    val settings = corpus.sparkSession.createDataFrame(
+      probeSettings.map(Tuple1(_))).toDF("nprobe")
+    val w = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    val approx = cand.join(broadcast(settings), col("qr") <= col("nprobe"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    val exact = bruteForceTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+    val truthCount = exact.agg(count(lit(1)).as("n_truth"))
+    approx.join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_retrieved"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(truthCount))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000L) DIV n_truth"))
+      .orderBy(col("nprobe"))
   }
 
   /** Recall of the IVF path against the exact baseline (same contract as

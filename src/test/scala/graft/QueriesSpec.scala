@@ -202,6 +202,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(high.map(_._4).min == 1000000L, "planted near-dups must all be captured")
   }
 
+  test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
+    val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 4)
+    rows.foreach { case (nprobe, nQueries, nRetrieved, nHits, nTruth) =>
+      assert(nQueries == 20)
+      assert(nRetrieved <= nTruth, "at most k candidates per query")
+      assert(nHits <= nRetrieved)
+      assert(nprobe > 0)
+    }
+    // more probed cells can only add candidates: recall never decreases
+    rows.sortBy(_._1).map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "recall must be monotone in nprobe")
+      case _ =>
+    }
+  }
+
   test("q125 multiplicity histogram partitions the corpus; lang spans bounded by group size") {
     val rows = SparkEntry.queries("q125_dup_multiplicity")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
