@@ -2335,6 +2335,52 @@ object Queries {
         col("n_retrieved"), col("n_hits"), col("n_truth"), col("recall_ppm"))
   }
 
+  /** Near-dup burden per quality decile: are near-duplicates concentrated
+    * in low-quality strata? Composes q60's duplicate clusters (members
+    * that are not their cluster's min-id representative count as burden)
+    * with q84's exact per-language deciles — the table that says whether
+    * quality filtering alone would have removed the duplicates anyway, or
+    * dedup earns its keep across the whole quality range. Scale: the
+    * cluster labels are id-pairs only, the decile assignment is the
+    * two-phase histogram (no corpus-wide window), and the final join is
+    * id-keyed.
+    */
+  def dupByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Sampling.quantileBins(
+      t(spark, dir, "documents").select(col("lang"), col("n_chars"), col("doc_id")),
+      col("lang"), col("n_chars"), col("doc_id"), n = 10)
+    val cc = Dedup.connectedComponents(minhashPairs(spark, dir),
+      checkpointDir = spark.conf.getOption("spark.graft.checkpoint.dir"))
+    val dups = cc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"), lit(1L).as("is_dup"))
+    binned.join(dups, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_neardups"))
+      .withColumn("neardup_ppm", expr("(n_neardups * 1000000L) DIV n_docs"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Zipf vocabulary table: the 20 most frequent tokens per language with
+    * exact occurrence counts — the vocabulary audit behind stopword lists,
+    * quality-signal calibration (q26 stopword ratios) and tokenizer-equity
+    * checks (q111). The per-language top-k runs through
+    * [[graft.ops.Relational.groupTopK]]'s exact two-phase rewrite, so the
+    * ~5-value language partition never funnels the full token-count table
+    * through one reducer — the q117 discipline applied to text.
+    */
+  def zipfTable(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(Text.normalized(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    Relational.groupTopK(counts, Seq(col("lang")),
+        Seq(col("n_occurrences").desc, col("token")), col("token"), k = 20)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("token"), col("n_occurrences"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2465,7 +2511,9 @@ object Queries {
     "q124_ngram_diversity" -> (ngramDiversity _),
     "q123_lsh_recall" -> (lshRecallAudit _),
     "q125_dup_multiplicity" -> (dupMultiplicity _),
-    "q126_ann_recall" -> (annRecallCurve _))
+    "q126_ann_recall" -> (annRecallCurve _),
+    "q127_dup_by_quality" -> (dupByQuality _),
+    "q128_zipf_table" -> (zipfTable _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3834,6 +3882,33 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q127_dup_by_quality" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsBody),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |dup AS (SELECT id FROM lab WHERE id <> cluster),
+         |b AS (SELECT lang, doc_id,
+         |        ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+         |      FROM documents)
+         |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups,
+         |       CAST(sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |            // count(*) AS BIGINT) AS neardup_ppm
+         |FROM b LEFT JOIN dup ON b.doc_id = dup.id
+         |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q128_zipf_table" ->
+      s"""WITH tok AS (SELECT lang, unnest($DNTOKS) AS token FROM documents),
+         |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_occurrences
+         |      FROM tok GROUP BY lang, token)
+         |SELECT lang, CAST(row_number() OVER w AS BIGINT) AS rank, token, n_occurrences
+         |FROM c WINDOW w AS (PARTITION BY lang ORDER BY n_occurrences DESC, token)
+         |QUALIFY row_number() OVER w <= 20
+         |ORDER BY lang, rank""".stripMargin,
     "q126_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e

@@ -202,6 +202,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(high.map(_._4).min == 1000000L, "planted near-dups must all be captured")
   }
 
+  test("q127 near-dup burden partitions the corpus and totals the q60 non-keepers") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q127_dup_by_quality")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == corpus, "every document lands in exactly one (lang, bin)")
+    rows.foreach { case (bin, nDocs, nDups) =>
+      assert(bin >= 1 && bin <= 10)
+      assert(nDups <= nDocs)
+    }
+    val ccNonKeepers = SparkEntry.queries("q60_dedup_clusters")(spark, sf)
+      .filter(col("id") =!= col("cluster")).count()
+    assert(rows.map(_._3).sum == ccNonKeepers,
+      "decile burden must total the cluster non-keeper count")
+  }
+
+  test("q128 zipf table: dense ranks 1..20 per language, counts non-increasing") {
+    val rows = SparkEntry.queries("q128_zipf_table")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 20L), s"$lang ranks not dense")
+      rs.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"$lang counts must be non-increasing")
+        case _ =>
+      }
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
