@@ -424,4 +424,22 @@ class PlanSpec extends AnyFunSuite {
         c == "sh"), s"$q: $cols")
     }
   }
+
+  test("q127: burden join is id-keyed and no shuffle carries text") {
+    val plan = finalPlan(SparkEntry.queries("q127_dup_by_quality")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val cols = shuffledColumns("q127_dup_by_quality")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
+
+  test("q128: the language-partitioned vocabulary rank window sees only sharded survivors") {
+    // the q117 discipline on text: the (lang)-only re-rank must be fed by
+    // the (lang, shard) phase-1 cut, never the raw token-count table
+    val ws = windowNodes("q128_zipf_table")
+    assert(ws.length == 2, s"expected the two-phase pair, got ${ws.length}")
+    val Seq(lone) = ws.filter(_.partitionSpec.length == 1)
+    assert("""__r1#\d+ <= 20""".r.findFirstIn(lone.child.toString).isDefined,
+      s"phase-2 window not fed by the shard-rank cut:\n${lone.child}")
+    assert(ws.filterNot(_.partitionSpec.length == 1).head.partitionSpec.length == 2)
+  }
 }
