@@ -2381,6 +2381,30 @@ object Queries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Filter-ablation grid: the JOINT distribution of the five Gopher gates
+    * — every observed pass/fail combination with doc and char mass plus
+    * corpus share. q76 reports each gate's marginal pass count; this table
+    * is the overlap structure those marginals hide: which gates fire
+    * together, what each uniquely removes, and whether a gate is subsumed
+    * (its fail cells all co-fail with another's) — the evidence for
+    * dropping or reordering gates in the curation funnel (q85). Pure
+    * projection into a ≤32-cell rollup; the corpus total rides in-plan as
+    * a broadcast scalar (q88's pattern, no driver-side collect).
+    */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Text.gopherFlags(col("text"))
+    val d = t(spark, dir, "documents")
+      .select(col("n_chars") +: flags.map { case (n, c) => c.cast("int").as(n) }: _*)
+    val flagCols = flags.map { case (n, _) => col(n) }
+    val total = d.agg(count(lit(1)).as("__total"))
+    d.groupBy(flagCols: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n_docs * 1000000L) DIV __total"))
+      .drop("__total")
+      .orderBy(flagCols: _*)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2513,7 +2537,8 @@ object Queries {
     "q125_dup_multiplicity" -> (dupMultiplicity _),
     "q126_ann_recall" -> (annRecallCurve _),
     "q127_dup_by_quality" -> (dupByQuality _),
-    "q128_zipf_table" -> (zipfTable _))
+    "q128_zipf_table" -> (zipfTable _),
+    "q129_filter_ablation" -> (filterAblation _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3882,6 +3907,31 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q129_filter_ablation" ->
+      s"""WITH toks AS (SELECT n_chars, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
+         |sh AS (SELECT n_chars, tk,
+         |        CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(nt) - 1), i -> array_to_string(nt[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |f AS (SELECT n_chars,
+         |        CASE WHEN len(tk) >= 30 THEN 1 ELSE 0 END AS len_ok,
+         |        CASE WHEN list_sum(list_transform(tk, t -> len(t))) * 1000 >= len(tk) * 3000
+         |              AND list_sum(list_transform(tk, t -> len(t))) * 1000 <= len(tk) * 10000
+         |             THEN 1 ELSE 0 END AS word_len_ok,
+         |        CASE WHEN len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(tk) * 4
+         |             THEN 1 ELSE 0 END AS alpha_ok,
+         |        CASE WHEN len(list_filter(tk, t -> list_contains($DSTOP, t))) >= 2
+         |             THEN 1 ELSE 0 END AS stop_ok,
+         |        CASE WHEN (len(s) - len(list_distinct(s))) * 5 <= len(s)
+         |             THEN 1 ELSE 0 END AS rep_ok
+         |      FROM sh)
+         |SELECT CAST(len_ok AS INT) AS len_ok, CAST(word_len_ok AS INT) AS word_len_ok,
+         |       CAST(alpha_ok AS INT) AS alpha_ok, CAST(stop_ok AS INT) AS stop_ok,
+         |       CAST(rep_ok AS INT) AS rep_ok,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(count(*) * 1000000 // (SELECT count(*) FROM documents) AS BIGINT) AS share_ppm
+         |FROM f GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "q127_dup_by_quality" ->
       s"""WITH RECURSIVE pairs AS ($MinhashPairsBody),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

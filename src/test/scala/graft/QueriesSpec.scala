@@ -232,6 +232,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 ablation grid partitions the corpus and reproduces q76's marginals") {
+    import org.apache.spark.sql.functions._
+    val grid = SparkEntry.queries("q129_filter_ablation")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+        r.getLong(5)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(grid.map(_._2).sum == corpus, "cells must partition the corpus")
+    assert(grid.map(_._1).distinct.length == grid.length, "one row per combination")
+    // the joint distribution must marginalize to q76's per-gate pass counts
+    val marginals = SparkEntry.queries("q76_gopher_rules")(spark, sf)
+      .agg(sum("n_len_ok"), sum("n_word_len_ok"), sum("n_alpha_ok"),
+        sum("n_stop_ok"), sum("n_rep_ok")).head()
+    val expected = (0 to 4).map(i => marginals.getLong(i))
+    val fromGrid = (0 to 4).map { i =>
+      grid.filter { case (flags, _) => flags.productElement(i).asInstanceOf[Int] == 1 }
+        .map(_._2).sum
+    }
+    assert(fromGrid == expected, s"grid marginals $fromGrid != q76 $expected")
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
