@@ -2405,6 +2405,31 @@ object Queries {
       .orderBy(flagCols: _*)
   }
 
+  /** Packing-efficiency histogram: the distribution of bin fill ratios
+    * under q119's layout (budget 4000 chars, 8 hash shards) — the padding
+    * waste a shard writer reports before training commits to a sequence
+    * length. Bins land in 10%-wide fill buckets (a bin can exceed 10⁶ ppm:
+    * the document that crosses the budget boundary stays in its bin, which
+    * is exactly what the histogram must surface); each shard's final,
+    * typically underfull bin is the long tail on the left. Rollup over
+    * bin-cardinality rows; the corpus itself never re-shuffles beyond
+    * q119's (shard)-keyed pass.
+    */
+  def packFillHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val p = Sampling.packByBudget(
+      t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars"), budget = 4000L, shards = 8)
+    val bins = p.groupBy(col("shard"), col("pack_bin"))
+      .agg(sum(col("n_chars")).as("bin_chars"), count(lit(1)).as("n_docs"))
+    bins
+      .withColumn("fill_bucket",
+        least(expr("(bin_chars * 10) DIV 4000"), lit(12L)))
+      .groupBy(col("fill_bucket"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        min(col("bin_chars")).as("min_chars"), max(col("bin_chars")).as("max_chars"))
+      .orderBy(col("fill_bucket"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2538,7 +2563,8 @@ object Queries {
     "q126_ann_recall" -> (annRecallCurve _),
     "q127_dup_by_quality" -> (dupByQuality _),
     "q128_zipf_table" -> (zipfTable _),
-    "q129_filter_ablation" -> (filterAblation _))
+    "q129_filter_ablation" -> (filterAblation _),
+    "q130_pack_fill" -> (packFillHistogram _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3907,6 +3933,23 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q130_pack_fill" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, shard,
+        |         CAST(floor((SUM(n_chars) OVER win - n_chars) / 4000.0) AS BIGINT) AS pack_bin
+        |  FROM s WINDOW win AS (PARTITION BY shard ORDER BY doc_id)),
+        |bins AS (SELECT shard, pack_bin, CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |           CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM b GROUP BY shard, pack_bin)
+        |SELECT CAST(least((bin_chars * 10) // 4000, 12) AS BIGINT) AS fill_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(min(bin_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(bin_chars) AS BIGINT) AS max_chars
+        |FROM bins GROUP BY 1 ORDER BY fill_bucket""".stripMargin,
     "q129_filter_ablation" ->
       s"""WITH toks AS (SELECT n_chars, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
          |sh AS (SELECT n_chars, tk,

@@ -252,6 +252,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(fromGrid == expected, s"grid marginals $fromGrid != q76 $expected")
   }
 
+  test("q130 fill histogram accounts for every document and every q119 bin") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q130_pack_fill")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum == corpus, "every document lands in exactly one bin")
+    val binCount = SparkEntry.queries("q119_packed_layout")(spark, sf)
+      .select(col("shard"), col("pack_bin")).distinct().count()
+    assert(rows.map(_._2).sum == binCount, "histogram must cover every q119 bin")
+    rows.foreach { case (bucket, nBins, _, minC, maxC) =>
+      assert(bucket >= 0 && bucket <= 12)
+      assert(nBins > 0 && minC <= maxC)
+      // bucket boundaries are exact: min/max chars of the cell stay inside
+      if (bucket < 12) {
+        assert(minC * 10 / 4000 == bucket && maxC * 10 / 4000 == bucket)
+      }
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
