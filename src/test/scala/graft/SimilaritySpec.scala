@@ -64,6 +64,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("ivfRecallCurve: monotone in nprobe, and the all-cells budget hits 10^6 ppm exactly") {
+    val corpus = (0L to 60L)
+      .map(i => (i, Seq.tabulate(16)(d => ((i * 13 + d * 5) % 97).toFloat / 97f - 0.5f)))
+      .toDF("id", "v")
+    val queries = corpus.filter(col("id") < 3)
+    val curve = Similarity.ivfRecallCurve(corpus, col("id"), col("v"),
+        queries, col("id"), col("v"), k = 5, nCentroids = 8,
+        probeSettings = Seq(1, 4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(r.fieldIndex("n_hits")),
+        r.getLong(r.fieldIndex("recall_ppm"))))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 4, 8))
+    curve.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "hits must be monotone in nprobe")
+      case _ =>
+    }
+    // probing all 8 cells covers the whole corpus: the candidate set IS the
+    // exact scan, so recall must be exactly 1.0 — not approximately
+    assert(curve.last._3 == 1000000L, curve.mkString(","))
+  }
+
   test("ivfTopK centroids are distribution-agnostic under id-content correlation") {
     // ids 0..29 cluster around +1, ids 30..59 around -1: an id-prefix
     // centroid sample (the old orderBy(id).limit(n)) would sit entirely in
