@@ -2430,6 +2430,24 @@ object Queries {
       .orderBy(col("fill_bucket"))
   }
 
+  /** Heavy-hitter skew diagnostic: the top-20 hottest event keys with
+    * their corpus share — the pre-check that decides whether a key needs
+    * q49/q62's salting before a groupBy/join ships to the cluster. Plans
+    * as a two-phase count into `TakeOrderedAndProject` (per-partition
+    * top-N + tiny merge — no global sort of the key histogram), with the
+    * stream total riding in-plan as a broadcast scalar. Deterministic
+    * under ties ([[graft.ops.Skew.heavyHitters]] breaks on the key).
+    */
+  def heavyHitterAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("user_id"))
+    val total = e.agg(count(lit(1)).as("__total"))
+    graft.ops.Skew.heavyHitters(e, col("user_id"), topN = 20)
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n * 1000000L) DIV __total"))
+      .drop("__total")
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2564,7 +2582,8 @@ object Queries {
     "q127_dup_by_quality" -> (dupByQuality _),
     "q128_zipf_table" -> (zipfTable _),
     "q129_filter_ablation" -> (filterAblation _),
-    "q130_pack_fill" -> (packFillHistogram _))
+    "q130_pack_fill" -> (packFillHistogram _),
+    "q131_heavy_hitters" -> (heavyHitterAudit _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3933,6 +3952,13 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q131_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        |SELECT user_id, n,
+        |       CAST(n * 1000000 // (SELECT total FROM t) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "q130_pack_fill" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars,

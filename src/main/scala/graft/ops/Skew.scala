@@ -62,9 +62,11 @@ object Skew {
 
   /** Top-N heavy hitters per key column — the diagnostic that decides
     * whether salting is needed at all (run it on a sample at scale).
+    * Ties break on the key so the cut is deterministic (a bare
+    * count-ordered LIMIT returns an arbitrary subset of tied keys).
     */
   def heavyHitters(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc)
+      .orderBy(col("n").desc, key)
       .limit(topN)
 }

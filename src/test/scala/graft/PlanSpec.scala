@@ -432,6 +432,14 @@ class PlanSpec extends AnyFunSuite {
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
 
+  test("q131: the heavy-hitter cut is TakeOrderedAndProject over a two-phase count") {
+    val plan = finalPlan(SparkEntry.queries("q131_heavy_hitters")(spark, sf))
+    // per-partition top-N + tiny merge — a global Sort of the key
+    // histogram is the shape that dies on a high-cardinality key space
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("q128: the language-partitioned vocabulary rank window sees only sharded survivors") {
     // the q117 discipline on text: the (lang)-only re-rank must be fed by
     // the (lang, shard) phase-1 cut, never the raw token-count table
