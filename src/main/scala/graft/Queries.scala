@@ -2448,6 +2448,28 @@ object Queries {
       .orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Cross-source duplication matrix: q28's near-dup candidate pairs
+    * rolled up by the (unordered) source pair of their endpoints — the
+    * provenance table that says which feeds copy which (mirrors, syndication,
+    * scraper loops) and whether duplication is mostly intra-source (a feed
+    * re-crawling itself) or cross-source. Only id pairs join back to the
+    * two source labels; the matrix is ≤ |sources|² cells.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+    labeled.groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("intra_source",
+        when(col("source_lo") === col("source_hi"), 1).otherwise(0).cast("int"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2583,7 +2605,8 @@ object Queries {
     "q128_zipf_table" -> (zipfTable _),
     "q129_filter_ablation" -> (filterAblation _),
     "q130_pack_fill" -> (packFillHistogram _),
-    "q131_heavy_hitters" -> (heavyHitterAudit _))
+    "q131_heavy_hitters" -> (heavyHitterAudit _),
+    "q132_cross_source_dups" -> (crossSourceDups _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3952,6 +3975,17 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q132_cross_source_dups" ->
+      s"""WITH pairs AS (SELECT * FROM ($MinhashPairsBody) pp),
+         |lab AS (SELECT least(a.source, b.source) AS source_lo,
+         |               greatest(a.source, b.source) AS source_hi
+         |        FROM pairs p
+         |        JOIN documents a ON p.id_a = a.doc_id
+         |        JOIN documents b ON p.id_b = b.doc_id)
+         |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(CASE WHEN source_lo = source_hi THEN 1 ELSE 0 END AS INT) AS intra_source
+         |FROM lab GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
     "q131_heavy_hitters" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
         |           FROM events GROUP BY user_id),

@@ -271,6 +271,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 cross-source matrix accounts for every q28 candidate pair") {
+    val rows = SparkEntry.queries("q132_cross_source_dups")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, nPairs, intra) =>
+      assert(lo <= hi, "source pair must be canonically ordered")
+      assert(nPairs > 0)
+      assert((lo == hi) == (intra == 1))
+    }
+    val pairCount = SparkEntry.queries("q28_minhash_pairs")(spark, sf).count()
+    assert(rows.map(_._3).sum == pairCount, "matrix must total the candidate pairs")
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
