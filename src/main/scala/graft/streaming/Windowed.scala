@@ -29,6 +29,24 @@ object Windowed {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming hot-key monitor — the continuous twin of q131's heavy-hitter
+    * diagnostic: per tumbling window, emit every key whose event count
+    * reaches `threshold` — the alarm a pipeline watches to engage q49/q62
+    * salting (or rate-limiting) BEFORE a hot key melts a downstream
+    * shuffle. One watermarked keyed aggregation; state is one count per
+    * (window, key) live within the watermark, evicted with the window, and
+    * the emitted stream is only the (few) keys over threshold. Input needs
+    * (ts: timestamp, user_id: long) columns.
+    */
+  def hotKeyMonitorStream(events: DataFrame, windowDur: String,
+                          watermark: String, threshold: Long): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
   /** Streaming exact dedup by content fingerprint — the continuous twin of
     * [[graft.functions.Dedup.exactDuplicateGroups]]: keep the first document
     * per normalized-text fingerprint, drop every later duplicate.

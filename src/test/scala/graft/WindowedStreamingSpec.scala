@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class HotEv(ts: Timestamp, user_id: Long)
 case class Doc(ts: Timestamp, text: String)
 case class Click(user_id: Long, click_ts: Timestamp, page: String)
 case class Purchase(user_id: Long, purchase_ts: Timestamp, amount: Double)
@@ -40,6 +41,31 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:10:00.0", "click", 1L, 5.0)))
     // late event behind the watermark is dropped, not re-emitted
     stream.addData(Ev(ts("2024-01-01 00:02:00"), "view", 100.0))
+  }
+
+  test("hotKeyMonitorStream alarms only on keys that reach the window threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HotEv]
+    val alarms = Windowed.hotKeyMonitorStream(
+      stream.toDF(), "10 minutes", "5 minutes", threshold = 3L)
+    val q = alarms.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hotkey_out").start()
+
+    stream.addData(
+      HotEv(ts("2024-01-01 00:01:00"), 7L), // hot key: 3 events in window 0
+      HotEv(ts("2024-01-01 00:02:00"), 7L),
+      HotEv(ts("2024-01-01 00:03:00"), 7L),
+      HotEv(ts("2024-01-01 00:04:00"), 8L), // cold key: 1 event
+      HotEv(ts("2024-01-01 00:12:00"), 7L)) // next window: only 1 — cold
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    stream.addData(HotEv(ts("2024-01-01 01:00:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("hotkey_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(("2024-01-01 00:00:00.0", 7L, 3L)),
+      s"exactly one alarm for the hot key, got: ${rows.mkString(",")}")
   }
 
   test("streaming dedup drops in-watermark duplicates, keys state by fingerprint") {
