@@ -2470,6 +2470,34 @@ object Queries {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** Signal-covariance audit: per language, the EXACT scaled covariance
+    * between document length and the overall Gopher pass verdict,
+    * cov_scaled = n·Σ(x·y) − Σx·Σy with x = n_chars and y = pass∈{0,1} —
+    * the number whose sign says whether the quality gate is just a length
+    * gate in disguise (strongly positive = longer docs pass; near zero =
+    * the gate carries independent signal). All integer arithmetic: the
+    * three sums are exact per-language aggregates and the final products
+    * run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no float ever
+    * appears — at extreme corpus sizes the decimal lane is also what keeps
+    * n·Σxy from overflowing 64 bits. One scan, one 5-row rollup.
+    */
+  def signalCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Text.gopherFlags(col("text"))
+    val pass = flags.map(_._2).reduce(_ * _)
+    val d = t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), pass.as("y"))
+    val agg = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("y")).as("n_pass"),
+        sum(col("n_chars") * col("y")).as("sum_xy"))
+    val dec = DecimalType(38, 0)
+    agg.select(col("lang"), col("n_docs"), col("n_pass"),
+        (col("n_docs").cast(dec) * col("sum_xy").cast(dec) -
+          col("sum_chars").cast(dec) * col("n_pass").cast(dec))
+          .cast("long").as("cov_scaled"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2606,7 +2634,8 @@ object Queries {
     "q129_filter_ablation" -> (filterAblation _),
     "q130_pack_fill" -> (packFillHistogram _),
     "q131_heavy_hitters" -> (heavyHitterAudit _),
-    "q132_cross_source_dups" -> (crossSourceDups _))
+    "q132_cross_source_dups" -> (crossSourceDups _),
+    "q133_signal_covariance" -> (signalCovariance _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -3975,6 +4004,33 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q133_signal_covariance" ->
+      s"""WITH toks AS (SELECT lang, n_chars, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
+         |sh AS (SELECT lang, n_chars, tk,
+         |        CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(nt) - 1), i -> array_to_string(nt[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |f AS (SELECT lang, n_chars,
+         |        (CASE WHEN len(tk) >= 30 THEN 1 ELSE 0 END)
+         |        * (CASE WHEN list_sum(list_transform(tk, t -> len(t))) * 1000 >= len(tk) * 3000
+         |                 AND list_sum(list_transform(tk, t -> len(t))) * 1000 <= len(tk) * 10000
+         |                THEN 1 ELSE 0 END)
+         |        * (CASE WHEN len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(tk) * 4
+         |                THEN 1 ELSE 0 END)
+         |        * (CASE WHEN len(list_filter(tk, t -> list_contains($DSTOP, t))) >= 2
+         |                THEN 1 ELSE 0 END)
+         |        * (CASE WHEN (len(s) - len(list_distinct(s))) * 5 <= len(s)
+         |                THEN 1 ELSE 0 END) AS y
+         |      FROM sh),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_chars) AS HUGEINT) AS sum_chars,
+         |        CAST(sum(y) AS BIGINT) AS n_pass,
+         |        CAST(sum(n_chars * y) AS HUGEINT) AS sum_xy
+         |      FROM f GROUP BY lang)
+         |SELECT lang, n_docs, n_pass,
+         |       CAST(CAST(n_docs AS HUGEINT) * sum_xy
+         |            - sum_chars * CAST(n_pass AS HUGEINT) AS BIGINT) AS cov_scaled
+         |FROM a ORDER BY lang""".stripMargin,
     "q132_cross_source_dups" ->
       s"""WITH pairs AS (SELECT * FROM ($MinhashPairsBody) pp),
          |lab AS (SELECT least(a.source, b.source) AS source_lo,

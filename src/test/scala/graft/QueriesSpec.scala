@@ -284,6 +284,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == pairCount, "matrix must total the candidate pairs")
   }
 
+  test("q133 covariance audit agrees with q76's per-language pass totals") {
+    import org.apache.spark.sql.functions._
+    val cov = SparkEntry.queries("q133_signal_covariance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fromQ76 = SparkEntry.queries("q76_gopher_rules")(spark, sf)
+      .groupBy(col("lang")).agg(sum("n_docs").as("n"), sum("n_pass").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov.nonEmpty)
+    cov.foreach { case (lang, nDocs, nPass, covScaled) =>
+      assert((nDocs, nPass) == fromQ76(lang), s"$lang totals disagree with q76")
+      // a constant verdict (all pass or none) has exactly zero covariance
+      if (nPass == 0L || nPass == nDocs)
+        assert(covScaled == 0L, s"$lang: constant y must give cov 0")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
