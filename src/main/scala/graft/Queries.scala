@@ -2498,6 +2498,41 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Count-Min sketch heavy-hitter estimates, audited against exact
+    * counts: the 4×256-cell mergeable sketch every streaming frequency
+    * monitor keeps (kilobytes of state for an unbounded key space, only
+    * ever OVER-estimating), built in one explode pass and probed for
+    * q131's exact top-20 keys. Unlike library sketches, the hash family
+    * is seeded md5 — fully deterministic and engine-portable — so the
+    * ESTIMATES themselves replay bit-for-bit in the DuckDB oracle (q120's
+    * HLL rollup is rows-only for exactly this reason; this sketch isn't).
+    * Scale: cells are a 1024-row broadcast; the probe join and the final
+    * min-over-rows run on 20×4 rows. over_ppm is the sketch's measured
+    * collision error at this width — the number that sizes `width` for a
+    * real key cardinality.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 256
+    def lane(r: Int, key: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$r|"), key.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    def lanes(key: Column): Column = explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), lane(r, key).as("lane"))): _*))
+    val e = t(spark, dir, "events").select(col("user_id"))
+    val cells = e.select(lanes(col("user_id")).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.lane").as("lane"))
+      .agg(count(lit(1)).as("cell_n"))
+    val probes = graft.ops.Skew.heavyHitters(e, col("user_id"), topN = 20)
+      .select(col("user_id"), col("n"), lanes(col("user_id")).as("p"))
+      .select(col("user_id"), col("n"), col("p.r").as("r"), col("p.lane").as("lane"))
+    probes.join(broadcast(cells), Seq("r", "lane"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(min(col("cell_n")).as("cms_estimate"))
+      .withColumn("over_ppm", expr("((cms_estimate - n) * 1000000L) DIV n"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2635,7 +2670,8 @@ object Queries {
     "q130_pack_fill" -> (packFillHistogram _),
     "q131_heavy_hitters" -> (heavyHitterAudit _),
     "q132_cross_source_dups" -> (crossSourceDups _),
-    "q133_signal_covariance" -> (signalCovariance _))
+    "q133_signal_covariance" -> (signalCovariance _),
+    "q134_cms_heavy" -> (cmsHeavyHitters _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4004,6 +4040,24 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q134_cms_heavy" ->
+      """WITH e AS (SELECT user_id FROM events),
+        |r AS (SELECT unnest(range(0, 4)) AS r),
+        |cells AS (SELECT r.r,
+        |            ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS lane,
+        |            CAST(count(*) AS BIGINT) AS cell_n
+        |          FROM e CROSS JOIN r GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e
+        |        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20),
+        |probes AS (SELECT t.user_id, t.n, r.r,
+        |             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS lane
+        |           FROM top t CROSS JOIN r),
+        |est AS (SELECT p.user_id, p.n, min(c.cell_n) AS cms_estimate
+        |        FROM probes p JOIN cells c ON p.r = c.r AND p.lane = c.lane
+        |        GROUP BY p.user_id, p.n)
+        |SELECT user_id, n, cms_estimate,
+        |       CAST((cms_estimate - n) * 1000000 // n AS BIGINT) AS over_ppm
+        |FROM est ORDER BY n DESC, user_id""".stripMargin,
     "q133_signal_covariance" ->
       s"""WITH toks AS (SELECT lang, n_chars, $DTOKS AS tk, $DNTOKS AS nt FROM documents),
          |sh AS (SELECT lang, n_chars, tk,

@@ -300,6 +300,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 CMS never underestimates and probes exactly q131's keys") {
+    val cms = SparkEntry.queries("q134_cms_heavy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cms.nonEmpty && cms.length <= 20)
+    cms.foreach { case (_, n, est, overPpm) =>
+      assert(est >= n, "a Count-Min estimate can only overestimate")
+      assert(overPpm == (est - n) * 1000000L / n)
+    }
+    val q131 = SparkEntry.queries("q131_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cms.map(c => (c._1, c._2)).toSet == q131,
+      "the audit must probe exactly the exact-top-20 keys with their true counts")
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
