@@ -2533,6 +2533,49 @@ object Queries {
       .orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Mergeable CMS rollup — the property that makes sketches worth keeping
+    * at 100 TB, demonstrated end-to-end: per-DAY 4×256 Count-Min cells are
+    * SUMMED into per-week sketches (cell-wise addition IS the Count-Min
+    * merge), then probed for the overall top-5 keys and audited against
+    * the exact weekly counts. The pre-aggregated-sketch-table pattern of
+    * q120, but with the md5 hash family the estimates replay bit-for-bit
+    * in the oracle — so "merge then estimate" is hash-verified, not just
+    * rows-counted. Day cells are kilobytes; the merge is a second
+    * aggregate over sketch-cardinality rows, never the raw stream.
+    */
+  def cmsWeeklyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 256
+    def lane(r: Int, key: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$r|"), key.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    def lanes(key: Column): Column = explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), lane(r, key).as("lane"))): _*))
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    // per-day sketches (what a real pipeline persists) ...
+    val daily = e.select(col("day"), lanes(col("user_id")).as("c"))
+      .groupBy(col("day"), col("c.r").as("r"), col("c.lane").as("lane"))
+      .agg(count(lit(1)).as("cell_n"))
+    // ... merged cell-wise into per-week sketches
+    val weekly = daily.groupBy(expr("day div 7").as("week"), col("r"), col("lane"))
+      .agg(sum(col("cell_n")).as("cell_n"))
+    val top = graft.ops.Skew.heavyHitters(e.select(col("user_id")),
+      col("user_id"), topN = 5)
+    val exact = e.join(broadcast(top.select(col("user_id"))), "user_id")
+      .groupBy(expr("day div 7").as("week"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val probes = exact
+      .select(col("week"), col("user_id"), col("n"), lanes(col("user_id")).as("p"))
+      .select(col("week"), col("user_id"), col("n"),
+        col("p.r").as("r"), col("p.lane").as("lane"))
+    probes.join(broadcast(weekly), Seq("week", "r", "lane"))
+      .groupBy(col("week"), col("user_id"), col("n"))
+      .agg(min(col("cell_n")).as("cms_estimate"))
+      .withColumn("over_ppm", expr("((cms_estimate - n) * 1000000L) DIV n"))
+      .orderBy(col("week"), col("user_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2671,7 +2714,8 @@ object Queries {
     "q131_heavy_hitters" -> (heavyHitterAudit _),
     "q132_cross_source_dups" -> (crossSourceDups _),
     "q133_signal_covariance" -> (signalCovariance _),
-    "q134_cms_heavy" -> (cmsHeavyHitters _))
+    "q134_cms_heavy" -> (cmsHeavyHitters _),
+    "q135_cms_rollup" -> (cmsWeeklyRollup _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4040,6 +4084,28 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q135_cms_rollup" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |r AS (SELECT unnest(range(0, 4)) AS r),
+        |daily AS (SELECT day, r.r,
+        |            ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS lane,
+        |            CAST(count(*) AS BIGINT) AS cell_n
+        |          FROM e CROSS JOIN r GROUP BY 1, 2, 3),
+        |weekly AS (SELECT day // 7 AS week, r, lane, CAST(sum(cell_n) AS BIGINT) AS cell_n
+        |           FROM daily GROUP BY 1, 2, 3),
+        |top AS (SELECT user_id FROM e GROUP BY user_id
+        |        ORDER BY count(*) DESC, user_id LIMIT 5),
+        |ex AS (SELECT day // 7 AS week, user_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM e JOIN top USING (user_id) GROUP BY 1, 2),
+        |probes AS (SELECT ex.week, ex.user_id, ex.n, r.r,
+        |             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(ex.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS lane
+        |           FROM ex CROSS JOIN r),
+        |est AS (SELECT p.week, p.user_id, p.n, min(w.cell_n) AS cms_estimate
+        |        FROM probes p JOIN weekly w ON p.week = w.week AND p.r = w.r AND p.lane = w.lane
+        |        GROUP BY 1, 2, 3)
+        |SELECT week, user_id, n, cms_estimate,
+        |       CAST((cms_estimate - n) * 1000000 // n AS BIGINT) AS over_ppm
+        |FROM est ORDER BY week, user_id""".stripMargin,
     "q134_cms_heavy" ->
       """WITH e AS (SELECT user_id FROM events),
         |r AS (SELECT unnest(range(0, 4)) AS r),

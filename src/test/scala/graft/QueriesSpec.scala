@@ -314,6 +314,23 @@ class QueriesSpec extends AnyFunSuite {
       "the audit must probe exactly the exact-top-20 keys with their true counts")
   }
 
+  test("q135 merged weekly CMS never underestimates and weekly exacts sum to the q134 totals") {
+    val rows = SparkEntry.queries("q135_cms_rollup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, est) =>
+      assert(est >= n, "a merged Count-Min estimate can only overestimate")
+    }
+    // per-key weekly exact counts must total the overall exact counts the
+    // q134 audit reports for the same keys (top-5 ⊆ top-20)
+    val weeklyTotals = rows.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+    val overall = SparkEntry.queries("q134_cms_heavy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    weeklyTotals.foreach { case (k, total) =>
+      assert(overall(k) == total, s"key $k weekly sum $total != overall ${overall(k)}")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
