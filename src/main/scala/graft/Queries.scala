@@ -2576,6 +2576,43 @@ object Queries {
       .orderBy(col("week"), col("user_id"))
   }
 
+  /** Hard-negative mining: for each anchor vector, the 5 most-similar
+    * vectors carrying a DIFFERENT label — the contrastive-training batch
+    * builder (high-similarity, wrong-class examples are what move an
+    * embedding model; random negatives are free but useless). Same scan
+    * shape as q30: anchors broadcast into one corpus pass, the label
+    * inequality filters before the per-anchor top-k window, and everything
+    * downstream is anchors×k rows. The cosine ranks replay in the oracle
+    * (q30's precedent); ties break on the candidate id.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val c = e.select(col("vec_id").as("negative_id"),
+        col("embedding").as("cv"), col("label").as("negative_label"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+        col("label").as("anchor_label"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    // label mismatch filters BEFORE the rank window: same-class rows never
+    // reach the per-anchor top-k state
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("negative_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("negative_id"),
+        col("negative_label"),
+        when(col("cn") * col("qn") === 0, lit(0.0))
+          .otherwise(Similarity.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+      .select(col("anchor_id"), col("anchor_label").cast("int").as("anchor_label"),
+        col("neg_rank").cast("long").as("neg_rank"), col("negative_id"),
+        col("negative_label").cast("int").as("negative_label"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2715,7 +2752,8 @@ object Queries {
     "q132_cross_source_dups" -> (crossSourceDups _),
     "q133_signal_covariance" -> (signalCovariance _),
     "q134_cms_heavy" -> (cmsHeavyHitters _),
-    "q135_cms_rollup" -> (cmsWeeklyRollup _))
+    "q135_cms_rollup" -> (cmsWeeklyRollup _),
+    "q136_hard_negatives" -> (hardNegatives _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4084,6 +4122,22 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q136_hard_negatives" ->
+      """WITH c AS (SELECT vec_id AS negative_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |                  label AS negative_label FROM embeddings),
+        |q AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |             label AS anchor_label FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT anchor_id, anchor_label, negative_id, negative_label,
+        |        list_cosine_similarity(cv, qv) AS sim
+        |      FROM c CROSS JOIN q WHERE negative_label <> anchor_label),
+        |r AS (SELECT anchor_id, anchor_label, negative_id, negative_label,
+        |        row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY sim DESC, negative_id) AS neg_rank
+        |      FROM s)
+        |SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+        |       CAST(neg_rank AS BIGINT) AS neg_rank, negative_id,
+        |       CAST(negative_label AS INT) AS negative_label
+        |FROM r WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""".stripMargin,
     "q135_cms_rollup" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
         |r AS (SELECT unnest(range(0, 4)) AS r),

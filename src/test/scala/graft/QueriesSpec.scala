@@ -331,6 +331,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 hard negatives always cross the label boundary, 5 per anchor, never the anchor itself") {
+    val rows = SparkEntry.queries("q136_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (anchor, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to 5L), s"anchor $anchor ranks not dense")
+      rs.foreach { case (a, aLabel, _, negId, negLabel) =>
+        assert(negLabel != aLabel, "a hard negative must carry a different label")
+        assert(negId != a, "the anchor can never be its own negative")
+      }
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
