@@ -2613,6 +2613,27 @@ object Queries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Language-ID confusion matrix: q25's stopword-vote classifier evaluated
+    * against the corpus's true language labels — per (true, predicted)
+    * cell with its within-language share. The classifier-eval table every
+    * langid gate publishes (which languages leak into which, and how much
+    * lands in 'und'); the mixture/budget queries (q70/q93/q97) inherit
+    * exactly these error rates when they stratify on PREDICTED language.
+    * One scan into a ≤ |langs|×5 matrix; the share window runs over
+    * matrix-cardinality rows only.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    m.withColumn("lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("row_ppm", expr("(n_docs * 1000000L) DIV lang_total"))
+      .drop("lang_total")
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2753,7 +2774,8 @@ object Queries {
     "q133_signal_covariance" -> (signalCovariance _),
     "q134_cms_heavy" -> (cmsHeavyHitters _),
     "q135_cms_rollup" -> (cmsWeeklyRollup _),
-    "q136_hard_negatives" -> (hardNegatives _))
+    "q136_hard_negatives" -> (hardNegatives _),
+    "q137_lang_confusion" -> (langConfusion _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4122,6 +4144,26 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q137_lang_confusion" -> {
+      val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
+      val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))
+      val fr = langScore(Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "pour"))
+      val de = langScore(Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"))
+      s"""WITH s AS (SELECT lang, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM s),
+         |p AS (SELECT lang,
+         |        CASE WHEN best > 0 AND s_en = best THEN 'en'
+         |             WHEN best > 0 AND s_es = best THEN 'es'
+         |             WHEN best > 0 AND s_fr = best THEN 'fr'
+         |             WHEN best > 0 AND s_de = best THEN 'de'
+         |             ELSE 'und' END AS lang_pred
+         |      FROM b),
+         |m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |       CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS row_ppm
+         |FROM m ORDER BY lang, lang_pred""".stripMargin
+    },
     "q136_hard_negatives" ->
       """WITH c AS (SELECT vec_id AS negative_id, CAST(embedding AS DOUBLE[]) AS cv,
         |                  label AS negative_label FROM embeddings),

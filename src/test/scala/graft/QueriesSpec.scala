@@ -344,6 +344,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 confusion matrix partitions the corpus and matches q25's predictions") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("q137_lang_confusion")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cells.map(_._3).sum == corpus)
+    cells.groupBy(_._1).foreach { case (lang, rs) =>
+      val ppm = rs.map(_._4).sum
+      assert(ppm >= 1000000L - rs.length && ppm <= 1000000L,
+        s"$lang row shares must sum to ~1e6 (integer-div remainder only)")
+    }
+    // the matrix must total q25's per-prediction counts exactly
+    val fromQ25 = SparkEntry.queries("q25_lang_id")(spark, sf)
+      .groupBy(col("lang_pred")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromMatrix = cells.groupBy(_._2).map { case (p, rs) => p -> rs.map(_._3).sum }
+    assert(fromMatrix == fromQ25, s"matrix $fromMatrix != q25 $fromQ25")
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
