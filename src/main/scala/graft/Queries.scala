@@ -2634,6 +2634,43 @@ object Queries {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** Histogram-sketch quantiles + error audit — the quantile member of the
+    * sketch suite (membership = Bloom q81, distinct = HLL q120, frequency
+    * = CMS q134/q135): per language, median/p90 estimated from a 256-cell
+    * fixed-width histogram (the mergeable kilobyte summary a t-digest
+    * plays at 100 TB — cells SUM across partitions and days) next to the
+    * exact inverse-ECDF values and the measured error. The estimate is
+    * the containing cell's upper bound, so error is bounded by the cell
+    * width (15 chars) and ≥ 0 — the number that sizes the histogram for a
+    * latency/length SLO. All integer; both rank scans run over ≤256-cell /
+    * value-cardinality summaries, never the corpus.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val width = 16L
+    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
+    val sketch = d
+      .withColumn("bucket", least(expr(s"n_chars DIV $width"), lit(255L)))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+    val cum = sketch
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    def est(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")),
+        col("bucket") * lit(width) + lit(width - 1))).as(name)
+    val ests = cum.groupBy(col("lang"))
+      .agg(est(0.5, "est_p50"), est(0.9, "est_p90"))
+    val exact = Sampling.exactQuantiles(d, Seq("lang"), col("n_chars"),
+        Seq(0.5, 0.9))
+      .withColumnRenamed("p50", "exact_p50").withColumnRenamed("p90", "exact_p90")
+    ests.join(exact, Seq("lang"))
+      .select(col("lang"), col("est_p50"), col("exact_p50"),
+        col("est_p90"), col("exact_p90"),
+        expr("((est_p50 - exact_p50) * 1000000L) DIV exact_p50").as("err_p50_ppm"),
+        expr("((est_p90 - exact_p90) * 1000000L) DIV exact_p90").as("err_p90_ppm"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2775,7 +2812,8 @@ object Queries {
     "q134_cms_heavy" -> (cmsHeavyHitters _),
     "q135_cms_rollup" -> (cmsWeeklyRollup _),
     "q136_hard_negatives" -> (hardNegatives _),
-    "q137_lang_confusion" -> (langConfusion _))
+    "q137_lang_confusion" -> (langConfusion _),
+    "q138_hist_quantiles" -> (histogramQuantiles _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4144,6 +4182,33 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
          |       CAST(sum(chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY 1, 2 ORDER BY multiplicity, n_langs""".stripMargin,
+    "q138_hist_quantiles" ->
+      """WITH d AS (SELECT lang, n_chars FROM documents),
+        |sk AS (SELECT lang, least(n_chars // 16, 255) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |cu AS (SELECT lang, bucket, c,
+        |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |       FROM sk),
+        |e AS (SELECT lang,
+        |        CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |              THEN bucket * 16 + 15 END) AS BIGINT) AS est_p50,
+        |        CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+        |              THEN bucket * 16 + 15 END) AS BIGINT) AS est_p90
+        |      FROM cu GROUP BY lang),
+        |h AS (SELECT lang, n_chars AS m, count(*) AS c2 FROM d GROUP BY 1, 2),
+        |hc AS (SELECT lang, m,
+        |         CAST(sum(c2) OVER (PARTITION BY lang ORDER BY m) AS BIGINT) AS cum2,
+        |         CAST(sum(c2) OVER (PARTITION BY lang) AS BIGINT) AS n2
+        |       FROM h),
+        |x AS (SELECT lang,
+        |        CAST(min(CASE WHEN cum2 >= CAST(ceil(0.5 * n2) AS BIGINT) THEN m END) AS BIGINT) AS exact_p50,
+        |        CAST(min(CASE WHEN cum2 >= CAST(ceil(0.9 * n2) AS BIGINT) THEN m END) AS BIGINT) AS exact_p90
+        |      FROM hc GROUP BY lang)
+        |SELECT lang, est_p50, exact_p50, est_p90, exact_p90,
+        |       CAST((est_p50 - exact_p50) * 1000000 // exact_p50 AS BIGINT) AS err_p50_ppm,
+        |       CAST((est_p90 - exact_p90) * 1000000 // exact_p90 AS BIGINT) AS err_p90_ppm
+        |FROM e JOIN x USING (lang) ORDER BY lang""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

@@ -363,6 +363,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(fromMatrix == fromQ25, s"matrix $fromMatrix != q25 $fromQ25")
   }
 
+  test("q138 sketch quantiles bracket the exact values within one cell width") {
+    val rows = SparkEntry.queries("q138_hist_quantiles")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est50, ex50, est90, ex90) =>
+      // the estimate is the containing cell's UPPER bound: never below the
+      // exact value, never more than a full cell width (16) above it
+      assert(est50 >= ex50 && est50 - ex50 < 16L, s"p50 $est50 vs $ex50")
+      assert(est90 >= ex90 && est90 - ex90 < 16L, s"p90 $est90 vs $ex90")
+      assert(ex90 >= ex50, "p90 can never undercut the median")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
