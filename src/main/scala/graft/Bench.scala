@@ -143,15 +143,20 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // 3-decimal times: sub-millisecond digits are noise and the driver's
-    // artifact keeps only the LAST ~2000 chars of output — every byte of
-    // the line competes with the headline fields for that window.
+    // 3-decimal times: sub-millisecond digits are noise. Full-resolution
+    // per-pass data lives in the DETAIL FILE; the stdout line must stay
+    // compact (see below).
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // The driver's artifact keeps only the LAST 2000 chars of stdout and
+    // json-parses what it finds there: with 100+ full query names plus
+    // per-pass arrays the metric line is ~8 KB, so every round since r6
+    // shipped `parsed: null` and a line chopped mid-array. Split the
+    // output: bulky detail (full names, every raw pass, full error text)
+    // goes to a file; stdout gets ONE compact line — qNN keys, 2-decimal
+    // times — engineered to fit the 2000-char tail window whole.
     val raw = results.map { case (k, _, _, rs, _) =>
       "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m), _, _) => "\"" + k + "\":" + jstr(m) }
+    val errsFull = results.collect { case (k, _, Some(m), _, _) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val suspect = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -173,11 +178,33 @@ object Bench {
     // direct evidence distinguishing "this box was contended" from "this
     // query regressed" that past rounds had to infer from pass spreads.
     val loadEnd = loadavg
-    // Field ORDER matters downstream: the driver's artifact stores only the
-    // tail of stdout, so the headline (metric/value/subset totals, errors,
-    // suspect) goes LAST on the line where the tail window always keeps it;
-    // the bulky per-query maps go first.
-    println(s"""{"queries":$qs,"runs":$raw,"sf":"$sfDir","errors":$errs,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"metric":"total","unit":"sec","value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"value":${r3(total)}}""")
+    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"queries":$qsFull,"runs":$raw,"errors":$errsFull,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      s"${sys.props("java.io.tmpdir")}/graft_bench_detail.json")
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detailJson.getBytes("UTF-8"))
+    }
+    // Compact stdout line. Keys are the unique qNN prefix; values 2-decimal
+    // (full resolution in the detail file); error text capped at 48 chars.
+    // 138 entries × ~12.5 chars + ~200 overhead ≈ 1.9 KB < the 2000-char
+    // tail, so the artifact's json parse finally sees a whole line.
+    def r2(v: Double): String = f"$v%.2f"
+    val qsShort = results.map { case (k, v, _, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }.mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, Some(m), _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m.take(48)) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries":$qsShort}"""
+    // Never let the line outgrow the tail window: drop the per-query map
+    // (it survives in the detail file) rather than ship another chopped
+    // line. The headline fields alone are ~300 chars.
+    println(if (line.length <= 1950) line
+      else s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries":{}}""")
     spark.stop()
   }
 }
