@@ -2671,6 +2671,51 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Precision–recall sweep of the q103 quality classifier: for every
+    * operating threshold, tp/fp/fn and precision/recall/F1 in exact ppm —
+    * the table that picks a model-filter's cutoff (keep-rate vs purity)
+    * before it gates a corpus. The sweep is built from a 64-cell mergeable
+    * score HISTOGRAM (the q138 sketch discipline): the held-out scores
+    * collapse to ≤64 (cell, n, n_pos) rows in one map-side-combined
+    * aggregate, and the cumulative-from-the-top counts — "predict spam at
+    * score ≥ threshold" — run a window over those sketch-cardinality rows
+    * only. The corpus never enters a window, and the histogram is
+    * per-shard mergeable, so the same table falls out of a 100 TB score
+    * set at the same ≤64-row cost past the first aggregate. Thresholds
+    * are each cell's minimum OBSERVED score (exact integers, so DuckDB
+    * replays the sweep bit-for-bit); all rates are BIGINT ppm.
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cells = 64
+    // classifierScored trains and scores; the histogram and its bounds
+    // both scan it, so materialize the narrow (score, label) frame once.
+    val scored = stageBoundary(spark,
+      classifierScored(spark, dir).select(col("score"), col("is_spam")))
+    val bounds = scored.agg(min(col("score")).as("__lo"),
+      max(col("score")).as("__hi"))
+    val hist = scored.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr(s"((score - __lo) * $cells) DIV (__hi - __lo + 1)"))
+      .groupBy(col("cell"))
+      .agg(min(col("score")).as("threshold"), count(lit(1)).as("n"),
+        sum(col("is_spam")).cast("long").as("n_pos"))
+    val byCellDesc = Window.orderBy(col("cell").desc)
+    val cum = hist
+      .withColumn("tp", sum(col("n_pos")).over(byCellDesc))
+      .withColumn("pp", sum(col("n")).over(byCellDesc))
+    val totals = hist.agg(sum(col("n_pos")).as("__p"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        expr("(tp * 1000000L) DIV pp").as("precision_ppm"),
+        expr("(tp * 1000000L) DIV __p").as("recall_ppm"),
+        expr("""CASE WHEN tp = 0 THEN 0L ELSE
+               |  (2 * ((tp * 1000000L) DIV pp) * ((tp * 1000000L) DIV __p))
+               |    DIV (((tp * 1000000L) DIV pp) + ((tp * 1000000L) DIV __p))
+               |END""".stripMargin).as("f1_ppm"))
+      .orderBy(col("threshold"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2813,7 +2858,8 @@ object Queries {
     "q135_cms_rollup" -> (cmsWeeklyRollup _),
     "q136_hard_negatives" -> (hardNegatives _),
     "q137_lang_confusion" -> (langConfusion _),
-    "q138_hist_quantiles" -> (histogramQuantiles _))
+    "q138_hist_quantiles" -> (histogramQuantiles _),
+    "q139_pr_curve" -> (prCurve _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4209,6 +4255,27 @@ object Queries {
         |       CAST((est_p50 - exact_p50) * 1000000 // exact_p50 AS BIGINT) AS err_p50_ppm,
         |       CAST((est_p90 - exact_p90) * 1000000 // exact_p90 AS BIGINT) AS err_p90_ppm
         |FROM e JOIN x USING (lang) ORDER BY lang""".stripMargin,
+    "q139_pr_curve" ->
+      s"""WITH $ClassifierChainSql,
+         |bd AS (SELECT min(score) AS lo, max(score) AS hi FROM cfin),
+         |h AS (SELECT ((score - lo) * 64) // (hi - lo + 1) AS cell,
+         |         CAST(min(score) AS BIGINT) AS threshold,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(is_spam) AS BIGINT) AS n_pos
+         |       FROM cfin CROSS JOIN bd GROUP BY 1),
+         |c AS (SELECT cell, threshold,
+         |         CAST(sum(n_pos) OVER (ORDER BY cell DESC) AS BIGINT) AS tp,
+         |         CAST(sum(n) OVER (ORDER BY cell DESC) AS BIGINT) AS pp
+         |       FROM h),
+         |ptot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p FROM h)
+         |SELECT threshold, tp, pp - tp AS fp, p - tp AS fn,
+         |       tp * 1000000 // pp AS precision_ppm,
+         |       tp * 1000000 // p AS recall_ppm,
+         |       CAST(CASE WHEN tp = 0 THEN 0 ELSE
+         |         (2 * (tp * 1000000 // pp) * (tp * 1000000 // p))
+         |           // ((tp * 1000000 // pp) + (tp * 1000000 // p))
+         |       END AS BIGINT) AS f1_ppm
+         |FROM c CROSS JOIN ptot ORDER BY threshold""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

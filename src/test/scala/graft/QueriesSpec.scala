@@ -376,6 +376,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q139 PR curve: confusion counts consistent, recall monotone, floor threshold captures all") {
+    val rows = SparkEntry.queries("q139_pr_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val p = rows.head._2 + rows.head._4 // tp + fn is the positive total everywhere
+    rows.foreach { case (_, tp, fp, fn, prec, rec, f1) =>
+      assert(tp + fn == p, "tp + fn must be the constant positive total")
+      assert(tp >= 0 && fp >= 0 && fn >= 0)
+      assert(prec == tp * 1000000L / (tp + fp).max(1L) || tp + fp == 0)
+      assert(rec == tp * 1000000L / p)
+      assert(prec <= 1000000L && rec <= 1000000L && f1 <= 1000000L)
+      if (tp == 0) assert(f1 == 0L)
+    }
+    // rows ascend by threshold: raising the cutoff can only LOSE positives
+    rows.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "tp must be non-increasing in threshold")
+      case _ =>
+    }
+    // the lowest observed threshold admits every held-out doc: total recall
+    assert(rows.head._6 == 1000000L, "floor threshold must have recall 1e6")
+    assert(rows.head._4 == 0L)
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
