@@ -2716,6 +2716,59 @@ object Queries {
       .orderBy(col("threshold"))
   }
 
+  /** Inter-gate agreement matrix: Cohen's kappa (and raw agreement) for
+    * every unordered pair of the five Gopher gates — the chance-corrected
+    * redundancy check behind q129's ablation grid. Two gates with high
+    * kappa are one signal measured twice (drop one from the funnel); a
+    * kappa near zero despite high raw agreement is the base-rate trap
+    * (both gates pass almost everything) that raw-overlap tables
+    * misread. Exact arithmetic end to end: one corpus pass produces the
+    * forty joint counts as a single map-side-combined aggregate row, the
+    * ten pair rows explode from that one row (driver never collects),
+    * and kappa's products run in DECIMAL(38,0)/HUGEINT (the q133
+    * discipline) with an explicit |num| DIV den + sign so Spark's
+    * truncating DIV and DuckDB's flooring `//` agree on negative kappas.
+    */
+  def gateKappa(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Text.gopherFlags(col("text"))
+    val names = flags.map(_._1)
+    val d = t(spark, dir, "documents")
+      .select(flags.map { case (n, c) => c.cast("int").as(n) }: _*)
+    val pairs = for { i <- names.indices; j <- i + 1 until names.length }
+      yield (names(i), names(j))
+    val cellAggs = pairs.flatMap { case (a, b) =>
+      Seq("00", "01", "10", "11").map { vv =>
+        sum(when(col(a) === vv(0).asDigit && col(b) === vv(1).asDigit, 1L)
+          .otherwise(0L)).as(s"${a}__${b}__$vv")
+      }
+    }
+    val one = d.agg(cellAggs.head, cellAggs.tail: _*)
+    val rows = one.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+          col(s"${a}__${b}__00").as("n00"), col(s"${a}__${b}__01").as("n01"),
+          col(s"${a}__${b}__10").as("n10"), col(s"${a}__${b}__11").as("n11"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+    rows
+      .withColumn("n", col("n00") + col("n01") + col("n10") + col("n11"))
+      .withColumn("agree_ppm", expr("((n00 + n11) * 1000000L) DIV n"))
+      .withColumn("__pe", expr(
+        """CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+          | + CAST(n00 + n01 AS DECIMAL(38,0)) * CAST(n00 + n10 AS DECIMAL(38,0))
+          |""".stripMargin))
+      .withColumn("__num", expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(n11 + n00 AS DECIMAL(38,0)) - __pe"))
+      .withColumn("__den", expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - __pe"))
+      .withColumn("kappa_ppm", expr(
+        """CAST(CASE WHEN __den = 0 THEN 0
+          | WHEN __num < 0 THEN -(((-__num) * 1000000) DIV __den)
+          | ELSE (__num * 1000000) DIV __den END AS BIGINT)""".stripMargin))
+      .select(col("gate_a"), col("gate_b"), col("n00"), col("n01"),
+        col("n10"), col("n11"), col("agree_ppm"), col("kappa_ppm"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2859,7 +2912,8 @@ object Queries {
     "q136_hard_negatives" -> (hardNegatives _),
     "q137_lang_confusion" -> (langConfusion _),
     "q138_hist_quantiles" -> (histogramQuantiles _),
-    "q139_pr_curve" -> (prCurve _))
+    "q139_pr_curve" -> (prCurve _),
+    "q140_gate_kappa" -> (gateKappa _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4276,6 +4330,53 @@ object Queries {
          |           // ((tp * 1000000 // pp) + (tp * 1000000 // p))
          |       END AS BIGINT) AS f1_ppm
          |FROM c CROSS JOIN ptot ORDER BY threshold""".stripMargin,
+    "q140_gate_kappa" -> {
+      val gateNames = Seq("len_ok", "word_len_ok", "alpha_ok", "stop_ok", "rep_ok")
+      val pairSelects = (for {
+        i <- gateNames.indices; j <- i + 1 until gateNames.length
+      } yield {
+        val (a, b) = (gateNames(i), gateNames(j))
+        s"""SELECT '$a' AS gate_a, '$b' AS gate_b,
+           |  CAST(count(CASE WHEN $a = 0 AND $b = 0 THEN 1 END) AS BIGINT) AS n00,
+           |  CAST(count(CASE WHEN $a = 0 AND $b = 1 THEN 1 END) AS BIGINT) AS n01,
+           |  CAST(count(CASE WHEN $a = 1 AND $b = 0 THEN 1 END) AS BIGINT) AS n10,
+           |  CAST(count(CASE WHEN $a = 1 AND $b = 1 THEN 1 END) AS BIGINT) AS n11
+           |FROM f""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT $DTOKS AS tk, $DNTOKS AS nt FROM documents),
+         |sh AS (SELECT tk,
+         |        CASE WHEN len(nt) < 3 THEN []::VARCHAR[]
+         |             ELSE list_transform(range(1, len(nt) - 1), i -> array_to_string(nt[i:i+2], ' ')) END AS s
+         |       FROM toks),
+         |f AS (SELECT
+         |        CASE WHEN len(tk) >= 30 THEN 1 ELSE 0 END AS len_ok,
+         |        CASE WHEN list_sum(list_transform(tk, t -> len(t))) * 1000 >= len(tk) * 3000
+         |              AND list_sum(list_transform(tk, t -> len(t))) * 1000 <= len(tk) * 10000
+         |             THEN 1 ELSE 0 END AS word_len_ok,
+         |        CASE WHEN len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(tk) * 4
+         |             THEN 1 ELSE 0 END AS alpha_ok,
+         |        CASE WHEN len(list_filter(tk, t -> list_contains($DSTOP, t))) >= 2
+         |             THEN 1 ELSE 0 END AS stop_ok,
+         |        CASE WHEN (len(s) - len(list_distinct(s))) * 5 <= len(s)
+         |             THEN 1 ELSE 0 END AS rep_ok
+         |      FROM sh),
+         |pairs AS ($pairSelects),
+         |k AS (SELECT *, n00 + n01 + n10 + n11 AS n,
+         |        CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+         |          + CAST(n00 + n01 AS HUGEINT) * CAST(n00 + n10 AS HUGEINT) AS pe
+         |      FROM pairs)
+         |SELECT gate_a, gate_b, n00, n01, n10, n11,
+         |       (n00 + n11) * 1000000 // n AS agree_ppm,
+         |       CAST(CASE
+         |         WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe = 0 THEN 0
+         |         WHEN CAST(n AS HUGEINT) * CAST(n11 + n00 AS HUGEINT) - pe < 0 THEN
+         |           -(((pe - CAST(n AS HUGEINT) * CAST(n11 + n00 AS HUGEINT)) * 1000000)
+         |             // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe))
+         |         ELSE ((CAST(n AS HUGEINT) * CAST(n11 + n00 AS HUGEINT) - pe) * 1000000)
+         |             // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe)
+         |       END AS BIGINT) AS kappa_ppm
+         |FROM k ORDER BY gate_a, gate_b""".stripMargin
+    },
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

@@ -400,6 +400,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.head._4 == 0L)
   }
 
+  test("q140 gate kappa: every pair partitions the corpus and marginals agree across pairs") {
+    val rows = SparkEntry.queries("q140_gate_kappa")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 10, "5 gates give 10 unordered pairs")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { case (_, _, n00, n01, n10, n11, agree, kappa) =>
+      assert(n00 + n01 + n10 + n11 == corpus, "each pair's cells partition the corpus")
+      assert(agree >= 0L && agree <= 1000000L)
+      assert(kappa <= 1000000L, "kappa can never exceed perfect agreement")
+    }
+    // a gate's pass count must be the same number in every pair it appears in
+    val marginals = rows.flatMap { case (a, b, n00, n01, n10, n11, _, _) =>
+      Seq(a -> (n10 + n11), b -> (n01 + n11))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    marginals.foreach { case (gate, vals) =>
+      assert(vals.length == 1, s"$gate marginal differs across pairs: $vals")
+    }
+    assert(marginals.keySet == Set("len_ok", "word_len_ok", "alpha_ok", "stop_ok", "rep_ok"))
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
