@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Domains, Sampling, Similarity, Text}
+import graft.functions.{Dedup, Domains, Quant, Sampling, Similarity, Text}
 import graft.ops.{Events, Relational}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2769,6 +2769,57 @@ object Queries {
       .orderBy(col("gate_a"), col("gate_b"))
   }
 
+  /** Per-label centroid geometry of the embedding space, exactly: the
+    * inter-class structure report (which classes collide, which are
+    * separable) a labeled embedding table feeds into eval design and
+    * hard-negative policy (q136). Cosine between centroids is
+    * scale-invariant, so the centroids never materialize as floats:
+    * vectors are int8-quantized ([[graft.functions.Quant]], the q74
+    * model), per-label per-dimension INTEGER sums stand in for the mean,
+    * and the pairwise dot/norm matrix runs in DECIMAL(38,0)/HUGEINT —
+    * bit-exact in both engines, unlike a float centroid whose sum order
+    * differs per partition. Scale shape: the corpus is touched once by a
+    * map-side-combined (label, dim) sum of int8 codes — labels×dim rows
+    * shuffle, never vectors — and every join after runs on labels×dim or
+    * labels² rows. sim2_ppm is the signed squared-cosine in ppm (sign of
+    * the dot, magnitude dot²/(|a|²|b|²)), a sqrt-free similarity both
+    * engines compute in integers.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val scale = Quant.fitScale(e, col("embedding"))
+    val codes = e.select(col("label").cast("long").as("label"),
+      posexplode(Quant.encode(col("embedding"), scale)).as(Seq("pos", "c")))
+    val sums = codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("c")).as("s"))
+    val counts = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val dots = sums.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"), col("s").as("sb")),
+        "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(expr("CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))"))
+        .as("dot_d"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(expr("CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"))
+        .as("norm2_d"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("norm2_d").as("na2")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("norm2_d").as("nb2")), "label_b")
+      .join(counts.select(col("label").as("label_a"), col("n_vecs").as("n_a")), "label_a")
+      .join(counts.select(col("label").as("label_b"), col("n_vecs").as("n_b")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot_d").cast("long").as("dot"),
+        col("na2").cast("long").as("norm2_a"),
+        col("nb2").cast("long").as("norm2_b"),
+        expr("""CAST(CASE WHEN na2 * nb2 = 0 THEN 0
+               | WHEN dot_d < 0 THEN -((dot_d * dot_d * 1000000) DIV (na2 * nb2))
+               | ELSE (dot_d * dot_d * 1000000) DIV (na2 * nb2)
+               |END AS BIGINT)""".stripMargin).as("sim2_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2913,7 +2964,8 @@ object Queries {
     "q137_lang_confusion" -> (langConfusion _),
     "q138_hist_quantiles" -> (histogramQuantiles _),
     "q139_pr_curve" -> (prCurve _),
-    "q140_gate_kappa" -> (gateKappa _))
+    "q140_gate_kappa" -> (gateKappa _),
+    "q141_label_centroids" -> (labelCentroids _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4377,6 +4429,36 @@ object Queries {
          |       END AS BIGINT) AS kappa_ppm
          |FROM k ORDER BY gate_a, gate_b""".stripMargin
     },
+    "q141_label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+        |codes AS (SELECT label, i AS pos,
+        |            CAST(floor(v[i] / s * 127.0 + 0.5) AS BIGINT) AS c
+        |          FROM e CROSS JOIN sc CROSS JOIN range(1, 65) AS r(i)),
+        |sums AS (SELECT label, pos, CAST(sum(c) AS BIGINT) AS sm
+        |         FROM codes GROUP BY 1, 2),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |           sum(CAST(a.sm AS HUGEINT) * CAST(b.sm AS HUGEINT)) AS dot_h
+        |         FROM sums a JOIN sums b USING (pos)
+        |         WHERE a.label < b.label GROUP BY 1, 2),
+        |norms AS (SELECT label, sum(CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)) AS n2
+        |          FROM sums GROUP BY 1)
+        |SELECT label_a, label_b, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+        |       CAST(dot_h AS BIGINT) AS dot,
+        |       CAST(na.n2 AS BIGINT) AS norm2_a,
+        |       CAST(nb.n2 AS BIGINT) AS norm2_b,
+        |       CAST(CASE WHEN na.n2 * nb.n2 = 0 THEN 0
+        |         WHEN dot_h < 0 THEN -((dot_h * dot_h * 1000000) // (na.n2 * nb.n2))
+        |         ELSE (dot_h * dot_h * 1000000) // (na.n2 * nb.n2)
+        |       END AS BIGINT) AS sim2_ppm
+        |FROM dots
+        |JOIN norms na ON na.label = dots.label_a
+        |JOIN norms nb ON nb.label = dots.label_b
+        |JOIN cnt ca ON ca.label = dots.label_a
+        |JOIN cnt cb ON cb.label = dots.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

@@ -421,6 +421,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(marginals.keySet == Set("len_ok", "word_len_ok", "alpha_ok", "stop_ok", "rep_ok"))
   }
 
+  test("q141 label centroids: all pairs present, Cauchy-Schwarz holds, sim2 in [-1e6, 1e6]") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q141_label_centroids")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = emb.select(col("label")).distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2, "one row per unordered label pair")
+    val counts = emb.groupBy(col("label").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (la, lb, na, nb, dot, n2a, n2b, sim2) =>
+      assert(la < lb, "canonical pair order")
+      assert(na == counts(la) && nb == counts(lb), "pair carries exact class sizes")
+      // Cauchy-Schwarz on the integer centroid sums: dot^2 <= |a|^2 |b|^2
+      assert(BigInt(dot) * BigInt(dot) <= BigInt(n2a) * BigInt(n2b),
+        s"pair ($la,$lb) violates Cauchy-Schwarz")
+      assert(sim2 >= -1000000L && sim2 <= 1000000L)
+      // truncation can round a tiny |dot| to sim2 = 0; otherwise signs match
+      if (sim2 != 0) assert((sim2 > 0) == (dot > 0), "sim2 carries the dot's sign")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
