@@ -2820,6 +2820,31 @@ object Queries {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Late-interaction (MaxSim) retrieval over label groups
+    * ([[graft.functions.Similarity.maxSim]]): each label's vector set is
+    * scored against a 4-vector query set as Σ_q max_v cos(q, v) — the
+    * ColBERT scoring rule, where a document is many vectors and a query
+    * matches if EACH of its vectors finds some strong match (single-vector
+    * ANN (q30) averages that structure away). The per-query maxes pivot
+    * into fixed columns and sum in fixed order, so the double arithmetic
+    * is identical in both engines; the corpus streams once through the
+    * broadcast query set and only (label, qid, sim) doubles shuffle.
+    */
+  def maxSimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val perQuery = Similarity.maxSim(
+      e.filter(col("vec_id") >= 4), col("label").cast("long"), col("embedding"),
+      e.filter(col("vec_id") < 4), col("vec_id"), col("embedding"))
+    perQuery.groupBy(col("grp").as("label"))
+      .agg(max(when(col("qid") === 0, col("max_sim"))).as("m0"),
+        max(when(col("qid") === 1, col("max_sim"))).as("m1"),
+        max(when(col("qid") === 2, col("max_sim"))).as("m2"),
+        max(when(col("qid") === 3, col("max_sim"))).as("m3"))
+      .select(col("label"), col("m0"), col("m1"), col("m2"), col("m3"),
+        (col("m0") + col("m1") + col("m2") + col("m3")).as("maxsim_score"))
+      .orderBy(col("label"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2965,7 +2990,8 @@ object Queries {
     "q138_hist_quantiles" -> (histogramQuantiles _),
     "q139_pr_curve" -> (prCurve _),
     "q140_gate_kappa" -> (gateKappa _),
-    "q141_label_centroids" -> (labelCentroids _))
+    "q141_label_centroids" -> (labelCentroids _),
+    "q142_maxsim" -> (maxSimRetrieval _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4459,6 +4485,23 @@ object Queries {
         |JOIN cnt ca ON ca.label = dots.label_a
         |JOIN cnt cb ON cb.label = dots.label_b
         |ORDER BY label_a, label_b""".stripMargin,
+    "q142_maxsim" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id >= 4),
+        |s AS (SELECT label, qid, list_cosine_similarity(cv, qv) AS sim
+        |      FROM c CROSS JOIN q),
+        |m AS (SELECT label, qid, max(sim) AS ms FROM s GROUP BY 1, 2),
+        |p AS (SELECT label,
+        |        max(CASE WHEN qid = 0 THEN ms END) AS m0,
+        |        max(CASE WHEN qid = 1 THEN ms END) AS m1,
+        |        max(CASE WHEN qid = 2 THEN ms END) AS m2,
+        |        max(CASE WHEN qid = 3 THEN ms END) AS m3
+        |      FROM m GROUP BY label)
+        |SELECT label, m0, m1, m2, m3,
+        |       ((m0 + m1) + m2) + m3 AS maxsim_score
+        |FROM p ORDER BY label""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

@@ -37,6 +37,32 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dotAB / d)
   }
 
+  /** ColBERT-style late-interaction (MaxSim) scores: for every (group,
+    * query) pair, the maximum cosine between the query vector and any
+    * corpus vector of that group. A multi-vector retrieval model scores a
+    * document as Σ_q max_v cos(q, v) over its token/chunk vectors — this
+    * is that inner max, grouped so the caller sums over a FIXED query set
+    * (fixed-order addition keeps the double sum deterministic).
+    *
+    * Scale shape: the query set is small and broadcast (same contract as
+    * [[bruteForceTopK]]); corpus vectors stream through ONCE with their
+    * norm computed once per row, and `max` is order-independent, so the
+    * groups×queries result is exact on any partitioning. The shuffle
+    * carries only (group, qid, sim) — vectors never leave the scan.
+    */
+  def maxSim(corpus: DataFrame, groupCol: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column): DataFrame = {
+    val c = corpus.select(groupCol.as("grp"), corpusVec.as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(queryId.as("qid"), queryVec.as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    c.crossJoin(broadcast(q))
+      .select(col("grp"), col("qid"),
+        cosineFromParts(dot(col("cv"), col("qv")), col("cn"), col("qn")).as("sim"))
+      .groupBy(col("grp"), col("qid"))
+      .agg(max(col("sim")).as("max_sim"))
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     *
     * `queries` must be small (it is broadcast); `corpus` can be arbitrarily

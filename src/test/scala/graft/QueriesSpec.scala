@@ -443,6 +443,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 maxsim: one row per label, score is the fixed-order sum of per-query maxes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q142_maxsim")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= 4).select(col("label")).distinct().count()
+    assert(rows.length == labels, "every label with corpus vectors gets a score")
+    rows.foreach { case (_, m0, m1, m2, m3, score) =>
+      Seq(m0, m1, m2, m3).foreach(m => assert(m >= -1.0001 && m <= 1.0001,
+        "per-query maxes are cosines"))
+      assert(score == ((m0 + m1) + m2) + m3, "score must be the exact fixed-order sum")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
