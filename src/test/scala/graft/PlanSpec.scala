@@ -408,6 +408,35 @@ class PlanSpec extends AnyFunSuite {
       cols.toString)
   }
 
+  test("q141: vectors never shuffle — only (label, pos, code) integer sums move") {
+    val cols = shuffledColumns("q141_label_centroids")
+    assert(cols.nonEmpty, "expected at least the (label, pos) sum exchange")
+    assert(!cols.exists(c => c.contains("embedding") || c.contains("codes")),
+      s"a vector column rides a shuffle: $cols")
+  }
+
+  test("q142: the query set broadcasts into one corpus scan; no sort-merge join") {
+    val plan = finalPlan(SparkEntry.queries("q142_maxsim")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val cols = shuffledColumns("q142_maxsim")
+    assert(!cols.exists(c => c.contains("embedding") || c == "cv" || c == "qv"),
+      s"vectors enter a shuffle: $cols")
+  }
+
+  test("q139: the PR sweep's window runs over histogram cells, never held-out docs") {
+    val ws = windowNodes("q139_pr_curve")
+    assert(ws.nonEmpty)
+    // the window's child must already be the aggregated (cell, n, n_pos)
+    // sketch: a raw score column below the window means the corpus got in
+    ws.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(names.exists(_.contains("cell")) || names.exists(_.contains("threshold")),
+        s"window child is not the histogram: $names")
+      assert(!names.contains("is_spam"), s"per-doc rows under the window: $names")
+    }
+  }
+
   test("q123: truth pairs come from the blocked equi-join — never a cartesian") {
     val plan = finalPlan(SparkEntry.queries("q123_lsh_recall")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
