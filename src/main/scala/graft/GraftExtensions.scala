@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(_ => new graft.plans.IncrementalRead.InjectWatermark)
     ext.injectOptimizerRule(_ => new graft.plans.ShardedTopK.RewriteRankFilter)
+    // Whole-operator extension: per-key top-k as a native heap-based
+    // physical operator (hint → logical node → partial/final exec pair).
+    ext.injectResolutionRule(_ => new graft.plans.TopKPlan.ResolveTopKHint)
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPlan.Strategy)
   }
 }

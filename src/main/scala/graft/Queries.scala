@@ -2845,6 +2845,26 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Longest documents per (lang, source) through
+    * [[graft.ops.Relational.nativeTopK]] — the catalog face of the native
+    * per-key top-k PHYSICAL operator ([[graft.plans.TopKPlan]]: logical
+    * node + planner strategy + heap-based partial/final exec pair,
+    * injected via [[graft.GraftExtensions]]). On an extension-bearing
+    * session the shuffle carries only per-partition heap survivors
+    * (≤ partitions × keys × k rows) instead of the corpus; on a plain
+    * session (the driver's Verify/Bench mains) the call transparently
+    * takes [[graft.ops.Relational.groupTopK]]'s two-phase window — the
+    * rows are identical by construction (both are `row_number() <= k`
+    * under the same total order), which is exactly what the oracle checks.
+    */
+  def nativeTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    Relational.nativeTopK(
+        t(spark, dir, "documents")
+          .select(col("lang"), col("source"), col("doc_id"), col("n_chars")),
+        keys = Seq("lang", "source"),
+        order = Seq(("n_chars", false), ("doc_id", true)), k = 3)
+      .orderBy(col("lang"), col("source"), col("n_chars").desc, col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -2991,7 +3011,8 @@ object Queries {
     "q139_pr_curve" -> (prCurve _),
     "q140_gate_kappa" -> (gateKappa _),
     "q141_label_centroids" -> (labelCentroids _),
-    "q142_maxsim" -> (maxSimRetrieval _))
+    "q142_maxsim" -> (maxSimRetrieval _),
+    "q143_native_topk" -> (nativeTopKDocs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4502,6 +4523,11 @@ object Queries {
         |SELECT label, m0, m1, m2, m3,
         |       ((m0 + m1) + m2) + m3 AS maxsim_score
         |FROM p ORDER BY label""".stripMargin,
+    "q143_native_topk" ->
+      """SELECT lang, source, doc_id, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |                           ORDER BY n_chars DESC, doc_id) <= 3
+        |ORDER BY lang, source, n_chars DESC, doc_id""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

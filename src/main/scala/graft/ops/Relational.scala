@@ -60,6 +60,34 @@ object Relational {
       .filter(col("rank") <= k)
   }
 
+  /** Per-key top-k through the NATIVE physical operator
+    * ([[graft.plans.TopKPlan]]) when the session carries
+    * [[graft.GraftExtensions]], with a transparent fall-back to
+    * [[groupTopK]]'s two-phase window otherwise — identical rows either
+    * way (both are `row_number() <= k` under the same total order; `order`
+    * MUST be total, so include a tiebreak column).
+    *
+    * The native plan replaces "shuffle every row, sort every partition"
+    * with per-key bounded heaps: the exchange moves at most
+    * mapPartitions × keys × k survivors. The fall-back keeps plain
+    * sessions (the driver's Verify/Bench mains) on the already
+    * hot-reducer-free window form.
+    */
+  def nativeTopK(df: DataFrame, keys: Seq[String],
+                 order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val params: Seq[Any] = k +: (keys.map("key:" + _) ++
+      order.map { case (c, asc) => (if (asc) "asc:" else "desc:") + c })
+    val hinted = df.hint("graft_topk", params: _*)
+    val native = hinted.queryExecution.analyzed.collectFirst {
+      case t: graft.plans.TopKPlan.TopKPerKey => t
+    }.isDefined
+    if (native) hinted
+    else {
+      val oc = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+      groupTopK(df, keys.map(col), oc, col(order.last._1), k).drop("rank")
+    }
+  }
+
   /** Watermark computation: NVL(MAX(runId),0) / NVL(MIN(runId),0) over the
     * control table filtered to new successful runs
     * (`Fact_Dagg_automation.sh:71-75`, `KafkaScript_ConformToStaging.sh:76-121`).
