@@ -2865,6 +2865,55 @@ object Queries {
         order = Seq(("n_chars", false), ("doc_id", true)), k = 3)
       .orderBy(col("lang"), col("source"), col("n_chars").desc, col("doc_id"))
 
+  /** Concurrent-sessions curve: per hour, the PEAK number of
+    * simultaneously open q19 sessions (plus starts/ends and the
+    * hour-boundary level) — the capacity-planning read of the event
+    * stream. The classic form is a single running sum over every
+    * start/end delta in global time order: one reducer sorting the
+    * world. Here the prefix sum is decomposed exactly the
+    * `packByBudget` way, but sharded by TIME: within-hour running sums
+    * window per hour (parallel across hours), a prefix over the tiny
+    * per-hour totals gives each hour's opening level, and
+    * peak(h) = opening(h) + max(within-hour run). Bit-identical to the
+    * global sort for any tie order that respects time — ties at the
+    * same microsecond order (+1 before −1, then user/session), so a
+    * session ending exactly when another starts still overlaps it.
+    * Finer shards (minutes) extend the same decomposition if an hour
+    * outgrows a task.
+    */
+  def concurrencyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val sess = Events.sessionize(e, col("user_id"), col("ts_us"),
+        col("event_id"), 1800000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val deltas = sess.select(col("user_id"), col("session_seq"),
+        col("s_start").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("session_seq"),
+        col("s_end").as("t"), lit(-1L).as("delta")))
+      .withColumn("hour", expr("t div 3600000000"))
+    val withinHour = Window.partitionBy(col("hour"))
+      .orderBy(col("t"), col("delta").desc, col("user_id"), col("session_seq"))
+    val within = deltas
+      .withColumn("run_in_hour", sum(col("delta")).over(withinHour))
+      .groupBy(col("hour")).agg(max(col("run_in_hour")).as("max_run"))
+    val hourTotals = deltas.groupBy(col("hour"))
+      .agg(sum(col("delta")).as("h_total"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    val offsets = hourTotals
+      .withColumn("end_concurrency",
+        sum(col("h_total")).over(Window.orderBy(col("hour"))))
+    within.join(offsets, "hour")
+      .select((col("hour") * 3600L).as("hour_epoch"),
+        col("n_starts"), col("n_ends"),
+        (col("end_concurrency") - col("h_total") + col("max_run"))
+          .as("peak_concurrency"),
+        col("end_concurrency"))
+      .orderBy(col("hour_epoch"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3012,7 +3061,8 @@ object Queries {
     "q140_gate_kappa" -> (gateKappa _),
     "q141_label_centroids" -> (labelCentroids _),
     "q142_maxsim" -> (maxSimRetrieval _),
-    "q143_native_topk" -> (nativeTopKDocs _))
+    "q143_native_topk" -> (nativeTopKDocs _),
+    "q144_concurrency" -> (concurrencyCurve _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4528,6 +4578,27 @@ object Queries {
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |                           ORDER BY n_chars DESC, doc_id) <= 3
         |ORDER BY lang, source, n_chars DESC, doc_id""".stripMargin,
+    "q144_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+        |sess AS (SELECT user_id, session_seq, min(ts_us) AS s_start, max(ts_us) AS s_end
+        |         FROM s2 GROUP BY 1, 2),
+        |d AS (SELECT user_id, session_seq, s_start AS t, 1 AS delta FROM sess
+        |      UNION ALL
+        |      SELECT user_id, session_seq, s_end AS t, -1 AS delta FROM sess),
+        |c AS (SELECT *, CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id, session_seq
+        |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT (t // 3600000000) * 3600 AS hour_epoch,
+        |       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_starts,
+        |       CAST(count(CASE WHEN delta = -1 THEN 1 END) AS BIGINT) AS n_ends,
+        |       CAST(max(cum) AS BIGINT) AS peak_concurrency,
+        |       CAST(sum(sum(delta)) OVER (ORDER BY (t // 3600000000) * 3600
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_concurrency
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

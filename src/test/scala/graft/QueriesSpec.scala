@@ -458,6 +458,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 concurrency: two-phase decomposition equals the naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q144_concurrency")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nStarts, nEnds, peak, end) =>
+      assert(peak >= end, "peak can never undercut the hour-end level")
+      assert(peak >= 0 && end >= 0, "open-session count can never go negative")
+      assert(nStarts >= 0 && nEnds >= 0)
+    }
+    assert(rows.last._5 == 0L, "every session that opens also closes")
+    assert(rows.map(_._2).sum == rows.map(_._3).sum, "starts and ends balance")
+    // naive single-window replay: one global running sum, peak per hour
+    val base = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val sess = graft.ops.Events.sessionize(base, col("user_id"), col("ts_us"),
+        col("event_id"), 1800000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val d = sess.select(col("user_id"), col("session_seq"), col("s_start").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("session_seq"), col("s_end").as("t"), lit(-1L).as("delta")))
+    val naive = d.withColumn("cum", sum(col("delta")).over(
+        Window.orderBy(col("t"), col("delta").desc, col("user_id"), col("session_seq"))))
+      .groupBy(expr("t div 3600000000 * 3600").as("hour_epoch"))
+      .agg(max(col("cum")).as("peak"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (h, _, _, peak, _) =>
+      assert(naive(h) == peak, s"hour $h: sharded peak $peak != naive ${naive(h)}")
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
