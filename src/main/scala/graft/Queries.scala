@@ -2914,6 +2914,41 @@ object Queries {
       .orderBy(col("hour_epoch"))
   }
 
+  /** Vocabulary-drift data card: for the 30 highest-count corpus tokens,
+    * each source's usage share vs the corpus share, in exact ppm — the
+    * per-source lexical fingerprint that catches a source drifting from
+    * the mixture (spam floods, template text, topic shift) before any
+    * model-based monitor would (q110 watches length quantiles; this
+    * watches the words). The grid is DENSE: a source that never uses a
+    * top token gets its 0-observation row (drift = −corpus share), which
+    * is precisely the signal a sparse join would silently drop. Scale
+    * shape: one token explode into a map-side-combined (source, token)
+    * count; the top-30 cut is TakeOrdered; everything after runs on
+    * broadcast-sized frames (30 tokens × sources). Shares are integer
+    * DIV against all-token totals, so the card replays bit-for-bit.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("source"),
+        explode(Text.tokens(Text.normalized(col("text")))).as("token"))
+    val bySrcTok = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("o"))
+    val byTok = bySrcTok.groupBy(col("token")).agg(sum(col("o")).as("rt"))
+    val top = byTok.orderBy(col("rt").desc, col("token")).limit(30)
+    val bySrc = bySrcTok.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val totals = bySrc.agg(sum(col("ct")).as("n"))
+    broadcast(bySrc).crossJoin(broadcast(top))
+      .join(bySrcTok, Seq("source", "token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("token"),
+        coalesce(col("o"), lit(0L)).as("obs_count"),
+        expr("(coalesce(o, 0L) * 1000000L) DIV ct").as("source_share_ppm"),
+        expr("(rt * 1000000L) DIV n").as("corpus_share_ppm"),
+        expr("(coalesce(o, 0L) * 1000000L) DIV ct - (rt * 1000000L) DIV n")
+          .as("drift_ppm"))
+      .orderBy(col("source"), col("token"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3062,7 +3097,8 @@ object Queries {
     "q141_label_centroids" -> (labelCentroids _),
     "q142_maxsim" -> (maxSimRetrieval _),
     "q143_native_topk" -> (nativeTopKDocs _),
-    "q144_concurrency" -> (concurrencyCurve _))
+    "q144_concurrency" -> (concurrencyCurve _),
+    "q145_vocab_drift" -> (vocabDrift _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4599,6 +4635,23 @@ object Queries {
         |       CAST(sum(sum(delta)) OVER (ORDER BY (t // 3600000000) * 3600
         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_concurrency
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q145_vocab_drift" ->
+      s"""WITH toks AS (SELECT source, unnest($DNTOKS) AS token FROM documents),
+         |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS o
+         |       FROM toks GROUP BY 1, 2),
+         |tk AS (SELECT token, CAST(sum(o) AS BIGINT) AS rt FROM st GROUP BY 1),
+         |top AS (SELECT token, rt FROM tk ORDER BY rt DESC, token LIMIT 30),
+         |src AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM src)
+         |SELECT src.source, top.token,
+         |       coalesce(st.o, 0) AS obs_count,
+         |       (coalesce(st.o, 0) * 1000000) // ct AS source_share_ppm,
+         |       (rt * 1000000) // n AS corpus_share_ppm,
+         |       (coalesce(st.o, 0) * 1000000) // ct - (rt * 1000000) // n AS drift_ppm
+         |FROM src CROSS JOIN top
+         |LEFT JOIN st ON st.source = src.source AND st.token = top.token
+         |CROSS JOIN tot
+         |ORDER BY src.source, top.token""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

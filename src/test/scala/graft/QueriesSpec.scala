@@ -490,6 +490,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 vocab drift: dense 30×sources grid, corpus share constant per token, zero rows carry full negative drift") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q145_vocab_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().count()
+    assert(rows.length == 30 * nSources, "grid must be dense: every source × every top token")
+    rows.groupBy(_._2).foreach { case (token, rs) =>
+      assert(rs.map(_._5).distinct.length == 1,
+        s"$token: corpus share must not vary by source")
+      assert(rs.length == nSources)
+    }
+    rows.foreach { case (_, _, obs, srcShare, corpShare, drift) =>
+      assert(drift == srcShare - corpShare, "drift is exactly the share difference")
+      if (obs == 0) assert(srcShare == 0 && drift == -corpShare,
+        "an unused top token shows as full negative drift")
+      assert(srcShare >= 0 && srcShare <= 1000000L && corpShare > 0)
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
