@@ -2949,6 +2949,41 @@ object Queries {
       .orderBy(col("source"), col("token"))
   }
 
+  /** Time-travel snapshots: each user's state AS OF three cut timestamps
+    * — last event (type + id) and events-so-far — reconstructed from the
+    * raw change-log in ONE pass. This is the q02 rank-latest pattern
+    * generalized to multiple reconstruction points: the cuts derive
+    * in-plan from the stream's own bounds (q88's broadcast-bounds
+    * pattern, no driver collect), every event replicates only into the
+    * cuts it precedes, and the latest-row window partitions by the
+    * HIGH-cardinality (cut, user) key — per-user state is exactly the
+    * partitioning a cluster parallelizes freely, never a hot reducer.
+    * The practical face is SCD/backfill auditing: "what did the serving
+    * state look like at T" without a stored snapshot per T.
+    */
+  def asOfSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("ts_ns"))
+    val bounds = e.agg(min(col("ts_ns")).as("__lo"), max(col("ts_ns")).as("__hi"))
+    val cuts = broadcast(bounds.select(
+      explode(array(lit(1), lit(2), lit(3))).as("cut_id"),
+      col("__lo"), col("__hi")))
+      .select(col("cut_id"),
+        expr("__lo + ((__hi - __lo) DIV 4) * cut_id").as("cut_ns"))
+    val asOf = e.join(broadcast(cuts), col("ts_ns") <= col("cut_ns"))
+    val perUserCut = Window.partitionBy(col("cut_id"), col("user_id"))
+    asOf
+      .withColumn("rn", row_number().over(
+        perUserCut.orderBy(col("ts_ns").desc, col("event_id").desc)))
+      .withColumn("n_events", count(lit(1)).over(perUserCut))
+      .filter(col("rn") === 1)
+      .select(col("cut_id"), col("user_id"),
+        col("event_type").as("last_event_type"),
+        col("event_id").as("last_event_id"), col("n_events"))
+      .orderBy(col("cut_id"), col("user_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3098,7 +3133,8 @@ object Queries {
     "q142_maxsim" -> (maxSimRetrieval _),
     "q143_native_topk" -> (nativeTopKDocs _),
     "q144_concurrency" -> (concurrencyCurve _),
-    "q145_vocab_drift" -> (vocabDrift _))
+    "q145_vocab_drift" -> (vocabDrift _),
+    "q146_asof_snapshots" -> (asOfSnapshots _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -4652,6 +4688,20 @@ object Queries {
          |LEFT JOIN st ON st.source = src.source AND st.token = top.token
          |CROSS JOIN tot
          |ORDER BY src.source, top.token""".stripMargin,
+    "q146_asof_snapshots" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |b AS (SELECT min(ts_ns) AS lo, max(ts_ns) AS hi FROM e),
+        |cuts AS (SELECT CAST(i AS INT) AS cut_id, lo + ((hi - lo) // 4) * i AS cut_ns
+        |         FROM b CROSS JOIN range(1, 4) AS r(i)),
+        |j AS (SELECT cut_id, e.* FROM e JOIN cuts ON ts_ns <= cut_ns),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cut_id, user_id
+        |                           ORDER BY ts_ns DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY cut_id, user_id) AS n_events
+        |      FROM j)
+        |SELECT cut_id, user_id, event_type AS last_event_type,
+        |       event_id AS last_event_id, CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rn = 1 ORDER BY cut_id, user_id""".stripMargin,
     "q137_lang_confusion" -> {
       val en = langScore(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"))
       val es = langScore(Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"))

@@ -511,6 +511,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 snapshots: user sets and event counts grow monotonically across cuts") {
+    val rows = SparkEntry.queries("q146_asof_snapshots")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byCut = rows.groupBy(_._1)
+    assert(byCut.keySet == Set(1, 2, 3), "exactly three reconstruction points")
+    // a later cut can only ADD history: users present at cut i stay at i+1,
+    // their event counts never shrink, and the last event never goes back in id-time
+    for (i <- 1 to 2) {
+      val a = byCut(i).map(r => r._2 -> (r._3, r._4)).toMap
+      val b = byCut(i + 1).map(r => r._2 -> (r._3, r._4)).toMap
+      assert(a.keySet.subsetOf(b.keySet), s"a user vanished between cut $i and ${i + 1}")
+      a.foreach { case (user, (lastId, n)) =>
+        assert(b(user)._2 >= n, s"user $user lost events between cuts")
+        assert(b(user)._1 >= lastId || b(user)._2 > n,
+          s"user $user state did not advance consistently")
+      }
+    }
+  }
+
   test("q126 recall curve is monotone in the probe budget and bounded by the truth set") {
     val rows = SparkEntry.queries("q126_ann_recall")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
