@@ -2984,6 +2984,60 @@ object Queries {
       .orderBy(col("cut_id"), col("user_id"))
   }
 
+  /** KMV (k-minimum-values) bottom-k distinct sketch + cross-source overlap
+    * matrix: per source, the K=64 smallest 48-bit md5 hashes of its distinct
+    * word 3-shingles form a mergeable sketch; any two sketches combine into
+    * (distinct, union, intersection, Jaccard) ESTIMATES without touching the
+    * corpus again. Closes the sketch suite's set-operations gap — Bloom (q81)
+    * answers membership, HLL (q120) distinct-only, CMS (q134/q135)
+    * frequency; KMV is the one that composes under union AND intersection,
+    * which is what "how much does src A's content overlap src B" needs at
+    * 100 TB, where exact pairwise shingle intersections are off the table.
+    * The hash family is a 12-hex md5 prefix, so the sketch — and therefore
+    * every estimate — replays bit-for-bit in the oracle (unlike HLL's
+    * xxhash64 rows-only check). Scale shape: the only corpus-wide work is
+    * distinct (source, hash48) — an ~8-byte-payload shuffle, text never
+    * leaves the scan; the per-source bottom-K runs through
+    * [[Relational.groupTopK]]'s sharded two-phase form (no hot reducer per
+    * source); everything pairwise operates on K-element arrays (sources × K
+    * rows), in-plan and broadcast-sized. Estimators are the standard KMV
+    * forms in integer DIV arithmetic: D̂ = (K−1)·2⁴⁸ DIV h_K when the
+    * sketch is full (a sketch with fewer than K values IS the exact
+    * distinct set); over the m = |union sketch| ≤ K smallest union values
+    * with ρ of them in both sketches, J = ρ/m and |A∩B| = ρ·Û DIV m.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val estNum = (K - 1).toLong * (1L << 48)
+    val hashes = t(spark, dir, "documents")
+      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as long)").as("h"))
+      .distinct()
+    val sk = Relational.groupTopK(hashes, Seq(col("source")),
+        Seq(col("h").asc), col("h"), K)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val a = sk.select(col("source").as("src_a"), col("hs").as("ha"), col("n").as("na"))
+    val b = sk.select(col("source").as("src_b"), col("hs").as("hb"), col("n").as("nb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("us",
+        slice(sort_array(array_distinct(concat(col("ha"), col("hb")))), 1, K))
+      .withColumn("m", size(col("us")).cast("long"))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("us"), col("ha")), col("hb")))
+          .cast("long"))
+      .withColumn("eu", expr(
+        s"CASE WHEN m < $K THEN m ELSE ${estNum}L DIV greatest(try_element_at(us, $K), 1L) END"))
+      .selectExpr("src_a", "src_b", "m", "rho",
+        s"CASE WHEN na < $K THEN na ELSE ${estNum}L DIV greatest(try_element_at(ha, $K), 1L) END AS est_a",
+        s"CASE WHEN nb < $K THEN nb ELSE ${estNum}L DIV greatest(try_element_at(hb, $K), 1L) END AS est_b",
+        "eu AS est_union",
+        "(rho * eu) DIV m AS est_inter",
+        "(rho * 1000000L) DIV m AS jaccard_ppm")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3134,7 +3188,8 @@ object Queries {
     "q143_native_topk" -> (nativeTopKDocs _),
     "q144_concurrency" -> (concurrencyCurve _),
     "q145_vocab_drift" -> (vocabDrift _),
-    "q146_asof_snapshots" -> (asOfSnapshots _))
+    "q146_asof_snapshots" -> (asOfSnapshots _),
+    "q147_kmv_overlap" -> (kmvOverlap _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5063,6 +5118,27 @@ object Queries {
         |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q147_kmv_overlap" ->
+      s"""WITH toks AS (SELECT source, $DNTOKS AS tk FROM documents),
+         |sh AS (SELECT source, unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+         |       FROM toks),
+         |hh AS (SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM sh),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hh),
+         |sk AS (SELECT source, list_sort(list(h)) AS hs, count(*) AS n FROM rk WHERE r <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.hs AS ha, b.hs AS hb, a.n AS na, b.n AS nb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |u AS (SELECT *, (list_sort(list_distinct(ha || hb)))[1:64] AS us FROM p),
+         |c AS (SELECT src_a, src_b, na, nb, ha, hb, us, len(us) AS m,
+         |        len(list_intersect(list_intersect(us, ha), hb)) AS rho FROM u),
+         |c2 AS (SELECT *, CASE WHEN m < 64 THEN m ELSE 17732923532771328 // greatest(us[64], 1) END AS eu FROM c)
+         |SELECT src_a, src_b, CAST(m AS BIGINT) AS m, CAST(rho AS BIGINT) AS rho,
+         |  CAST(CASE WHEN na < 64 THEN na ELSE 17732923532771328 // greatest(ha[64], 1) END AS BIGINT) AS est_a,
+         |  CAST(CASE WHEN nb < 64 THEN nb ELSE 17732923532771328 // greatest(hb[64], 1) END AS BIGINT) AS est_b,
+         |  CAST(eu AS BIGINT) AS est_union,
+         |  CAST((rho * eu) // m AS BIGINT) AS est_inter,
+         |  CAST((rho * 1000000) // m AS BIGINT) AS jaccard_ppm
+         |FROM c2 ORDER BY src_a, src_b""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -479,4 +479,14 @@ class PlanSpec extends AnyFunSuite {
       s"phase-2 window not fed by the shard-rank cut:\n${lone.child}")
     assert(ws.filterNot(_.partitionSpec.length == 1).head.partitionSpec.length == 2)
   }
+
+  test("q147: KMV sketch shuffles carry only (source, hash48) — never text or shingle strings") {
+    // the corpus-wide phase is distinct(source, h) + the sharded bottom-K;
+    // both move an 8-byte hash. Text and the exploded shingle string must
+    // stay inside the scan stage.
+    val cols = shuffledColumns("q147_kmv_overlap")
+    assert(cols.nonEmpty &&
+      !cols.exists(c => c.contains("text") || c == "s" || c.contains("shingle")),
+      cols.toString)
+  }
 }

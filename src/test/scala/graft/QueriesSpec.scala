@@ -582,4 +582,27 @@ class QueriesSpec extends AnyFunSuite {
       assert((pred == truth) == (correct == 1))
     }
   }
+
+  test("q147 KMV overlap: full pair matrix, sketch-combine invariants hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q147_kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "every unordered source pair appears exactly once")
+    rows.foreach { case (a, b, m, rho, estA, estB, estU, estI, jppm) =>
+      assert(a < b, "canonical pair order")
+      assert(m >= 1 && m <= 64 && rho >= 0 && rho <= m)
+      // the union sketch's kth value is <= either input's kth value, so the
+      // combined estimate can never fall below the larger input estimate
+      assert(estU >= math.max(estA, estB),
+        s"($a,$b): union estimate $estU below max input ${math.max(estA, estB)}")
+      assert(estI <= estU && jppm >= 0 && jppm <= 1000000L)
+      assert(estI == rho * estU / m && jppm == rho * 1000000L / m,
+        "intersection and Jaccard derive exactly from (rho, m, union)")
+    }
+  }
 }
