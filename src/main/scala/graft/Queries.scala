@@ -3038,6 +3038,44 @@ object Queries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Deterministic half-sample stability intervals: the per-source mean
+    * document length (q99's point estimate) with 32-replicate spread — the
+    * error bars a data card needs before anyone compares two sources or two
+    * releases on a mean. Replicate r keeps a document iff bit r of an
+    * md5-derived 32-bit word is set, i.e. 32 deterministic ~half-samples;
+    * the min/max replicate means bound the estimate's sampling wobble, and
+    * because membership is a pure hash of doc_id the whole "resampling"
+    * replays bit-for-bit in the oracle (a seeded-RNG bootstrap could
+    * never). Scale shape: membership is a scan-local projection (only
+    * (source, n_chars, h32) exist — text is pruned at the scan), the ×32
+    * replicate fan-out happens map-side and is immediately partial-
+    * aggregated, so the shuffle carries sources × 32 partial rows; the
+    * replicate-mean frame downstream is broadcast-sized. Means are integer
+    * milli-chars ((1000·Σ) DIV n), exact in both engines.
+    */
+  def halfSampleCi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("source"), col("n_chars"),
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as long)")
+        .as("h32"))
+    val reps = docs
+      .select(col("source"), col("n_chars"), col("h32"),
+        explode(sequence(lit(0), lit(31))).as("rep"))
+      .filter(expr("shiftright(h32, rep) % 2 = 1"))
+      .groupBy(col("source"), col("rep"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .select(col("source"), expr("(1000L * s) DIV n").as("rep_mean"))
+    val full = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s"))
+      .select(col("source"), col("n_docs"),
+        expr("(1000L * s) DIV n_docs").as("mean_milli"))
+    full.join(reps, "source")
+      .groupBy(col("source"), col("n_docs"), col("mean_milli"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(col("rep_mean")).as("lo_milli"), max(col("rep_mean")).as("hi_milli"))
+      .withColumn("spread_milli", col("hi_milli") - col("lo_milli"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3189,7 +3227,8 @@ object Queries {
     "q144_concurrency" -> (concurrencyCurve _),
     "q145_vocab_drift" -> (vocabDrift _),
     "q146_asof_snapshots" -> (asOfSnapshots _),
-    "q147_kmv_overlap" -> (kmvOverlap _))
+    "q147_kmv_overlap" -> (kmvOverlap _),
+    "q148_halfsample_ci" -> (halfSampleCi _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5139,6 +5178,24 @@ object Queries {
          |  CAST((rho * eu) // m AS BIGINT) AS est_inter,
          |  CAST((rho * 1000000) // m AS BIGINT) AS jaccard_ppm
          |FROM c2 ORDER BY src_a, src_b""".stripMargin,
+    "q148_halfsample_ci" ->
+      """WITH h AS (SELECT source, n_chars,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+        |           FROM documents),
+        |r AS (SELECT source, n_chars, unnest(range(0, 32)) AS rep, h32 FROM h),
+        |m AS (SELECT source, rep,
+        |        (1000 * CAST(sum(n_chars) AS BIGINT)) // count(*) AS rep_mean
+        |      FROM r WHERE (h32 // (1::BIGINT << rep)) % 2 = 1 GROUP BY source, rep),
+        |f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        (1000 * CAST(sum(n_chars) AS BIGINT)) // count(*) AS mean_milli
+        |      FROM documents GROUP BY source)
+        |SELECT f.source, f.n_docs, CAST(f.mean_milli AS BIGINT) AS mean_milli,
+        |       CAST(count(*) AS BIGINT) AS n_reps,
+        |       CAST(min(m.rep_mean) AS BIGINT) AS lo_milli,
+        |       CAST(max(m.rep_mean) AS BIGINT) AS hi_milli,
+        |       CAST(max(m.rep_mean) - min(m.rep_mean) AS BIGINT) AS spread_milli
+        |FROM f JOIN m ON f.source = m.source
+        |GROUP BY f.source, f.n_docs, f.mean_milli ORDER BY f.source""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

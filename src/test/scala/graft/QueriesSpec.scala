@@ -605,4 +605,21 @@ class QueriesSpec extends AnyFunSuite {
         "intersection and Jaccard derive exactly from (rho, m, union)")
     }
   }
+
+  test("q148 half-sample intervals: one row per source, bounds ordered, replicates bounded") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q148_halfsample_ci")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == docCounts.keySet, "one row per source")
+    rows.foreach { case (src, nDocs, mean, nReps, lo, hi, spread) =>
+      assert(nDocs == docCounts(src), s"$src: full-sample doc count")
+      assert(nReps >= 1 && nReps <= 32, s"$src: $nReps replicates")
+      assert(lo <= hi && spread == hi - lo, s"$src: interval must be ordered")
+      assert(mean > 0 && lo > 0, s"$src: milli-char means are positive")
+    }
+  }
 }
