@@ -3076,6 +3076,35 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Join-key statistics for every FK edge in the warehouse schema
+    * ([[graft.dq.Checks.fkProfile]]): the planner-facing profile —
+    * cardinalities, hottest-key skew multiple, referential orphans, dead
+    * dim keys — that decides broadcast vs shuffle vs bucketing vs salting
+    * for each join BEFORE anyone runs it at 100 TB. q131 diagnoses one
+    * key's heat; this is the schema-wide table: five edges, each fed by a
+    * single two-phase per-key count (8-byte key shuffle, map-side
+    * partials) plus key-projected anti-joins, unioned into a five-row
+    * report. All-integer output, so the profile replays exactly.
+    */
+  def joinStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dq.Checks.fkProfile
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val edges = Seq(
+      fkProfile(li, col("l_orderkey"), o, col("o_orderkey"),
+        "lineitem.l_orderkey->orders"),
+      fkProfile(li, col("l_partkey"), t(spark, dir, "part"), col("p_partkey"),
+        "lineitem.l_partkey->part"),
+      fkProfile(li, col("l_suppkey"), t(spark, dir, "supplier"), col("s_suppkey"),
+        "lineitem.l_suppkey->supplier"),
+      fkProfile(o, col("o_custkey"), t(spark, dir, "customer"), col("c_custkey"),
+        "orders.o_custkey->customer"),
+      fkProfile(t(spark, dir, "customer"), col("c_nationkey"),
+        t(spark, dir, "nation"), col("n_nationkey"),
+        "customer.c_nationkey->nation"))
+    edges.reduce(_ unionAll _).orderBy(col("edge"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3228,7 +3257,8 @@ object Queries {
     "q145_vocab_drift" -> (vocabDrift _),
     "q146_asof_snapshots" -> (asOfSnapshots _),
     "q147_kmv_overlap" -> (kmvOverlap _),
-    "q148_halfsample_ci" -> (halfSampleCi _))
+    "q148_halfsample_ci" -> (halfSampleCi _),
+    "q149_join_stats" -> (joinStats _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5196,6 +5226,24 @@ object Queries {
         |       CAST(max(m.rep_mean) - min(m.rep_mean) AS BIGINT) AS spread_milli
         |FROM f JOIN m ON f.source = m.source
         |GROUP BY f.source, f.n_docs, f.mean_milli ORDER BY f.source""".stripMargin,
+    "q149_join_stats" -> {
+      val edges = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"))
+      edges.map { case (f, k, d, dk, name) =>
+        s"""SELECT '$name' AS edge, n_rows, n_keys, max_freq,
+           | (max_freq * 1000000) // greatest(n_rows // n_keys, 1) AS skew_ppm,
+           | orphan_rows, unmatched_dim_keys
+           |FROM (WITH f AS (SELECT $k AS k, count(*) AS c FROM $f WHERE $k IS NOT NULL GROUP BY 1),
+           | s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq FROM f),
+           | orp AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS orphan_rows FROM f WHERE NOT EXISTS (SELECT 1 FROM $d d WHERE d.$dk = f.k)),
+           | um AS (SELECT CAST(count(*) AS BIGINT) AS unmatched_dim_keys FROM $d d WHERE NOT EXISTS (SELECT 1 FROM f f2 WHERE f2.k = d.$dk))
+           | SELECT * FROM s, orp, um)""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
+    },
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -216,6 +216,41 @@ object Checks {
         count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
   }
 
+  /** Join-key profile for one FK edge — the statistics a join planner (or
+    * the engineer deciding between broadcast, shuffle, bucketing, and
+    * salting) needs BEFORE running the join: fact-side row/key counts, the
+    * hottest key's frequency and its multiple of the mean (skew_ppm, the
+    * q49/q62-salting trigger), referential orphans (fact rows whose key has
+    * no dim row — an outer join would null-fan these), and unmatched dim
+    * keys (dead dimension fraction — a semi-join prune opportunity).
+    *
+    * Scale shape: ONE two-phase groupBy(key).count over the fact (map-side
+    * partials; only the 8-byte key shuffles) feeds every statistic; the
+    * orphan / unmatched checks are anti-joins between that per-key count
+    * table and the dim's key projection — never the fact table itself — so
+    * the heavy side of each anti-join is already aggregated to distinct
+    * keys. The three single-row aggregates combine with in-plan cross
+    * joins (broadcast scalars, no driver collect).
+    */
+  def fkProfile(fact: DataFrame, key: Column, dim: DataFrame, dimKey: Column,
+                edge: String): DataFrame = {
+    val perKey = fact.select(key.as("k")).filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val stats = perKey.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("c")).as("max_freq"))
+    val orphans = perKey
+      .join(dim.select(dimKey.as("dk")), col("k") === col("dk"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("orphan_rows"))
+    val unmatched = dim.select(dimKey.as("dk"))
+      .join(perKey.select(col("k")), col("dk") === col("k"), "left_anti")
+      .agg(count(lit(1)).as("unmatched_dim_keys"))
+    stats.crossJoin(orphans).crossJoin(unmatched)
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"), col("max_freq"),
+        expr("(max_freq * 1000000L) DIV greatest(n_rows DIV n_keys, 1L)")
+          .as("skew_ppm"),
+        col("orphan_rows"), col("unmatched_dim_keys"))
+  }
+
   /** Run all four standard per-stage checks (SURVEY §5.2) and return the
     * audit rows ready for an append-mode write.
     */

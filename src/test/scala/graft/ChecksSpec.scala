@@ -160,4 +160,23 @@ class ChecksSpec extends AnyFunSuite {
     val out = Checks.zscoreOutliers(df, col("grp"), col("v"), threshold = 3.0)
     assert(out.count() == 0L)
   }
+
+  test("fkProfile: counts, skew multiple, orphans and dead dim keys on a known edge") {
+    // fact keys: 1 x5 (hot), 2 x2, 3 x1, 7 x2 (orphan — not in dim), null (ignored)
+    val fact = (Seq.fill(5)(1) ++ Seq(2, 2, 3, 7, 7)).map(k => (Option(k), "r"))
+      .toDF("k", "payload")
+      .unionAll(Seq((Option.empty[Int], "r")).toDF("k", "payload"))
+    val dim = Seq(1, 2, 3, 9).toDF("dk")   // 9 is a dead dim key
+    val r = Checks.fkProfile(fact, col("k"), dim, col("dk"), "f.k->d").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "f.k->d")
+    assert(row.getLong(1) == 10L, "null keys excluded from n_rows")
+    assert(row.getLong(2) == 4L, "distinct non-null keys")
+    assert(row.getLong(3) == 5L, "hottest key frequency")
+    // mean freq = 10 DIV 4 = 2 -> hot key is 2.5x the mean = 2500000 ppm
+    assert(row.getLong(4) == 2500000L, s"skew_ppm ${row.getLong(4)}")
+    assert(row.getLong(5) == 2L, "orphan fact rows (key 7)")
+    assert(row.getLong(6) == 1L, "dead dim keys (key 9)")
+  }
 }
