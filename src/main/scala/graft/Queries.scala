@@ -3105,6 +3105,28 @@ object Queries {
     edges.reduce(_ unionAll _).orderBy(col("edge"))
   }
 
+  /** Cross-lingual parallel-pair mining ([[Similarity.marginMining]]): for
+    * each English anchor document, the 3 best non-English candidates by the
+    * margin criterion — cosine normalized by both endpoints' top-4
+    * neighborhood density — the curation op that builds aligned-pair
+    * training sets and that raw cosine gets wrong wherever a hub vector
+    * sits near everything. Anchors are the bounded broadcast side (q30's
+    * contract); the per-anchor neighborhood and final margin cuts run
+    * sharded (no low-cardinality window over the pair frame); all doubles
+    * are fixed-order so ranks replay exactly. Output is rank-only — ids
+    * and languages, no floats in the artifact.
+    */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val j = t(spark, dir, "embeddings")
+      .join(t(spark, dir, "documents"), col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"), col("lang"))
+    val anchors = j.filter(col("lang") === "en" && col("id") < 50)
+    val targets = j.filter(col("lang") =!= "en")
+    Similarity.marginMining(
+      targets, col("id"), col("v"), col("lang"),
+      anchors, col("id"), col("v"), k = 4, topM = 3)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3258,7 +3280,8 @@ object Queries {
     "q146_asof_snapshots" -> (asOfSnapshots _),
     "q147_kmv_overlap" -> (kmvOverlap _),
     "q148_halfsample_ci" -> (halfSampleCi _),
-    "q149_join_stats" -> (joinStats _))
+    "q149_join_stats" -> (joinStats _),
+    "q150_bitext_margin" -> (bitextMargin _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5244,6 +5267,34 @@ object Queries {
            | SELECT * FROM s, orp, um)""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
     },
+    "q150_bitext_margin" ->
+      """WITH j AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, lang
+        |           FROM embeddings JOIN documents ON vec_id = doc_id),
+        |a AS (SELECT id AS aid, v AS av FROM j WHERE lang = 'en' AND id < 50),
+        |t AS (SELECT id AS tid, v AS tv, lang AS tlang FROM j WHERE lang <> 'en'),
+        |s AS (SELECT aid, tid, tlang, list_cosine_similarity(tv, av) AS sim
+        |      FROM t CROSS JOIN a),
+        |ar AS (SELECT aid, sim, row_number() OVER (PARTITION BY aid ORDER BY sim DESC, tid) AS rn FROM s),
+        |asum AS (SELECT aid,
+        |           ((coalesce(max(CASE WHEN rn = 1 THEN sim END), 0.0)
+        |             + coalesce(max(CASE WHEN rn = 2 THEN sim END), 0.0))
+        |             + coalesce(max(CASE WHEN rn = 3 THEN sim END), 0.0))
+        |             + coalesce(max(CASE WHEN rn = 4 THEN sim END), 0.0) AS asm
+        |         FROM ar WHERE rn <= 4 GROUP BY aid),
+        |tr AS (SELECT tid, sim, row_number() OVER (PARTITION BY tid ORDER BY sim DESC, aid) AS rn FROM s),
+        |tsum AS (SELECT tid,
+        |           ((coalesce(max(CASE WHEN rn = 1 THEN sim END), 0.0)
+        |             + coalesce(max(CASE WHEN rn = 2 THEN sim END), 0.0))
+        |             + coalesce(max(CASE WHEN rn = 3 THEN sim END), 0.0))
+        |             + coalesce(max(CASE WHEN rn = 4 THEN sim END), 0.0) AS tsm
+        |         FROM tr WHERE rn <= 4 GROUP BY tid),
+        |m AS (SELECT s.aid, s.tid, s.tlang, (sim + sim) / (asm + tsm) AS margin
+        |      FROM s JOIN asum USING (aid) JOIN tsum USING (tid)),
+        |r AS (SELECT aid AS anchor_id, tid AS target_id, tlang AS target_lang,
+        |        row_number() OVER (PARTITION BY aid ORDER BY margin DESC, tid) AS rnk
+        |      FROM m)
+        |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, target_id, target_lang
+        |FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

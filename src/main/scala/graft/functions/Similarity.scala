@@ -120,6 +120,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Margin-based parallel-pair mining (the Artetxe & Schwenk bitext
+    * criterion): score each (anchor, target) pair not by raw cosine but by
+    * cosine normalized against BOTH endpoints' local neighborhood density —
+    * margin = 2·cos(x,y) / (Σ top-k cos(x,·) + Σ top-k cos(·,y)) — so a hub
+    * vector that is "near everything" stops winning every pairing, the
+    * failure mode of raw-cosine mining. Returns the top `topM` targets per
+    * anchor by margin, rank-only.
+    *
+    * Scale shape: anchors are the bounded broadcast side (the
+    * [[bruteForceTopK]] contract); targets stream through ONCE with norms
+    * projected per row. The per-ANCHOR neighborhood sums would be a
+    * low-cardinality window over the whole pair frame — that is exactly
+    * the hot-reducer shape this repo bans, so both the neighborhood cut
+    * and the final margin cut run through
+    * [[graft.ops.Relational.groupTopK]]'s sharded two-phase form; the
+    * per-TARGET neighborhood partitions by the high-cardinality target id
+    * and parallelizes freely. Neighborhood sums are FIXED-ORDER
+    * (rank-pivoted, left-associated, q142's discipline), so every double —
+    * and therefore every margin comparison — replays bit-for-bit.
+    */
+  def marginMining(targets: DataFrame, targetId: Column, targetVec: Column,
+                   targetTag: Column, anchors: DataFrame, anchorId: Column,
+                   anchorVec: Column, k: Int = 4, topM: Int = 3): DataFrame = {
+    import graft.ops.Relational
+    val a = anchors.select(anchorId.as("aid"), anchorVec.as("av"))
+      .withColumn("an", norm(col("av")))
+    val tt = targets.select(targetId.as("tid"), targetVec.as("tv"),
+      targetTag.as("ttag")).withColumn("tn", norm(col("tv")))
+    val sims = tt.crossJoin(broadcast(a))
+      .select(col("aid"), col("tid"), col("ttag"),
+        cosineFromParts(dot(col("tv"), col("av")), col("tn"), col("an")).as("sim"))
+    def rankPivotSum(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(
+        (1 to k).map(i => coalesce(max(when(col("rn") === i, col("sim"))), lit(0.0)))
+          .reduceLeft(_ + _).as(s"${key}_nsum"))
+    val aSum = rankPivotSum(
+      Relational.groupTopK(sims.select(col("aid"), col("tid"), col("sim")),
+          Seq(col("aid")), Seq(col("sim").desc, col("tid")), col("tid"), k)
+        .withColumnRenamed("rank", "rn"), "aid")
+    val tSum = rankPivotSum(
+      sims.withColumn("rn", row_number().over(
+          Window.partitionBy(col("tid")).orderBy(col("sim").desc, col("aid"))))
+        .filter(col("rn") <= k), "tid")
+    val margins = sims.join(aSum, "aid").join(tSum, "tid")
+      .select(col("aid"), col("tid"), col("ttag"),
+        ((col("sim") + col("sim")) / (col("aid_nsum") + col("tid_nsum")))
+          .as("margin"))
+    Relational.groupTopK(margins, Seq(col("aid")),
+        Seq(col("margin").desc, col("tid")), col("tid"), topM)
+      .select(col("aid").as("anchor_id"), col("rank").cast("long").as("rnk"),
+        col("tid").as("target_id"), col("ttag").as("target_lang"))
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nCentroids` Voronoi cells and probe only the `nProbe` cells nearest
     * each query. Unlike LSH's data-independent hyperplanes, the cells adapt

@@ -489,4 +489,14 @@ class PlanSpec extends AnyFunSuite {
       !cols.exists(c => c.contains("text") || c == "s" || c.contains("shingle")),
       cols.toString)
   }
+
+  test("q150: margin mining shuffles carry ids and doubles — vectors never leave the scan") {
+    // anchors broadcast; the pair frame that shuffles holds (aid, tid,
+    // tag, sim/margin). An embedding column in any exchange means the
+    // neighborhood sums were computed on the wrong side of the join.
+    val cols = shuffledColumns("q150_bitext_margin")
+    assert(cols.nonEmpty &&
+      !cols.exists(c => c == "v" || c == "av" || c == "tv" || c.contains("embedding")),
+      cols.toString)
+  }
 }

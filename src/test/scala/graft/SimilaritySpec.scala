@@ -236,4 +236,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(coarse >= fine) // fewer bits → bigger buckets → recall no worse
     assert(coarse > 0.5)   // 2 buckets cover most neighbors
   }
+
+  test("marginMining demotes the hub vector raw cosine would pick") {
+    // hub sits at ~0.707 cosine to BOTH anchors; t1/t2 are 0.6 to exactly
+    // one anchor each. Raw cosine ranks the hub first for every anchor;
+    // the margin criterion normalizes by neighborhood density and picks
+    // the exclusive match instead.
+    val anchors = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val targets = Seq(
+      (10L, Seq(0.95f, 0.95f, 0.0f), "xx"),  // hub
+      (11L, Seq(0.6f, 0.0f, 0.8f), "fr"),    // exclusive to anchor 1
+      (12L, Seq(0.0f, 0.6f, 0.8f), "de"))    // exclusive to anchor 2
+      .toDF("id", "v", "lang")
+    val out = Similarity.marginMining(targets, col("id"), col("v"), col("lang"),
+        anchors, col("id"), col("v"), k = 2, topM = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((11L, "fr")), s"anchor 1 picked ${out(1L)}")
+    assert(out(2L) == ((12L, "de")), s"anchor 2 picked ${out(2L)}")
+    // sanity: raw cosine really does prefer the hub (guards the fixture)
+    val raw = Similarity.bruteForceTopK(targets, col("id"), col("v"),
+        anchors, col("id"), col("v"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(raw(1L) == 10L && raw(2L) == 10L, s"fixture lost its hub: $raw")
+  }
 }
