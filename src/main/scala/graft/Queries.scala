@@ -3127,6 +3127,36 @@ object Queries {
       anchors, col("id"), col("v"), k = 4, topM = 3)
   }
 
+  /** Tokenizer-training statistics: the first BPE merge table — corpus-wide
+    * adjacent character-pair frequencies, weighted by word occurrence, top
+    * 20 with corpus share. This is exactly the candidate list the first
+    * iteration of byte-pair-encoding training scores, and the diagnostic
+    * for "does this corpus slice deserve its own tokenizer" next to q111's
+    * fertility and q128's Zipf table. Scale shape — the BPE trick: pair
+    * counting runs on the VOCABULARY (distinct word, count), not the
+    * corpus. One map-side-combined word count is the only corpus-scale
+    * shuffle; the pair explode and pair rollup operate on vocab-cardinality
+    * rows; the final cut is TakeOrderedAndProject with the total as an
+    * in-plan broadcast scalar (q131's shape).
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    val pairs = vocab
+      .select(col("wc"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_occurrences"))
+    val total = pairs.agg(sum(col("n_occurrences")).as("tot"))
+    pairs.crossJoin(broadcast(total))
+      .select(col("pair"), col("n_occurrences"),
+        expr("(n_occurrences * 1000000L) DIV tot").as("share_ppm"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3281,7 +3311,8 @@ object Queries {
     "q147_kmv_overlap" -> (kmvOverlap _),
     "q148_halfsample_ci" -> (halfSampleCi _),
     "q149_join_stats" -> (joinStats _),
-    "q150_bitext_margin" -> (bitextMargin _))
+    "q150_bitext_margin" -> (bitextMargin _),
+    "q151_bpe_pairs" -> (bpePairs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5295,6 +5326,16 @@ object Queries {
         |      FROM m)
         |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, target_id, target_lang
         |FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin,
+    "q151_bpe_pairs" ->
+      s"""WITH wrd AS (SELECT unnest($DNTOKS) AS w FROM documents),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wrd GROUP BY w),
+         |v2 AS (SELECT * FROM v WHERE len(w) >= 2),
+         |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair, wc FROM v2),
+         |g AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences FROM p GROUP BY pair),
+         |t AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS tot FROM g)
+         |SELECT pair, n_occurrences,
+         |       CAST(n_occurrences * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_ppm
+         |FROM g ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -622,4 +622,22 @@ class QueriesSpec extends AnyFunSuite {
       assert(mean > 0 && lo > 0, s"$src: milli-char means are positive")
     }
   }
+
+  test("q151 BPE pairs: 2-char pairs, non-increasing counts, top pair recounted exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q151_bpe_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._1.length == 2), "every candidate merge is an adjacent pair")
+    rows.map(_._2).toSeq.sliding(2).foreach { case Seq(a, b) => assert(a >= b); case _ => }
+    assert(rows.forall { case (_, _, ppm) => ppm > 0 && ppm <= 1000000L })
+    // recount the top pair straight off the corpus (token stream, not vocab)
+    val (topPair, topN, _) = rows.head
+    val recount = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .filter(col("p") === topPair).count()
+    assert(recount == topN, s"vocab-weighted count $topN != corpus recount $recount")
+  }
 }
