@@ -3157,6 +3157,16 @@ object Queries {
       .limit(20)
   }
 
+  /** IVF posting-list balance + coherence audit ([[Similarity.ivfBalance]]):
+    * dense per-cell population/share/load-factor/mean-cosine over the same
+    * 32 hash-sampled centroids q53 probes — the capacity-planning table
+    * that decides centroid count and refinement before an index build.
+    */
+  def ivfBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfBalance(e, col("vec_id"), col("embedding"), nCentroids = 32)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3312,7 +3322,8 @@ object Queries {
     "q148_halfsample_ci" -> (halfSampleCi _),
     "q149_join_stats" -> (joinStats _),
     "q150_bitext_margin" -> (bitextMargin _),
-    "q151_bpe_pairs" -> (bpePairs _))
+    "q151_bpe_pairs" -> (bpePairs _),
+    "q152_ivf_balance" -> (ivfBalanceAudit _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5336,6 +5347,30 @@ object Queries {
          |SELECT pair, n_occurrences,
          |       CAST(n_occurrences * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_ppm
          |FROM g ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    "q152_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e
+         |          ORDER BY $IvfCentroidOrderSql
+         |          LIMIT 32),
+         |asg AS (SELECT cell_id, CAST(floor(cell_cos * 1000000) AS BIGINT) AS cos_micro FROM (
+         |          SELECT cents.cell_id,
+         |                 list_cosine_similarity(e.v, cents.cent) AS cell_cos,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS cr
+         |          FROM e CROSS JOIN cents)
+         |        WHERE cr = 1),
+         |pc AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |         CAST(sum(cos_micro) AS BIGINT) AS cs FROM asg GROUP BY cell_id),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM asg)
+         |SELECT cents.cell_id,
+         |  coalesce(pc.n_vecs, 0) AS n_vecs,
+         |  CAST(coalesce(pc.n_vecs, 0) * 1000000 // t.tot AS BIGINT) AS share_ppm,
+         |  CAST(coalesce(pc.n_vecs, 0) * 32 * 1000000 // t.tot AS BIGINT) AS load_ppm,
+         |  CAST(CASE WHEN pc.n_vecs IS NULL THEN 0
+         |            WHEN cs >= 0 THEN cs // pc.n_vecs
+         |            ELSE -((-cs) // pc.n_vecs) END AS BIGINT) AS mean_cos_micro
+         |FROM cents LEFT JOIN pc USING (cell_id) CROSS JOIN t
+         |ORDER BY cell_id""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -205,6 +205,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF index capacity audit: per-cell posting-list population, corpus
+    * share, load factor vs the ideal |corpus|/nCentroids cell (load_ppm =
+    * 1e6 means perfectly balanced; a 20e6 cell is a 20× hot spot that will
+    * dominate every probe that touches it), and mean winning cosine
+    * (cell coherence — how tight the Voronoi cell is). This is the table
+    * that decides whether q53's index needs more centroids, k-means
+    * refinement, or cell splitting BEFORE a 100 TB build; dead cells
+    * surface as n_vecs = 0 rows (the centroid table left-joins the
+    * assignment, so the report is dense over cells).
+    *
+    * Scale shape: same centroid derivation as [[ivfTopK]] (hash-ordered
+    * sample, broadcast); the corpus argmax here is a groupBy
+    * max(struct(cos, -cell)) AGGREGATION, not a row_number window — it
+    * map-side-combines, so the only shuffle is corpus-cardinality
+    * (corpus_id, winner) partials and no sort of the ×nCentroids frame
+    * ever happens. Cosines integerize as floor(cos·1e6) before any sum,
+    * so the per-cell means replay exactly; means use sign-explicit
+    * truncating division (q140's discipline) so Spark DIV and DuckDB //
+    * agree on negative sums.
+    */
+  def ivfBalance(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                 nCentroids: Int): DataFrame = {
+    val cents = corpus
+      .select(corpusId.as("cell_id"), corpusVec.as("cent"))
+      .orderBy(Sampling.hashBucket(col("cell_id"), 1 << 30), col("cell_id"))
+      .limit(nCentroids)
+      .withColumn("cent_n", norm(col("cent")))
+    val winners = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .crossJoin(broadcast(cents))
+      .select(col("corpus_id"),
+        struct(
+          cosineFromParts(dot(col("cv"), col("cent")), col("cn"), col("cent_n"))
+            .as("cos"),
+          (-col("cell_id")).as("neg_cell")).as("cand"))
+      .groupBy(col("corpus_id")).agg(max(col("cand")).as("w"))
+      .select((-col("w.neg_cell")).as("cell_id"),
+        expr("cast(floor(w.cos * 1000000) as long)").as("cos_micro"))
+    val perCell = winners.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos_micro")).as("cs"))
+    val total = winners.agg(count(lit(1)).as("tot"))
+    cents.select(col("cell_id")).join(perCell, Seq("cell_id"), "left")
+      .crossJoin(broadcast(total))
+      .selectExpr("cell_id",
+        "coalesce(n_vecs, 0L) AS n_vecs",
+        "(coalesce(n_vecs, 0L) * 1000000L) DIV tot AS share_ppm",
+        s"(coalesce(n_vecs, 0L) * ${nCentroids}L * 1000000L) DIV tot AS load_ppm",
+        "CASE WHEN n_vecs IS NULL THEN 0L WHEN cs >= 0 THEN cs DIV n_vecs " +
+          "ELSE -((-cs) DIV n_vecs) END AS mean_cos_micro")
+      .orderBy(col("cell_id"))
+  }
+
   /** The two IVF legs shared by [[ivfTopK]] and [[ivfRecallCurve]]:
     * cell-assigned corpus rows (one streaming pass, centroids broadcast)
     * and each query's `maxProbe` nearest cells with their probe rank `qr`.

@@ -499,4 +499,19 @@ class PlanSpec extends AnyFunSuite {
       !cols.exists(c => c == "v" || c == "av" || c == "tv" || c.contains("embedding")),
       cols.toString)
   }
+
+  test("q152: the IVF argmax is a map-side-combinable aggregation — no window, no vector shuffles") {
+    // a row_number window over the corpus x centroids frame would sort 32x
+    // the corpus; the max(struct(cos, -cell)) aggregation partial-combines
+    // instead, so the plan must carry NO window at all
+    val df = SparkEntry.queries("q152_ivf_balance")(planningSession, sf)
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected window: $windows")
+    val cols = shuffledColumns("q152_ivf_balance")
+    assert(cols.nonEmpty &&
+      !cols.exists(c => c.contains("embedding") || c == "cv" || c == "cent"),
+      cols.toString)
+  }
 }

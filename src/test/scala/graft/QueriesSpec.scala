@@ -640,4 +640,18 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("p") === topPair).count()
     assert(recount == topN, s"vocab-weighted count $topN != corpus recount $recount")
   }
+
+  test("q152 IVF balance: dense cell report, populations partition the corpus, load derives from share") {
+    val rows = SparkEntry.queries("q152_ivf_balance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 32, "one row per centroid, dead cells included")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == corpus, "cells partition the corpus exactly")
+    rows.foreach { case (cell, n, share, load, meanCos) =>
+      assert(n * 1000000L / corpus == share, s"cell $cell share")
+      assert(n * 32L * 1000000L / corpus == load, s"cell $cell load factor")
+      assert(meanCos >= -1000000L && meanCos <= 1000000L, s"cell $cell mean cosine")
+      if (n == 0) assert(meanCos == 0, s"dead cell $cell must report 0 coherence")
+    }
+  }
 }
