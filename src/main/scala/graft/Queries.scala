@@ -3167,6 +3167,30 @@ object Queries {
     Similarity.ivfBalance(e, col("vec_id"), col("embedding"), nCentroids = 32)
   }
 
+  /** Daily distinct-user estimates via the mergeable KMV AGGREGATOR
+    * ([[graft.functions.Sketches.KmvAggregator]]) — q147's sketch as one
+    * custom aggregate instead of a sharded top-k plan: partial sketches
+    * form map-side on every input split and merge associatively, which is
+    * the form that drops unchanged into a watermarked streaming window
+    * ([[graft.streaming.Windowed.distinctEstimateStream]] is the
+    * continuous twin). Per day: sketch fill, the integer-DIV estimate, and
+    * the exact distinct as the error audit (the q134 discipline — the
+    * audit column is what you delete at 100 TB, the sketch is what you
+    * keep). State per group is ≤ 64 longs, never a distinct set.
+    */
+  def kmvDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    t(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"),
+        Sketches.kmvHash48(col("user_id")).as("h"))
+      .groupBy(col("day"))
+      .agg(Sketches.kmvSketch(col("h")).as("sk"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("day"), size(col("sk")).cast("long").as("n_sketch"),
+        Sketches.kmvEstimate("sk").as("est_distinct"), col("exact_distinct"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3323,7 +3347,8 @@ object Queries {
     "q149_join_stats" -> (joinStats _),
     "q150_bitext_margin" -> (bitextMargin _),
     "q151_bpe_pairs" -> (bpePairs _),
-    "q152_ivf_balance" -> (ivfBalanceAudit _))
+    "q152_ivf_balance" -> (ivfBalanceAudit _),
+    "q153_kmv_daily" -> (kmvDaily _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5371,6 +5396,22 @@ object Queries {
          |            ELSE -((-cs) // pc.n_vecs) END AS BIGINT) AS mean_cos_micro
          |FROM cents LEFT JOIN pc USING (cell_id) CROSS JOIN t
          |ORDER BY cell_id""".stripMargin,
+    "q153_kmv_daily" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+        |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM events),
+        |d AS (SELECT DISTINCT day, h FROM e),
+        |rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM d),
+        |sk AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sketch,
+        |         max(CASE WHEN r = 64 THEN h END) AS h64
+        |       FROM rk WHERE r <= 64 GROUP BY day),
+        |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       FROM e GROUP BY day)
+        |SELECT sk.day, n_sketch,
+        |  CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+        |            ELSE 17732923532771328 // greatest(h64, 1) END AS BIGINT) AS est_distinct,
+        |  exact_distinct
+        |FROM sk JOIN ex USING (day) ORDER BY sk.day""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

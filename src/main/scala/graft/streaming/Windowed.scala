@@ -47,6 +47,28 @@ object Windowed {
       .filter(col("n") >= threshold)
       .select(col("window.start").as("window_start"), col("user_id"), col("n"))
 
+  /** Streaming distinct-rate monitor: per tumbling window, a mergeable KMV
+    * sketch of the key ([[graft.functions.Sketches.KmvAggregator]]) plus
+    * its distinct ESTIMATE — cardinality monitoring with state bounded at
+    * k longs per window instead of a per-key distinct set, which is the
+    * only form that survives an unbounded key space. The batch twin is
+    * q153 (`Queries.kmvDaily`); same hash family, same estimator, so a
+    * replayed batch over the same window reproduces the stream's numbers
+    * exactly. Input needs (ts: timestamp, user_id: long).
+    */
+  def distinctEstimateStream(events: DataFrame, windowDur: String,
+                             watermark: String): DataFrame = {
+    import graft.functions.Sketches
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("h", Sketches.kmvHash48(col("user_id")))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(Sketches.kmvSketch(col("h")).as("sk"))
+      .select(col("window.start").as("window_start"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        Sketches.kmvEstimate("sk").as("est_distinct"))
+  }
+
   /** Streaming exact dedup by content fingerprint — the continuous twin of
     * [[graft.functions.Dedup.exactDuplicateGroups]]: keep the first document
     * per normalized-text fingerprint, drop every later duplicate.

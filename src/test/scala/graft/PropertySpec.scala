@@ -474,4 +474,23 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KmvAggregator: sketch equals naive bottom-k distinct and is partitioning-invariant") {
+    import graft.functions.Sketches
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 200L)) // heavy duplication
+      k <- Gen.oneOf(4, 16, 64)
+    } yield (vals, k)
+    forAll(gen, n = 8) { case (vals, k) =>
+      val expected = vals.distinct.sorted.take(k)
+      val results = Seq(1, 3, 17).map { parts =>
+        vals.toDF("h").repartition(parts)
+          .agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+          .head().getSeq[Long](0).toList
+      }
+      results.foreach(r => assert(r == expected,
+        s"k=$k n=${vals.length}: sketch $r != naive $expected"))
+    }
+  }
 }

@@ -68,6 +68,28 @@ class WindowedStreamingSpec extends AnyFunSuite {
       s"exactly one alarm for the hot key, got: ${rows.mkString(",")}")
   }
 
+  test("distinctEstimateStream: a closed window reports its exact distinct count while under-full") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HotEv]
+    val est = Windowed.distinctEstimateStream(stream.toDF(), "10 minutes", "5 minutes")
+    val q = est.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kmv_out").start()
+    stream.addData(
+      HotEv(ts("2024-01-01 00:01:00"), 1L),
+      HotEv(ts("2024-01-01 00:02:00"), 2L),
+      HotEv(ts("2024-01-01 00:03:00"), 1L), // duplicate — must not count twice
+      HotEv(ts("2024-01-01 00:04:00"), 3L))
+    q.processAllAvailable()
+    stream.addData(HotEv(ts("2024-01-01 01:00:00"), 9L)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("kmv_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    q.stop()
+    // 3 distinct keys, sketch not full (< 64) → the estimate IS exact
+    assert(rows.toSeq == Seq(("2024-01-01 00:00:00.0", 3L, 3L)),
+      s"got ${rows.mkString(",")}")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keys state by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Doc]
