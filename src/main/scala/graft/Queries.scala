@@ -3191,6 +3191,50 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Group-aware splitting, measured: the same near-dup candidate pairs
+    * (q28's MinHash LSH), scored against TWO split assignments — the naive
+    * per-document id-hash split (q55) and the group-aware source-hash
+    * split (GroupShuffleSplit: every document of a source travels
+    * together). For each mode: total pairs, pairs crossing any split
+    * boundary, and train↔test pairs specifically — the leakage a held-out
+    * metric silently inherits. Same-source near-dups (re-crawls, template
+    * copies — most of them, per q132) can NEVER cross under the group
+    * split; what remains is true cross-source duplication, which only
+    * dedup (q83) can fix. One candidate-pair computation feeds both modes
+    * (flags are projections, the rollup is a single aggregate row
+    * unpivoted by stack); pairs carry ids and source labels only.
+    */
+  def groupSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    val cands = Dedup.minHashCandidates(d, col("doc_id"), col("text"),
+      shingleK = 3, bands = 2, rowsPerBand = 2)
+    val src = d.select(col("doc_id"), col("source"))
+    val pairs = cands
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+    def split(key: Column): Column = {
+      val b = Sampling.hashBucket(key, 100)
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val (ia, ib) = (split(col("id_a")), split(col("id_b")))
+    val (ga, gb) = (split(col("src_a")), split(col("src_b")))
+    def tt(a: Column, b: Column): Column =
+      ((a === "train" && b === "test") || (a === "test" && b === "train"))
+        .cast("long")
+    pairs
+      .select((ia =!= ib).cast("long").as("ic"), tt(ia, ib).as("itt"),
+        (ga =!= gb).cast("long").as("gc"), tt(ga, gb).as("gtt"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("ic")), lit(0L)).as("ics"),
+        coalesce(sum(col("itt")), lit(0L)).as("itts"),
+        coalesce(sum(col("gc")), lit(0L)).as("gcs"),
+        coalesce(sum(col("gtt")), lit(0L)).as("gtts"))
+      .selectExpr("stack(2, 'id_hash', n, ics, itts, 'group_hash', n, gcs, gtts) " +
+        "AS (split_mode, n_pairs, n_cross_split, n_train_test)")
+      .orderBy(col("split_mode"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3348,7 +3392,8 @@ object Queries {
     "q150_bitext_margin" -> (bitextMargin _),
     "q151_bpe_pairs" -> (bpePairs _),
     "q152_ivf_balance" -> (ivfBalanceAudit _),
-    "q153_kmv_daily" -> (kmvDaily _))
+    "q153_kmv_daily" -> (kmvDaily _),
+    "q154_group_split" -> (groupSplitLeakage _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5412,6 +5457,27 @@ object Queries {
         |            ELSE 17732923532771328 // greatest(h64, 1) END AS BIGINT) AS est_distinct,
         |  exact_distinct
         |FROM sk JOIN ex USING (day) ORDER BY sk.day""".stripMargin,
+    "q154_group_split" -> {
+      def bkt(e: String) = s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % 100"
+      def sp(e: String) =
+        s"CASE WHEN ${bkt(e)} < 80 THEN 'train' WHEN ${bkt(e)} < 90 THEN 'val' ELSE 'test' END"
+      s"""WITH pairs AS ($MinhashPairsBody),
+         |s AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT ${sp("p.id_a")} AS ia, ${sp("p.id_b")} AS ib,
+         |               ${sp("sa.source")} AS ga, ${sp("sb.source")} AS gb
+         |        FROM pairs p JOIN s sa ON p.id_a = sa.doc_id
+         |                     JOIN s sb ON p.id_b = sb.doc_id),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(coalesce(sum(CASE WHEN ia <> ib THEN 1 ELSE 0 END), 0) AS BIGINT) AS ics,
+         |        CAST(coalesce(sum(CASE WHEN (ia = 'train' AND ib = 'test') OR (ia = 'test' AND ib = 'train') THEN 1 ELSE 0 END), 0) AS BIGINT) AS itts,
+         |        CAST(coalesce(sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END), 0) AS BIGINT) AS gcs,
+         |        CAST(coalesce(sum(CASE WHEN (ga = 'train' AND gb = 'test') OR (ga = 'test' AND gb = 'train') THEN 1 ELSE 0 END), 0) AS BIGINT) AS gtts
+         |      FROM lab)
+         |SELECT 'group_hash' AS split_mode, n AS n_pairs, gcs AS n_cross_split, gtts AS n_train_test FROM a
+         |UNION ALL
+         |SELECT 'id_hash', n, ics, itts FROM a
+         |ORDER BY split_mode""".stripMargin
+    },
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -654,4 +654,29 @@ class QueriesSpec extends AnyFunSuite {
       if (n == 0) assert(meanCos == 0, s"dead cell $cell must report 0 coherence")
     }
   }
+
+  test("q154 group split: same pair universe per mode, group leakage bounded by cross-source pairs") {
+    import graft.functions.{Dedup, Text}
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q154_group_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("id_hash", "group_hash"))
+    val (nG, crossG, ttG) = rows("group_hash")
+    val (nI, crossI, ttI) = rows("id_hash")
+    assert(nG == nI, "both modes score the SAME candidate pairs")
+    Seq((crossG, ttG), (crossI, ttI)).foreach { case (c, tt) =>
+      assert(tt <= c && c <= nG, "train-test leaks are a subset of cross-split pairs")
+    }
+    // the group-split guarantee: same-source pairs can never cross, so
+    // group-mode crossings are bounded by the cross-source pair count
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    val src = d.select(col("doc_id"), col("source"))
+    val crossSource = Dedup.minHashCandidates(d, col("doc_id"), col("text"), 3, 2, 2)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .filter(col("src_a") =!= col("src_b")).count()
+    assert(crossG <= crossSource,
+      s"group-split crossings $crossG exceed cross-source pairs $crossSource")
+  }
 }
