@@ -3235,6 +3235,40 @@ object Queries {
       .orderBy(col("split_mode"))
   }
 
+  /** Embedding dimension-health audit: per dimension, the micro-quantized
+    * component mean, the exactly-zero count (dead-dimension detector), and
+    * the dimension's share of total squared mass in ppm (anisotropy — a
+    * healthy 64-dim space sits near 15625 ppm per dim; one dimension
+    * hoarding energy means cosine is secretly a 1-D comparison, the
+    * known rogue-dimension failure of embedding models). This is the
+    * pre-flight check for every consumer downstream — q30's cosine, q66's
+    * PQ codebooks, q74's int8 ranges all assume the space isn't
+    * degenerate. Scale shape: one posexplode + map-side-combined groupBy
+    * over dim-cardinality keys; components integerize as floor(x·1e6)
+    * BEFORE any sum, squared mass accumulates in DECIMAL(38,0) (q133's
+    * overflow discipline), means use sign-explicit truncating division;
+    * the total is an in-plan broadcast scalar. Vectors never shuffle —
+    * only (dim, partial-aggregate) rows do.
+    */
+  def dimHealth(spark: SparkSession, dir: String): DataFrame = {
+    val comps = t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .select(col("dim_idx").cast("long").as("dim_idx"),
+        expr("cast(floor(cast(x as double) * 1000000) as long)").as("xm"))
+    val per = comps.groupBy(col("dim_idx")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("xm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+      sum(col("xm")).as("sm"),
+      sum(col("xm").cast(DecimalType(38, 0)) * col("xm").cast(DecimalType(38, 0)))
+        .as("de"))
+    val tot = per.agg(sum(col("de")).as("te"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("dim_idx", "n_zero",
+        "CASE WHEN sm >= 0 THEN sm DIV n ELSE -((-sm) DIV n) END AS mean_micro",
+        "CAST((de * 1000000) DIV te AS BIGINT) AS energy_ppm")
+      .orderBy(col("dim_idx"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3393,7 +3427,8 @@ object Queries {
     "q151_bpe_pairs" -> (bpePairs _),
     "q152_ivf_balance" -> (ivfBalanceAudit _),
     "q153_kmv_daily" -> (kmvDaily _),
-    "q154_group_split" -> (groupSplitLeakage _))
+    "q154_group_split" -> (groupSplitLeakage _),
+    "q155_dim_health" -> (dimHealth _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5478,6 +5513,20 @@ object Queries {
          |SELECT 'id_hash', n, ics, itts FROM a
          |ORDER BY split_mode""".stripMargin
     },
+    "q155_dim_health" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT i - 1 AS dim_idx, CAST(floor(v[i] * 1000000) AS BIGINT) AS xm
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |p AS (SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |        CAST(sum(xm) AS BIGINT) AS sm,
+        |        sum(CAST(xm AS HUGEINT) * xm) AS de
+        |      FROM c GROUP BY dim_idx),
+        |t2 AS (SELECT sum(de) AS te FROM p)
+        |SELECT CAST(dim_idx AS BIGINT) AS dim_idx, n_zero,
+        |  CAST(CASE WHEN sm >= 0 THEN sm // n ELSE -((-sm) // n) END AS BIGINT) AS mean_micro,
+        |  CAST((de * 1000000) // te AS BIGINT) AS energy_ppm
+        |FROM p, t2 ORDER BY dim_idx""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

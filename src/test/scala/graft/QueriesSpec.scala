@@ -679,4 +679,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(crossG <= crossSource,
       s"group-split crossings $crossG exceed cross-source pairs $crossSource")
   }
+
+  test("q155 dim health: every dimension reported once, energy shares total ~1e6") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val rows = SparkEntry.queries("q155_dim_health")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dim = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(asize(col("embedding"))).head().getInt(0)
+    assert(rows.map(_._1).toSeq == (0L until dim.toLong), "dense, ordered dimension report")
+    val energySum = rows.map(_._4).sum
+    // each of `dim` integer DIVs truncates < 1 ppm
+    assert(energySum <= 1000000L && energySum > 1000000L - dim,
+      s"energy shares must partition the mass: $energySum")
+    rows.foreach { case (d, nZero, _, eppm) =>
+      assert(nZero >= 0 && eppm >= 0, s"dim $d")
+    }
+  }
 }
