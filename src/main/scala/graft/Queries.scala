@@ -3269,6 +3269,53 @@ object Queries {
       .orderBy(col("dim_idx"))
   }
 
+  /** Curriculum budget cut: the most-FLUENT documents (q82's integer
+    * char-bigram LM, mean-per-transition) selected in exact global quality
+    * order until half the corpus tokens are spent — "best data first"
+    * selection at a token budget, the curriculum/data-pruning op that a
+    * top-k by score (q102) can't express because the stop condition is a
+    * running SUM, not a count. Scale shape — the third prefix-sum sharding
+    * in this repo, this one ORDER-BY-VALUE: the bounded metric (mean
+    * fluency ∈ [0, 1e6]) range-shards into 16 slices, a per-slice token
+    * mass + a ≤17-row slice prefix locate the budget's boundary slice,
+    * whole slices above it keep scan-locally, and ONLY the boundary
+    * slice's rows enter an ordered window (bounded by slice width, never
+    * the corpus). Bit-identical to the naive global running sum the
+    * oracle computes; output is the per-language rollup of the selection.
+    */
+  def curriculumBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.functions.LmScore.bigramModel(docs, col("text"))
+    val scored = graft.functions.LmScore
+      .score(docs, col("doc_id"), col("text"), model)
+      .select(col("doc_id"), expr("lm_score DIV n_bigrams").as("mean_micro"))
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(Text.normalized(col("text")))).cast("long").as("tok"))
+      .join(scored, "doc_id")
+      .withColumn("shard", expr("mean_micro DIV 62500"))
+    val budget = base.agg(sum(col("tok")).as("tt"))
+      .select(expr("tt DIV 2").as("budget"))
+    val shardPrefix = base.groupBy(col("shard")).agg(sum(col("tok")).as("stok"))
+      .withColumn("cum_through",
+        sum(col("stok")).over(Window.orderBy(col("shard").desc)))
+      .withColumn("cum_before", col("cum_through") - col("stok"))
+    val withCtx = base.join(broadcast(shardPrefix), "shard")
+      .crossJoin(broadcast(budget))
+    val fullSlices = withCtx.filter(col("cum_through") <= col("budget"))
+    val boundary = withCtx
+      .filter(col("cum_before") < col("budget") && col("cum_through") > col("budget"))
+      .withColumn("wc", sum(col("tok")).over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("mean_micro").desc, col("doc_id"))))
+      .filter(col("cum_before") + col("wc") <= col("budget"))
+      .drop("wc")
+    fullSlices.unionByName(boundary)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3428,7 +3475,8 @@ object Queries {
     "q152_ivf_balance" -> (ivfBalanceAudit _),
     "q153_kmv_daily" -> (kmvDaily _),
     "q154_group_split" -> (groupSplitLeakage _),
-    "q155_dim_health" -> (dimHealth _))
+    "q155_dim_health" -> (dimHealth _),
+    "q156_curriculum_budget" -> (curriculumBudget _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5527,6 +5575,27 @@ object Queries {
         |  CAST(CASE WHEN sm >= 0 THEN sm // n ELSE -((-sm) // n) END AS BIGINT) AS mean_micro,
         |  CAST((de * 1000000) // te AS BIGINT) AS energy_ppm
         |FROM p, t2 ORDER BY dim_idx""".stripMargin,
+    // the sharded three-phase cut must be indistinguishable from the naive
+    // global running sum — so its oracle IS the naive global running sum
+    "q156_curriculum_budget" ->
+      s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(n)), i -> n[i:i+1])) AS bigram FROM nt),
+         |m AS (SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram),
+         |p AS (SELECT substr(bigram, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS prefix_cnt FROM m GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS nb,
+         |         CAST(sum(CAST(floor(1000000 * cnt / prefix_cnt) AS BIGINT)) AS BIGINT) AS ls
+         |       FROM g JOIN m USING (bigram) JOIN p ON substr(g.bigram, 1, 1) = p.c1
+         |       GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, d.lang, CAST(len($DNTOKS) AS BIGINT) AS tok,
+         |           ls // nb AS mean_micro
+         |         FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+         |b AS (SELECT CAST(sum(tok) AS BIGINT) // 2 AS budget FROM base),
+         |o AS (SELECT *, CAST(sum(tok) OVER (ORDER BY mean_micro DESC, doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM base),
+         |sel AS (SELECT o.* FROM o, b WHERE cum <= budget)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -500,6 +500,23 @@ class PlanSpec extends AnyFunSuite {
       cols.toString)
   }
 
+  test("q156: curriculum windows run over the slice summary and the boundary slice only — text never shuffles") {
+    // the global prefix is range-sharded: one window over the ≤17-row
+    // slice summary, one over the single boundary slice. No window may
+    // see the raw corpus unsharded, and no exchange may carry text.
+    val df = SparkEntry.queries("q156_curriculum_budget")(planningSession, sf)
+    val ws = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      assert(!w.child.output.exists(_.name.contains("text")),
+        s"text enters a window: ${w.child.output.map(_.name)}")
+    }
+    val cols = shuffledColumns("q156_curriculum_budget")
+    assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
+  }
+
   test("q152: the IVF argmax is a map-side-combinable aggregation — no window, no vector shuffles") {
     // a row_number window over the corpus x centroids frame would sort 32x
     // the corpus; the max(struct(cos, -cell)) aggregation partial-combines

@@ -695,4 +695,21 @@ class QueriesSpec extends AnyFunSuite {
       assert(nZero >= 0 && eppm >= 0, s"dim $d")
     }
   }
+
+  test("q156 curriculum: the selection fills the half-token budget to within one document") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q156_curriculum_budget")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), "\\s+"))
+        .cast("long").as("tok"))
+    val (total, maxTok) = toks.agg(sum(col("tok")), max(col("tok"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    val budget = total / 2
+    val selected = rows.map(_._3).sum
+    assert(selected <= budget, s"selection $selected exceeds budget $budget")
+    assert(selected > budget - maxTok,
+      s"greedy prefix must fill the budget to within one document: $selected vs $budget (max doc $maxTok)")
+  }
 }
