@@ -3316,6 +3316,57 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Linear multi-touch attribution: every purchase's value splits equally
+    * (exact integer micros, remainder to the LAST touch so revenue is
+    * conserved to the micro) across the same-user clicks in the preceding
+    * 10 minutes; purchases with no preceding click post as 'direct'. The
+    * daily first/middle/last/direct revenue table is the attribution card
+    * marketing runs nightly — and the remainder-to-last rule is what makes
+    * it auditable: per day, attributed revenue sums EXACTLY to purchase
+    * revenue (the spec pins conservation). Scale shape: the touch match is
+    * [[graft.ops.RangeJoin.joinRange]]'s bucketed equi-join (no
+    * nested-loop inequality join); position/count windows partition by
+    * the high-cardinality purchase id; the rollup is days × 4 classes
+    * with map-side partials. Money goes through DECIMAL(18,2) → integer
+    * micros before any split.
+    */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"),
+        (dec2(col("value")) * 1000000).cast("long").as("vmicro"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"), col("vmicro"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("event_id").as("c_id"))
+    val touches = graft.ops.RangeJoin.joinRange(purchases, clicks,
+      "user_id", "p_ts", "c_ts", window = 600000000L)
+    val w = Window.partitionBy(col("p_id"))
+    val ranked = touches
+      .withColumn("pos", row_number().over(w.orderBy(col("c_ts"), col("c_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("base", expr("vmicro DIV n"))
+      .withColumn("attributed",
+        when(col("pos") === col("n"),
+          col("vmicro") - col("base") * (col("n") - 1))
+          .otherwise(col("base")))
+      .withColumn("attribution",
+        when(col("pos") === col("n"), "last")
+          .when(col("pos") === 1, "first").otherwise("middle"))
+    val direct = purchases
+      .join(touches.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .select(expr("p_ts div 86400000000").as("day"),
+        lit("direct").as("attribution"), col("vmicro").as("attributed"))
+    ranked
+      .select(expr("p_ts div 86400000000").as("day"), col("attribution"),
+        col("attributed"))
+      .unionByName(direct)
+      .groupBy(col("day"), col("attribution"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("attributed")).as("revenue_micro"))
+      .orderBy(col("day"), col("attribution"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3476,7 +3527,8 @@ object Queries {
     "q153_kmv_daily" -> (kmvDaily _),
     "q154_group_split" -> (groupSplitLeakage _),
     "q155_dim_health" -> (dimHealth _),
-    "q156_curriculum_budget" -> (curriculumBudget _))
+    "q156_curriculum_budget" -> (curriculumBudget _),
+    "q157_attribution" -> (multiTouchAttribution _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5596,6 +5648,30 @@ object Queries {
          |sel AS (SELECT o.* FROM o, b WHERE cum <= budget)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
+    "q157_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS vmicro
+        |           FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts, vmicro FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts, event_id AS c_id FROM e
+        |      WHERE event_type = 'click'),
+        |tj AS (SELECT p.p_id, p.p_ts, p.vmicro, c.c_ts, c.c_id
+        |       FROM p JOIN c ON p.user_id = c.user_id
+        |       WHERE p.p_ts - c.c_ts BETWEEN 0 AND 600000000),
+        |r AS (SELECT *, row_number() OVER w AS pos, count(*) OVER (PARTITION BY p_id) AS n,
+        |        vmicro // count(*) OVER (PARTITION BY p_id) AS base
+        |      FROM tj WINDOW w AS (PARTITION BY p_id ORDER BY c_ts, c_id)),
+        |a AS (SELECT p_ts // 86400000000 AS day,
+        |        CASE WHEN pos = n THEN 'last' WHEN pos = 1 THEN 'first' ELSE 'middle' END AS attribution,
+        |        CASE WHEN pos = n THEN vmicro - base * (n - 1) ELSE base END AS attributed
+        |      FROM r
+        |      UNION ALL
+        |      SELECT p_ts // 86400000000, 'direct', vmicro FROM p
+        |      WHERE NOT EXISTS (SELECT 1 FROM tj WHERE tj.p_id = p.p_id))
+        |SELECT day, attribution, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(attributed) AS BIGINT) AS revenue_micro
+        |FROM a GROUP BY day, attribution ORDER BY day, attribution""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

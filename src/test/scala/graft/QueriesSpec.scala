@@ -712,4 +712,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(selected > budget - maxTok,
       s"greedy prefix must fill the budget to within one document: $selected vs $budget (max doc $maxTok)")
   }
+
+  test("q157 attribution: revenue conserved to the micro per day, classes well-formed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q157_attribution")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSet.subsetOf(Set("first", "middle", "last", "direct")))
+    // the remainder-to-last rule makes attribution a PARTITION of revenue:
+    // per day, attributed micros must equal raw purchase micros exactly
+    val purchases = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 1000000).cast("long").as("vmicro"))
+      .groupBy(col("day")).agg(sum(col("vmicro")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val attributed = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._4).sum }
+    assert(attributed == purchases,
+      s"attribution must conserve revenue: ${attributed.toSeq.sorted.take(3)} vs ${purchases.toSeq.sorted.take(3)}")
+    // every day with any purchase has a 'last' or 'direct' row (value must land somewhere)
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.exists(r => r._2 == "last" || r._2 == "direct"), s"day $d")
+    }
+  }
 }
