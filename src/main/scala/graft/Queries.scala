@@ -3367,6 +3367,51 @@ object Queries {
       .orderBy(col("day"), col("attribution"))
   }
 
+  /** Session co-occurrence lift (association analysis): for every
+    * unordered event-type pair, the number of sessions containing both,
+    * its support, and its LIFT — observed co-occurrence over the
+    * independence expectation, in exact ppm — the market-basket table
+    * behind "users who error also churn" claims, and the point where raw
+    * counts mislead (the two most common types always co-occur most; lift
+    * is what says whether that means anything). Scale shape: sessions
+    * come from the q19/q144 sessionizer (per-user windows); the only
+    * corpus-scale frames are distinct (session, type) rows and their
+    * self-join WITHIN each session — bounded by the type-alphabet squared
+    * per session, which is the standard itemset constraint (cap the
+    * per-session type set for open alphabets). Type marginals and the
+    * session total broadcast; lift multiplies in DECIMAL(38,0)/HUGEINT
+    * so n_ab·N·1e6 cannot overflow at corpus scale.
+    */
+  def liftPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val sess = Events.sessionize(e, col("user_id"), col("ts_us"),
+      col("event_id"), 1800000000L)
+    val st = sess.select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val totals = st.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val single = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val a = st.select(col("user_id"), col("session_seq"),
+      col("event_type").as("type_a"))
+    val b = st.select(col("user_id"), col("session_seq"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "session_seq"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(single.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(single.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .selectExpr("type_a", "type_b", "n_ab",
+        "(n_ab * 1000000L) DIV n_sessions AS support_ppm",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_ppm")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3528,7 +3573,8 @@ object Queries {
     "q154_group_split" -> (groupSplitLeakage _),
     "q155_dim_health" -> (dimHealth _),
     "q156_curriculum_budget" -> (curriculumBudget _),
-    "q157_attribution" -> (multiTouchAttribution _))
+    "q157_attribution" -> (multiTouchAttribution _),
+    "q158_lift_pairs" -> (liftPairs _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5672,6 +5718,29 @@ object Queries {
         |SELECT day, attribution, CAST(count(*) AS BIGINT) AS n_touches,
         |       CAST(sum(attributed) AS BIGINT) AS revenue_micro
         |FROM a GROUP BY day, attribution ORDER BY day, attribution""".stripMargin,
+    "q158_lift_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |        FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+        |sg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM st a JOIN st b ON a.user_id = b.user_id
+        |         AND a.session_seq = b.session_seq AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  CAST(n_ab * 1000000 // n_sessions AS BIGINT) AS support_ppm,
+        |  CAST((CAST(n_ab AS HUGEINT) * n_sessions * 1000000) //
+        |       (CAST(sa.n_t AS HUGEINT) * sb.n_t) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN sg sa ON pr.type_a = sa.event_type
+        |        JOIN sg sb ON pr.type_b = sb.event_type
+        |        CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

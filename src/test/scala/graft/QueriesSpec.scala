@@ -736,4 +736,31 @@ class QueriesSpec extends AnyFunSuite {
       assert(rs.exists(r => r._2 == "last" || r._2 == "direct"), s"day $d")
     }
   }
+
+  test("q158 lift pairs: canonical pair grid, lift derives exactly from the session marginals") {
+    import graft.ops.Events
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q158_lift_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (a, b, nab, support, _) =>
+      assert(a < b, "canonical order")
+      assert(nab > 0 && support > 0 && support <= 1000000L)
+    }
+    // recompute the marginals for every pair and pin the exact lift formula
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    val st = Events.sessionize(e, col("user_id"), col("ts_us"), col("event_id"), 1800000000L)
+      .select(col("user_id"), col("session_seq"), col("event_type")).distinct()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val bySession = st.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val n = bySession.size.toLong
+    val marg = st.groupBy(_._2).map { case (t, vs) => t -> vs.length.toLong }
+    rows.foreach { case (a, b, nab, support, lift) =>
+      val expectNab = bySession.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(nab == expectNab, s"($a,$b) co-occurrence")
+      assert(support == nab * 1000000L / n)
+      assert(lift == (BigInt(nab) * n * 1000000 / (BigInt(marg(a)) * marg(b))).toLong,
+        s"($a,$b) lift")
+    }
+  }
 }
