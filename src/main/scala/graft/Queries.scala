@@ -3412,6 +3412,38 @@ object Queries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Within-session transition matrix (first-order Markov journey table):
+    * for every consecutive event pair inside a session, the (from → to)
+    * count and the row-normalized transition probability in exact ppm —
+    * q158 says which behaviors co-occur, this says in which ORDER, which
+    * is what funnels (q115), next-action prediction baselines, and
+    * anomaly detection on journey shape all consume. Scale shape:
+    * transitions come from one `lead` over the per-(user, session) window
+    * (high-cardinality partitioning, parallelizes freely) and project
+    * map-side into a ≤ |alphabet|² cell rollup; the from-marginal
+    * normalization runs on matrix-cardinality rows only.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val sess = Events.sessionize(e, col("user_id"), col("ts_us"),
+      col("event_id"), 1800000000L)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cells = sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val marginals = cells.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("nf"))
+    cells.join(broadcast(marginals), "from_type")
+      .selectExpr("from_type", "to_type", "n_transitions",
+        "(n_transitions * 1000000L) DIV nf AS prob_ppm")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3574,7 +3606,8 @@ object Queries {
     "q155_dim_health" -> (dimHealth _),
     "q156_curriculum_budget" -> (curriculumBudget _),
     "q157_attribution" -> (multiTouchAttribution _),
-    "q158_lift_pairs" -> (liftPairs _))
+    "q158_lift_pairs" -> (liftPairs _),
+    "q159_transition_matrix" -> (transitionMatrix _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5741,6 +5774,23 @@ object Queries {
         |        JOIN sg sb ON pr.type_b = sb.event_type
         |        CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+    "q159_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+        |tr AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id, session_seq
+        |                                ORDER BY ts_us, event_id) AS to_type
+        |       FROM s2),
+        |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS nf FROM g GROUP BY 1)
+        |SELECT from_type, to_type, n_transitions,
+        |       CAST(n_transitions * 1000000 // nf AS BIGINT) AS prob_ppm
+        |FROM g JOIN m USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -763,4 +763,26 @@ class QueriesSpec extends AnyFunSuite {
         s"($a,$b) lift")
     }
   }
+
+  test("q159 transitions: rows normalize to ~1e6 per from-state, totals match session lengths") {
+    import graft.ops.Events
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q159_transition_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val total = rs.map(_._4).sum
+      // each cell truncates < 1 ppm
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"$from: row probabilities sum to $total")
+    }
+    // total transitions = sum over sessions of (length - 1)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    val sessLens = Events.sessionize(e, col("user_id"), col("ts_us"), col("event_id"), 1800000000L)
+      .groupBy(col("user_id"), col("session_seq")).count()
+      .agg(sum(col("count") - 1)).head().getLong(0)
+    assert(rows.map(_._3).sum == sessLens,
+      "every consecutive in-session pair is exactly one transition")
+  }
 }
