@@ -3444,6 +3444,52 @@ object Queries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Retrieval-index scorecard: recall@10 and MRR for every ANN method in
+    * the repo — LSH (q32's buckets) and IVF (q53's cells) — against the
+    * brute-force truth (q30), on the same query set, in ONE table. q126
+    * charts one index's probe-budget curve; this is the cross-method
+    * decision row ("which index, at today's data") an embedding platform
+    * publishes with each corpus release. The grid is DENSE over methods ×
+    * queries, so a query an index returns nothing for (empty LSH bucket)
+    * still drags its recall down instead of silently vanishing. MRR stays
+    * integer: per query 1e6 DIV first-hit-rank, averaged by DIV — exact
+    * in both engines. Scale shape: each method is its own already-audited
+    * plan (broadcast queries, bucketed/celled probes); the scorecard adds
+    * only joins on (query, corpus-id) pairs of k-bounded results and a
+    * methods×queries rollup.
+    */
+  def retrievalScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def asResult(df: DataFrame, m: String): DataFrame =
+      df.select(lit(m).as("method"), col("query_id"), col("corpus_id"), col("rank"))
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+    val results = asResult(truth, "brute")
+      .unionByName(asResult(Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10, dim = 64, bits = 6), "lsh"))
+      .unionByName(asResult(Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10, nCentroids = 32, nProbe = 8), "ivf"))
+    val truthSet = truth.select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    val perQ = results
+      .join(truthSet, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+        min(when(col("hit").isNotNull, col("rank"))).as("first_hit"))
+    val grid = q.select(col("vec_id").as("query_id"))
+      .crossJoin(spark.sql("SELECT explode(array('brute', 'lsh', 'ivf')) AS method"))
+    grid.join(perQ, Seq("method", "query_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(col("hits")), lit(0L)).as("n_hits"),
+        sum(when(col("first_hit").isNull, 0L)
+          .otherwise(expr("1000000L DIV first_hit"))).as("rr_sum"))
+      .selectExpr("method", "n_queries", "n_hits",
+        "(n_hits * 1000000L) DIV (n_queries * 10L) AS recall_ppm",
+        "rr_sum DIV n_queries AS mrr_micro")
+      .orderBy(col("method"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3607,7 +3653,8 @@ object Queries {
     "q156_curriculum_budget" -> (curriculumBudget _),
     "q157_attribution" -> (multiTouchAttribution _),
     "q158_lift_pairs" -> (liftPairs _),
-    "q159_transition_matrix" -> (transitionMatrix _))
+    "q159_transition_matrix" -> (transitionMatrix _),
+    "q160_ann_scorecard" -> (retrievalScorecard _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5791,6 +5838,60 @@ object Queries {
         |SELECT from_type, to_type, n_transitions,
         |       CAST(n_transitions * 1000000 // nf AS BIGINT) AS prob_ppm
         |FROM g JOIN m USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "q160_ann_scorecard" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |ts AS (SELECT qid, vec_id AS cid, list_cosine_similarity(v, qv) AS sim
+         |       FROM e CROSS JOIN tq WHERE qid <> vec_id),
+         |truth AS (SELECT qid, cid,
+         |            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |          FROM ts QUALIFY rnk <= 10),
+         |sg AS (SELECT vec_id, v, $LshBucketSql AS bucket FROM e),
+         |lq AS (SELECT vec_id AS qid, v AS qv, bucket FROM sg WHERE vec_id < 5),
+         |ls AS (SELECT qid, vec_id AS cid, list_cosine_similarity(sg.v, qv) AS sim
+         |       FROM sg JOIN lq USING (bucket) WHERE qid <> vec_id),
+         |lsh AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |        FROM ls QUALIFY rnk <= 10),
+         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM e
+         |          ORDER BY $IvfCentroidOrderSql
+         |          LIMIT 32),
+         |asg AS (SELECT corpus_id, cv, cell_id FROM (
+         |          SELECT e.vec_id AS corpus_id, e.v AS cv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS cr
+         |          FROM e CROSS JOIN cents)
+         |        WHERE cr = 1),
+         |probes AS (SELECT qid, qv, cell_id FROM (
+         |          SELECT e.vec_id AS qid, e.v AS qv, cents.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY list_cosine_similarity(e.v, cents.cent) DESC, cents.cell_id) AS qr
+         |          FROM e CROSS JOIN cents WHERE e.vec_id < 5)
+         |        WHERE qr <= 8),
+         |ivs AS (SELECT qid, corpus_id AS cid, list_cosine_similarity(cv, qv) AS sim
+         |        FROM asg JOIN probes USING (cell_id) WHERE qid <> corpus_id),
+         |ivf AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |        FROM ivs QUALIFY rnk <= 10),
+         |allr AS (SELECT 'brute' AS method, * FROM truth
+         |         UNION ALL SELECT 'lsh', * FROM lsh
+         |         UNION ALL SELECT 'ivf', * FROM ivf),
+         |h AS (SELECT allr.method, allr.qid, allr.rnk, t.cid IS NOT NULL AS hit
+         |      FROM allr LEFT JOIN truth t ON allr.qid = t.qid AND allr.cid = t.cid),
+         |perq AS (SELECT method, qid,
+         |           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |           min(CASE WHEN hit THEN rnk END) AS first_hit
+         |         FROM h GROUP BY 1, 2),
+         |grid AS (SELECT m.method, tq.qid
+         |         FROM (SELECT unnest(['brute', 'lsh', 'ivf']) AS method) m CROSS JOIN tq),
+         |dense AS (SELECT g.method, g.qid, coalesce(p.hits, 0) AS hits, p.first_hit
+         |          FROM grid g LEFT JOIN perq p ON g.method = p.method AND g.qid = p.qid)
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(hits) AS BIGINT) AS n_hits,
+         |       CAST(sum(hits) * 1000000 // (count(*) * 10) AS BIGINT) AS recall_ppm,
+         |       CAST(sum(CASE WHEN first_hit IS NULL THEN 0 ELSE 1000000 // first_hit END)
+         |            // count(*) AS BIGINT) AS mrr_micro
+         |FROM dense GROUP BY method ORDER BY method""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

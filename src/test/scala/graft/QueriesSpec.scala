@@ -785,4 +785,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == sessLens,
       "every consecutive in-session pair is exactly one transition")
   }
+
+  test("q160 scorecard: brute is perfect by construction, approximate methods are bounded by it") {
+    val rows = SparkEntry.queries("q160_ann_scorecard")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("brute", "lsh", "ivf"))
+    val (bq, bHits, bRecall, bMrr) = rows("brute")
+    assert(bq == 5 && bHits == 50 && bRecall == 1000000L && bMrr == 1000000L,
+      s"brute vs its own truth must be perfect: ${rows("brute")}")
+    Seq("lsh", "ivf").foreach { m =>
+      val (nq, hits, recall, mrr) = rows(m)
+      assert(nq == 5, s"$m must be scored on the full query set")
+      assert(hits <= bHits && recall <= bRecall && mrr <= bMrr, s"$m exceeds truth")
+      assert(recall == hits * 1000000L / (nq * 10L), s"$m recall derivation")
+      assert(mrr >= 0 && recall >= 0)
+    }
+  }
 }
