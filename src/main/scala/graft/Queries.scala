@@ -3490,6 +3490,22 @@ object Queries {
       .orderBy(col("method"))
   }
 
+  /** Near-dup graph shape ([[graft.functions.Graph.triangleStats]]):
+    * exact triangle count and global clustering coefficient over q28's
+    * candidate-pair graph — q60 says how big duplicate clusters are, this
+    * says how DENSE (re-crawl chains are triangle-free; template farms
+    * are near-cliques), the evidence for whether q60's transitive merge
+    * over-merges. Degree-ordered edge orientation bounds the wedge-join
+    * fan-out by the graph's degeneracy, not its max degree.
+    */
+  def dupGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    val pairs = Dedup.minHashCandidates(d, col("doc_id"), col("text"),
+      shingleK = 3, bands = 2, rowsPerBand = 2)
+    graft.functions.Graph.triangleStats(pairs, col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3654,7 +3670,8 @@ object Queries {
     "q157_attribution" -> (multiTouchAttribution _),
     "q158_lift_pairs" -> (liftPairs _),
     "q159_transition_matrix" -> (transitionMatrix _),
-    "q160_ann_scorecard" -> (retrievalScorecard _))
+    "q160_ann_scorecard" -> (retrievalScorecard _),
+    "q161_dup_triangles" -> (dupGraphTriangles _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5892,6 +5909,29 @@ object Queries {
          |       CAST(sum(CASE WHEN first_hit IS NULL THEN 0 ELSE 1000000 // first_hit END)
          |            // count(*) AS BIGINT) AS mrr_micro
          |FROM dense GROUP BY method ORDER BY method""".stripMargin,
+    "q161_dup_triangles" ->
+      s"""WITH pairs AS ($MinhashPairsBody),
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+         |      FROM pairs WHERE id_a <> id_b),
+         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+         |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+         |wd AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+         |       FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+         |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+         |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t FROM wd),
+         |w AS (SELECT e1.t AS w1, e2.t AS w2 FROM o e1 JOIN o e2
+         |      ON e1.s = e2.s AND e1.t < e2.t),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+         |        WHERE EXISTS (SELECT 1 FROM o
+         |                      WHERE (o.s = w.w1 AND o.t = w.w2)
+         |                         OR (o.s = w.w2 AND o.t = w.w1))),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |         CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |            ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT) AS clustering_ppm
+         |FROM vv, c, tri""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

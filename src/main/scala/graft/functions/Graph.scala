@@ -85,4 +85,54 @@ object Graph {
     }
     r.select(col("host"), col("rank"))
   }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list — the graph-shape diagnostic for the near-dup
+    * graph: q60 measures how BIG duplicate clusters are, this measures
+    * how DENSE they are (re-crawl chains triangle-free, template farms
+    * near-cliques), which is what decides whether transitive cluster
+    * merging (q60) over-merges.
+    *
+    * Algorithm is the degree-ordered orientation: every undirected edge
+    * points from its (degree, id)-smaller endpoint to the larger, wedges
+    * come from joining oriented edges on their source, and a wedge closes
+    * iff its (v, w) endpoints are themselves an oriented edge. Each
+    * triangle is counted exactly once, and — the scale property — the
+    * per-vertex join fan-out is bounded by the graph's degeneracy (max
+    * out-degree under this orientation ≈ √|E| worst case) instead of the
+    * raw max degree, which is what makes triangle counting survive a hub
+    * vertex. All joins are id-keyed narrow rows.
+    *
+    * Returns one row: n_vertices, n_edges, n_wedges (open+closed paths of
+    * length 2, Σ C(d(v), 2)), n_triangles, clustering_ppm =
+    * 3·triangles·1e6 DIV wedges (0 when wedge-free).
+    */
+  def triangleStats(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), struct(col("u"), col("v")))
+        .otherwise(struct(col("v").as("u"), col("u").as("v"))).as("o"))
+      .select(col("o.u").as("s"), col("o.v").as("t"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
+    val triangles = wedges.join(oriented,
+        (col("w1") === col("s") && col("w2") === col("t")) ||
+        (col("w2") === col("s") && col("w1") === col("t")), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
+        coalesce(sum(expr("(d * (d - 1)) DIV 2")), lit(0L)).as("n_wedges")))
+    counts.crossJoin(triangles)
+      .selectExpr("n_vertices", "n_edges", "n_wedges", "n_triangles",
+        "CASE WHEN n_wedges = 0 THEN 0L " +
+          "ELSE (3L * n_triangles * 1000000L) DIV n_wedges END AS clustering_ppm")
+  }
 }

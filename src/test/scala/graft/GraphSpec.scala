@@ -38,4 +38,23 @@ class GraphSpec extends AnyFunSuite {
     assert(out(1L) == (15 * base + 85 * (base * 3 / 4)) / 100)
     assert(out(2L) == (15 * base + 85 * (base / 4)) / 100)
   }
+
+  private def tri(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(edges.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+
+  test("triangleStats on known graphs: K4, star, path, duplicate/reversed edges") {
+    // K4: 4 vertices, 6 edges, every vertex degree 3 -> 4*C(3,2)=12 wedges,
+    // 4 triangles, clustering = 3*4/12 = 1.0
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 12L, 4L, 1000000L)))
+    // star K1,4: hub degree 4 -> C(4,2)=6 wedges, no triangles
+    assert(tri(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) == ((5L, 4L, 6L, 0L, 0L)))
+    // path a-b-c: one wedge, no triangle
+    assert(tri(Seq((1L, 2L), (2L, 3L))) == ((3L, 2L, 1L, 0L, 0L)))
+    // duplicate and reversed edges collapse before any counting
+    assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))) ==
+      ((3L, 3L, 3L, 1L, 1000000L)))
+  }
 }
