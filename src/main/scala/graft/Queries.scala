@@ -3506,6 +3506,40 @@ object Queries {
     graft.functions.Graph.triangleStats(pairs, col("id_a"), col("id_b"))
   }
 
+  /** Daily-trend detector: exact ordinary-least-squares slope of each
+    * event type's daily total value over the day index — the "is this
+    * metric drifting" monitor (q110 watches a distribution, this watches
+    * a LEVEL) in closed form: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * computed entirely from integer sums so the fit replays bit-for-bit
+    * (a float regression would not). Value micros keep money exact;
+    * products run in DECIMAL(38,0)/HUGEINT (q133's overflow discipline);
+    * the slope ships as micros-per-day with sign-explicit DIV. Scale
+    * shape: one map-side-combined (type, day) rollup — the only
+    * corpus-scale shuffle — then a types-cardinality aggregate of the
+    * five sufficient statistics.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        (dec2(col("value")) * 1000000).cast("long").as("vmicro"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vmicro")).as("y"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("day")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("day")) * dec(col("day"))).as("sxx"))
+      .selectExpr("event_type", "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS num",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0)) AS den")
+      .selectExpr("event_type", "n",
+        "CASE WHEN den = 0 THEN 0L " +
+          "WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT) " +
+          "ELSE -CAST(((-num) * 1000000) DIV den AS BIGINT) END AS slope_micro_per_day")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3671,7 +3705,8 @@ object Queries {
     "q158_lift_pairs" -> (liftPairs _),
     "q159_transition_matrix" -> (transitionMatrix _),
     "q160_ann_scorecard" -> (retrievalScorecard _),
-    "q161_dup_triangles" -> (dupGraphTriangles _))
+    "q161_dup_triangles" -> (dupGraphTriangles _),
+    "q162_trend_slope" -> (trendSlope _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5932,6 +5967,26 @@ object Queries {
          |  CAST(CASE WHEN n_wedges = 0 THEN 0
          |            ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT) AS clustering_ppm
          |FROM vv, c, tri""".stripMargin,
+    "q162_trend_slope" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS vmicro
+        |           FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(vmicro) AS BIGINT) AS y
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(CAST(day AS HUGEINT) * y) AS sxy,
+        |        sum(CAST(day AS HUGEINT) * day) AS sxx
+        |      FROM d GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |      FROM s)
+        |SELECT event_type, n,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |            WHEN num >= 0 THEN (num * 1000000) // den
+        |            ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS slope_micro_per_day
+        |FROM f ORDER BY event_type""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

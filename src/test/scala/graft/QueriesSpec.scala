@@ -802,4 +802,29 @@ class QueriesSpec extends AnyFunSuite {
       assert(mrr >= 0 && recall >= 0)
     }
   }
+
+  test("q162 trend slope: closed form matches a BigInt recomputation from the daily rollup") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q162_trend_slope")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 1000000).cast("long").as("v"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("v")).as("y"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    daily.groupBy(_._1).foreach { case (tpe, ds) =>
+      val n = BigInt(ds.length)
+      val sx = ds.map(_._2).sum; val sy = ds.map(_._3).sum
+      val sxy = ds.map(d => d._2 * d._3).sum; val sxx = ds.map(d => d._2 * d._2).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val expect =
+        if (den == 0) BigInt(0)
+        else if (num >= 0) (num * 1000000) / den
+        else -((-num * 1000000) / den)
+      val (gotN, gotSlope) = rows(tpe)
+      assert(gotN == ds.length && BigInt(gotSlope) == expect,
+        s"$tpe: slope $gotSlope != $expect over $gotN days")
+    }
+  }
 }
