@@ -3540,6 +3540,40 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Benford first-digit audit: the leading-significant-digit distribution
+    * of event values per type, as a DENSE type × digit grid of observed
+    * shares next to the Benford expectation log10(1+1/d) (fixed ppm
+    * constants) and the signed deviation — the classic fabricated-number /
+    * broken-generator screen for any money-like column, the fraud-facing
+    * member of the DQ family (q16 nulls, q80 outliers, q36 profile).
+    * First digit comes from the DECIMAL(18,2)-exact cents rendered as a
+    * string, identical in both engines; zero-valued rows are excluded
+    * (they have no significant digit). Scale shape: one
+    * map-side-combined (type, digit) rollup — ≤ types×9 cells — with
+    * per-type totals broadcast back onto the dense grid.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val cents = t(spark, dir, "events")
+      .select(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", expr("cast(substring(cast(cents as string), 1, 1) as long)"))
+    val cellCounts = cents.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val typeTotals = cellCounts.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val grid = typeTotals.crossJoin(broadcast(
+      spark.sql(s"SELECT posexplode(array(${benford.mkString(",")})) AS (i, benford_ppm)")
+        .selectExpr("cast(i + 1 as long) AS digit", "cast(benford_ppm as long) AS benford_ppm")))
+    grid.join(cellCounts, Seq("event_type", "digit"), "left")
+      .selectExpr("event_type", "digit", "coalesce(n, 0L) AS n",
+        "(coalesce(n, 0L) * 1000000L) DIV nt AS obs_ppm",
+        "benford_ppm",
+        "(coalesce(n, 0L) * 1000000L) DIV nt - benford_ppm AS deviation_ppm")
+      .orderBy(col("event_type"), col("digit"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3706,7 +3740,8 @@ object Queries {
     "q159_transition_matrix" -> (transitionMatrix _),
     "q160_ann_scorecard" -> (retrievalScorecard _),
     "q161_dup_triangles" -> (dupGraphTriangles _),
-    "q162_trend_slope" -> (trendSlope _))
+    "q162_trend_slope" -> (trendSlope _),
+    "q163_benford" -> (benfordAudit _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -5987,6 +6022,25 @@ object Queries {
         |            WHEN num >= 0 THEN (num * 1000000) // den
         |            ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS slope_micro_per_day
         |FROM f ORDER BY event_type""".stripMargin,
+    "q163_benford" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |d AS (SELECT event_type,
+        |        CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM c WHERE cents > 0),
+        |g AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM g GROUP BY 1),
+        |bf AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit,
+        |              unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])::BIGINT AS benford_ppm),
+        |grid AS (SELECT tt.event_type, bf.digit, bf.benford_ppm, tt.nt FROM tt CROSS JOIN bf)
+        |SELECT grid.event_type, grid.digit, coalesce(g.n, 0) AS n,
+        |  CAST(coalesce(g.n, 0) * 1000000 // grid.nt AS BIGINT) AS obs_ppm,
+        |  grid.benford_ppm,
+        |  CAST(coalesce(g.n, 0) * 1000000 // grid.nt - grid.benford_ppm AS BIGINT) AS deviation_ppm
+        |FROM grid LEFT JOIN g ON grid.event_type = g.event_type AND grid.digit = g.digit
+        |ORDER BY grid.event_type, grid.digit""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -827,4 +827,22 @@ class QueriesSpec extends AnyFunSuite {
         s"$tpe: slope $gotSlope != $expect over $gotN days")
     }
   }
+
+  test("q163 Benford: dense 9-digit grid per type, shares partition each type's rows") {
+    val rows = SparkEntry.queries("q163_benford")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * 9, "dense grid: every type x digit 1..9")
+    val benford1 = rows.find(_._2 == 1L).get._5
+    assert(benford1 == 301030L, "log10(2) in ppm")
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 9L), s"$t digits")
+      val obsSum = rs.map(_._4).sum
+      assert(obsSum <= 1000000L && obsSum > 1000000L - 9, s"$t shares sum $obsSum")
+      rs.foreach { case (_, _, n, obs, bf, dev) =>
+        assert(dev == obs - bf && n >= 0, s"$t deviation derivation")
+      }
+    }
+  }
 }
