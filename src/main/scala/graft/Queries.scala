@@ -3574,6 +3574,71 @@ object Queries {
       .orderBy(col("event_type"), col("digit"))
   }
 
+  /** Engine-portable HyperLogLog with a full oracle: 256 registers from an
+    * md5 hash split (2 hex chars → register, next 48 bits → rank = leading
+    * zeros + 1 via `49 − length(bin(v))`, identical SQL in both engines),
+    * per-DAY sketches max-merged register-wise into per-WEEK sketches —
+    * the HLL union — with the raw estimator in ALL-INTEGER arithmetic:
+    * Σ 2^−M scales to S = Σ 2^(50−M) (empties at 2^50) and
+    * Ê = α·m²·2^50 DIV S with α as a shared ppm literal, so the estimate
+    * replays bit-for-bit where q120's xxhash64 sketch is rows-only.
+    * The standard small-range correction (raw ≤ 5m/2 with empty
+    * registers → linear counting m·ln(m/V)) IS applied — but ln() is an
+    * engine-variant double, so the 256 possible values of the correction
+    * are precomputed into a shared literal lookup table indexed by the
+    * empty-register count: both engines read the same integer, no libm in
+    * the plan. Scale shape: after the scan the only rows are
+    * (period, register, rank) partials — map-side max-combined, ≤ 256 per
+    * period; the week merge aggregates sketch rows, never the stream; the
+    * exact audit columns are what you delete at 100 TB.
+    */
+  /** Linear-counting values m·ln(m/V) for m = 256 and V = 1..256, rounded
+    * to long — THE shared literal table both q164 engines index (Spark
+    * `element_at`, DuckDB list subscript), so the small-range correction
+    * never evaluates ln() inside either plan.
+    */
+  private lazy val HllLinearCountTable: String =
+    (1 to 256).map(v => Math.round(256.0 * Math.log(256.0 / v))).mkString(", ")
+
+  def hllPortable(spark: SparkSession, dir: String): DataFrame = {
+    val alphaPpm = 718273L // 0.7213 / (1 + 1.079/256), shared literal
+    val base = t(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .withColumn("reg",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as long)"))
+      .withColumn("v48",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 3, 12), 16, 10) as long)"))
+      .withColumn("rho",
+        when(col("v48") === 0L, lit(49L)).otherwise(lit(49L) - length(bin(col("v48")))))
+    val dayReg = base.groupBy(col("day"), col("reg")).agg(max(col("rho")).as("m"))
+    val weekReg = dayReg.groupBy(expr("day div 7").as("week"), col("reg"))
+      .agg(max(col("m")).as("m"))
+    def estimate(regs: DataFrame, period: Column, grain: String): DataFrame =
+      regs.groupBy(period.as("period"))
+        .agg(count(lit(1)).as("n_used"),
+          sum(expr("shiftleft(1L, cast(50 - m as int))")).as("s_used"))
+        .selectExpr("period", "n_used",
+          s"""CAST((CAST($alphaPpm AS DECIMAL(38,0)) * 65536 * ${1L << 50}L) DIV
+             |  (CAST(s_used + (256 - n_used) * ${1L << 50}L AS DECIMAL(38,0)) * 1000000)
+             |  AS BIGINT) AS raw_est""".stripMargin.replaceAll("\n", " "))
+        .selectExpr("period", "n_used",
+          s"""CASE WHEN raw_est <= 640 AND n_used < 256
+             |  THEN element_at(array($HllLinearCountTable), cast(256 - n_used as int))
+             |  ELSE raw_est END AS est_distinct""".stripMargin.replaceAll("\n", " "))
+        .withColumn("grain", lit(grain))
+    val exactDay = t(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("period"), col("user_id"))
+      .groupBy(col("period")).agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val exactWeek = t(spark, dir, "events")
+      .select(expr("(ts div 86400000000000) div 7").as("period"), col("user_id"))
+      .groupBy(col("period")).agg(countDistinct(col("user_id")).as("exact_distinct"))
+    estimate(dayReg, col("day"), "day").join(exactDay, "period")
+      .unionByName(estimate(weekReg, col("week"), "week").join(exactWeek, "period"))
+      .select(col("grain"), col("period"), col("n_used"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("grain"), col("period"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3741,7 +3806,8 @@ object Queries {
     "q160_ann_scorecard" -> (retrievalScorecard _),
     "q161_dup_triangles" -> (dupGraphTriangles _),
     "q162_trend_slope" -> (trendSlope _),
-    "q163_benford" -> (benfordAudit _))
+    "q163_benford" -> (benfordAudit _),
+    "q164_hll_portable" -> (hllPortable _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6041,6 +6107,44 @@ object Queries {
         |  CAST(coalesce(g.n, 0) * 1000000 // grid.nt - grid.benford_ppm AS BIGINT) AS deviation_ppm
         |FROM grid LEFT JOIN g ON grid.event_type = g.event_type AND grid.digit = g.digit
         |ORDER BY grid.event_type, grid.digit""".stripMargin,
+    "q164_hll_portable" ->
+      s"""WITH lc AS (SELECT [$HllLinearCountTable] AS t),
+        |b AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+        |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS reg,
+        |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT AS v48
+        |           FROM events),
+        |r AS (SELECT day, reg,
+        |        CASE WHEN v48 = 0 THEN 49 ELSE 49 - length(bin(v48)) END AS rho FROM b),
+        |dr AS (SELECT day, reg, CAST(max(rho) AS BIGINT) AS m FROM r GROUP BY 1, 2),
+        |wr AS (SELECT day // 7 AS week, reg, CAST(max(m) AS BIGINT) AS m FROM dr GROUP BY 1, 2),
+        |ed AS (SELECT day AS period, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       FROM b GROUP BY 1),
+        |ew AS (SELECT day // 7 AS period, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       FROM b GROUP BY 1),
+        |estd AS (SELECT day AS period, CAST(count(*) AS BIGINT) AS n_used,
+        |           sum(CAST(1::BIGINT << CAST(50 - m AS INT) AS HUGEINT)) AS s_used
+        |         FROM dr GROUP BY 1),
+        |estw AS (SELECT week AS period, CAST(count(*) AS BIGINT) AS n_used,
+        |           sum(CAST(1::BIGINT << CAST(50 - m AS INT) AS HUGEINT)) AS s_used
+        |         FROM wr GROUP BY 1),
+        |raws AS (
+        |  SELECT 'day' AS grain, e.period, n_used,
+        |    CAST((718273::HUGEINT * 65536 * 1125899906842624) //
+        |         ((s_used + (256 - n_used) * 1125899906842624::HUGEINT) * 1000000) AS BIGINT) AS raw_est,
+        |    exact_distinct
+        |  FROM estd e JOIN ed USING (period)
+        |  UNION ALL
+        |  SELECT 'week', e.period, n_used,
+        |    CAST((718273::HUGEINT * 65536 * 1125899906842624) //
+        |         ((s_used + (256 - n_used) * 1125899906842624::HUGEINT) * 1000000) AS BIGINT),
+        |    exact_distinct
+        |  FROM estw e JOIN ew USING (period))
+        |SELECT grain, period, n_used,
+        |  CAST(CASE WHEN raw_est <= 640 AND n_used < 256
+        |            THEN (SELECT t FROM lc)[CAST(256 - n_used AS INT)]
+        |            ELSE raw_est END AS BIGINT) AS est_distinct,
+        |  exact_distinct
+        |FROM raws ORDER BY grain, period""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

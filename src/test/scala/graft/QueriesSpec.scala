@@ -845,4 +845,28 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q164 portable HLL: sketches merge upward, corrected estimates track the exact audit") {
+    val rows = SparkEntry.queries("q164_hll_portable")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val days = rows.filter(_._1 == "day")
+    val weeks = rows.filter(_._1 == "week")
+    assert(days.nonEmpty && weeks.nonEmpty)
+    // register-wise max-merge can only add registers: a week's used-register
+    // count is at least any of its days' and at most the capped sum
+    weeks.foreach { case (_, wk, nUsed, _, wExact) =>
+      val inWeek = days.filter(d => d._2 / 7 == wk)
+      assert(inWeek.nonEmpty)
+      assert(nUsed >= inWeek.map(_._3).max, s"week $wk lost registers in the merge")
+      assert(nUsed <= math.min(256L, inWeek.map(_._3).sum), s"week $wk register count")
+      assert(wExact >= inWeek.map(_._5).max, s"week $wk exact below a day's")
+    }
+    // deterministic data + corrected estimator: keep the sketch honest
+    rows.foreach { case (g, p, nUsed, est, exact) =>
+      assert(nUsed >= 1 && nUsed <= 256)
+      assert(est > 0 && exact > 0)
+      val errPct = math.abs(est - exact) * 100.0 / exact
+      assert(errPct < 25.0, s"$g $p: estimate $est vs exact $exact ($errPct%)")
+    }
+  }
 }
