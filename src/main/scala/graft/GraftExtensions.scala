@@ -48,12 +48,21 @@ object GraftFunctions {
         intArg(args(2), "hyperplane_signature"),
         if (args.length > 3) intArg(args(3), "hyperplane_signature").toLong else 42L)))
 
-  /** Register on an already-built session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (temp functions). Also exposes
+    * the mergeable KMV sketch aggregate as `graft_kmv(hash48)` /
+    * `graft_kmv_estimate(sketch)` so stored SQL text can build and read
+    * bottom-k distinct sketches (aggregates register through the UDF
+    * surface, not the expression registry — they are not Expressions).
+    */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    spark.udf.register("graft_kmv",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.Sketches.KmvAggregator(graft.functions.Sketches.DefaultK)))
+  }
 }
 
 /** Session-builder injection variant of [[GraftFunctions]], plus the

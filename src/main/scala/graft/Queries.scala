@@ -6057,10 +6057,10 @@ object Queries {
          |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t FROM wd),
          |w AS (SELECT e1.t AS w1, e2.t AS w2 FROM o e1 JOIN o e2
          |      ON e1.s = e2.s AND e1.t < e2.t),
-         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
-         |        WHERE EXISTS (SELECT 1 FROM o
-         |                      WHERE (o.s = w.w1 AND o.t = w.w2)
-         |                         OR (o.s = w.w2 AND o.t = w.w1))),
+         |ek AS (SELECT least(s, t) AS ka, greatest(s, t) AS kb FROM o),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM w JOIN ek ON least(w.w1, w.w2) = ek.ka
+         |                      AND greatest(w.w1, w.w2) = ek.kb),
          |c AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
          |vv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
          |         CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges FROM deg)

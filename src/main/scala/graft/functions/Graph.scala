@@ -123,9 +123,17 @@ object Graph {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
-    val triangles = wedges.join(oriented,
-        (col("w1") === col("s") && col("w2") === col("t")) ||
-        (col("w2") === col("s") && col("w1") === col("t")), "left_semi")
+    // close the wedge against the UNDIRECTED edge key: an OR over the two
+    // possible orientations cannot hash-join (it plans as a nested loop —
+    // O(wedges × edges)); least/greatest canonicalization makes the
+    // closure one equality pair, and `oriented` holds each undirected
+    // edge exactly once so inner-join multiplicity equals semi-join.
+    val edgeKeys = oriented.select(least(col("s"), col("t")).as("ka"),
+      greatest(col("s"), col("t")).as("kb"))
+    val triangles = wedges
+      .select(least(col("w1"), col("w2")).as("ka"),
+        greatest(col("w1"), col("w2")).as("kb"))
+      .join(edgeKeys, Seq("ka", "kb"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),

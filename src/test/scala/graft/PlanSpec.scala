@@ -517,6 +517,31 @@ class PlanSpec extends AnyFunSuite {
     assert(cols.nonEmpty && !cols.exists(_.contains("text")), cols.toString)
   }
 
+  test("q157/q161: inequality-shaped joins plan as equi-joins — nested loops only combine scalars") {
+    // q157's 10-minute lookback is RangeJoin's bucketed equi-join; q161's
+    // wedge join is keyed on the oriented source. A data×data nested loop
+    // or cartesian is the O(n·m) shape that dies at corpus scale — the
+    // only tolerated BroadcastNestedLoopJoins are the in-plan scalar
+    // combiners, whose broadcast side is a global (groupless) aggregate.
+    Seq("q157_attribution", "q161_dup_triangles").foreach { q =>
+      val exec = SparkEntry.queries(q)(planningSession, sf).queryExecution.executedPlan
+      val plan = exec.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      val equi = plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin")
+      assert(equi, s"$q: the core join must be an equi join")
+      exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.foreach { j =>
+        val scalarSide = Seq(j.left, j.right).exists(_.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.isEmpty => a
+        }.isDefined)
+        assert(scalarSide, s"$q: a nested loop joins two DATA-sized sides:\n$j")
+      }
+    }
+  }
+
   test("q152: the IVF argmax is a map-side-combinable aggregation — no window, no vector shuffles") {
     // a row_number window over the corpus x centroids frame would sort 32x
     // the corpus; the max(struct(cos, -cell)) aggregation partial-combines

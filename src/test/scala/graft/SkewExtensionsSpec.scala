@@ -92,4 +92,14 @@ class SkewExtensionsSpec extends AnyFunSuite {
       "SELECT char_shingles('abcd', 3) AS s").head().getSeq[String](0)
     assert(cs == Seq("abc", "bcd"))
   }
+
+  test("graft_kmv aggregate is callable from stored SQL text") {
+    GraftFunctions.register(spark)
+    // duplicated + unordered input: the sketch is the sorted distinct set
+    // while under-full, straight from SQL as a stored query would call it
+    val sk = spark.sql(
+      "SELECT graft_kmv(h) AS sk FROM VALUES (9L), (3L), (9L), (1L), (3L) AS t(h)")
+      .head().getSeq[Long](0)
+    assert(sk == Seq(1L, 3L, 9L), sk.toString)
+  }
 }
