@@ -192,6 +192,25 @@ object Windowed {
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                               n_events: Long, total_value: Double)
 
+  /** Declarative gap sessions via the BUILT-IN `session_window` — the
+    * (a)-level twin of [[sessionize]] below: when the semantics fit
+    * (gap-close, standard aggregates) the built-in operator gets
+    * watermark-driven state cleanup, session merging, and codegen from
+    * Catalyst for free, and is what production should reach for FIRST;
+    * the flatMapGroupsWithState machine is the escape hatch for semantics
+    * it can't express. Input needs (ts: timestamp, user_id, value).
+    */
+  def sessionWindowStats(events: DataFrame, gap: String,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Custom sessionization state machine via flatMapGroupsWithState — the
     * (c)-level path for semantics `session_window` can't express (e.g.
     * emitting only on session close, carrying custom accumulators). A

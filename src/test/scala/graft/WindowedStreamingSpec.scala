@@ -90,6 +90,29 @@ class WindowedStreamingSpec extends AnyFunSuite {
       s"got ${rows.mkString(",")}")
   }
 
+  test("sessionWindowStats: built-in session_window closes gap-separated sessions with exact aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Windowed.SessionInput]
+    val sess = Windowed.sessionWindowStats(stream.toDF(), "10 minutes", "5 minutes")
+    val q = sess.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sesswin_out").start()
+    stream.addData(
+      Windowed.SessionInput(7L, ts("2024-01-01 00:01:00"), 1.0),
+      Windowed.SessionInput(7L, ts("2024-01-01 00:05:00"), 2.0),  // same session
+      Windowed.SessionInput(7L, ts("2024-01-01 00:30:00"), 4.0))  // gap > 10min: new session
+    q.processAllAvailable()
+    stream.addData(Windowed.SessionInput(9L, ts("2024-01-01 02:00:00"), 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sesswin_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+      .sortBy(_._2)
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (7L, "2024-01-01 00:01:00.0", 2L, 3.0),
+      (7L, "2024-01-01 00:30:00.0", 1L, 4.0)),
+      s"got ${rows.mkString(",")}")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keys state by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Doc]
