@@ -3639,6 +3639,54 @@ object Queries {
       .orderBy(col("grain"), col("period"))
   }
 
+  /** Cross-release centroid drift: for each label, the cosine² (signed,
+    * exact ppm) between its centroid in release A and release B —
+    * "did this class MOVE between embedding runs", the geometric drift
+    * monitor that catches a silently retrained or re-normalized encoder
+    * before any downstream index (q53's cells, q66's codebooks, q136's
+    * negatives) quietly degrades. Releases are deterministic id-hash
+    * halves; q141's integer-centroid discipline carries over verbatim:
+    * int8-quantized per-dim INTEGER sums stand in for centroids (cosine
+    * is scale-invariant), products in DECIMAL/HUGEINT, sign-explicit
+    * squared cosine so no sqrt enters either engine. 1e6 means the class
+    * did not rotate; drift_ppm = 1e6 − sim2 is the alarm column. One
+    * map-side-combined (label, release, dim) sum pass; vectors never
+    * shuffle — labels × 2 × dim integer rows do.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val scale = Quant.fitScale(e, col("embedding"))
+    val rel = e.withColumn("release",
+      when(Sampling.hashBucket(col("vec_id"), 100) < 50, "a").otherwise("b"))
+    val sums = rel
+      .select(col("label").cast("long").as("label"), col("release"),
+        posexplode(Quant.encode(col("embedding"), scale)).as(Seq("pos", "c")))
+      .groupBy(col("label"), col("release"), col("pos"))
+      .agg(sum(col("c")).as("s"))
+    val a = sums.filter(col("release") === "a")
+      .select(col("label"), col("pos"), col("s").as("sa"))
+    val b = sums.filter(col("release") === "b")
+      .select(col("label"), col("pos"), col("s").as("sb"))
+    val geo = a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        sum(expr("CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))")).as("dot_d"),
+        sum(expr("CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))")).as("na2"),
+        sum(expr("CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))")).as("nb2"))
+    val counts = rel.groupBy(col("label").cast("long").as("label"))
+      .agg(sum(when(col("release") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("release") === "b", 1L).otherwise(0L)).as("n_b"))
+    geo.join(counts, "label")
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("""CAST(CASE WHEN na2 * nb2 = 0 THEN 0
+               | WHEN dot_d < 0 THEN -((dot_d * dot_d * 1000000) DIV (na2 * nb2))
+               | ELSE (dot_d * dot_d * 1000000) DIV (na2 * nb2)
+               |END AS BIGINT)""".stripMargin).as("sim2_ppm"))
+      .withColumn("drift_ppm", lit(1000000L) - col("sim2_ppm"))
+      .orderBy(col("label"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3807,7 +3855,8 @@ object Queries {
     "q161_dup_triangles" -> (dupGraphTriangles _),
     "q162_trend_slope" -> (trendSlope _),
     "q163_benford" -> (benfordAudit _),
-    "q164_hll_portable" -> (hllPortable _))
+    "q164_hll_portable" -> (hllPortable _),
+    "q165_centroid_drift" -> (centroidDrift _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6145,6 +6194,42 @@ object Queries {
         |            ELSE raw_est END AS BIGINT) AS est_distinct,
         |  exact_distinct
         |FROM raws ORDER BY grain, period""".stripMargin,
+    "q165_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v,
+        |             CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+        |                  THEN 'a' ELSE 'b' END AS release
+        |           FROM embeddings),
+        |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+        |codes AS (SELECT label, release, i AS pos,
+        |            CAST(floor(v[i] / s * 127.0 + 0.5) AS BIGINT) AS c
+        |          FROM e CROSS JOIN sc CROSS JOIN range(1, 65) AS r(i)),
+        |sums AS (SELECT label, release, pos, CAST(sum(c) AS BIGINT) AS sm
+        |         FROM codes GROUP BY 1, 2, 3),
+        |geo AS (SELECT a.label,
+        |          sum(CAST(a.sm AS HUGEINT) * CAST(b.sm AS HUGEINT)) AS dot_h,
+        |          sum(CAST(a.sm AS HUGEINT) * CAST(a.sm AS HUGEINT)) AS na2,
+        |          sum(CAST(b.sm AS HUGEINT) * CAST(b.sm AS HUGEINT)) AS nb2
+        |        FROM (SELECT * FROM sums WHERE release = 'a') a
+        |        JOIN (SELECT * FROM sums WHERE release = 'b') b
+        |          ON a.label = b.label AND a.pos = b.pos
+        |        GROUP BY 1),
+        |cnt AS (SELECT label,
+        |          CAST(sum(CASE WHEN release = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |          CAST(sum(CASE WHEN release = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |        FROM e GROUP BY 1)
+        |SELECT geo.label, n_a, n_b,
+        |  CAST(CASE WHEN na2 * nb2 = 0 THEN 0
+        |            WHEN dot_h < 0 THEN -((dot_h * dot_h * 1000000) // (na2 * nb2))
+        |            ELSE (dot_h * dot_h * 1000000) // (na2 * nb2)
+        |       END AS BIGINT) AS sim2_ppm,
+        |  CAST(1000000 - CASE WHEN na2 * nb2 = 0 THEN 0
+        |            WHEN dot_h < 0 THEN -((dot_h * dot_h * 1000000) // (na2 * nb2))
+        |            ELSE (dot_h * dot_h * 1000000) // (na2 * nb2)
+        |       END AS BIGINT) AS drift_ppm
+        |FROM geo JOIN cnt USING (label)
+        |WHERE n_a > 0 AND n_b > 0
+        |ORDER BY label""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -869,4 +869,23 @@ class QueriesSpec extends AnyFunSuite {
       assert(errPct < 25.0, s"$g $p: estimate $est vs exact $exact ($errPct%)")
     }
   }
+
+  test("q165 centroid drift: one row per populated label, Cauchy-Schwarz bounds, drift complements") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q165_centroid_drift")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label")).distinct().count()
+    assert(rows.length <= labels && rows.nonEmpty)
+    rows.foreach { case (label, nA, nB, sim2, drift) =>
+      assert(nA > 0 && nB > 0, s"label $label: both releases populated by construction")
+      assert(sim2 >= -1000000L && sim2 <= 1000000L, s"label $label: |cos^2| <= 1 (Cauchy-Schwarz)")
+      assert(drift == 1000000L - sim2, s"label $label: drift complements sim2")
+      // NOTE deliberately no closeness assertion: the synthetic embeddings
+      // are direction-free noise, so tiny per-release centroids are nearly
+      // orthogonal and the monitor CORRECTLY reports near-total drift —
+      // which is itself the behavior worth pinning
+      assert(drift >= 0, s"label $label")
+    }
+  }
 }
