@@ -3687,6 +3687,51 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Exact integer covariance matrix of the embedding dimensions (upper
+    * triangle, dim·(dim+1)/2 rows) — the input every PCA / whitening /
+    * decorrelation step needs, and the cross-dimension completion of
+    * q155's per-dim moments (a rogue PAIR of correlated dims is invisible
+    * to marginals). Scaled covariance cov_micro2 = (n·Σxy − Σx·Σy) DIV n²
+    * in micro² units, all from integer sums (q133's discipline at matrix
+    * scale). Scale shape — no self-join: the (p, q, x_p·x_q) pair stream
+    * is generated MAP-SIDE by one nested-transform explode per row (the
+    * ×dim²/2 amplification is scan-stage CPU, and map-side combine means
+    * the shuffle carries only partitions × 2080 partial rows); Σx_p comes
+    * from the dim-level pass, never the pair stream; n is an in-plan
+    * broadcast scalar. [[graft.functions.Pca.topComponent]] consumes this
+    * matrix driver-side (64×64 — a model-fit decision point, like the
+    * k-means codebooks) for the principal direction.
+    */
+  def dimCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val withXm = t(spark, dir, "embeddings")
+      .withColumn("xm",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as long))"))
+    val pairs = withXm
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), p ->
+          |  transform(sequence(p, 63), q ->
+          |    struct(p AS p, q AS q, xm[p] * xm[q] AS xy))))""".stripMargin)).as("s"))
+      .select(col("s.p").cast("long").as("p"), col("s.q").cast("long").as("q"),
+        col("s.xy"))
+      .groupBy(col("p"), col("q"))
+      .agg(sum(col("xy").cast(DecimalType(38, 0))).as("sxy"))
+    val dims = withXm
+      .select(posexplode(col("xm")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(sum(col("x")).as("sx"))
+    val n = withXm.agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(dims.select(col("d").as("p"), col("sx").as("sp"))), "p")
+      .join(broadcast(dims.select(col("d").as("q"), col("sx").as("sq"))), "q")
+      .crossJoin(broadcast(n))
+      .selectExpr("p", "q",
+        """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sp AS DECIMAL(38,0)) * sq >= 0
+          |  THEN (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sp AS DECIMAL(38,0)) * sq) DIV (CAST(n AS DECIMAL(38,0)) * n)
+          |  ELSE -((-(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sp AS DECIMAL(38,0)) * sq)) DIV (CAST(n AS DECIMAL(38,0)) * n))
+          |END AS BIGINT) AS cov_micro2""".stripMargin.replaceAll("\n", " "))
+      .orderBy(col("p"), col("q"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3856,7 +3901,8 @@ object Queries {
     "q162_trend_slope" -> (trendSlope _),
     "q163_benford" -> (benfordAudit _),
     "q164_hll_portable" -> (hllPortable _),
-    "q165_centroid_drift" -> (centroidDrift _))
+    "q165_centroid_drift" -> (centroidDrift _),
+    "q166_dim_covariance" -> (dimCovariance _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6230,6 +6276,22 @@ object Queries {
         |FROM geo JOIN cnt USING (label)
         |WHERE n_a > 0 AND n_b > 0
         |ORDER BY label""".stripMargin,
+    "q166_dim_covariance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id, i - 1 AS p, CAST(floor(v[i] * 1000000) AS BIGINT) AS x
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |pr AS (SELECT a.p AS p, b.p AS q, sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+        |       FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.p <= b.p
+        |       GROUP BY 1, 2),
+        |d AS (SELECT p, CAST(sum(x) AS BIGINT) AS sx FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT CAST(pr.p AS BIGINT) AS p, CAST(pr.q AS BIGINT) AS q,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(dp.sx AS HUGEINT) * dq.sx >= 0
+        |    THEN (CAST(n AS HUGEINT) * sxy - CAST(dp.sx AS HUGEINT) * dq.sx) // (CAST(n AS HUGEINT) * n)
+        |    ELSE -((-(CAST(n AS HUGEINT) * sxy - CAST(dp.sx AS HUGEINT) * dq.sx)) // (CAST(n AS HUGEINT) * n))
+        |  END AS BIGINT) AS cov_micro2
+        |FROM pr JOIN d dp ON pr.p = dp.p JOIN d dq ON pr.q = dq.p CROSS JOIN nn
+        |ORDER BY p, q""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
