@@ -3732,6 +3732,42 @@ object Queries {
       .orderBy(col("p"), col("q"))
   }
 
+  /** Span-corruption mask plan (the T5/UL2 denoising objective's data
+    * prep): per document, a DETERMINISTIC mask over token positions —
+    * position p masks iff md5(doc_id|p) mod 1000 < 150 (15% rate) — and
+    * the span statistics the objective actually consumes: masked count,
+    * SPAN count (runs of consecutive masked positions become one sentinel
+    * each), and the masked share. Hash-driven masking is what makes the
+    * noise reproducible across reruns and engines — a seeded-RNG mask
+    * would be neither — and the span/run derivation is one lag() over the
+    * per-document window (high-cardinality partitioning). Output rolls up
+    * per language: documents, tokens, masked tokens, spans, mask_ppm,
+    * mean span length in milli (exact integer DIV). Scale shape: the
+    * token explode is scan-side; the window partitions by doc_id; the
+    * rollup is language-cardinality with map-side partials.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(Text.tokens(Text.normalized(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("masked",
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), '|', cast(pos as string))), 1, 8), 16, 10) as long) % 1000 < 150"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = toks
+      .withColumn("prev_masked", lag(col("masked"), 1, false).over(w))
+      .withColumn("span_start",
+        (col("masked") && !col("prev_masked")).cast("long"))
+    spans.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("span_start")).as("n_spans"))
+      .selectExpr("lang", "n_docs", "n_tokens", "n_masked", "n_spans",
+        "(n_masked * 1000000L) DIV n_tokens AS mask_ppm",
+        "CASE WHEN n_spans = 0 THEN 0L ELSE (n_masked * 1000L) DIV n_spans END AS mean_span_milli")
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3902,7 +3938,8 @@ object Queries {
     "q163_benford" -> (benfordAudit _),
     "q164_hll_portable" -> (hllPortable _),
     "q165_centroid_drift" -> (centroidDrift _),
-    "q166_dim_covariance" -> (dimCovariance _))
+    "q166_dim_covariance" -> (dimCovariance _),
+    "q167_span_corruption" -> (spanCorruption _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6292,6 +6329,21 @@ object Queries {
         |  END AS BIGINT) AS cov_micro2
         |FROM pr JOIN d dp ON pr.p = dp.p JOIN d dq ON pr.q = dq.p CROSS JOIN nn
         |ORDER BY p, q""".stripMargin,
+    "q167_span_corruption" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $DNTOKS AS tk FROM documents),
+         |p AS (SELECT doc_id, lang, i - 1 AS pos,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 1000 < 150 AS masked
+         |      FROM tk, unnest(range(1, len(tk) + 1)) AS r(i)),
+         |s AS (SELECT *, coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false) AS prev FROM p)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(sum(CASE WHEN masked AND NOT prev THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS mask_ppm,
+         |  CAST(CASE WHEN sum(CASE WHEN masked AND NOT prev THEN 1 ELSE 0 END) = 0 THEN 0
+         |       ELSE sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000 // sum(CASE WHEN masked AND NOT prev THEN 1 ELSE 0 END)
+         |  END AS BIGINT) AS mean_span_milli
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

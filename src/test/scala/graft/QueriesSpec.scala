@@ -888,4 +888,25 @@ class QueriesSpec extends AnyFunSuite {
       assert(drift >= 0, s"label $label")
     }
   }
+
+  test("q167 span corruption: mask rate near 15%, spans bound the masked count") {
+    val rows = SparkEntry.queries("q167_span_corruption")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val (totTok, totMask) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    // deterministic hash mask at threshold 150/1000 — corpus-wide rate
+    // must sit near 15% (binomial wobble at sf0.001 sizes)
+    val ratePpm = totMask * 1000000L / totTok
+    assert(ratePpm > 100000L && ratePpm < 200000L, s"corpus mask rate $ratePpm ppm")
+    rows.foreach { case (lang, nDocs, nTok, nMask, nSpans, maskPpm, meanMilli) =>
+      assert(nDocs > 0 && nTok > 0)
+      assert(nSpans <= nMask, s"$lang: a span needs at least one masked token")
+      assert(nMask <= nTok && maskPpm == nMask * 1000000L / nTok)
+      if (nSpans > 0) {
+        assert(meanMilli == nMask * 1000L / nSpans, s"$lang mean span derivation")
+        assert(meanMilli >= 1000L, s"$lang: mean span length is at least one token")
+      }
+    }
+  }
 }
