@@ -3768,6 +3768,46 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Vocabulary Gini coefficient per source — how CONCENTRATED a source's
+    * token distribution is (0 = every word used equally, →1 = a few words
+    * dominate): the single-number "templatedness" score next to q128's
+    * top-20 table and q124's diversity, and the ranking that finds
+    * boilerplate farms before any dedup runs. Exact integer Gini with NO
+    * per-token ranking: tokens with equal count form a tie-group whose
+    * rank-weighted mass is x·(k·r₀ + k(k+1)/2) in closed form, so
+    * Σ i·x₍ᵢ₎ needs only (source, count) tie-groups — a frame of
+    * per-source DISTINCT-count cardinality (hundreds of rows, the Zipf
+    * long tail collapses into ONE count=1 group) — ordered by a window
+    * over that pre-aggregated summary, never over the vocabulary. Scale
+    * shape: one map-side-combined word count (the only corpus-scale
+    * shuffle), one vocab→tie-group rollup, one summary-sized window;
+    * G = (2·Σi·x − (n+1)·S)·1e6 DIV (n·S) in DECIMAL(38,0).
+    */
+  def vocabGini(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(col("source"),
+        explode(Text.tokens(Text.normalized(col("text")))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ties = vocab.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c"))
+    val ranked = ties
+      .withColumn("r0", coalesce(sum(col("k")).over(w) - col("k"), lit(0L)))
+      // tie-group rank-weighted mass: x·(k·r0 + k(k+1)/2), exact
+      .withColumn("gmass", expr(
+        "CAST(c AS DECIMAL(38,0)) * (CAST(k AS DECIMAL(38,0)) * r0 + (CAST(k AS DECIMAL(38,0)) * (k + 1)) DIV 2)"))
+    ranked.groupBy(col("source"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * k")).as("s_occ"),
+        sum(col("gmass")).as("rix"))
+      .selectExpr("source", "n_tokens",
+        "CAST(s_occ AS BIGINT) AS total_occurrences",
+        """CAST((2 * rix - (CAST(n_tokens AS DECIMAL(38,0)) + 1) * s_occ) * 1000000
+          | DIV (CAST(n_tokens AS DECIMAL(38,0)) * s_occ) AS BIGINT) AS gini_ppm"""
+          .stripMargin.replaceAll("\n", " "))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3939,7 +3979,8 @@ object Queries {
     "q164_hll_portable" -> (hllPortable _),
     "q165_centroid_drift" -> (centroidDrift _),
     "q166_dim_covariance" -> (dimCovariance _),
-    "q167_span_corruption" -> (spanCorruption _))
+    "q167_span_corruption" -> (spanCorruption _),
+    "q168_vocab_gini" -> (vocabGini _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6344,6 +6385,20 @@ object Queries {
          |       ELSE sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000 // sum(CASE WHEN masked AND NOT prev THEN 1 ELSE 0 END)
          |  END AS BIGINT) AS mean_span_milli
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q168_vocab_gini" ->
+      s"""WITH wrd AS (SELECT source, unnest($DNTOKS) AS w FROM documents),
+         |v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM wrd GROUP BY 1, 2),
+         |tg AS (SELECT source, c, CAST(count(*) AS BIGINT) AS k FROM v GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(coalesce(sum(k) OVER (PARTITION BY source ORDER BY c) - k, 0) AS BIGINT) AS r0 FROM tg),
+         |g AS (SELECT source,
+         |        CAST(sum(k) AS BIGINT) AS n_tokens,
+         |        sum(CAST(c AS HUGEINT) * k) AS s_occ,
+         |        sum(CAST(c AS HUGEINT) * (CAST(k AS HUGEINT) * r0 + (CAST(k AS HUGEINT) * (k + 1)) // 2)) AS rix
+         |      FROM rk GROUP BY source)
+         |SELECT source, n_tokens, CAST(s_occ AS BIGINT) AS total_occurrences,
+         |  CAST((2 * rix - (CAST(n_tokens AS HUGEINT) + 1) * s_occ) * 1000000
+         |       // (CAST(n_tokens AS HUGEINT) * s_occ) AS BIGINT) AS gini_ppm
+         |FROM g ORDER BY source""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

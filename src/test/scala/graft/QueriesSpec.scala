@@ -909,4 +909,24 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q168 vocab Gini: tie-group closed form equals the naive sorted-rank Gini") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q168_vocab_gini")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, tot, gini) =>
+      assert(n > 0 && tot >= n && gini >= 0 && gini < 1000000L, s"$s: $gini")
+    }
+    // recompute one source's Gini the naive way: sort counts, rank, sum
+    val (src, n, tot, gini) = rows.head
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === src)
+      .select(explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), "\\s+")).as("w"))
+      .groupBy(col("w")).count().collect().map(_.getLong(1)).sorted
+    assert(counts.length == n && counts.sum == tot, s"$src vocab recount")
+    val rix = counts.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expect = (2 * rix - BigInt(n + 1) * tot) * 1000000 / (BigInt(n) * tot)
+    assert(BigInt(gini) == expect, s"$src: closed form $gini != naive $expect")
+  }
 }
