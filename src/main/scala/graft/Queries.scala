@@ -3808,6 +3808,42 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Winsorized means per event type — the robust-statistics member of the
+    * monitoring family: the raw mean next to the mean with values clamped
+    * to the exact [p5, p95] inverse-ECDF bounds, in integer milli-cents.
+    * When the two disagree, the metric is tail-driven (one whale order, a
+    * bad sensor) and q162's slope on raw means is not trustworthy — this
+    * is the check that says so. Exactness: bounds are discrete
+    * inverse-ECDF cuts (smallest value whose cumulative count reaches
+    * ⌈n·p/100⌉ — integer ceiling DIV), money goes through DECIMAL(18,2)
+    * cents, every mean is an integer DIV. Scale shape: one map-side
+    * (type, cents) rollup; the cumulative window runs over DISTINCT-value
+    * summary rows per type, never raw events; bounds and totals broadcast
+    * back onto the value table for the clamped re-sum.
+    */
+  def winsorizedMeans(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = t(spark, dir, "events")
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("k"))
+    val totals = byVal.groupBy(col("event_type"))
+      .agg(sum(col("k")).as("n"), sum(expr("c * k")).as("s"))
+    val cum = byVal
+      .withColumn("cum", sum(col("k")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .join(broadcast(totals), "event_type")
+    val bounds = cum.groupBy(col("event_type"))
+      .agg(min(when(expr("cum >= (n * 5 + 99) DIV 100"), col("c"))).as("lo"),
+        min(when(expr("cum >= (n * 95 + 99) DIV 100"), col("c"))).as("hi"))
+    byVal.join(broadcast(bounds), "event_type")
+      .join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"), col("n"), col("s"), col("lo"), col("hi"))
+      .agg(sum(expr("greatest(least(c, hi), lo) * k")).as("ws"))
+      .selectExpr("event_type", "n", "lo AS lo_cents", "hi AS hi_cents",
+        "(1000L * s) DIV n AS mean_millicents",
+        "(1000L * ws) DIV n AS win_mean_millicents")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -3980,7 +4016,8 @@ object Queries {
     "q165_centroid_drift" -> (centroidDrift _),
     "q166_dim_covariance" -> (dimCovariance _),
     "q167_span_corruption" -> (spanCorruption _),
-    "q168_vocab_gini" -> (vocabGini _))
+    "q168_vocab_gini" -> (vocabGini _),
+    "q169_winsorized" -> (winsorizedMeans _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6399,6 +6436,28 @@ object Queries {
          |  CAST((2 * rix - (CAST(n_tokens AS HUGEINT) + 1) * s_occ) * 1000000
          |       // (CAST(n_tokens AS HUGEINT) * s_occ) AS BIGINT) AS gini_ppm
          |FROM g ORDER BY source""".stripMargin,
+    "q169_winsorized" ->
+      """WITH cts AS (SELECT event_type,
+        |               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |             FROM events),
+        |bv AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS k FROM cts GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n,
+        |         CAST(sum(c * k) AS BIGINT) AS s FROM bv GROUP BY 1),
+        |cm AS (SELECT bv.*, n,
+        |         CAST(sum(k) OVER (PARTITION BY bv.event_type ORDER BY c) AS BIGINT) AS cum
+        |       FROM bv JOIN tt USING (event_type)),
+        |bd AS (SELECT event_type,
+        |         min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN c END) AS lo,
+        |         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN c END) AS hi
+        |       FROM cm GROUP BY 1),
+        |ws AS (SELECT bv.event_type,
+        |         CAST(sum(greatest(least(c, hi), lo) * k) AS BIGINT) AS wsum
+        |       FROM bv JOIN bd USING (event_type) GROUP BY 1)
+        |SELECT tt.event_type, n, lo AS lo_cents, hi AS hi_cents,
+        |  CAST(1000 * s // n AS BIGINT) AS mean_millicents,
+        |  CAST(1000 * wsum // n AS BIGINT) AS win_mean_millicents
+        |FROM tt JOIN bd USING (event_type) JOIN ws USING (event_type)
+        |ORDER BY tt.event_type""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -929,4 +929,30 @@ class QueriesSpec extends AnyFunSuite {
     val expect = (2 * rix - BigInt(n + 1) * tot) * 1000000 / (BigInt(n) * tot)
     assert(BigInt(gini) == expect, s"$src: closed form $gini != naive $expect")
   }
+
+  test("q169 winsorized means: bounds are real data values, clamping matches a naive replay") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q169_winsorized")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val centsByType = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    rows.foreach { case (t, n, lo, hi, mean, winMean) =>
+      val cs = centsByType(t)
+      assert(n == cs.length)
+      assert(lo <= hi && cs.contains(lo) && cs.contains(hi),
+        s"$t: bounds must be actual data values")
+      // naive replay: p-th bound = value at rank ceil(n*p/100) (1-indexed)
+      assert(lo == cs(((n * 5 + 99) / 100 - 1).toInt), s"$t lower bound")
+      assert(hi == cs(((n * 95 + 99) / 100 - 1).toInt), s"$t upper bound")
+      assert(mean == 1000L * cs.sum / n)
+      val wsum = cs.map(c => math.max(lo, math.min(hi, c))).sum
+      assert(winMean == 1000L * wsum / n, s"$t winsorized mean")
+    }
+  }
 }
