@@ -3844,6 +3844,39 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Burstiness (Fano factor) of each event type's daily arrivals:
+    * variance-to-mean of the per-day counts over the DENSE day range —
+    * 1000 milli ≈ Poisson, above = bursty/clumped (retry storms, batch
+    * replays), below = rate-limited. The dispersion companion to q162's
+    * slope (a flat mean can hide a bursty process) — and the day grid is
+    * deliberately dense from in-plan min/max bounds (q88's pattern): a
+    * type's silent days are exactly the burstiness signal a sparse
+    * rollup would silently drop. All-integer: F_milli =
+    * 1000·(n·Σx²−S²) DIV (n·S) with products in DECIMAL(38,0). Scale:
+    * one map-side (type, day) rollup; the dense grid is types × days
+    * (tiny); sufficient statistics aggregate map-side.
+    */
+  def fanoFactor(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .selectExpr("event_type", "n_days", "s AS total_events",
+        "(1000L * s) DIV n_days AS mean_milli",
+        ("CAST(CASE WHEN s = 0 THEN 0 ELSE " +
+          "(1000 * (CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(s AS DECIMAL(38,0)) * s)) " +
+          "DIV (CAST(n_days AS DECIMAL(38,0)) * s) END AS BIGINT) AS fano_milli"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4017,7 +4050,8 @@ object Queries {
     "q166_dim_covariance" -> (dimCovariance _),
     "q167_span_corruption" -> (spanCorruption _),
     "q168_vocab_gini" -> (vocabGini _),
-    "q169_winsorized" -> (winsorizedMeans _))
+    "q169_winsorized" -> (winsorizedMeans _),
+    "q170_fano_burstiness" -> (fanoFactor _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6458,6 +6492,26 @@ object Queries {
         |  CAST(1000 * wsum // n AS BIGINT) AS win_mean_millicents
         |FROM tt JOIN bd USING (event_type) JOIN ws USING (event_type)
         |ORDER BY tt.event_type""".stripMargin,
+    "q170_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |                 CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |grid AS (SELECT t.event_type, d.day
+        |         FROM (SELECT DISTINCT event_type FROM daily) t
+        |         CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS day FROM b) d),
+        |dense AS (SELECT grid.event_type, coalesce(daily.x, 0) AS x
+        |          FROM grid LEFT JOIN daily USING (event_type, day)),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS s,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |       FROM dense GROUP BY 1)
+        |SELECT event_type, n_days, s AS total_events,
+        |  CAST(1000 * s // n_days AS BIGINT) AS mean_milli,
+        |  CAST(CASE WHEN s = 0 THEN 0 ELSE
+        |    (1000 * (CAST(n_days AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s))
+        |    // (CAST(n_days AS HUGEINT) * s) END AS BIGINT) AS fano_milli
+        |FROM st ORDER BY event_type""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -955,4 +955,29 @@ class QueriesSpec extends AnyFunSuite {
       assert(winMean == 1000L * wsum / n, s"$t winsorized mean")
     }
   }
+
+  test("q170 Fano factor: dense shared day range, BigInt replay of the dispersion") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q170_fano_burstiness")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).distinct.length == 1,
+      "every type is scored over the SAME dense day range")
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (loD, hiD) = (daily.map(_._2).min, daily.map(_._2).max)
+    rows.foreach { case (t, nDays, tot, meanMilli, fano) =>
+      assert(nDays == hiD - loD + 1)
+      val xs = (loD to hiD).map(d =>
+        daily.find(r => r._1 == t && r._2 == d).map(_._3).getOrElse(0L))
+      assert(xs.sum == tot && meanMilli == 1000L * tot / nDays)
+      val (n, s) = (BigInt(nDays), BigInt(tot))
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val expect = if (tot == 0) BigInt(0) else (1000 * (n * sxx - s * s)) / (n * s)
+      assert(BigInt(fano) == expect, s"$t: fano $fano != $expect")
+      assert(fano >= 0)
+    }
+  }
 }
