@@ -3877,6 +3877,52 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier retention survival curve — the product-limit estimator
+    * over user churn (last event day = churn; users active on the final
+    * observed day are CENSORED, the distinction that separates KM from a
+    * naive "active share" and q116's cohort matrix): per day, users at
+    * risk, churned, and S(t) = Π (1 − dⱼ/nⱼ) in EXACT integer ppm — each
+    * step is acc·(n−d) DIV n, so the curve replays bit-for-bit (a float
+    * product would drift and the true rational explodes past 38 digits at
+    * 30 steps). Spark computes the prefix products with one nested-HOF
+    * fold over the collected ≤|days| summary array; the oracle replays
+    * the identical stepwise sequence with a recursive CTE. Scale shape:
+    * the only corpus-scale work is the per-user last-day rollup (narrow
+    * shuffle by user); everything after runs on the days-cardinality
+    * summary — the survival fold is driver-free but operates on one
+    * broadcast-sized row.
+    */
+  def kmRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val lastDay = days.groupBy(col("user_id")).agg(max(col("day")).as("ld"))
+    val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val churn = lastDay.crossJoin(broadcast(bounds))
+      .filter(col("ld") < col("hi")) // final-day users are censored, not churned
+      .groupBy(col("ld").as("day")).agg(count(lit(1)).as("d"))
+    val totals = lastDay.agg(count(lit(1)).as("nu"))
+    val dense = bounds.select(explode(expr("sequence(lo, hi)")).as("day"))
+      .join(churn, Seq("day"), "left")
+      .select(col("day"), coalesce(col("d"), lit(0L)).as("d"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_before", coalesce(sum(col("d")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("d"), (col("nu") - col("cum_before")).as("n"))
+    dense
+      .agg(sort_array(collect_list(struct(col("day"), col("d"), col("n")))).as("a"))
+      .select(explode(expr(
+        """transform(sequence(1, size(a)), i ->
+          |  struct(a[i-1].day AS day, a[i-1].n AS n, a[i-1].d AS d,
+          |    aggregate(slice(a, 1, i), 1000000L,
+          |      (acc, s) -> CASE WHEN s.n = 0 THEN acc
+          |                       ELSE (acc * (s.n - s.d)) DIV s.n END) AS surv))"""
+          .stripMargin)).as("s"))
+      .select(col("s.day").as("day"), col("s.n").as("n_at_risk"),
+        col("s.d").as("n_churned"), col("s.surv").as("survival_ppm"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4051,7 +4097,8 @@ object Queries {
     "q167_span_corruption" -> (spanCorruption _),
     "q168_vocab_gini" -> (vocabGini _),
     "q169_winsorized" -> (winsorizedMeans _),
-    "q170_fano_burstiness" -> (fanoFactor _))
+    "q170_fano_burstiness" -> (fanoFactor _),
+    "q171_km_retention" -> (kmRetention _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6512,6 +6559,34 @@ object Queries {
         |    (1000 * (CAST(n_days AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s))
         |    // (CAST(n_days AS HUGEINT) * s) END AS BIGINT) AS fano_milli
         |FROM st ORDER BY event_type""".stripMargin,
+    // the stepwise integer product must be identical in both engines — the
+    // oracle replays the exact fold sequence with a recursive CTE
+    "q171_km_retention" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |ld AS (SELECT user_id, max(day) AS ldy FROM e GROUP BY 1),
+        |ch AS (SELECT ldy AS day, CAST(count(*) AS BIGINT) AS d
+        |       FROM ld, b WHERE ldy < hi GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM ld),
+        |grid AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+        |dense AS (SELECT g.day, coalesce(ch.d, 0) AS d FROM grid g LEFT JOIN ch USING (day)),
+        |wn AS (SELECT day, d,
+        |         nu - coalesce(sum(d) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        |       FROM dense, tot),
+        |rec AS (
+        |  SELECT day, d, n,
+        |    CAST(CASE WHEN n = 0 THEN 1000000
+        |              ELSE (1000000 * (n - d)) // n END AS BIGINT) AS surv
+        |  FROM wn WHERE day = (SELECT lo FROM b)
+        |  UNION ALL
+        |  SELECT w.day, w.d, w.n,
+        |    CAST(CASE WHEN w.n = 0 THEN r.surv
+        |              ELSE (r.surv * (w.n - w.d)) // w.n END AS BIGINT)
+        |  FROM wn w JOIN rec r ON w.day = r.day + 1)
+        |SELECT day, CAST(n AS BIGINT) AS n_at_risk, d AS n_churned,
+        |       surv AS survival_ppm
+        |FROM rec ORDER BY day""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

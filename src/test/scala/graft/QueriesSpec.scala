@@ -980,4 +980,26 @@ class QueriesSpec extends AnyFunSuite {
       assert(fano >= 0)
     }
   }
+
+  test("q171 Kaplan-Meier: survival is monotone, conserves risk sets, replays stepwise") {
+    val rows = SparkEntry.queries("q171_km_retention")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // risk-set conservation: n at day i+1 = n at day i minus churned at i
+    rows.toSeq.sliding(2).foreach {
+      case Seq((d1, n1, c1, _), (d2, n2, _, _)) =>
+        assert(d2 == d1 + 1, "dense day sequence")
+        assert(n2 == n1 - c1, s"day $d2: risk set must shrink by the churned")
+      case _ =>
+    }
+    // stepwise integer product replay, monotone non-increasing survival
+    var acc = 1000000L
+    rows.foreach { case (day, n, d, surv) =>
+      acc = if (n == 0) acc else acc * (n - d) / n
+      assert(surv == acc, s"day $day: survival $surv != stepwise $acc")
+    }
+    assert(rows.last._3 == 0, "final-day users are censored, never churned")
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq, "monotone")
+  }
 }
