@@ -192,6 +192,19 @@ object Windowed {
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                               n_events: Long, total_value: Double)
 
+  /** Stream–static dimension enrichment: a streaming fact joined to a
+    * BATCH dimension table. Structured Streaming re-plans the static side
+    * per micro-batch, which is the operational point: a dim table that
+    * lives in parquet/Delta and gets overwritten nightly (the SCD Type-1
+    * path, `Pipeline.applyScd`) is picked up by the running stream on its
+    * next batch with NO restart — the streaming twin of q06's dimEnrich.
+    * Broadcast-sized dims broadcast; bigger dims shuffle only the batch's
+    * slice of the stream. Left join keeps facts with no dim row (the
+    * q16-style null audit applies downstream).
+    */
+  def enrichStream(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(dim, Seq(key), "left")
+
   /** Declarative gap sessions via the BUILT-IN `session_window` — the
     * (a)-level twin of [[sessionize]] below: when the semantics fit
     * (gap-close, standard aggregates) the built-in operator gets

@@ -113,6 +113,23 @@ class WindowedStreamingSpec extends AnyFunSuite {
       s"got ${rows.mkString(",")}")
   }
 
+  test("enrichStream: stream-static left join enriches facts and keeps dim-less rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HotEv]
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val out = Windowed.enrichStream(stream.toDF(), dim, "user_id")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    stream.addData(
+      HotEv(ts("2024-01-01 00:01:00"), 7L),
+      HotEv(ts("2024-01-01 00:02:00"), 9L)) // no dim row — must survive
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    q.stop()
+    assert(rows == Map(7L -> Some("gold"), 9L -> None), rows.toString)
+  }
+
   test("streaming dedup drops in-watermark duplicates, keys state by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Doc]
