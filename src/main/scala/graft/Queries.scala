@@ -3923,6 +3923,40 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Blocked fuzzy-match audit (entity resolution): customer names
+    * self-joined WITHIN 16-char-prefix blocks and matched at Levenshtein
+    * ≤ 1 — the classic ER pipeline shape (block → bounded quadratic
+    * compare → adjudicate) that finds typo'd / re-keyed duplicate
+    * entities exact dedup (q13) misses and MinHash (q28) is
+    * wrong-grained for (edit distance on short keys, not shingle
+    * Jaccard on documents). Per block: records, compared pairs, matches,
+    * match rate ppm. Scale discipline: ALL quadratic work is inside a
+    * block — the block key bounds the join fan-out exactly like the LSH
+    * bucket caps (an unblocked fuzzy join is a corpus² nested loop);
+    * `levenshtein` is an exact integer both engines implement
+    * identically, which is what puts a fuzzy-match operator under a
+    * bit-for-bit oracle at all.
+    */
+  def fuzzyNameAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      .withColumn("blk", substring(col("nm"), 1, 16))
+    val sizes = c.groupBy(col("blk")).agg(count(lit(1)).as("n_records"))
+    val agg = c.as("a")
+      .join(c.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.blk").as("blk"),
+        (levenshtein(col("a.nm"), col("b.nm")) <= 1).cast("long").as("m"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("n_matches"))
+    sizes.join(agg, Seq("blk"), "left")
+      .selectExpr("blk AS block", "n_records",
+        "coalesce(n_pairs, 0L) AS n_pairs",
+        "coalesce(n_matches, 0L) AS n_matches",
+        "CASE WHEN coalesce(n_pairs, 0L) = 0 THEN 0L " +
+          "ELSE (coalesce(n_matches, 0L) * 1000000L) DIV n_pairs END AS match_ppm")
+      .orderBy(col("block"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4098,7 +4132,8 @@ object Queries {
     "q168_vocab_gini" -> (vocabGini _),
     "q169_winsorized" -> (winsorizedMeans _),
     "q170_fano_burstiness" -> (fanoFactor _),
-    "q171_km_retention" -> (kmRetention _))
+    "q171_km_retention" -> (kmRetention _),
+    "q172_fuzzy_blocks" -> (fuzzyNameAudit _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6587,6 +6622,21 @@ object Queries {
         |SELECT day, CAST(n AS BIGINT) AS n_at_risk, d AS n_churned,
         |       surv AS survival_ppm
         |FROM rec ORDER BY day""".stripMargin,
+    "q172_fuzzy_blocks" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |             substr(c_name, 1, 16) AS blk FROM customer),
+        |sz AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_records FROM c GROUP BY 1),
+        |pr AS (SELECT a.blk,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        |       FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |       GROUP BY 1)
+        |SELECT sz.blk AS block, n_records,
+        |  coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(n_matches, 0) AS n_matches,
+        |  CAST(CASE WHEN coalesce(n_pairs, 0) = 0 THEN 0
+        |            ELSE coalesce(n_matches, 0) * 1000000 // n_pairs END AS BIGINT) AS match_ppm
+        |FROM sz LEFT JOIN pr USING (blk) ORDER BY block""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

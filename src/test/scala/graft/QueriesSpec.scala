@@ -1002,4 +1002,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.last._3 == 0, "final-day users are censored, never churned")
     assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq, "monotone")
   }
+
+  test("q172 fuzzy blocks: pairs are the exact in-block combinatorics, matches replay on one block") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q172_fuzzy_blocks")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (blk, n, pairs, matches, ppm) =>
+      assert(pairs == n * (n - 1) / 2, s"$blk: every in-block pair is compared exactly once")
+      assert(matches <= pairs, blk)
+      assert(ppm == (if (pairs == 0) 0L else matches * 1000000L / pairs), blk)
+    }
+    // replay one block's Levenshtein adjudication naively
+    val (blk, _, _, matches, _) = rows.maxBy(_._2)
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_name").startsWith(blk)).collect().map(_.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = names.combinations(2).count { case Array(a, b) => lev(a, b) <= 1 }
+    assert(matches == naive, s"$blk: $matches != naive $naive")
+  }
 }
