@@ -3957,6 +3957,40 @@ object Queries {
       .orderBy(col("block"))
   }
 
+  /** Order-to-ship lead time per order priority: exact median / p90 / max
+    * of (ship date − order date) in days — the fulfilment-SLA table, and
+    * the operational-analytics face of the warehouse's biggest join
+    * (lineitem ⋈ orders on the order key, the shuffle that bucketing
+    * (`sources.Bucketing`) exists to eliminate). Percentiles are the
+    * discrete inverse-ECDF cuts (q169's definition: smallest value whose
+    * cumulative count reaches ⌈n·p/100⌉), computed over per-(priority,
+    * days) DISTINCT-value summaries — the corpus never enters a window.
+    * Day arithmetic is integer datediff on both engines.
+    */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    val lags = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    val byVal = lags.groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).as("k"))
+    val totals = byVal.groupBy(col("priority"))
+      .agg(sum(col("k")).as("n"), max(col("days")).as("max_days"))
+    val cum = byVal
+      .withColumn("cum", sum(col("k")).over(
+        Window.partitionBy(col("priority")).orderBy(col("days"))))
+      .join(broadcast(totals), "priority")
+    cum.groupBy(col("priority"), col("n"), col("max_days"))
+      .agg(min(when(expr("cum >= (n * 50 + 99) DIV 100"), col("days"))).as("median_days"),
+        min(when(expr("cum >= (n * 90 + 99) DIV 100"), col("days"))).as("p90_days"))
+      .select(col("priority"), col("n").as("n_lineitems"),
+        col("median_days"), col("p90_days"), col("max_days"))
+      .orderBy(col("priority"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4133,7 +4167,8 @@ object Queries {
     "q169_winsorized" -> (winsorizedMeans _),
     "q170_fano_burstiness" -> (fanoFactor _),
     "q171_km_retention" -> (kmRetention _),
-    "q172_fuzzy_blocks" -> (fuzzyNameAudit _))
+    "q172_fuzzy_blocks" -> (fuzzyNameAudit _),
+    "q173_lead_time" -> (leadTime _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6637,6 +6672,21 @@ object Queries {
         |  CAST(CASE WHEN coalesce(n_pairs, 0) = 0 THEN 0
         |            ELSE coalesce(n_matches, 0) * 1000000 // n_pairs END AS BIGINT) AS match_ppm
         |FROM sz LEFT JOIN pr USING (blk) ORDER BY block""".stripMargin,
+    "q173_lead_time" ->
+      """WITH lg AS (SELECT o_orderpriority AS priority,
+        |              CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bv AS (SELECT priority, days, CAST(count(*) AS BIGINT) AS k FROM lg GROUP BY 1, 2),
+        |tt AS (SELECT priority, CAST(sum(k) AS BIGINT) AS n,
+        |         CAST(max(days) AS BIGINT) AS max_days FROM bv GROUP BY 1),
+        |cm AS (SELECT bv.*, n, max_days,
+        |         CAST(sum(k) OVER (PARTITION BY bv.priority ORDER BY days) AS BIGINT) AS cum
+        |       FROM bv JOIN tt USING (priority))
+        |SELECT priority, n AS n_lineitems,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN days END) AS median_days,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN days END) AS p90_days,
+        |  max_days
+        |FROM cm GROUP BY priority, n, max_days ORDER BY priority""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1027,4 +1027,27 @@ class QueriesSpec extends AnyFunSuite {
     val naive = names.combinations(2).count { case Array(a, b) => lev(a, b) <= 1 }
     assert(matches == naive, s"$blk: $matches != naive $naive")
   }
+
+  test("q173 lead time: ordered percentiles, totals partition the join, naive replay per priority") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q173_lead_time")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val lags = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(graft.sources.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sorted }
+    assert(rows.map(_._1).toSet == lags.keySet)
+    rows.foreach { case (p, n, med, p90, mx) =>
+      val ds = lags(p)
+      assert(n == ds.length && mx == ds.last)
+      assert(med <= p90 && p90 <= mx)
+      assert(med == ds(((n * 50 + 99) / 100 - 1).toInt), s"$p median")
+      assert(p90 == ds(((n * 90 + 99) / 100 - 1).toInt), s"$p p90")
+    }
+  }
 }
