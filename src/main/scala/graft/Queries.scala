@@ -3991,6 +3991,60 @@ object Queries {
       .orderBy(col("priority"))
   }
 
+  /** Price–volume–mix variance bridge per brand: the FP&A decomposition of
+    * revenue change between two periods (orders before vs after
+    * 1998-01-01) into volume-at-old-price, price, and a mix/interaction
+    * residual, with new and discontinued parts as their own legs — and
+    * the residual defined as ΔR − volume − price, so the bridge RECONCILES
+    * EXACTLY by construction (the spec pins per-brand conservation to the
+    * micro-cent; a float bridge never ties out, which is why finance
+    * teams distrust them). All money in integer cents through
+    * DECIMAL(18,2); per-part divisions are sign-explicit with DECIMAL
+    * products. Scale shape: one lineitem⋈orders⋈part pass, a per-(brand,
+    * part) rollup (map-side partials on the high-card part key), effects
+    * as projections, then a brands-cardinality rollup.
+    */
+  def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+        when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b").as("period"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("r"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q"))
+    val perPart = li.groupBy(col("brand"), col("pk")).agg(
+      sum(when(col("period") === "a", col("r")).otherwise(0L)).as("r1"),
+      sum(when(col("period") === "b", col("r")).otherwise(0L)).as("r2"),
+      sum(when(col("period") === "a", col("q")).otherwise(0L)).as("q1"),
+      sum(when(col("period") === "b", col("q")).otherwise(0L)).as("q2"))
+    val effects = perPart.selectExpr("brand", "r1", "r2", "q1", "q2",
+      "CASE WHEN q1 > 0 AND q2 > 0 THEN 1L ELSE 0L END AS is_both",
+      """CASE WHEN q1 > 0 AND q2 > 0 THEN
+        |  CASE WHEN q2 >= q1
+        |    THEN CAST((CAST(q2 - q1 AS DECIMAL(38,0)) * r1) DIV q1 AS BIGINT)
+        |    ELSE -CAST((CAST(q1 - q2 AS DECIMAL(38,0)) * r1) DIV q1 AS BIGINT) END
+        |ELSE 0L END AS vol_e""".stripMargin.replaceAll("\n", " "),
+      """CASE WHEN q1 > 0 AND q2 > 0
+        |  THEN CAST((CAST(r2 AS DECIMAL(38,0)) * q1) DIV q2 AS BIGINT) - r1
+        |ELSE 0L END AS price_e""".stripMargin.replaceAll("\n", " "))
+      .selectExpr("brand", "is_both", "vol_e", "price_e",
+        "CASE WHEN is_both = 1 THEN (r2 - r1) - vol_e - price_e ELSE 0L END AS mix_e",
+        "CASE WHEN q1 = 0 THEN r2 ELSE 0L END AS new_rev",
+        "CASE WHEN q2 = 0 THEN r1 ELSE 0L END AS disc_rev",
+        "r2 - r1 AS delta")
+    effects.groupBy(col("brand"))
+      .agg(sum(col("is_both")).as("n_parts_both"),
+        sum(col("delta")).as("delta_cents"),
+        sum(col("vol_e")).as("volume_cents"),
+        sum(col("price_e")).as("price_cents"),
+        sum(col("mix_e")).as("mix_cents"),
+        sum(col("new_rev")).as("new_cents"),
+        sum(col("disc_rev")).as("discontinued_cents"))
+      .orderBy(col("brand"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4168,7 +4222,8 @@ object Queries {
     "q170_fano_burstiness" -> (fanoFactor _),
     "q171_km_retention" -> (kmRetention _),
     "q172_fuzzy_blocks" -> (fuzzyNameAudit _),
-    "q173_lead_time" -> (leadTime _))
+    "q173_lead_time" -> (leadTime _),
+    "q174_variance_bridge" -> (varianceBridge _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6687,6 +6742,45 @@ object Queries {
         |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN days END) AS p90_days,
         |  max_days
         |FROM cm GROUP BY priority, n, max_days ORDER BY priority""".stripMargin,
+    "q174_variance_bridge" ->
+      """WITH li AS (SELECT p_brand AS brand, l_partkey AS pk,
+        |              CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period,
+        |              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r,
+        |              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        |            FROM lineitem
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            JOIN part ON l_partkey = p_partkey),
+        |pp AS (SELECT brand, pk,
+        |         CAST(sum(CASE WHEN period = 'a' THEN r ELSE 0 END) AS BIGINT) AS r1,
+        |         CAST(sum(CASE WHEN period = 'b' THEN r ELSE 0 END) AS BIGINT) AS r2,
+        |         CAST(sum(CASE WHEN period = 'a' THEN q ELSE 0 END) AS BIGINT) AS q1,
+        |         CAST(sum(CASE WHEN period = 'b' THEN q ELSE 0 END) AS BIGINT) AS q2
+        |       FROM li GROUP BY 1, 2),
+        |ef AS (SELECT brand, r1, r2, q1, q2,
+        |         CASE WHEN q1 > 0 AND q2 > 0 THEN 1 ELSE 0 END AS is_both,
+        |         CASE WHEN q1 > 0 AND q2 > 0 THEN
+        |           CASE WHEN q2 >= q1
+        |             THEN CAST((CAST(q2 - q1 AS HUGEINT) * r1) // q1 AS BIGINT)
+        |             ELSE -CAST((CAST(q1 - q2 AS HUGEINT) * r1) // q1 AS BIGINT) END
+        |         ELSE 0 END AS vol_e,
+        |         CASE WHEN q1 > 0 AND q2 > 0
+        |           THEN CAST((CAST(r2 AS HUGEINT) * q1) // q2 AS BIGINT) - r1
+        |         ELSE 0 END AS price_e
+        |       FROM pp),
+        |ef2 AS (SELECT brand, is_both, vol_e, price_e,
+        |          CASE WHEN is_both = 1 THEN (r2 - r1) - vol_e - price_e ELSE 0 END AS mix_e,
+        |          CASE WHEN q1 = 0 THEN r2 ELSE 0 END AS new_rev,
+        |          CASE WHEN q2 = 0 THEN r1 ELSE 0 END AS disc_rev,
+        |          r2 - r1 AS delta
+        |        FROM ef)
+        |SELECT brand, CAST(sum(is_both) AS BIGINT) AS n_parts_both,
+        |  CAST(sum(delta) AS BIGINT) AS delta_cents,
+        |  CAST(sum(vol_e) AS BIGINT) AS volume_cents,
+        |  CAST(sum(price_e) AS BIGINT) AS price_cents,
+        |  CAST(sum(mix_e) AS BIGINT) AS mix_cents,
+        |  CAST(sum(new_rev) AS BIGINT) AS new_cents,
+        |  CAST(sum(disc_rev) AS BIGINT) AS discontinued_cents
+        |FROM ef2 GROUP BY brand ORDER BY brand""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

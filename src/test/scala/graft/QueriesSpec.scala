@@ -1050,4 +1050,19 @@ class QueriesSpec extends AnyFunSuite {
       assert(p90 == ds(((n * 90 + 99) / 100 - 1).toInt), s"$p p90")
     }
   }
+
+  test("q174 variance bridge reconciles exactly: delta = volume + price + mix + new - discontinued") {
+    val rows = SparkEntry.queries("q174_variance_bridge")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (brand, nBoth, delta, vol, price, mix, nw, disc) =>
+      // the reconciliation that makes a bridge trustworthy — to the cent
+      assert(delta == vol + price + mix + nw - disc,
+        s"$brand: bridge does not tie out: $delta != $vol+$price+$mix+$nw-$disc")
+      assert(nBoth >= 0 && nw >= 0 && disc >= 0)
+    }
+    // the bridge must actually decompose something at this scale
+    assert(rows.exists(r => r._4 != 0 || r._5 != 0), "all-zero effects")
+  }
 }
