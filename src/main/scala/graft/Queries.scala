@@ -4045,6 +4045,41 @@ object Queries {
       .orderBy(col("brand"))
   }
 
+  /** Part-affinity market basket: the top 20 part PAIRS co-ordered in the
+    * same order, ranked by lift with a minimum-support floor — q158's
+    * association analysis moved to the scale regime that actually bites:
+    * a high-cardinality item space (pair universe = |parts|²) made
+    * tractable because pair GENERATION is bounded by basket size, not the
+    * catalog — the within-order self-join emits C(basket, 2) rows per
+    * order and baskets are small by construction (the itemset-mining
+    * contract; cap baskets for pathological orders). The support floor
+    * (n_ab ≥ 3) is what keeps one-off coincidences from topping the lift
+    * ranking — lift with tiny support is noise, the classic market-basket
+    * trap. Marginals broadcast; lift in DECIMAL/HUGEINT ppm; the final
+    * cut is TakeOrderedAndProject.
+    */
+  def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(marg.select(col("pk").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(marg.select(col("pk").as("part_b"), col("n_p").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .selectExpr("part_a", "part_b", "n_ab",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4223,7 +4258,8 @@ object Queries {
     "q171_km_retention" -> (kmRetention _),
     "q172_fuzzy_blocks" -> (fuzzyNameAudit _),
     "q173_lead_time" -> (leadTime _),
-    "q174_variance_bridge" -> (varianceBridge _))
+    "q174_variance_bridge" -> (varianceBridge _),
+    "q175_part_affinity" -> (partAffinity _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6781,6 +6817,20 @@ object Queries {
         |  CAST(sum(new_rev) AS BIGINT) AS new_cents,
         |  CAST(sum(disc_rev) AS BIGINT) AS discontinued_cents
         |FROM ef2 GROUP BY brand ORDER BY brand""".stripMargin,
+    "q175_part_affinity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+        |mg AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM it GROUP BY 1),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab,
+        |  CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000) //
+        |       (CAST(ma.n_p AS HUGEINT) * mb.n_p) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN mg ma ON pr.part_a = ma.pk
+        |        JOIN mg mb ON pr.part_b = mb.pk
+        |        CROSS JOIN no
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

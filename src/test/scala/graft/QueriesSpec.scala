@@ -1065,4 +1065,28 @@ class QueriesSpec extends AnyFunSuite {
     // the bridge must actually decompose something at this scale
     assert(rows.exists(r => r._4 != 0 || r._5 != 0), "all-zero effects")
   }
+
+  test("q175 part affinity: support floor holds, lift ranked, top pair replays from marginals") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q175_part_affinity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (a, b, nab, _) =>
+      assert(a < b, "canonical pair order")
+      assert(nab >= 3, "support floor")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq, "ranked by lift")
+    // replay the top pair's lift from independently recomputed marginals
+    val (pa, pb, nab, lift) = rows.head
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length
+    val na = baskets.count(_._2 == pa); val nb = baskets.count(_._2 == pb)
+    val byOrder = baskets.groupBy(_._1).map { case (_, vs) => vs.map(_._2).toSet }
+    val coc = byOrder.count(s => s.contains(pa) && s.contains(pb))
+    assert(coc == nab, s"($pa,$pb) co-occurrence")
+    assert(BigInt(lift) == BigInt(nab) * nOrders * 1000000 / (BigInt(na) * nb),
+      s"($pa,$pb) lift")
+  }
 }
