@@ -4080,6 +4080,31 @@ object Queries {
       .limit(20)
   }
 
+  /** Cohort LTV matrix: cumulative purchase revenue per signup cohort by
+    * account age — q116's retention matrix with MONEY on it, the table
+    * that says whether later cohorts monetize faster (the payback-period
+    * chart every growth team reads). Cohort = a user's first event day;
+    * age = purchase day − cohort day; revenue in exact integer cents
+    * (DECIMAL(18,2)); the cumulative runs per cohort over the
+    * ages-cardinality rollup — a pre-aggregated summary window, never
+    * events. Scale shape: one per-user min-day rollup, one join back by
+    * user (narrow), one (cohort, age) map-side rollup.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cells = days.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4259,7 +4284,8 @@ object Queries {
     "q172_fuzzy_blocks" -> (fuzzyNameAudit _),
     "q173_lead_time" -> (leadTime _),
     "q174_variance_bridge" -> (varianceBridge _),
-    "q175_part_affinity" -> (partAffinity _))
+    "q175_part_affinity" -> (partAffinity _),
+    "q176_cohort_ltv" -> (cohortLtv _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6831,6 +6857,19 @@ object Queries {
         |        JOIN mg mb ON pr.part_b = mb.pk
         |        CROSS JOIN no
         |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q176_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |cl AS (SELECT cohort_day, day - cohort_day AS age_days,
+        |         CAST(count(*) AS BIGINT) AS n_purchases,
+        |         CAST(sum(cents) AS BIGINT) AS rev_cents
+        |       FROM e JOIN ch USING (user_id)
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_day, age_days, n_purchases, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age_days) AS BIGINT) AS cum_rev_cents
+        |FROM cl ORDER BY cohort_day, age_days""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1089,4 +1089,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(BigInt(lift) == BigInt(nab) * nOrders * 1000000 / (BigInt(na) * nb),
       s"($pa,$pb) lift")
   }
+
+  test("q176 cohort LTV: non-negative ages, cumulative runs exactly, totals match purchases") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q176_cohort_ltv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, age, n, rev, _) =>
+      assert(age >= 0, "a purchase cannot precede the user's first event")
+      assert(n > 0 && rev > 0)
+    }
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var acc = 0L
+      sorted.foreach { case (_, age, _, rev, cum) =>
+        acc += rev
+        assert(cum == acc, s"cohort $cohort age $age: cumulative $cum != $acc")
+      }
+    }
+    // global conservation against an independent purchase-revenue total
+    val total = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"))).head().getLong(0)
+    assert(rows.map(_._4).sum == total, "LTV cells must partition purchase revenue")
+  }
 }
