@@ -4105,6 +4105,42 @@ object Queries {
       .orderBy(col("cohort_day"), col("age_days"))
   }
 
+  /** Inter-purchase cadence: the repeat-purchase rate and the exact
+    * median/p90 gap in days between a user's consecutive purchases — the
+    * replenishment-cycle card that q171's survival curve needs as context
+    * (churn judgments are meaningless without the natural purchase
+    * cadence). Gaps come from one lag() over the per-user window
+    * (high-cardinality partitioning); percentiles are the q169 discrete
+    * inverse-ECDF cuts over the distinct-gap summary; rates are integer
+    * ppm. One summary row out.
+    */
+  def purchaseCadence(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val gaps = p
+      .withColumn("prev", lag(col("ts_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .select(expr("(ts_us - prev) div 86400000000").as("gap_days"))
+    val users = p.groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("np") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    val byGap = gaps.groupBy(col("gap_days")).agg(count(lit(1)).as("k"))
+    val tot = byGap.agg(sum(col("k")).as("n_gaps"))
+    val cuts = byGap
+      .withColumn("cum", sum(col("k")).over(Window.orderBy(col("gap_days"))))
+      .crossJoin(broadcast(tot))
+      .agg(min(when(expr("cum >= (n_gaps * 50 + 99) DIV 100"), col("gap_days")))
+          .as("median_gap_days"),
+        min(when(expr("cum >= (n_gaps * 90 + 99) DIV 100"), col("gap_days")))
+          .as("p90_gap_days"))
+    users.crossJoin(broadcast(tot)).crossJoin(broadcast(cuts))
+      .selectExpr("n_users", "n_repeat",
+        "(n_repeat * 1000000L) DIV n_users AS repeat_ppm",
+        "n_gaps", "median_gap_days", "p90_gap_days")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4285,7 +4321,8 @@ object Queries {
     "q173_lead_time" -> (leadTime _),
     "q174_variance_bridge" -> (varianceBridge _),
     "q175_part_affinity" -> (partAffinity _),
-    "q176_cohort_ltv" -> (cohortLtv _))
+    "q176_cohort_ltv" -> (cohortLtv _),
+    "q177_purchase_cadence" -> (purchaseCadence _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6870,6 +6907,27 @@ object Queries {
         |SELECT cohort_day, age_days, n_purchases, rev_cents,
         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age_days) AS BIGINT) AS cum_rev_cents
         |FROM cl ORDER BY cohort_day, age_days""".stripMargin,
+    "q177_purchase_cadence" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT (ts_us - prev) // 86400000000 AS gap_days FROM (
+        |        SELECT ts_us, lag(ts_us) OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us, event_id) AS prev
+        |        FROM p)
+        |      WHERE prev IS NOT NULL),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |      FROM (SELECT user_id, count(*) AS np FROM p GROUP BY 1)),
+        |bg AS (SELECT gap_days, CAST(count(*) AS BIGINT) AS k FROM g GROUP BY 1),
+        |tt AS (SELECT CAST(sum(k) AS BIGINT) AS n_gaps FROM bg),
+        |cm AS (SELECT gap_days, CAST(sum(k) OVER (ORDER BY gap_days) AS BIGINT) AS cum FROM bg),
+        |ct AS (SELECT min(CASE WHEN cum >= (n_gaps * 50 + 99) // 100 THEN gap_days END) AS median_gap_days,
+        |              min(CASE WHEN cum >= (n_gaps * 90 + 99) // 100 THEN gap_days END) AS p90_gap_days
+        |       FROM cm, tt)
+        |SELECT n_users, n_repeat,
+        |  CAST(n_repeat * 1000000 // n_users AS BIGINT) AS repeat_ppm,
+        |  n_gaps, median_gap_days, p90_gap_days
+        |FROM u, tt, ct""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1114,4 +1114,27 @@ class QueriesSpec extends AnyFunSuite {
         .cast("long"))).head().getLong(0)
     assert(rows.map(_._4).sum == total, "LTV cells must partition purchase revenue")
   }
+
+  test("q177 purchase cadence: gap count and percentiles replay from a naive per-user walk") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("q177_purchase_cadence")(spark, sf).collect()
+    val (nUsers, nRepeat, repeatPpm, nGaps, med, p90) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5))
+    val purchases = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = purchases.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.sortBy(v => (v._2, v._3)).map(_._2) }
+    assert(nUsers == byUser.size)
+    assert(nRepeat == byUser.count(_._2.length >= 2))
+    assert(repeatPpm == nRepeat * 1000000L / nUsers)
+    val gaps = byUser.values.flatMap(ts =>
+      ts.toSeq.sliding(2).collect { case Seq(a, b) => (b - a) / 86400000000L }).toSeq.sorted
+    assert(nGaps == gaps.length)
+    assert(med == gaps(((nGaps * 50 + 99) / 100 - 1).toInt))
+    assert(p90 == gaps(((nGaps * 90 + 99) / 100 - 1).toInt))
+    assert(med <= p90)
+  }
 }
