@@ -4141,6 +4141,33 @@ object Queries {
         "n_gaps", "median_gap_days", "p90_gap_days")
   }
 
+  /** Cross-modal coverage audit: referential integrity between the text
+    * corpus and its embedding table — documents with no vector (the
+    * encoder skipped or crashed on them), vectors with no document
+    * (stale embeddings surviving a corpus re-release), and per-language
+    * coverage ppm. This is q16's null-audit discipline applied ACROSS
+    * modalities, and the gate every embedding consumer (q30/q53/q91/
+    * q136) silently assumes passed — a biased skip pattern (e.g. the
+    * encoder failing on one language's long documents) poisons every
+    * downstream similarity result while each table looks healthy alone.
+    * Two anti-join counts plus a per-language left-join rollup; ids only
+    * shuffle.
+    */
+  def modalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val e = t(spark, dir, "embeddings").select(col("vec_id"))
+    val covered = d.join(e, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_embedded"))
+      .selectExpr("lang", "n_docs", "n_embedded",
+        "(n_embedded * 1000000L) DIV n_docs AS coverage_ppm")
+    val orphanVecs = e.join(d, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    covered.crossJoin(broadcast(orphanVecs.selectExpr("n AS orphan_vectors")))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4322,7 +4349,8 @@ object Queries {
     "q174_variance_bridge" -> (varianceBridge _),
     "q175_part_affinity" -> (partAffinity _),
     "q176_cohort_ltv" -> (cohortLtv _),
-    "q177_purchase_cadence" -> (purchaseCadence _))
+    "q177_purchase_cadence" -> (purchaseCadence _),
+    "q178_modal_coverage" -> (modalCoverage _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6928,6 +6956,18 @@ object Queries {
         |  CAST(n_repeat * 1000000 // n_users AS BIGINT) AS repeat_ppm,
         |  n_gaps, median_gap_days, p90_gap_days
         |FROM u, tt, ct""".stripMargin,
+    "q178_modal_coverage" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |e AS (SELECT vec_id FROM embeddings),
+        |cov AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded
+        |        FROM d LEFT JOIN e ON d.doc_id = e.vec_id GROUP BY 1),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS orphan_vectors
+        |         FROM e WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+        |SELECT lang, n_docs, n_embedded,
+        |  CAST(n_embedded * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+        |  orphan_vectors
+        |FROM cov CROSS JOIN orph ORDER BY lang""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1137,4 +1137,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(p90 == gaps(((nGaps * 90 + 99) / 100 - 1).toInt))
     assert(med <= p90)
   }
+
+  test("q178 modal coverage: per-language doc counts partition the corpus, bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q178_modal_coverage")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == docs, "language rows partition the corpus")
+    val embedded = rows.map(_._3).sum
+    val orphans = rows.head._5
+    assert(rows.forall(_._5 == orphans), "orphan count is a corpus-level constant")
+    // conservation: every vector is either matched to a doc or an orphan
+    assert(embedded + orphans == vecs, s"$embedded + $orphans != $vecs")
+    rows.foreach { case (lang, n, emb, ppm, _) =>
+      assert(emb <= n && ppm == emb * 1000000L / n, lang)
+    }
+  }
 }
