@@ -4168,6 +4168,49 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary quintiles): every
+    * purchasing user scored on three axes and the 5×5×5 segment grid
+    * reported with population and revenue — the CRM workhorse that drives
+    * win-back and VIP targeting. The quintile assignment is VALUE-BASED,
+    * not ntile: bucket = ((cum_users_through_value − 1)·5) DIV n over the
+    * per-metric DISTINCT-value cumulative — ties share a bucket (a
+    * determinism ntile doesn't give without an arbitrary tiebreak), the
+    * window runs over distinct-value summaries instead of one global
+    * user sort (ntile over 1e9 users is a single-reducer sort — the hot
+    * shape this repo bans), and the result replays bit-for-bit. Scale
+    * shape: one per-user rollup (narrow shuffle by user), three
+    * summary-sized cumulative frames joined back BY VALUE, one ≤125-cell
+    * rollup.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val maxDay = p.agg(max(col("day")).as("mx"))
+    val users = p.crossJoin(broadcast(maxDay))
+      .groupBy(col("user_id"))
+      .agg(min(expr("mx - day")).as("recency"),
+        count(lit(1)).as("frequency"), sum(col("cents")).as("monetary"))
+    def quintile(metric: String): DataFrame = {
+      val byVal = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("k"))
+      byVal
+        .withColumn("cum", sum(col("k")).over(Window.orderBy(col("v"))))
+        .crossJoin(broadcast(users.agg(count(lit(1)).as("n"))))
+        .selectExpr(s"v AS $metric", s"((cum - 1) * 5) DIV n AS ${metric}_q")
+    }
+    users
+      .join(broadcast(quintile("recency")), "recency")
+      .join(broadcast(quintile("frequency")), "frequency")
+      .join(broadcast(quintile("monetary")), "monetary")
+      // low recency is GOOD: invert so 4 = most recent, matching f/m polarity
+      .selectExpr("4 - recency_q AS r_score", "frequency_q AS f_score",
+        "monetary_q AS m_score", "monetary")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("monetary")).as("revenue_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4350,7 +4393,8 @@ object Queries {
     "q175_part_affinity" -> (partAffinity _),
     "q176_cohort_ltv" -> (cohortLtv _),
     "q177_purchase_cadence" -> (purchaseCadence _),
-    "q178_modal_coverage" -> (modalCoverage _))
+    "q178_modal_coverage" -> (modalCoverage _),
+    "q179_rfm_segments" -> (rfmSegments _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -6968,6 +7012,32 @@ object Queries {
         |  CAST(n_embedded * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
         |  orphan_vectors
         |FROM cov CROSS JOIN orph ORDER BY lang""".stripMargin,
+    "q179_rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(day) AS mxd FROM p),
+        |u AS (SELECT user_id, CAST(min(mxd - day) AS BIGINT) AS recency,
+        |        CAST(count(*) AS BIGINT) AS frequency,
+        |        CAST(sum(cents) AS BIGINT) AS monetary
+        |      FROM p, mx GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+        |qr AS (SELECT v AS recency, ((cum - 1) * 5) // nu AS recency_q FROM (
+        |         SELECT recency AS v, CAST(sum(count(*)) OVER (ORDER BY recency) AS BIGINT) AS cum
+        |         FROM u GROUP BY recency), n),
+        |qf AS (SELECT v AS frequency, ((cum - 1) * 5) // nu AS frequency_q FROM (
+        |         SELECT frequency AS v, CAST(sum(count(*)) OVER (ORDER BY frequency) AS BIGINT) AS cum
+        |         FROM u GROUP BY frequency), n),
+        |qm AS (SELECT v AS monetary, ((cum - 1) * 5) // nu AS monetary_q FROM (
+        |         SELECT monetary AS v, CAST(sum(count(*)) OVER (ORDER BY monetary) AS BIGINT) AS cum
+        |         FROM u GROUP BY monetary), n)
+        |SELECT CAST(4 - recency_q AS BIGINT) AS r_score,
+        |       CAST(frequency_q AS BIGINT) AS f_score,
+        |       CAST(monetary_q AS BIGINT) AS m_score,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(monetary) AS BIGINT) AS revenue_cents
+        |FROM u JOIN qr USING (recency) JOIN qf USING (frequency) JOIN qm USING (monetary)
+        |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1155,4 +1155,25 @@ class QueriesSpec extends AnyFunSuite {
       assert(emb <= n && ppm == emb * 1000000L / n, lang)
     }
   }
+
+  test("q179 RFM: segments partition purchasers and revenue, quintile scores stay in range") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q179_rfm_segments")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rs, fs, ms, n, rev) =>
+      assert(rs >= 0 && rs <= 4 && fs >= 0 && fs <= 4 && ms >= 0 && ms <= 4)
+      assert(n > 0 && rev > 0)
+    }
+    val p = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+    val nUsers = p.select(col("user_id")).distinct().count()
+    val totalRev = p.agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_._4).sum == nUsers, "segments partition the purchaser base")
+    assert(rows.map(_._5).sum == totalRev, "segments partition revenue to the cent")
+    // value-based quintiles over ~uniform data must use the full range
+    assert(rows.map(_._1).distinct.length >= 3 && rows.map(_._3).distinct.length >= 3)
+  }
 }
