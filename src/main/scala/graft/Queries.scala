@@ -4211,6 +4211,41 @@ object Queries {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Pareto revenue concentration: the exact share of order revenue held
+    * by the top 1/5/10/20/50% of customers — the 80/20 card that q168's
+    * Gini summarizes into one number, here as the actionable table
+    * (VIP-program sizing, concentration-risk reporting). Exactness at the
+    * boundary: customers tied at the cut all carry the SAME revenue
+    * value, so the top-n revenue is cum-before + (n_top − users_before)·v
+    * regardless of which tied customers are "in" — no tiebreak needed and
+    * no per-customer ranking: the cumulative runs DESC over the
+    * distinct-revenue summary (q168's tie-group discipline), thresholds
+    * are a 5-row literal frame, and n_top = ⌈n·k/100⌉ in integer ceiling
+    * DIV. One per-customer rollup touches the orders table; money in
+    * DECIMAL cents throughout.
+    */
+  def paretoConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("v"))
+    val byVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val totals = perCust.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val cum = byVal
+      .withColumn("users_through", sum(col("k")).over(Window.orderBy(col("v").desc)))
+      .withColumn("rev_through", sum(expr("v * k")).over(Window.orderBy(col("v").desc)))
+      .withColumn("users_before", col("users_through") - col("k"))
+      .withColumn("rev_before", col("rev_through") - expr("v * k"))
+    val thresholds = spark.sql(
+      "SELECT explode(array(1L, 5L, 10L, 20L, 50L)) AS pct")
+    thresholds.crossJoin(broadcast(totals))
+      .withColumn("n_top", expr("(n * pct + 99) DIV 100"))
+      .join(cum, expr("users_before < n_top AND n_top <= users_through"))
+      .selectExpr("pct", "n_top AS n_top_customers",
+        "rev_before + (n_top - users_before) * v AS revenue_cents",
+        "((rev_before + (n_top - users_before) * v) * 1000000L) DIV tot AS share_ppm")
+      .orderBy(col("pct"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4394,7 +4429,8 @@ object Queries {
     "q176_cohort_ltv" -> (cohortLtv _),
     "q177_purchase_cadence" -> (purchaseCadence _),
     "q178_modal_coverage" -> (modalCoverage _),
-    "q179_rfm_segments" -> (rfmSegments _))
+    "q179_rfm_segments" -> (rfmSegments _),
+    "q180_pareto" -> (paretoConcentration _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7038,6 +7074,25 @@ object Queries {
         |       CAST(sum(monetary) AS BIGINT) AS revenue_cents
         |FROM u JOIN qr USING (recency) JOIN qf USING (frequency) JOIN qm USING (monetary)
         |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+    "q180_pareto" ->
+      """WITH pc AS (SELECT o_custkey,
+        |              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM pc GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tot FROM pc),
+        |cm AS (SELECT v, k,
+        |         CAST(sum(k) OVER (ORDER BY v DESC) AS BIGINT) AS users_through,
+        |         CAST(sum(v * k) OVER (ORDER BY v DESC) AS BIGINT) AS rev_through
+        |       FROM bv),
+        |cm2 AS (SELECT *, users_through - k AS users_before,
+        |          rev_through - v * k AS rev_before FROM cm),
+        |th AS (SELECT unnest([1, 5, 10, 20, 50])::BIGINT AS pct)
+        |SELECT pct, (n * pct + 99) // 100 AS n_top_customers,
+        |  CAST(rev_before + ((n * pct + 99) // 100 - users_before) * v AS BIGINT) AS revenue_cents,
+        |  CAST(((rev_before + ((n * pct + 99) // 100 - users_before) * v) * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM th CROSS JOIN tt JOIN cm2
+        |  ON users_before < (n * pct + 99) // 100 AND (n * pct + 99) // 100 <= users_through
+        |ORDER BY pct""".stripMargin,
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

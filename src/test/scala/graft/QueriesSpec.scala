@@ -1176,4 +1176,28 @@ class QueriesSpec extends AnyFunSuite {
     // value-based quintiles over ~uniform data must use the full range
     assert(rows.map(_._1).distinct.length >= 3 && rows.map(_._3).distinct.length >= 3)
   }
+
+  test("q180 Pareto: shares replay from a naive sorted cut, monotone and bounded") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q180_pareto")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L, 20L, 50L))
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("v"))
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val total = perCust.sum
+    rows.foreach { case (pct, nTop, rev, ppm) =>
+      assert(nTop == (perCust.length * pct + 99) / 100)
+      // ties at the boundary all carry the same value, so the naive
+      // take-first-nTop revenue is the unique exact answer
+      assert(rev == perCust.take(nTop.toInt).sum, s"$pct%: $rev")
+      assert(ppm == rev * 1000000L / total)
+      assert(ppm >= pct * 10000L, s"$pct%: top share cannot be below uniform")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+      "share grows with the cut")
+  }
 }
