@@ -4246,6 +4246,37 @@ object Queries {
       .orderBy(col("pct"))
   }
 
+  /** Stationary distribution of the q159 journey chain, next to the
+    * observed event-type mix: power iteration on the within-session
+    * transition matrix — [[graft.functions.Graph.pageRankInt]] at damping
+    * 100 IS the pure Markov step r·P in the same exact-integer fixed
+    * point (self-loops kept: they are real journey mass, unlike in link
+    * analysis) — versus each type's observed share. When the two
+    * disagree, the process is NOT stationary: the observed mix is
+    * entry/exit-driven (burst signups, error storms at session ends) and
+    * any "steady state" capacity plan read off raw shares is wrong. The
+    * chain is alphabet-sized, so iteration cost is trivial; the ranks
+    * replay bit-for-bit via q101's unrolled-CTE oracle pattern.
+    */
+  def journeyStationary(spark: SparkSession, dir: String): DataFrame = {
+    val edges = transitionMatrix(spark, dir)
+      .select(col("from_type").as("src"), col("to_type").as("dst"),
+        col("n_transitions").as("w"))
+    val ranks = graft.functions.Graph.pageRankInt(edges, col("src"), col("dst"),
+      col("w"), iterations = 8, dampingPct = 100)
+    val obs = t(spark, dir, "events")
+      .groupBy(col("event_type").as("host")).agg(count(lit(1)).as("n_events"))
+    val tot = obs.agg(sum(col("n_events")).as("te"))
+    ranks.join(obs, "host").crossJoin(broadcast(tot))
+      .selectExpr("host AS event_type",
+        "rank DIV 1000 AS stationary_ppm",
+        "n_events",
+        "(n_events * 1000000L) DIV te AS observed_ppm")
+      .selectExpr("event_type", "stationary_ppm", "n_events", "observed_ppm",
+        "stationary_ppm - observed_ppm AS gap_ppm")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4430,7 +4461,8 @@ object Queries {
     "q177_purchase_cadence" -> (purchaseCadence _),
     "q178_modal_coverage" -> (modalCoverage _),
     "q179_rfm_segments" -> (rfmSegments _),
-    "q180_pareto" -> (paretoConcentration _))
+    "q180_pareto" -> (paretoConcentration _),
+    "q181_journey_stationary" -> (journeyStationary _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7093,6 +7125,40 @@ object Queries {
         |FROM th CROSS JOIN tt JOIN cm2
         |  ON users_before < (n * pct + 99) // 100 AND (n * pct + 99) // 100 <= users_through
         |ORDER BY pct""".stripMargin,
+    "q181_journey_stationary" -> {
+      // q101's unrolled-round pattern at damping 100: p_k = inflow only
+      val rounds = (1 to 8).map { k =>
+        s"""f$k AS (SELECT e.dst AS host, CAST(sum((p.r * e.w) // o2.ow) AS BIGINT) AS inflow
+           |      FROM p${k - 1} p JOIN ed e ON p.host = e.src JOIN o2 ON o2.src = e.src GROUP BY 1),
+           |p$k AS (SELECT h.host, CAST(coalesce(f.inflow, 0) AS BIGINT) AS r
+           |      FROM h LEFT JOIN f$k f ON f.host = h.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+         |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+         |      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+         |tr AS (SELECT event_type AS src,
+         |         lead(event_type) OVER (PARTITION BY user_id, session_seq
+         |                                ORDER BY ts_us, event_id) AS dst
+         |       FROM s2),
+         |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+         |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |h AS (SELECT src AS host FROM ed UNION SELECT dst FROM ed),
+         |b AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS base FROM h),
+         |o2 AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY 1),
+         |p0 AS (SELECT host, base AS r FROM h CROSS JOIN b),
+         |$rounds,
+         |ob AS (SELECT event_type AS host, CAST(count(*) AS BIGINT) AS n_events
+         |       FROM events GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_events) AS BIGINT) AS te FROM ob)
+         |SELECT p8.host AS event_type, CAST(r // 1000 AS BIGINT) AS stationary_ppm,
+         |  n_events,
+         |  CAST(n_events * 1000000 // te AS BIGINT) AS observed_ppm,
+         |  CAST(r // 1000 - n_events * 1000000 // te AS BIGINT) AS gap_ppm
+         |FROM p8 JOIN ob USING (host) CROSS JOIN tt ORDER BY event_type""".stripMargin
+    },
     "q36_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1200,4 +1200,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
       "share grows with the cut")
   }
+
+  test("q181 stationary distribution: near-probability mass, consistent with q159's chain") {
+    val rows = SparkEntry.queries("q181_journey_stationary")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val statSum = rows.map(_._2).sum
+    // integer DIV truncation loses a little mass per round/state, never gains
+    assert(statSum <= 1000000L && statSum > 990000L,
+      s"stationary mass $statSum must stay near 1e6")
+    val obsSum = rows.map(_._4).sum
+    assert(obsSum <= 1000000L && obsSum > 1000000L - rows.length)
+    rows.foreach { case (t, stat, n, obs, gap) =>
+      assert(stat >= 0 && obs > 0 && n > 0)
+      assert(gap == stat - obs, s"$t gap derivation")
+    }
+    // a 5-state chain fed by ~uniform synthetic types: no state should
+    // dominate or vanish in the stationary limit
+    assert(rows.map(_._2).max < 500000L && rows.map(_._2).min > 50000L)
+  }
 }
