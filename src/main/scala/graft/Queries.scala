@@ -4263,7 +4263,7 @@ object Queries {
       .select(col("from_type").as("src"), col("to_type").as("dst"),
         col("n_transitions").as("w"))
     val ranks = graft.functions.Graph.pageRankInt(edges, col("src"), col("dst"),
-      col("w"), iterations = 8, dampingPct = 100)
+      col("w"), iterations = 8, dampingPct = 100, cutEvery = 8)
     val obs = t(spark, dir, "events")
       .groupBy(col("event_type").as("host")).agg(count(lit(1)).as("n_events"))
     val tot = obs.agg(sum(col("n_events")).as("te"))

@@ -46,8 +46,9 @@ object Graph {
                   weight: Column, iterations: Int = 8,
                   dampingPct: Int = 85,
                   scale: Long = 1000000000L,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+                  checkpointDir: Option[String] = None,
+                  cutEvery: Int = 2): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100 && cutEvery >= 1)
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = edges.sparkSession.sparkContext
@@ -78,10 +79,13 @@ object Graph {
         .withColumn("rank",
           expr(s"((100 - $dampingPct) * base + $dampingPct * coalesce(inflow, 0L)) DIV 100"))
         .select(col("host"), col("base"), col("rank"))
-      // Cut every OTHER round: a depth-2 uncut chain costs Catalyst
-      // nothing, and halving the cuts halves the checkpoint I/O — the
-      // dominant per-round cost under a reliable checkpoint dir.
-      if (i % 2 == 0 || i == iterations) r = cut(r)
+      // Cut every `cutEvery` rounds (default 2): a shallow uncut chain
+      // costs Catalyst nothing, and fewer cuts mean less checkpoint I/O —
+      // the dominant per-round cost. Callers iterating a TINY graph
+      // (q181's alphabet-sized journey chain) raise this to the iteration
+      // count: each local job's fixed overhead dwarfs the micro-plan, so
+      // one final materialization is strictly cheaper.
+      if (i % cutEvery == 0 || i == iterations) r = cut(r)
     }
     r.select(col("host"), col("rank"))
   }
