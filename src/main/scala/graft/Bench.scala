@@ -43,7 +43,7 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
         df.agg(count(col(df.columns.head)),
-          df.columns.tail.map(c => count(col(c))): _*).collect()
+          df.columns.tail.toIndexedSeq.map(c => count(col(c))): _*).collect()
       }
     }
     // Optional local-iteration filter: `runMain graft.Bench q54,q60` times

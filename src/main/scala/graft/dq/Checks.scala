@@ -54,7 +54,7 @@ object Checks {
   def dataMatchHashed(source: DataFrame, target: DataFrame, sourceName: String,
                       stage: String): ValidationResult = {
     def digest(df: DataFrame): (Long, String, String) = {
-      val h = xxhash64(df.columns.map(col): _*)
+      val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
       // DECIMAL(38,0) accumulation: immune to ANSI long-overflow and exact
       // for any realistic row count (2⁶³ × 10¹⁰ rows ≪ 10³⁸).
       val dec = h.cast("decimal(38,0)")

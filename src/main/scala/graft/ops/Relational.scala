@@ -109,7 +109,7 @@ object Relational {
     * the cost of hash-collision false positives — kept exact here.
     */
   def duplicateRows(df: DataFrame): DataFrame =
-    df.groupBy(df.columns.map(col): _*)
+    df.groupBy(df.columns.toIndexedSeq.map(col): _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
