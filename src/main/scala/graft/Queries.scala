@@ -4175,12 +4175,16 @@ object Queries {
     * not ntile: bucket = ((cum_users_through_value − 1)·5) DIV n over the
     * per-metric DISTINCT-value cumulative — ties share a bucket (a
     * determinism ntile doesn't give without an arbitrary tiebreak), the
-    * window runs over distinct-value summaries instead of one global
+    * cumulative runs over distinct-value summaries instead of one global
     * user sort (ntile over 1e9 users is a single-reducer sort — the hot
-    * shape this repo bans), and the result replays bit-for-bit. Scale
-    * shape: one per-user rollup (narrow shuffle by user), three
-    * summary-sized cumulative frames joined back BY VALUE, one ≤125-cell
-    * rollup.
+    * shape this repo bans), and the result replays bit-for-bit. The
+    * monetary summary is itself ~#purchasers distinct values, so its
+    * cumulative goes through [[graft.ops.Relational.shardedCumSum]]'s
+    * value-range sharding (recency/frequency ride the same path for
+    * uniformity): only the ≤257-row slice summary ever takes an
+    * unpartitioned window. Scale shape: one per-user rollup (narrow
+    * shuffle by user), three sharded cumulative frames joined back BY
+    * VALUE, one ≤125-cell rollup.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "events")
@@ -4194,10 +4198,9 @@ object Queries {
         count(lit(1)).as("frequency"), sum(col("cents")).as("monetary"))
     def quintile(metric: String): DataFrame = {
       val byVal = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("k"))
-      byVal
-        .withColumn("cum", sum(col("k")).over(Window.orderBy(col("v"))))
+      graft.ops.Relational.shardedCumSum(byVal, "v", Seq("k"), ascending = true)
         .crossJoin(broadcast(users.agg(count(lit(1)).as("n"))))
-        .selectExpr(s"v AS $metric", s"((cum - 1) * 5) DIV n AS ${metric}_q")
+        .selectExpr(s"v AS $metric", s"((cum_k - 1) * 5) DIV n AS ${metric}_q")
     }
     users
       .join(broadcast(quintile("recency")), "recency")
@@ -4219,10 +4222,14 @@ object Queries {
     * value, so the top-n revenue is cum-before + (n_top − users_before)·v
     * regardless of which tied customers are "in" — no tiebreak needed and
     * no per-customer ranking: the cumulative runs DESC over the
-    * distinct-revenue summary (q168's tie-group discipline), thresholds
-    * are a 5-row literal frame, and n_top = ⌈n·k/100⌉ in integer ceiling
-    * DIV. One per-customer rollup touches the orders table; money in
-    * DECIMAL cents throughout.
+    * distinct-revenue summary (q168's tie-group discipline). That summary
+    * is ~#customers distinct cent values, so both running totals go
+    * through [[graft.ops.Relational.shardedCumSum]]'s value-range
+    * sharding — only the ≤257-row slice summary takes an unpartitioned
+    * window, never the per-customer frame. Thresholds are a 5-row literal
+    * frame, and n_top = ⌈n·k/100⌉ in integer ceiling DIV. One
+    * per-customer rollup touches the orders table; money in DECIMAL cents
+    * throughout.
     */
   def paretoConcentration(spark: SparkSession, dir: String): DataFrame = {
     val perCust = t(spark, dir, "orders")
@@ -4230,11 +4237,13 @@ object Queries {
       .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("v"))
     val byVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
     val totals = perCust.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
-    val cum = byVal
-      .withColumn("users_through", sum(col("k")).over(Window.orderBy(col("v").desc)))
-      .withColumn("rev_through", sum(expr("v * k")).over(Window.orderBy(col("v").desc)))
+    val cum = graft.ops.Relational.shardedCumSum(
+        byVal.withColumn("vk", expr("v * k")), "v", Seq("k", "vk"),
+        ascending = false)
+      .withColumnRenamed("cum_k", "users_through")
+      .withColumnRenamed("cum_vk", "rev_through")
       .withColumn("users_before", col("users_through") - col("k"))
-      .withColumn("rev_before", col("rev_through") - expr("v * k"))
+      .withColumn("rev_before", col("rev_through") - col("vk"))
     val thresholds = spark.sql(
       "SELECT explode(array(1L, 5L, 10L, 20L, 50L)) AS pct")
     thresholds.crossJoin(broadcast(totals))

@@ -168,6 +168,51 @@ object Relational {
     df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Range-sharded cumulative sum over a distinct-value summary: exact
+    * running totals of each `weights` column in `v`-order (ascending or
+    * descending, inclusive of the current row) WITHOUT ever sorting the
+    * summary on a single reducer. `byVal` must hold one row per distinct
+    * `v` (the caller's `groupBy(v)` output) — at scale that summary can
+    * still be ~cardinality-of-the-keyspace (distinct revenues ≈
+    * #customers), so a bare `sum(...).over(Window.orderBy(v))` is the
+    * one-reducer global sort this repo bans.
+    *
+    * Shape (the q156 curriculum discipline, generalized): the value range
+    * [min, max] splits into `slices` equal-width slices via integer
+    * DIV — a monotone map, so slice order ≡ value order. Per-slice
+    * partials aggregate map-side, the ≤ slices+1-row slice summary takes
+    * the only unpartitioned window (bounded by construction), and the
+    * within-slice cumulative runs under `Window.partitionBy(__slice)` —
+    * every reducer sorts ~n/slices rows instead of n. Exact integer math
+    * throughout; results are bit-identical to the naive global window.
+    *
+    * Output: the input columns plus one `cum_<w>` column per weight.
+    * Weights and `v` must be integral (LongType) and `v - min(v)` must
+    * not overflow Long (any real business domain qualifies).
+    */
+  def shardedCumSum(byVal: DataFrame, v: String, weights: Seq[String],
+                    ascending: Boolean, slices: Int = 256): DataFrame = {
+    val bounds = byVal.agg(min(col(v)).as("__mn"), max(col(v)).as("__mx"))
+    // width >= 1 always; slice index is 0..slices even when mx == mn
+    val sliced = byVal.crossJoin(broadcast(bounds))
+      .withColumn("__slice",
+        expr(s"($v - __mn) DIV (((__mx - __mn) DIV $slices) + 1)"))
+      .drop("__mn", "__mx")
+    val sliceOrd = if (ascending) col("__slice").asc else col("__slice").desc
+    val valOrd = if (ascending) col(v).asc else col(v).desc
+    val partials = weights.map(w => sum(col(w)).as(s"__s_$w"))
+    val perSlice = sliced.groupBy(col("__slice"))
+      .agg(partials.head, partials.tail: _*)
+    val prefix = weights.foldLeft(perSlice) { (d, w) =>
+      d.withColumn(s"__b_$w",
+        sum(col(s"__s_$w")).over(Window.orderBy(sliceOrd)) - col(s"__s_$w"))
+    }.select(col("__slice") +: weights.map(w => col(s"__b_$w")): _*)
+    val win = Window.partitionBy(col("__slice")).orderBy(valOrd)
+    weights.foldLeft(sliced.join(broadcast(prefix), "__slice")) { (d, w) =>
+      d.withColumn(s"cum_$w", col(s"__b_$w") + sum(col(w)).over(win))
+    }.drop("__slice" +: weights.map(w => s"__b_$w"): _*)
+  }
+
   /** LIKE-disjunction from a comma list — the reference rewrites
     * `a,b,c` into `OBJECT_NAME LIKE '%a%' OR OBJECT_NAME LIKE '%b%' ...`
     * (`FACT_AUTOMATION.sh:75-79`); here composed as Columns, no string

@@ -542,6 +542,105 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Bounded-domain grouping keys: calendar buckets, shards/slices/strata,
+    * histogram cells — anything whose cardinality is fixed by construction
+    * rather than by the data volume. An unpartitioned window whose input is
+    * an aggregate over ONLY such keys sorts a summary, not the corpus.
+    */
+  private val boundedKeyPattern =
+    ("^(day|hour|week|month|ld|gap_days|stratum|source|lang|shard|slice|" +
+      "cell|pct|bucket|bin|decile|epoch|__slice|__m)$").r
+
+  /** The global-window lint behind the catalog sweep: every WindowExec with
+    * an EMPTY partition spec must read a provably bounded frame —
+    *  (a) an internal summary (all child columns `__`-prefixed, the repo's
+    *      convention for pre-aggregated histogram/slice frames), or
+    *  (b) an aggregate in its child subtree grouped only by bounded-domain
+    *      keys ([[boundedKeyPattern]]), or
+    *  (c) a limit (`TakeOrderedAndProject` / global limit) bounding the
+    *      frame's row count outright.
+    * Anything else is the one-reducer global sort that dies at 100 TB —
+    * the r11 q179/q180 defect this lint exists to catch at review time.
+    * Returns the offending windows' child outputs (empty = clean).
+    */
+  /** Every node in a physical subtree, descending THROUGH exchange reuse:
+    * `ReusedExchangeExec` is a leaf that aliases another exchange's subtree,
+    * so a plain `collect` under it sees nothing — the aggregate proving a
+    * frame bounded may live only behind the reused edge.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allNodes(r.child)
+      case _ => p.children.flatMap(allNodes)
+    })
+
+  private def unboundedGlobalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.filterNot { w =>
+      val internalSummary = w.child.output.nonEmpty &&
+        w.child.output.forall(a => a.name.startsWith("__"))
+      val subtree = allNodes(w.child)
+      val boundedAgg = subtree.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.flatMap(_.references.toSeq).map(_.name).distinct
+      }.exists(keys => keys.nonEmpty &&
+        keys.forall(k => boundedKeyPattern.findFirstIn(k).isDefined))
+      val limited = subtree.exists {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.CollectLimitExec => true
+        case _ => false
+      }
+      internalSummary || boundedAgg || limited
+    }.map(w => w.child.output.map(_.name).mkString(","))
+
+  test("lint: every unpartitioned window in the whole catalog runs over a provably bounded frame") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        unboundedGlobalWindows(fn(planningSession, sf)).map(o => s"$name: [$o]")
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded frames:\n${offenders.mkString("\n")}")
+  }
+
+  test("lint regression: r11 q180's single-partition cumulative over per-customer revenue is flagged") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the exact pre-r12 shape: distinct per-customer revenue summary into a
+    // bare Window.orderBy running sum — ~#customers rows on one reducer
+    val perCust = planningSession.read
+      .parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val byVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val old = byVal.withColumn("users_through",
+      sum(col("k")).over(Window.orderBy(col("v").desc)))
+    assert(unboundedGlobalWindows(old).nonEmpty,
+      "the lint must flag the r11 q180 shape")
+    // and the r12 sharded rewrite of the same cumulative passes it
+    val fixed = graft.ops.Relational.shardedCumSum(byVal, "v", Seq("k"),
+      ascending = false)
+    assert(unboundedGlobalWindows(fixed).isEmpty,
+      "shardedCumSum must carry no unbounded global window")
+  }
+
+  test("q179/q180: no unpartitioned window reads a per-customer-cardinality frame; slice summaries only") {
+    for (q <- Seq("q179_rfm_segments", "q180_pareto")) {
+      val df = SparkEntry.queries(q)(planningSession, sf)
+      assert(unboundedGlobalWindows(df).isEmpty, q)
+      // partitioned windows may only be the within-slice cumulatives
+      windowNodes(q).filter(_.partitionSpec.nonEmpty).foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+        assert(keys == Seq("__slice"),
+          s"$q: unexpected window partition keys $keys")
+      }
+    }
+  }
+
   test("q152: the IVF argmax is a map-side-combinable aggregation — no window, no vector shuffles") {
     // a row_number window over the corpus x centroids frame would sort 32x
     // the corpus; the max(struct(cos, -cell)) aggregation partial-combines
