@@ -26,6 +26,7 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarnings()
     // Warm the session once (Hadoop FS + codegen + JIT + parquet footers):
     // the first query otherwise pays ~5s of one-time init that has nothing
     // to do with the query being measured.
@@ -65,10 +66,12 @@ object Bench {
     // a query's plan changes): internal spread alone cannot distinguish
     // "contended run" from "confirmed regression" when a sustained stall
     // covers every pass (the r8 bench shipped a phantom 17× q85 this way).
-    // Any query whose min exceeds 2× its reference (and is >1s over it —
-    // sub-second spreads are scheduler noise) gets up to 2 extra passes;
-    // if it STILL can't reach the floor it is emitted under "suspect",
-    // making the two states different artifact states.
+    // Any query whose min exceeds 2× its reference and is >1s over it, OR
+    // exceeds 2.5× the reference at ANY absolute delta (the r11 q117
+    // lesson: a 0.2s-floor query tripled below the >1s guard and shipped
+    // unflagged), gets up to 2 extra passes; if it STILL can't reach the
+    // floor it is emitted under "suspect", making the two states
+    // different artifact states.
     val benchRef: Map[String, Double] = {
       // Resolve against cwd first, then next to this jar's classes (the
       // repo root) — the floor must not silently disarm when the driver
@@ -127,7 +130,7 @@ object Bench {
       // exceeds the committed clean floor; flag as suspect if it never
       // clears — a confirmed regression keeps its slow number AND the flag.
       def overFloor = benchRef.get(name)
-        .exists(r => bestOf > 2 * r && bestOf - r > 1.0)
+        .exists(r => (bestOf > 2 * r && bestOf - r > 1.0) || bestOf > 2.5 * r)
       var extra = 0
       while (overFloor && extra < 2) { runs :+= onePass(); extra += 1 }
       // A query failing in SOME passes but succeeding in another has a

@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarnings()
     s
   }
 }
