@@ -62,6 +62,14 @@ object GraftFunctions {
     spark.udf.register("graft_kmv",
       org.apache.spark.sql.functions.udaf(
         new graft.functions.Sketches.KmvAggregator(graft.functions.Sketches.DefaultK)))
+    // Same integer math as Sketches.kmvEstimate's CASE expression, over a
+    // k-sized array — exact below k, (k-1)·2^48 DIV kth-min otherwise.
+    spark.udf.register("graft_kmv_estimate", (sketch: Seq[Long]) => {
+      val k = graft.functions.Sketches.DefaultK
+      if (sketch == null) 0L
+      else if (sketch.length < k) sketch.length.toLong
+      else ((k - 1).toLong * (1L << 48)) / math.max(sketch(k - 1), 1L)
+    })
   }
 }
 

@@ -3459,17 +3459,21 @@ object Queries {
     * methods×queries rollup.
     */
   def retrievalScorecard(spark: SparkSession, dir: String): DataFrame = {
+    // ONE k feeds every topK call AND the recall denominator below — a k
+    // changed in one place but not the other silently skews recall_ppm
+    // (mirror any change in the q160 oracle SQL's `* 10L`).
+    val k = 10
     val e = t(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
     def asResult(df: DataFrame, m: String): DataFrame =
       df.select(lit(m).as("method"), col("query_id"), col("corpus_id"), col("rank"))
     val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
-      q, col("vec_id"), col("embedding"), k = 10)
+      q, col("vec_id"), col("embedding"), k = k)
     val results = asResult(truth, "brute")
       .unionByName(asResult(Similarity.lshTopK(e, col("vec_id"), col("embedding"),
-        q, col("vec_id"), col("embedding"), k = 10, dim = 64, bits = 6), "lsh"))
+        q, col("vec_id"), col("embedding"), k = k, dim = 64, bits = 6), "lsh"))
       .unionByName(asResult(Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
-        q, col("vec_id"), col("embedding"), k = 10, nCentroids = 32, nProbe = 8), "ivf"))
+        q, col("vec_id"), col("embedding"), k = k, nCentroids = 32, nProbe = 8), "ivf"))
     val truthSet = truth.select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
     val perQ = results
       .join(truthSet, Seq("query_id", "corpus_id"), "left")
@@ -3485,7 +3489,7 @@ object Queries {
         sum(when(col("first_hit").isNull, 0L)
           .otherwise(expr("1000000L DIV first_hit"))).as("rr_sum"))
       .selectExpr("method", "n_queries", "n_hits",
-        "(n_hits * 1000000L) DIV (n_queries * 10L) AS recall_ppm",
+        s"(n_hits * 1000000L) DIV (n_queries * ${k}L) AS recall_ppm",
         "rr_sum DIV n_queries AS mrr_micro")
       .orderBy(col("method"))
   }
@@ -6478,7 +6482,9 @@ object Queries {
         |             + coalesce(max(CASE WHEN rn = 3 THEN sim END), 0.0))
         |             + coalesce(max(CASE WHEN rn = 4 THEN sim END), 0.0) AS tsm
         |         FROM tr WHERE rn <= 4 GROUP BY tid),
-        |m AS (SELECT s.aid, s.tid, s.tlang, (sim + sim) / (asm + tsm) AS margin
+        |m AS (SELECT s.aid, s.tid, s.tlang,
+        |        CASE WHEN asm + tsm = 0.0 THEN 0.0
+        |             ELSE (sim + sim) / (asm + tsm) END AS margin
         |      FROM s JOIN asum USING (aid) JOIN tsum USING (tid)),
         |r AS (SELECT aid AS anchor_id, tid AS target_id, tlang AS target_lang,
         |        row_number() OVER (PARTITION BY aid ORDER BY margin DESC, tid) AS rnk

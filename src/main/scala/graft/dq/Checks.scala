@@ -236,8 +236,11 @@ object Checks {
                 edge: String): DataFrame = {
     val perKey = fact.select(key.as("k")).filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
-    val stats = perKey.agg(sum(col("c")).as("n_rows"),
-      count(lit(1)).as("n_keys"), max(col("c")).as("max_freq"))
+    // Degenerate edge (empty fact / all-NULL keys): coalesce the NULL
+    // sum/max to 0 so the audit row keeps its all-integer contract.
+    val stats = perKey.agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(max(col("c")), lit(0L)).as("max_freq"))
     val orphans = perKey
       .join(dim.select(dimKey.as("dk")), col("k") === col("dk"), "left_anti")
       .agg(coalesce(sum(col("c")), lit(0L)).as("orphan_rows"))
@@ -246,7 +249,8 @@ object Checks {
       .agg(count(lit(1)).as("unmatched_dim_keys"))
     stats.crossJoin(orphans).crossJoin(unmatched)
       .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"), col("max_freq"),
-        expr("(max_freq * 1000000L) DIV greatest(n_rows DIV n_keys, 1L)")
+        expr("CASE WHEN n_keys = 0 THEN 0L ELSE " +
+          "(max_freq * 1000000L) DIV greatest(n_rows DIV n_keys, 1L) END")
           .as("skew_ppm"),
         col("orphan_rows"), col("unmatched_dim_keys"))
   }

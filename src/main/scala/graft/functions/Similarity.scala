@@ -163,10 +163,15 @@ object Similarity {
       sims.withColumn("rn", row_number().over(
           Window.partitionBy(col("tid")).orderBy(col("sim").desc, col("aid"))))
         .filter(col("rn") <= k), "tid")
+    // Zero-denominator guard (cosineFromParts' discipline): if every top-k
+    // cosine is 0 (degenerate/zero vectors), 0/0 would be NaN and NaN
+    // ordering in the rank window is engine-dependent — emit 0.0 instead
+    // so degenerate inputs stay deterministic.
+    val denom = col("aid_nsum") + col("tid_nsum")
     val margins = sims.join(aSum, "aid").join(tSum, "tid")
       .select(col("aid"), col("tid"), col("ttag"),
-        ((col("sim") + col("sim")) / (col("aid_nsum") + col("tid_nsum")))
-          .as("margin"))
+        when(denom === 0.0, 0.0)
+          .otherwise((col("sim") + col("sim")) / denom).as("margin"))
     Relational.groupTopK(margins, Seq(col("aid")),
         Seq(col("margin").desc, col("tid")), col("tid"), topM)
       .select(col("aid").as("anchor_id"), col("rank").cast("long").as("rnk"),

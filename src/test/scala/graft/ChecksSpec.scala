@@ -179,4 +179,17 @@ class ChecksSpec extends AnyFunSuite {
     assert(row.getLong(5) == 2L, "orphan fact rows (key 7)")
     assert(row.getLong(6) == 1L, "dead dim keys (key 9)")
   }
+
+  test("fkProfile: empty fact (or all-NULL keys) keeps the all-integer audit contract") {
+    // every stat must come back 0, never NULL — the audit table's columns
+    // are non-null integers and a NULL row breaks downstream rollups
+    val fact = Seq((Option.empty[Int], "r")).toDF("k", "payload")
+    val dim = Seq(1, 2).toDF("dk")
+    val row = Checks.fkProfile(fact, col("k"), dim, col("dk"), "empty").collect().head
+    assert(!row.anyNull, row.toString)
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L &&
+      row.getLong(3) == 0L && row.getLong(4) == 0L, row.toString)
+    assert(row.getLong(5) == 0L, "no orphans")
+    assert(row.getLong(6) == 2L, "every dim key unmatched")
+  }
 }

@@ -17,6 +17,22 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(v2(0) - v2(1)) < 1e-9)
   }
 
+  test("orthogonal-start matrix still recovers the dominant eigenpair") {
+    // [[1,-2],[-2,1]]: eigenpairs 3 @ (1,-1)/sqrt2 and -1 @ (1,1)/sqrt2.
+    // The dominant eigenvector sums to zero, so a FLAT all-ones start is
+    // EXACTLY orthogonal to it and a naive power iteration returns the
+    // subdominant -1 — the graded start must break the orthogonality.
+    val (v, l) = Pca.topComponent(Seq((0, 0, 1.0), (0, 1, -2.0), (1, 1, 1.0)), dim = 2)
+    assert(math.abs(l - 3.0) < 1e-9, s"got eigenvalue $l")
+    assert(math.abs(v(0) + v(1)) < 1e-9, s"direction ${v.toSeq}")
+    // early-exit: a diagonal matrix converges in a handful of steps, so a
+    // huge iteration budget must return identically (and instantly)
+    val (vFast, lFast) = Pca.topComponent(Seq((0, 0, 5.0), (1, 1, 1.0)),
+      dim = 2, iters = 100000000)
+    assert(math.abs(lFast - 5.0) < 1e-9)
+    assert(math.abs(math.abs(vFast(0)) - 1.0) < 1e-9)
+  }
+
   test("q166 covariance feeds the driver-side fit: Rayleigh quotient dominates every diagonal") {
     val rows = SparkEntry.queries("q166_dim_covariance")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble))

@@ -261,4 +261,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(raw(1L) == 10L && raw(2L) == 10L, s"fixture lost its hub: $raw")
   }
+
+  test("marginMining: all-zero vectors stay deterministic (margin 0, never NaN)") {
+    // every cosine is 0 (zero-vector guard), so each neighborhood sum is 0
+    // and 0/0 would be NaN — whose ordering inside the rank window is
+    // engine-dependent. The denominator guard pins margin to 0.0 and the
+    // tiebreak (tid) alone decides the ranks, bit-for-bit.
+    val anchors = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val targets = Seq(
+      (10L, Seq(0.0f, 0.0f), "aa"),
+      (11L, Seq(0.0f, 0.0f), "bb")).toDF("id", "v", "lang")
+    val out = Similarity.marginMining(targets, col("id"), col("v"), col("lang"),
+        anchors, col("id"), col("v"), k = 2, topM = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 11L)), out.mkString(","))
+  }
 }

@@ -102,4 +102,26 @@ class SkewExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(sk == Seq(1L, 3L, 9L), sk.toString)
   }
+
+  test("graft_kmv_estimate reads a sketch from stored SQL text, exact below k") {
+    GraftFunctions.register(spark)
+    // under-full sketch → exact distinct count; matches the documented
+    // register() surface (stored SQL calls estimate over the kmv column)
+    val est = spark.sql(
+      "SELECT graft_kmv_estimate(graft_kmv(h)) AS est " +
+        "FROM VALUES (9L), (3L), (9L), (1L), (3L) AS t(h)")
+      .head().getLong(0)
+    assert(est == 3L, est.toString)
+    // full sketch → (k-1)·2^48 DIV kth-min, the Sketches.kmvEstimate math
+    val k = graft.functions.Sketches.DefaultK
+    val dense = spark.range(1, 4 * k + 1)
+      .select(graft.functions.Sketches.kmvHash48(
+        org.apache.spark.sql.functions.col("id")).as("h"))
+    val viaUdf = dense.selectExpr("graft_kmv(h) AS sk")
+      .selectExpr("graft_kmv_estimate(sk) AS est").head().getLong(0)
+    val viaColumn = dense.agg(graft.functions.Sketches.kmvSketch(
+        org.apache.spark.sql.functions.col("h")).as("sk"))
+      .select(graft.functions.Sketches.kmvEstimate("sk")).head().getLong(0)
+    assert(viaUdf == viaColumn, s"$viaUdf vs $viaColumn")
+  }
 }
