@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink over avro-core — the reference's conform
+  * layer is AVRO in hive-partitioned dirs (`Kafka_ArrivalToConform.sh:536-540`
+  * spells the layout: `.../create_date=YYYYMMDD/source_file_name=<file>/`),
+  * and this environment ships no spark-avro DataSource jar, so the engine
+  * carries its own thin writer/reader instead of leaving the conform
+  * format knob untestable.
+  *
+  * Scale shape: the write is embarrassingly parallel — each task streams its
+  * partition once, routing rows to one open `DataFileWriter` per dynamic
+  * partition value (the same task-side dynamic-partitioning discipline as
+  * Spark's own FileFormatWriter), through the Hadoop FileSystem API so the
+  * same code hits HDFS/S3A on a cluster. File names carry the task partition
+  * id, and a retried task OVERWRITES its own files (idempotent replay, the
+  * ArrivalJob.writeBatch contract). The read parallelizes one task per file
+  * and decodes through `DataFileStream`; partition-dir values come back as
+  * columns, parsed from the path the way Spark's own partition discovery
+  * does.
+  *
+  * Types cover the conform-layer surface (and any flat relational table):
+  * string/int/long/float/double/boolean/binary, nullable as avro unions.
+  * Nested types are out of scope — the reference's conform rows are flat
+  * Kafka payloads.
+  */
+object AvroIo {
+
+  /** Spark StructType → Avro record schema (nullable = union[null, t]). */
+  def toAvroSchema(schema: StructType, name: String = "graft_record"): Schema = {
+    val fields = SchemaBuilder.record(name).namespace("graft").fields()
+    schema.fields.foldLeft(fields) { (fs, f) =>
+      val base = f.dataType match {
+        case StringType => Schema.create(Schema.Type.STRING)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"AvroIo supports flat relational types only, got $other for ${f.name}")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      else base
+      fs.name(f.name).`type`(s).noDefault()
+    }.endRecord()
+  }
+
+  /** Avro record schema → Spark StructType (unions of [null, t] = nullable). */
+  def toSparkSchema(schema: Schema): StructType = {
+    def field(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.length == 1, s"unsupported union $s")
+        (field(nonNull.head)._1, branches.exists(_.getType == Schema.Type.NULL))
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = field(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def toAvroValue(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  private def fromAvroValue(v: Any): Any = v match {
+    case u: Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case other => other
+  }
+
+  /** Escape a partition value for a path segment (Spark's convention for
+    * the characters that break dir names; enough for the conform layer's
+    * date + `<topic>_<partition>_<run>` values).
+    */
+  private def escape(v: Any): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else v.toString.flatMap {
+      case c if c == '/' || c == '\\' || c == '=' || c == ':' =>
+        f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Write `df` as avro container files under `path`, hive-partitioned by
+    * `partitionCols` (dirs `col=value/`). Mode is append-or-overwrite at
+    * FILE granularity: each task writes `part-<taskPartitionId>.avro` into
+    * every partition dir it routes rows to, overwriting its own previous
+    * attempt — re-running the same batch with the same partitioning
+    * replaces exactly what it wrote before (the idempotent-replay contract
+    * the arrival leg relies on).
+    */
+  def writeAvro(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val schema = df.schema
+    val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
+    val dataSchema = StructType(dataFields.toIndexedSeq)
+    val avroJson = toAvroSchema(dataSchema).toString
+    val dataNames = dataFields.map(_.name).toSeq
+    val partNames = partitionCols
+    // route columns: data first, partition values last, fixed order
+    val ordered = df.select((dataNames ++ partNames).map(col).toIndexedSeq: _*)
+    ordered.rdd.foreachPartition { rows =>
+      val taskId = TaskContext.getPartitionId()
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val writers = mutable.Map.empty[Seq[String], DataFileWriter[GenericRecord]]
+      def writerFor(pv: Seq[String]): DataFileWriter[GenericRecord] =
+        writers.getOrElseUpdate(pv, {
+          val dir = partNames.zip(pv)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")
+          val file = new Path(path,
+            (if (dir.isEmpty) "" else dir + "/") + f"part-$taskId%05d.avro")
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.create(avroSchema, fs.create(file, true))
+          w
+        })
+      rows.foreach { row =>
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < dataNames.length) {
+          rec.put(dataNames(i), toAvroValue(row.get(i))); i += 1
+        }
+        val pv = partNames.indices
+          .map(j => escape(row.get(dataNames.length + j)))
+        writerFor(pv).append(rec)
+      }
+      writers.values.foreach(_.close())
+    }
+  }
+
+  private def listAvroFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val out = mutable.Buffer.empty[FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".avro")) out += st
+    }
+    out.toSeq
+  }
+
+  /** Read an avro dir written by [[writeAvro]] (or any hive-partitioned
+    * layout of flat avro container files) back as a DataFrame; partition
+    * dirs come back as string columns after the data columns, exactly as
+    * Spark's partition discovery would order them.
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val files = listAvroFiles(fs, root)
+    require(files.nonEmpty, s"no .avro files under $path")
+    val rootUri = fs.makeQualified(root).toUri
+    def partPairs(f: Path): Seq[(String, String)] = {
+      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+      rel.split("/").dropRight(1).toSeq.collect {
+        case seg if seg.contains("=") =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> unescape(v)
+      }
+    }
+    val partCols = partPairs(files.head.getPath).map(_._1)
+    require(files.forall(f => partPairs(f.getPath).map(_._1) == partCols),
+      "inconsistent partition layout")
+    // driver reads one header for the schema; tasks re-parse from json
+    val avroJson = {
+      val in = fs.open(files.head.getPath)
+      try {
+        val s = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        try s.getSchema.toString finally s.close()
+      } finally scala.util.Try(in.close())
+    }
+    val dataSchema = toSparkSchema(new Schema.Parser().parse(avroJson))
+    val full = StructType(dataSchema.fields.toIndexedSeq ++
+      partCols.map(c => StructField(c, StringType, nullable = true)))
+    val fileList = files.map(f => (f.getPath.toString,
+      partPairs(f.getPath).map(_._2)))
+    val names = dataSchema.fieldNames.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(fileList, math.max(1, fileList.length))
+      .flatMap { case (file, pv) =>
+        val conf = new Configuration()
+        val p = new Path(file)
+        val in = p.getFileSystem(conf).open(p)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val iter = stream.iterator().asScala.map { rec =>
+          Row.fromSeq(names.map(n => fromAvroValue(rec.get(n))) ++ pv)
+        }
+        // materialize the (file-sized) batch so the stream can close;
+        // conform files are micro-batch sized by construction
+        val rows = iter.toVector
+        stream.close()
+        rows
+      }
+    spark.createDataFrame(rdd, full)
+  }
+
+  /** One record round-trip through avro binary — used by specs to pin the
+    * container encoding itself, not just the layout.
+    */
+  private[graft] def roundTripBytes(schema: Schema, rec: GenericRecord): GenericRecord = {
+    val out = new ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out); w.append(rec); w.close()
+    val s = new DataFileStream[GenericRecord](
+      new java.io.ByteArrayInputStream(out.toByteArray),
+      new GenericDatumReader[GenericRecord]())
+    try s.iterator().next() finally s.close()
+  }
+}

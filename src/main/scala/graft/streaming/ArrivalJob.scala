@@ -74,22 +74,30 @@ object ArrivalJob {
     * its avro conform dir (`Kafka_ArrivalToConform.sh:536-540`). Reading by
     * `job_run_id` prunes to exactly the new partitions.
     *
-    * The reference conform layer is AVRO; `format` is the knob. This
-    * environment ships no spark-avro jar, so the default stays parquet —
-    * at deploy time pass "avro" with spark-avro on the classpath (the
-    * DataSource V1/V2 lookup resolves it by name, nothing else changes).
+    * The reference conform layer is AVRO; `format` is the knob. The
+    * default stays parquet (the engine's columnar layer), and
+    * `format = "avro"` routes through [[graft.sources.AvroIo]]'s own
+    * container-file sink — this environment ships no spark-avro
+    * DataSource jar, and the conform layout must not stay an untested
+    * path because of it. Any other format name resolves through the
+    * normal DataSource lookup (orc ships built-in; spark-avro would
+    * too, by name, on a cluster that carries it).
     */
   def conformRuns(spark: SparkSession, dataPath: String, conformPath: String,
                   runIds: Seq[Long], format: String = "parquet"): Unit = {
     val arrival = spark.read.parquet(dataPath)
       .filter(col("job_run_id").isin(runIds: _*))
-    arrival
+    val conformed = arrival
       .withColumn("create_date", date_format(current_timestamp(), "yyyyMMdd"))
       .withColumn("source_file_name",
         concat_ws("_", col("topic"), col("partition"), col("job_run_id")))
-      .write.mode("append")
-      .partitionBy("create_date", "source_file_name")
-      .format(format)
-      .save(conformPath)
+    if (format == "avro")
+      graft.sources.AvroIo.writeAvro(conformed, conformPath,
+        Seq("create_date", "source_file_name"))
+    else
+      conformed.write.mode("append")
+        .partitionBy("create_date", "source_file_name")
+        .format(format)
+        .save(conformPath)
   }
 }

@@ -80,13 +80,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(conformed.count() == 2)
     assert(conformed.select(col("source_file_name")).head().getString(0) == "t2_0_0")
 
-    // format is a parameter (the reference conform layer is avro; no
-    // spark-avro jar ships here, so drive the knob with built-in orc)
+    // format is a parameter; non-avro names go through the DataSource
+    // lookup (orc ships built-in)
     val conformOrc = s"$dir/conform_orc"
     ArrivalJob.conformRuns(spark, data, conformOrc, Seq(0L), format = "orc")
     val orc = spark.read.orc(conformOrc)
     assert(orc.count() == 2)
     assert(orc.columns.contains("create_date") && orc.columns.contains("source_file_name"))
+
+    // the reference layout itself: AVRO conform dir partitioned by
+    // create_date/source_file_name (Kafka_ArrivalToConform.sh:536-540),
+    // through the engine's own container sink since no spark-avro
+    // DataSource ships here
+    val conformAvro = s"$dir/conform_avro"
+    ArrivalJob.conformRuns(spark, data, conformAvro, Seq(0L), format = "avro")
+    val av = graft.sources.AvroIo.readAvro(spark, conformAvro)
+    assert(av.count() == 2)
+    assert(av.columns.contains("create_date") && av.columns.contains("source_file_name"))
+    assert(av.select(col("source_file_name")).head().getString(0) == "t2_0_0")
+    val dateDir = new java.io.File(conformAvro).listFiles().head
+    assert(dateDir.getName.startsWith("create_date="), dateDir.getName)
+    assert(dateDir.listFiles().head.getName == "source_file_name=t2_0_0")
+    // value parity with the parquet conform of the same run
+    val pq = conformed.select(col("value")).as[String].collect().sorted.toSeq
+    val avv = av.select(col("value")).as[String].collect().sorted.toSeq
+    assert(pq == avv, s"$pq vs $avv")
   }
 
   test("ledger gap (lost batch) is detected") {
