@@ -2364,20 +2364,27 @@ object Queries {
   /** Zipf vocabulary table: the 20 most frequent tokens per language with
     * exact occurrence counts — the vocabulary audit behind stopword lists,
     * quality-signal calibration (q26 stopword ratios) and tokenizer-equity
-    * checks (q111). The per-language top-k runs through
-    * [[graft.ops.Relational.groupTopK]]'s exact two-phase rewrite, so the
-    * ~5-value language partition never funnels the full token-count table
-    * through one reducer — the q117 discipline applied to text.
+    * checks (q111). The per-language top-k routes through
+    * [[graft.ops.Relational.nativeTopK]]: under a [[graft.GraftExtensions]]
+    * session the cut is the native per-key bounded-heap operator
+    * ([[graft.plans.TopKPlan]], partial/final heaps — at most
+    * mapPartitions × langs × 20 survivors cross the exchange); a plain
+    * session falls back to [[graft.ops.Relational.groupTopK]]'s exact
+    * two-phase window. Either way the ~5-value language partition never
+    * funnels the full token-count table through one reducer, and the rank
+    * column is re-derived by a window over the ≤ langs×20 survivors —
+    * a bounded frame in both paths.
     */
   def zipfTable(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir, "documents")
       .select(col("lang"), explode(Text.tokens(Text.normalized(col("text")))).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
-    Relational.groupTopK(counts, Seq(col("lang")),
-        Seq(col("n_occurrences").desc, col("token")), col("token"), k = 20)
-      .select(col("lang"), col("rank").cast("long").as("rank"),
-        col("token"), col("n_occurrences"))
+    Relational.nativeTopK(counts, keys = Seq("lang"),
+        order = Seq(("n_occurrences", false), ("token", true)), k = 20)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+      .select(col("lang"), col("rank"), col("token"), col("n_occurrences"))
       .orderBy(col("lang"), col("rank"))
   }
 

@@ -469,14 +469,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
-  test("q128: the language-partitioned vocabulary rank window sees only sharded survivors") {
-    // the q117 discipline on text: the (lang)-only re-rank must be fed by
-    // the (lang, shard) phase-1 cut, never the raw token-count table
+  test("q128: every language-partitioned window sees only rank-cut survivors") {
+    // the q117 discipline on text, through nativeTopK's plain-session
+    // fallback: phase 1 ranks within (lang, shard); the (lang)-only
+    // phase-2 re-rank and the final rank re-derivation must each be fed
+    // by a rank cut (__r1 <= 20 / rank <= 20) — never the raw
+    // token-count table. (Under a GraftExtensions session the cut is the
+    // native heap operator instead; TopKPlanSpec pins that path.)
     val ws = windowNodes("q128_zipf_table")
-    assert(ws.length == 2, s"expected the two-phase pair, got ${ws.length}")
-    val Seq(lone) = ws.filter(_.partitionSpec.length == 1)
-    assert("""__r1#\d+ <= 20""".r.findFirstIn(lone.child.toString).isDefined,
-      s"phase-2 window not fed by the shard-rank cut:\n${lone.child}")
+    assert(ws.length == 3, s"expected shard + re-rank + rank windows, got ${ws.length}")
+    val lone = ws.filter(_.partitionSpec.length == 1)
+    assert(lone.length == 2, s"expected two lang-only windows, got ${lone.length}")
+    lone.foreach { w =>
+      assert("""(__r1|rank)#\d+ <= 20""".r.findFirstIn(w.child.toString).isDefined,
+        s"lang-only window not fed by a rank cut:\n${w.child}")
+    }
     assert(ws.filterNot(_.partitionSpec.length == 1).head.partitionSpec.length == 2)
   }
 

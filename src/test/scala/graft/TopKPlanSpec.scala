@@ -105,6 +105,16 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(fallback.columns.toSeq == docs(s).columns.toSeq, "no rank column leaks")
   }
 
+  test("q128 zipf rides the native operator under extensions — identical rows to the plain session") {
+    val plain = SparkEntry.queries("q128_zipf_table")(TestSpark.spark, sf)
+    val native = SparkEntry.queries("q128_zipf_table")(extended, sf)
+    assert(native.queryExecution.analyzed.collectFirst {
+      case t: TopKPlan.TopKPerKey => t }.isDefined,
+      "extensions session must plan the native top-k node")
+    assert(native.collect().map(_.toSeq).toSeq ==
+      plain.collect().map(_.toSeq).toSeq, "paths disagree")
+  }
+
   test("unknown column in the hint fails loudly, not silently") {
     intercept[Exception] {
       Relational.nativeTopK(docs(extended),
