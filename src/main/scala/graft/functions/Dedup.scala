@@ -265,22 +265,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
-      // Checkpoint the new labels FIRST (cuts the growing lineage), then run
-      // the convergence probe on two materialized frames — the probe costs
-      // one small join, not a recompute of the iteration.
+      // Carry the OLD label through the update join so the convergence
+      // probe is a filter on the already-materialized frame — folding it
+      // into the checkpoint saves one labels-join per round (the probe
+      // used to re-join updated against labels after the cut).
       val updated = cut(labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(col("u.cluster") =!= col("l.cluster"))
-        .limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("cluster") =!= col("__old")).limit(1).count()
+      labels = updated.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }
-    (labels, i)
+    (labels.select(col("id"), col("cluster")), i)
   }
 
   /** Survivorship over near-dup CLUSTERS: given component labels
