@@ -614,6 +614,61 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned windows over unbounded frames:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries whose BroadcastNestedLoopJoin broadcasts a BOUNDED QUERY SET
+    * rather than a scalar: the ANN/retrieval family broadcasts a
+    * literal-filtered query/anchor frame (`vec_id < 5`, `lang = 'en' AND
+    * id < 50`) or a k-sized centroid/codebook table into one corpus scan —
+    * the one shape where a nested loop IS the right plan (bounded × corpus,
+    * the q30/q122 pattern, each pinned by its own per-query test). A
+    * literal filter's boundedness isn't mechanically provable, so these are
+    * adjudicated by name; any NEW query planning a data×data nested loop
+    * fails the sweep below until it is either fixed or justified here.
+    */
+  private val boundedQuerySetBnlj = Set(
+    "q30_ann_brute", "q31_embed_neardup", "q53_ann_ivf", "q67_pq_adc",
+    "q68_ivf_pq", "q100_hybrid_rrf", "q122_knn_label", "q126_ann_recall",
+    "q136_hard_negatives", "q142_maxsim", "q150_bitext_margin",
+    "q160_ann_scorecard",
+    // flagship dim build: the reference's scalar subqueries in join ON
+    // (SELECT DISTINCT(...) — 1 row by data contract, query.txt:1) plan as
+    // distinct-aggregate sides, grouped hence not provably scalar
+    "q50_flagship_full")
+
+  test("lint: no cartesian products in the whole catalog; nested loops only combine scalars or adjudicated bounded sets") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val exec = fn(planningSession, sf).queryExecution.executedPlan
+        val cartesians = exec.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.map(_ => s"$name: CartesianProduct")
+        // A nested loop is O(|L|·|R|); it is the RIGHT plan only when one
+        // side is provably bounded — a scalar (groupless) aggregate, an
+        // aggregate over bounded-domain keys, a limit-bounded frame, or a
+        // literal frame with no file scan at all. Traversal descends
+        // through exchange reuse, where the scalar side often hides.
+        def sideBounded(side: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          allNodes(side).exists {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              a.groupingExpressions.isEmpty ||
+                a.groupingExpressions.flatMap(_.references.toSeq).map(_.name)
+                  .forall(k => boundedKeyPattern.findFirstIn(k).isDefined)
+            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+            case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+            case _: org.apache.spark.sql.execution.CollectLimitExec => true
+            case _ => false
+          } || !allNodes(side).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+        val badBnlj = exec.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }.filterNot { j =>
+          boundedQuerySetBnlj(name) || Seq(j.left, j.right).exists(sideBounded)
+        }.map(j => s"$name: data-sized BNLJ ${j.output.map(_.name).take(6).mkString(",")}")
+        cartesians ++ badBnlj
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("lint regression: r11 q180's single-partition cumulative over per-customer revenue is flagged") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
