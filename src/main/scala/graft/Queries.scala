@@ -4297,6 +4297,141 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Regional market share (the TPC-H Q8 shape on this star): each
+    * customer nation's share of discounted lineitem revenue within its
+    * region, per order year — the market-share card a commercial analytics
+    * deployment refreshes per release. Money integerizes at scale 4
+    * (DECIMAL(18,2)×DECIMAL(18,2) is exact at scale 4, so ×10000 → BIGINT
+    * loses nothing and replays bit-for-bit in any engine); shares are
+    * integer ppm of the region-year total. Scale shape: two id-keyed
+    * shuffles (orderkey, custkey) carry only ids + the revenue long;
+    * nation/region broadcast onto the customer projection; the rollup is
+    * regions × years × nations with map-side partials, and the region-year
+    * totals re-join as a broadcast summary.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("yr"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"),
+      (dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+        .cast("long").as("rev_sc4"))
+    val cells = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region"), col("yr"), col("nation"))
+      .agg(sum(col("rev_sc4")).as("rev"))
+    val regionYear = cells.groupBy(col("region"), col("yr"))
+      .agg(sum(col("rev")).as("rtot"))
+    cells.join(broadcast(regionYear), Seq("region", "yr"))
+      .selectExpr("region", "yr", "nation", "rev AS revenue_sc4",
+        "(rev * 1000000L) DIV rtot AS share_ppm")
+      .orderBy(col("region"), col("yr"), col("nation"))
+  }
+
+  /** Waiting-supplier audit (the TPC-H Q21 shape, correlated EXISTS /
+    * NOT EXISTS): suppliers who were the SOLE late shipper on a
+    * multi-supplier order — their line shipped more than 60 days after
+    * the order date while every other supplier on the order shipped in
+    * time. The correlated-subquery form decorrelates into ONE per-order
+    * aggregate: per (order, supplier) a late flag, per order the supplier
+    * and late-supplier counts, then the credit filter is a row predicate —
+    * no EXISTS re-scan of lineitem per row, which is the difference
+    * between O(n) and O(n²) at fact scale. Output ends in the
+    * TakeOrdered top-10.
+    */
+  def supplierWait(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+          .cast("long").as("late"))
+      .groupBy(col("ok"), col("sk"))
+      .agg(max(col("late")).as("any_late"))
+    val perOrder = perSupp.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
+    perSupp.join(perOrder, "ok")
+      .filter(col("any_late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** Freshness / lag monitor: per event type, the last-seen event time,
+    * its lag behind the stream head, active-day coverage and the mean
+    * daily rate — the staleness dashboard a pipeline owner checks before
+    * trusting any downstream table (a type whose lag exceeds its arrival
+    * cadence has silently stopped flowing; SURVEY §2B's dataflow-health
+    * plane extended to per-type granularity). One map-side-combined pass
+    * over events; the stream head joins back as an in-plan broadcast
+    * scalar. All integers (epoch micros / day counts / DIV rates).
+    */
+  def freshnessLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_type"),
+      expr("ts div 1000").as("ts_us"), expr("ts div 86400000000000").as("day"))
+    val per = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      max(col("ts_us")).as("last_ts_us"),
+      countDistinct(col("day")).as("n_days_active"))
+    val head = e.agg(max(col("ts_us")).as("head_us"))
+    per.crossJoin(broadcast(head))
+      .selectExpr("event_type", "n_events", "n_days_active",
+        "head_us - last_ts_us AS lag_us",
+        "n_events DIV n_days_active AS events_per_active_day")
+      .orderBy(col("event_type"))
+  }
+
+  /** Revenue-decile migration matrix: every purchaser's spend quintile in
+    * the FIRST half of the observed window versus the SECOND half — the
+    * churn/upsell mobility table (how much of the top quintile stays top,
+    * how much decays to zero) that sits one step past q179's static RFM
+    * grid. Halves split at the calendar midpoint (an in-plan broadcast
+    * scalar); users absent from a half carry spend 0 and land in the
+    * bottom bucket with all other zeros — ties share a bucket by
+    * construction. Both quintile assignments are VALUE-BASED cumulatives
+    * over distinct-spend summaries through
+    * [[graft.ops.Relational.shardedCumSum]] (the q179 discipline: only
+    * slice summaries take unpartitioned windows). Scale shape: one
+    * per-user conditional rollup, two sharded cumulative frames joined
+    * back BY VALUE, one ≤25-cell rollup.
+    */
+  def decileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val mid = p.agg(expr("min(day) + (max(day) - min(day) + 1L) DIV 2").as("mid"))
+    val users = p.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("v1"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("v2"))
+    val n = users.agg(count(lit(1)).as("n"))
+    def quintile(metric: String): DataFrame = {
+      val byVal = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("k"))
+      graft.ops.Relational.shardedCumSum(byVal, "v", Seq("k"), ascending = true)
+        .crossJoin(broadcast(n))
+        .selectExpr(s"v AS $metric", s"((cum_k - 1) * 5) DIV n AS ${metric}_q")
+    }
+    users
+      .join(broadcast(quintile("v1")), "v1")
+      .join(broadcast(quintile("v2")), "v2")
+      .groupBy(col("v1_q").as("first_half_q"), col("v2_q").as("second_half_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v2") - col("v1")).as("delta_cents"))
+      .orderBy(col("first_half_q"), col("second_half_q"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4482,7 +4617,11 @@ object Queries {
     "q178_modal_coverage" -> (modalCoverage _),
     "q179_rfm_segments" -> (rfmSegments _),
     "q180_pareto" -> (paretoConcentration _),
-    "q181_journey_stationary" -> (journeyStationary _))
+    "q181_journey_stationary" -> (journeyStationary _),
+    "q182_market_share" -> (marketShare _),
+    "q183_supplier_wait" -> (supplierWait _),
+    "q185_freshness_lag" -> (freshnessLag _),
+    "q187_decile_migration" -> (decileMigration _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7191,5 +7330,72 @@ object Queries {
            | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
-    })
+    },
+    "q182_market_share" ->
+      """WITH dims AS (SELECT c_custkey, n_name AS nation, r_name AS region
+        |              FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey),
+        |li AS (SELECT l_orderkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |              * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |       FROM lineitem),
+        |cells AS (SELECT region, CAST(year(o_orderdate) AS BIGINT) AS yr, nation,
+        |            CAST(sum(rev_sc4) AS BIGINT) AS rev
+        |          FROM li JOIN orders ON l_orderkey = o_orderkey
+        |          JOIN dims ON o_custkey = c_custkey
+        |          GROUP BY 1, 2, 3),
+        |ry AS (SELECT region, yr, CAST(sum(rev) AS BIGINT) AS rtot
+        |       FROM cells GROUP BY 1, 2)
+        |SELECT region, yr, nation, rev AS revenue_sc4,
+        |  CAST(rev * 1000000 // rtot AS BIGINT) AS share_ppm
+        |FROM cells JOIN ry USING (region, yr)
+        |ORDER BY region, yr, nation""".stripMargin,
+    "q183_supplier_wait" ->
+      """WITH ps AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |              CAST(max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                                           CAST(l_shipdate AS DATE)) > 60
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS any_late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            GROUP BY 1, 2),
+        |po AS (SELECT ok, CAST(count(*) AS BIGINT) AS n_supp,
+        |         CAST(sum(any_late) AS BIGINT) AS n_late
+        |       FROM ps GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps JOIN po USING (ok) JOIN supplier ON sk = s_suppkey
+        |WHERE any_late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q185_freshness_lag" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS ts_us,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |          CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+        |          CAST(count(DISTINCT day) AS BIGINT) AS n_days_active
+        |        FROM e GROUP BY 1),
+        |h AS (SELECT CAST(max(ts_us) AS BIGINT) AS head_us FROM e)
+        |SELECT event_type, n_events, n_days_active,
+        |  CAST(head_us - last_ts_us AS BIGINT) AS lag_us,
+        |  CAST(n_events // n_days_active AS BIGINT) AS events_per_active_day
+        |FROM per CROSS JOIN h ORDER BY event_type""".stripMargin,
+    "q187_decile_migration" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT min(day) + (max(day) - min(day) + 1) // 2 AS mid FROM p),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS v1,
+        |        CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS v2
+        |      FROM p CROSS JOIN m GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |q1 AS (SELECT v, CAST((c - 1) * 5 // n AS BIGINT) AS q FROM (
+        |         SELECT v, sum(k) OVER (ORDER BY v) AS c FROM (
+        |           SELECT v1 AS v, count(*) AS k FROM u GROUP BY 1)) CROSS JOIN n),
+        |q2 AS (SELECT v, CAST((c - 1) * 5 // n AS BIGINT) AS q FROM (
+        |         SELECT v, sum(k) OVER (ORDER BY v) AS c FROM (
+        |           SELECT v2 AS v, count(*) AS k FROM u GROUP BY 1)) CROSS JOIN n)
+        |SELECT q1.q AS first_half_q, q2.q AS second_half_q,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(u.v2 - u.v1) AS BIGINT) AS delta_cents
+        |FROM u JOIN q1 ON u.v1 = q1.v JOIN q2 ON u.v2 = q2.v
+        |GROUP BY 1, 2 ORDER BY first_half_q, second_half_q""".stripMargin)
 }

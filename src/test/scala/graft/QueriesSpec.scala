@@ -1219,4 +1219,88 @@ class QueriesSpec extends AnyFunSuite {
     // dominate or vanish in the stationary limit
     assert(rows.map(_._2).max < 500000L && rows.map(_._2).min > 50000L)
   }
+
+  test("q182 market share: ppm shares sum to ~1e6 per region-year and revenue replays exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q182_market_share")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // shares within a (region, year) sum to 1e6 minus at most one DIV
+    // truncation unit per nation
+    rows.groupBy(t => (t._1, t._2)).foreach { case (ry, g) =>
+      val s = g.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - g.length, s"$ry share sum $s")
+    }
+    // total revenue replays against a direct decimal aggregate
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+        * 10000).cast("long"))).head().getLong(0)
+    assert(rows.map(_._4).sum == direct, "every lineitem's revenue lands in exactly one cell")
+  }
+
+  test("q183 supplier wait: credits replay from a per-order recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q183_supplier_wait")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    // brute-force recomputation of the sole-late-supplier rule
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val flat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = flat.groupBy(_._1).map { case (ok, ls) =>
+      val bySupp = ls.groupBy(_._2).map { case (sk, g) => sk -> g.exists(_._3) }
+      ok -> bySupp
+    }
+    val credits = byOrder.values.flatMap { bySupp =>
+      val late = bySupp.filter(_._2).keys.toSeq
+      if (bySupp.size > 1 && late.length == 1) late else Nil
+    }.groupBy(identity).map { case (sk, g) => sk -> g.size.toLong }
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = credits.toSeq.map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (n, w) => (-w, n) }.take(10)
+    assert(rows.toSeq == expected, s"${rows.toSeq} vs $expected")
+  }
+
+  test("q185 freshness: head lag is zero for the freshest type and rates divide exactly") {
+    val rows = SparkEntry.queries("q185_freshness_lag")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4 == 0L), "some type carries the stream head")
+    rows.foreach { case (et, n, days, lag, rate) =>
+      assert(lag >= 0L && days > 0L && rate == n / days, et)
+    }
+  }
+
+  test("q187 decile migration: the matrix partitions purchasers and conserves the revenue delta") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q187_decile_migration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, _) =>
+      assert(a >= 0 && a <= 4 && b >= 0 && b <= 4 && n > 0)
+    }
+    val p = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+    assert(rows.map(_._3).sum == p.select(col("user_id")).distinct().count(),
+      "matrix partitions the purchaser base")
+    // Σ delta over all cells = Σ(v2) − Σ(v1) = second-half − first-half
+    // revenue, replayed directly
+    val mid = p.select(expr("ts div 86400000000000").as("day"))
+      .agg(expr("min(day) + (max(day) - min(day) + 1L) DIV 2")).head().getLong(0)
+    val halves = p.select(expr("ts div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .agg(sum(when(col("day") >= mid, col("cents")).otherwise(0L)),
+        sum(when(col("day") < mid, col("cents")).otherwise(0L))).head()
+    assert(rows.map(_._4).sum == halves.getLong(0) - halves.getLong(1),
+      "delta conserves to the cent")
+  }
 }
