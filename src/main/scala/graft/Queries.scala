@@ -4432,6 +4432,70 @@ object Queries {
       .orderBy(col("first_half_q"), col("second_half_q"))
   }
 
+  /** Integer-EWMA anomaly bands over the per-type daily event series: each
+    * day scored against the exponentially-weighted mean of everything
+    * BEFORE it (α = 1/8 as an integer shift-divide, micro-scaled), flagged
+    * when it deviates more than 50% — the ops anomaly monitor that q162's
+    * OLS slope can't express because the smoothing is a sequential
+    * recurrence, not an aggregate. Exact arithmetic: E_t = E_{t−1} +
+    * sgn-DIV(x_t·1e6 − E_{t−1}, 8) with E_1 = x_1·1e6 — truncation is
+    * sign-explicit so the fold replays bit-for-bit against the oracle's
+    * recursive CTE. Scale shape: the corpus collapses to (type, day)
+    * summaries with map-side partials FIRST; the recurrence then runs as
+    * a per-type prefix fold over the collected day array (q171's
+    * sequential-fold discipline — the array is calendar-bounded, never
+    * corpus-sized; the O(days²) prefix slices are ~10⁵ integer ops per
+    * type at a decade of history).
+    */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val arrs = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("arr"))
+    arrs.select(col("event_type"), col("arr"), posexplode(col("arr")))
+      .withColumn("ewma_prev_micro", expr(
+        """aggregate(slice(arr, 2, greatest(pos - 1, 0)),
+          |  CAST(element_at(arr, 1).n * 1000000 AS BIGINT),
+          |  (acc, e) -> acc + (CASE WHEN e.n * 1000000 - acc >= 0
+          |    THEN (e.n * 1000000 - acc) DIV 8
+          |    ELSE -((acc - e.n * 1000000) DIV 8) END))""".stripMargin))
+      .selectExpr("event_type", "col.day AS day", "col.n AS n",
+        "ewma_prev_micro",
+        "CAST(CASE WHEN abs(col.n * 1000000 - ewma_prev_micro) * 2 > ewma_prev_micro" +
+          " THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Core strength of the near-dup graph ([[graft.functions.Graph.kCore]]
+    * peeling over q28's candidate pairs): surviving vertex/edge counts of
+    * the 2-core and 3-core — the template-farm detector one level past
+    * q161's triangle census. A 2-core is any cycle mass (chains of
+    * re-crawls peel away entirely); a 3-core only survives densely
+    * cross-linked boilerplate, the structure that tells a dedup owner
+    * whether q60's transitive merging is collapsing genuine families or
+    * bridged accidents. Fixed 8-round peel (monotone, so the early-exit
+    * and the oracle's unrolled CTE agree bit-for-bit); counts stay
+    * in-plan as 1-row aggregates.
+    */
+  def dupCoreStrength(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = spark.conf.getOption("spark.graft.checkpoint.dir")
+    // one LSH pipeline feeds BOTH peels: materialize the candidate list
+    // once, or each kCore call re-derives shingles→minhash→bands
+    val pairs = graft.functions.Graph.materialize(
+      minhashPairs(spark, dir), ckpt)
+    Seq(2, 3).map { k =>
+      val core = graft.functions.Graph.kCore(pairs, col("id_a"), col("id_b"),
+        k, rounds = 8, checkpointDir = ckpt)
+      val nodes = core.select(col("a").as("id"))
+        .unionAll(core.select(col("b").as("id"))).distinct()
+        .agg(count(lit(1)).as("n_core_nodes"))
+      core.agg(count(lit(1)).as("n_core_edges"))
+        .crossJoin(nodes)
+        .select(lit(k.toLong).as("k"), col("n_core_nodes"), col("n_core_edges"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4620,7 +4684,9 @@ object Queries {
     "q181_journey_stationary" -> (journeyStationary _),
     "q182_market_share" -> (marketShare _),
     "q183_supplier_wait" -> (supplierWait _),
+    "q184_ewma_anomaly" -> (ewmaAnomaly _),
     "q185_freshness_lag" -> (freshnessLag _),
+    "q186_dup_core" -> (dupCoreStrength _),
     "q187_decile_migration" -> (decileMigration _))
 
   // DuckDB dialect fragments shared by the text oracles.
@@ -7377,6 +7443,57 @@ object Queries {
         |  CAST(head_us - last_ts_us AS BIGINT) AS lag_us,
         |  CAST(n_events // n_days_active AS BIGINT) AS events_per_active_day
         |FROM per CROSS JOIN h ORDER BY event_type""".stripMargin,
+    "q184_ewma_anomaly" ->
+      """WITH RECURSIVE d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |                       CAST(count(*) AS BIGINT) AS n
+        |                     FROM events GROUP BY 1, 2),
+        |i AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx FROM d),
+        |rec AS (
+        |  SELECT event_type, day, n, idx,
+        |    CAST(n * 1000000 AS BIGINT) AS e, CAST(n * 1000000 AS BIGINT) AS e_prev
+        |  FROM i WHERE idx = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.day, i.n, i.idx,
+        |    CAST(r.e + CASE WHEN i.n * 1000000 - r.e >= 0
+        |                    THEN (i.n * 1000000 - r.e) // 8
+        |                    ELSE -((r.e - i.n * 1000000) // 8) END AS BIGINT),
+        |    r.e
+        |  FROM i JOIN rec r ON i.event_type = r.event_type AND i.idx = r.idx + 1)
+        |SELECT event_type, day, n, e_prev AS ewma_prev_micro,
+        |  CAST(CASE WHEN abs(n * 1000000 - e_prev) * 2 > e_prev
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM rec ORDER BY event_type, day""".stripMargin,
+    "q186_dup_core" -> {
+      // fixed 8-round peel per k, unrolled (the q101/q181 unrolled-CTE
+      // pattern): peeling is monotone so rounds past the fixpoint are
+      // no-ops, matching the Scala side's early exit bit-for-bit
+      // AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, so each of
+      // the 16 peel stages would re-derive the whole minhash pipeline
+      // (and blow the open-file limit re-scanning the parquet per stage)
+      def peel(k: Int): String = (1 to 8).map { r =>
+        val prev = if (r == 1) "e0" else s"k${k}_${r - 1}"
+        s"""k${k}_$r AS MATERIALIZED (SELECT a, b FROM $prev WHERE
+           |  a IN (SELECT id FROM (SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev) t
+           |        GROUP BY id HAVING count(*) >= $k)
+           |  AND b IN (SELECT id FROM (SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev) t
+           |        GROUP BY id HAVING count(*) >= $k))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED ($MinhashPairsBody),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |       FROM pairs WHERE id_a <> id_b),
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT CAST(2 AS BIGINT) AS k,
+         |  (SELECT CAST(count(DISTINCT id) AS BIGINT)
+         |   FROM (SELECT a AS id FROM k2_8 UNION ALL SELECT b FROM k2_8) t) AS n_core_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k2_8) AS n_core_edges
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT),
+         |  (SELECT CAST(count(DISTINCT id) AS BIGINT)
+         |   FROM (SELECT a AS id FROM k3_8 UNION ALL SELECT b FROM k3_8) t),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k3_8)
+         |ORDER BY k""".stripMargin
+    },
     "q187_decile_migration" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
         |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

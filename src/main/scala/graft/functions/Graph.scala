@@ -38,6 +38,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Materialize a derived frame and cut its lineage — localCheckpoint in
+    * local mode, reliable `checkpoint()` against `checkpointDir` on a
+    * cluster (the shared discipline of every iterative operator here).
+    * Callers feeding ONE derived pipeline into SEVERAL iterative consumers
+    * (q186's two peels over one LSH candidate list) materialize once and
+    * pass the cut frame, instead of re-deriving per consumer.
+    */
+  def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   /** Weighted integer PageRank. `edges` must be pre-aggregated
     * (src, dst, weight) with src ≠ dst; returns (host, rank) for every
     * host appearing as a source or destination, rank scaled to `scale`.
@@ -146,5 +162,55 @@ object Graph {
       .selectExpr("n_vertices", "n_edges", "n_wedges", "n_triangles",
         "CASE WHEN n_wedges = 0 THEN 0L " +
           "ELSE (3L * n_triangles * 1000000L) DIV n_wedges END AS clustering_ppm")
+  }
+
+  /** k-core of an undirected edge list by iterative peeling: drop every
+    * edge with an endpoint of degree < k, recompute, repeat — the fixpoint
+    * is the maximal subgraph where every vertex keeps ≥ k neighbors. On
+    * the near-dup graph this is the template-farm detector one level past
+    * [[triangleStats]]: a 2-core is any cycle structure (re-crawl chains
+    * vanish), a 3-core is densely cross-linked boilerplate.
+    *
+    * `rounds` is FIXED (peeling is monotone, so extra rounds past the
+    * fixpoint are no-ops — the early `stable` exit skips their cost
+    * without changing the result, which is what lets a fixed-round SQL
+    * unroll replay this bit-for-bit). Per round: one degree aggregate +
+    * two semi-joins, all on narrow id pairs; lineage cuts per round (the
+    * [[pageRankInt]] / connected-components discipline). Returns the
+    * surviving undirected edges (a, b).
+    */
+  def kCore(pairs: DataFrame, a: Column, b: Column, k: Int,
+            rounds: Int = 8,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+    var edges = cut(pairs.select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var prevCount = edges.count()
+    var i = 0
+    var stable = prevCount == 0
+    while (i < rounds && !stable) {
+      val keep = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("id"))
+      edges = cut(edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      // one count per round: the frame is already materialized by the cut,
+      // and last round's count is this round's "before"
+      val after = edges.count()
+      stable = after == prevCount
+      prevCount = after
+      i += 1
+    }
+    edges
   }
 }

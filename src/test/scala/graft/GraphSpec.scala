@@ -57,4 +57,29 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))) ==
       ((3L, 3L, 3L, 1L, 1000000L)))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
+    Graph.kCore(edges.toDF("a", "b"), col("a"), col("b"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("kCore peels known graphs: paths vanish, cycles survive k=2, cliques survive k=3") {
+    // path 1-2-3-4: endpoints peel, then the rest cascades — empty 2-core
+    assert(core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2).isEmpty)
+    // cycle 1-2-3-4-1: every vertex keeps degree 2 — the 2-core is the cycle
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(core(cycle, 2) == cycle.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toSet)
+    // ...but its 3-core is empty
+    assert(core(cycle, 3).isEmpty)
+    // K4 with a pendant tail: tail peels, K4 survives even at k=3
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(core(k4 :+ ((3L, 9L)), 3) == k4.toSet)
+    // triangle + long tail at k=2: the whole tail cascades off in order,
+    // which needs MULTIPLE peel rounds — the iteration, not one pass
+    val tailed = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    assert(core(tailed, 2) == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // duplicate/reversed edges collapse first
+    assert(core(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)), 2).size == 3)
+  }
 }

@@ -1303,4 +1303,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == halves.getLong(0) - halves.getLong(1),
       "delta conserves to the cent")
   }
+
+  test("q184 EWMA: the integer recurrence replays on the driver, first day never flags") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q184_ewma_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def sgnDiv8(d: Long): Long = if (d >= 0) d / 8 else -((-d) / 8)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val days = g.sortBy(_._2)
+      var e = days.head._3 * 1000000L
+      days.zipWithIndex.foreach { case ((_, _, n, ePrev, flag), i) =>
+        val expectPrev = e
+        if (i > 0) e = e + sgnDiv8(n * 1000000L - e)
+        assert(ePrev == expectPrev, s"$et day $i: $ePrev vs $expectPrev")
+        val expectFlag = if (math.abs(n * 1000000L - expectPrev) * 2 > expectPrev) 1L else 0L
+        assert(flag == expectFlag, s"$et day $i flag")
+      }
+      assert(days.head._5 == 0L, s"$et: first day can never deviate from itself")
+    }
+  }
+
+  test("q186 dup core: 3-core nests inside 2-core and every core vertex keeps k edges") {
+    val rows = SparkEntry.queries("q186_dup_core")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(2L, 3L))
+    val byK = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    val (n2, e2) = byK(2L)
+    val (n3, e3) = byK(3L)
+    assert(n3 <= n2 && e3 <= e2, "k-cores are nested")
+    // degree >= k for every core vertex -> edges >= nodes*k/2
+    assert(2 * e2 >= 2 * n2 && 2 * e3 >= 3 * n3, s"core degree bound: $rows")
+    assert((n2 == 0) == (e2 == 0) && (n3 == 0) == (e3 == 0))
+  }
 }
