@@ -137,15 +137,62 @@ object Windowed {
     * (user_id, purchase_ts, ...).
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-                      watermark: String, maxDelay: String): DataFrame = {
+                      watermark: String, maxDelay: String,
+                      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("click_ts", watermark)
     val p = purchases.withColumnRenamed("user_id", "p_user_id")
       .withWatermark("purchase_ts", watermark)
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxDelay"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxDelay"),
+        joinType)
       .drop("p_user_id")
+  }
+
+  final case class EwmaIn(event_type: String, ts: Timestamp)
+  final case class EwmaState(day: Long, n: Long, ewma: Long, hasEwma: Boolean)
+  final case class EwmaOut(event_type: String, day: Long, n: Long,
+                           ewma_prev_micro: Long, is_anomaly: Int)
+
+  /** Streaming twin of the q184 integer-EWMA anomaly monitor: per event
+    * type, a day's count is scored against the exponentially weighted mean
+    * of all CLOSED days before it the moment the day closes (an event of a
+    * later day arrives). Identical arithmetic to the batch query —
+    * E_t = E_{t−1} + sgn-DIV(x_t·1e6 − E_{t−1}, 8), first closed day
+    * scored against its own total — so for in-order streams the emitted
+    * rows match q184's closed-day prefix row-for-row. State is ONE
+    * (day, count, ewma) triple per event type regardless of stream
+    * length: the bounded-state form of anomaly tracking on an unbounded
+    * stream. The open day never emits (its count may still grow).
+    */
+  def ewmaAnomalyStream(events: Dataset[EwmaIn]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def sgnDiv8(d: Long): Long = if (d >= 0) d / 8 else -((-d) / 8)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          var st = state.getOption.getOrElse(EwmaState(-1L, 0L, 0L, hasEwma = false))
+          val out = scala.collection.mutable.Buffer.empty[EwmaOut]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val day = e.ts.getTime / 86400000L
+            if (st.day < 0) st = EwmaState(day, 1L, 0L, hasEwma = false)
+            else if (day == st.day) st = st.copy(n = st.n + 1)
+            else {
+              // close st.day
+              val x = st.n * 1000000L
+              val ePrev = if (st.hasEwma) st.ewma else x
+              out += EwmaOut(key, st.day, st.n, ePrev,
+                if (math.abs(x - ePrev) * 2 > ePrev) 1 else 0)
+              val eNew = if (st.hasEwma) st.ewma + sgnDiv8(x - st.ewma) else x
+              st = EwmaState(day, 1L, eNew, hasEwma = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   final case class FunnelInput(user_id: Long, event_type: String, ts: Timestamp)

@@ -283,6 +283,60 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(rows.toSet == Set((1L, "landing", 99.0), (1L, "product", 99.0)))
   }
 
+  test("left-outer attribution join emits watermark-closed unmatched clicks with null purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = Windowed.attributionJoin(clicks.toDF(), purchases.toDF(),
+      watermark = "10 minutes", maxDelay = "30 MINUTES", joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_outer_out").start()
+    clicks.addData(
+      Click(1L, ts("2024-01-01 00:00:00"), "landing"),
+      Click(2L, ts("2024-01-01 00:00:00"), "orphan"))
+    purchases.addData(Purchase(1L, ts("2024-01-01 00:20:00"), 99.0))
+    q.processAllAvailable()
+    // advance both watermarks far past click+maxDelay so the unmatched
+    // click's join window provably closes and the null row can emit
+    clicks.addData(Click(9L, ts("2024-01-01 06:00:00"), "later"))
+    purchases.addData(Purchase(9L, ts("2024-01-01 06:00:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("page"),
+        Option(r.getAs[Any]("amount"))))
+    q.stop()
+    assert(rows.contains((1L, "landing", Some(99.0))), rows.mkString(","))
+    assert(rows.contains((2L, "orphan", None)),
+      s"watermark-closed unmatched click must emit with nulls: ${rows.mkString(",")}")
+  }
+
+  test("ewmaAnomalyStream matches q184's closed-day rows for an in-order stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Windowed.EwmaIn]
+    val q = Windowed.ewmaAnomalyStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ewma_out").start()
+    def day(d: Int, n: Int): Seq[Windowed.EwmaIn] =
+      (1 to n).map(i => Windowed.EwmaIn("view", ts(f"2024-01-${d}%02d 00:00:00")))
+    // day 1: 8 events, day 2: 8 (stable), day 3: 32 (4x spike), day 4 opens
+    in.addData(day(1, 8) ++ day(2, 8): _*)
+    in.addData(day(3, 32) ++ day(4, 1): _*)
+    q.processAllAvailable()
+    val rows = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    q.stop()
+    val d0 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    // day1 closed: scored against itself, never anomalous; day2: E=8e6,
+    // stable; day3: E still 8e6 (day2 == mean), 32 vs 8 → |24e6|*2 > 8e6
+    assert(rows.toSeq == Seq(
+      (d0, 8L, 8000000L, 0), (d0 + 1, 8L, 8000000L, 0),
+      (d0 + 2, 32L, 8000000L, 1)), rows.mkString(","))
+    // and the batch q184 arithmetic agrees: E after day3 = 8e6 + 24e6/8 = 11e6
+    // (the open day 4 correctly emitted nothing)
+    assert(!rows.exists(_._1 == d0 + 3), "open day must not emit")
+  }
+
   test("listener records batch durations and ledger-parses kafka offsets") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new OffsetLedgerListener
