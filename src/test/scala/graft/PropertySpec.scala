@@ -493,4 +493,50 @@ class PropertySpec extends AnyFunSuite {
         s"k=$k n=${vals.length}: sketch $r != naive $expected"))
     }
   }
+
+  test("shardedCumSum ≡ the naive global running sum, any distribution, both directions, any slice count") {
+    val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 100000L))
+    forAll(valsGen) { vals =>
+      val byVal = vals.groupBy(identity).toSeq
+        .map { case (v, g) => (v, g.size.toLong) }
+      val df = byVal.toDF("v", "k").withColumn("w2", col("v") * col("k"))
+      for (asc <- Seq(true, false); slices <- Seq(1, 4, 256)) {
+        val ord = if (asc) byVal.sortBy(_._1) else byVal.sortBy(-_._1)
+        val naive = ord.scanLeft(("", 0L, 0L)) { case ((_, ck, cw), (v, k)) =>
+          (v.toString, ck + k, cw + v * k)
+        }.drop(1).map { case (v, ck, cw) => (v.toLong, ck, cw) }.toSet
+        val got = Relational.shardedCumSum(df, "v", Seq("k", "w2"),
+            ascending = asc, slices = slices)
+          .selectExpr("v", "cum_k", "cum_w2")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == naive, s"asc=$asc slices=$slices: $got vs $naive")
+      }
+    }
+  }
+
+  test("kCore: peel fixpoint equals the brute-force iterated filter on random graphs") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+    forAll(edgeGen) { raw =>
+      val und = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      whenever(und.nonEmpty) {
+        for (k <- Seq(2, 3)) {
+          var edges = und.toSet
+          var done = false
+          while (!done) {
+            val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+              .groupBy(identity).map { case (n, g) => n -> g.size }
+            val pruned = edges.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+            done = pruned == edges
+            edges = pruned
+          }
+          val got = graft.functions.Graph
+            .kCore(und.toDF("a", "b"), col("a"), col("b"), k, rounds = 20)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == edges, s"k=$k on ${und.length} edges")
+        }
+      }
+    }
+  }
 }
