@@ -4496,6 +4496,63 @@ object Queries {
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 
+  /** Returned-item revenue report (the TPC-H Q10 shape): the 20 customers
+    * who cost the most in returned-line revenue (l_returnflag = 'R'),
+    * with their nation — the churn-risk escalation list. Money at exact
+    * scale 4 (the q182 discipline); the customer join is id-keyed AFTER
+    * the per-customer rollup so only (custkey, revenue) pairs shuffle to
+    * meet the dim, and the final cut is TakeOrdered (per-partition top-k
+    * + merge), never a global sort of the customer base.
+    */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val returned = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+    val perCust = returned
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_sc4")).as("lost_revenue_sc4"))
+    perCust
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("lost_revenue_sc4"))
+      .orderBy(col("lost_revenue_sc4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Order-priority integrity count (the TPC-H Q4 shape: EXISTS over the
+    * fact inside a date window): per order priority, how many orders of
+    * one quarter have at least one line shipped more than 30 days after
+    * the order date. The correlated EXISTS plans as a LEFT SEMI join of
+    * the date-windowed orders against the qualifying lineitem keys —
+    * the order scan prunes on the pushed date range, the semi join
+    * carries only orderkeys, and the rollup is priority-cardinality with
+    * map-side partials.
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lateLines = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val qualifying = o.join(lateLines,
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 30,
+        "left_semi")
+    qualifying.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4687,7 +4744,9 @@ object Queries {
     "q184_ewma_anomaly" -> (ewmaAnomaly _),
     "q185_freshness_lag" -> (freshnessLag _),
     "q186_dup_core" -> (dupCoreStrength _),
-    "q187_decile_migration" -> (decileMigration _))
+    "q187_decile_migration" -> (decileMigration _),
+    "q188_returned_items" -> (returnedItemReport _),
+    "q189_priority_check" -> (orderPriorityCheck _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7494,6 +7553,26 @@ object Queries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM k3_8)
          |ORDER BY k""".stripMargin
     },
+    "q188_returned_items" ->
+      """WITH r AS (SELECT l_orderkey,
+        |             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |           FROM lineitem WHERE l_returnflag = 'R'),
+        |pc AS (SELECT o_custkey, CAST(sum(rev_sc4) AS BIGINT) AS lost_revenue_sc4
+        |       FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name AS nation, lost_revenue_sc4
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q189_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                              CAST(l_shipdate AS DATE)) > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q187_decile_migration" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
         |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

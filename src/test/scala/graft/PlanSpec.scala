@@ -316,6 +316,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q188/q189: the report cut is TakeOrdered; the EXISTS plans as a semi join with the date range pushed") {
+    val p188 = finalPlan(SparkEntry.queries("q188_returned_items")(spark, sf))
+    assert(p188.contains("TakeOrderedAndProject"), p188)
+    assert(p188.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"), p188)
+    val p189 = finalPlan(SparkEntry.queries("q189_priority_check")(spark, sf))
+    assert(p189.contains("LeftSemi"), p189)
+    assert(p189.contains("GreaterThanOrEqual(o_orderdate"), p189)
+  }
+
   test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {
     val plan = finalPlan(SparkEntry.queries("q36_profile")(spark, sf))
     // N countDistincts in one Aggregate would plan an Expand multiplying

@@ -1337,4 +1337,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(2 * e2 >= 2 * n2 && 2 * e3 >= 3 * n3, s"core degree bound: $rows")
     assert((n2 == 0) == (e2 == 0) && (n3 == 0) == (e3 == 0))
   }
+
+  test("q188 returned items: descending, returned-revenue replays per customer") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q188_returned_items")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+    // spot-replay the top customer's lost revenue directly
+    val top = rows.head
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_custkey") === top._1),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+        * 10000).cast("long"))).head().getLong(0)
+    assert(top._3 == direct, s"top customer revenue $top vs $direct")
+  }
+
+  test("q189 priority check: counts bounded by the window's orders, no priority invented") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q189_priority_check")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val windowOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+    val perPriority = windowOrders.groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (p, n) =>
+      assert(perPriority.contains(p) && n > 0 && n <= perPriority(p), s"$p: $n")
+    }
+  }
 }
