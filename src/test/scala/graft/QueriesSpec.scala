@@ -1372,4 +1372,29 @@ class QueriesSpec extends AnyFunSuite {
       assert(perPriority.contains(p) && n > 0 && n <= perPriority(p), s"$p: $n")
     }
   }
+
+  test("q190 Theil-Sen: median slope replays from a naive all-pairs sort per type") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q190_theil_sen")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 1000000).cast("long").as("v"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("v")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (et, nPairs, slope) =>
+      val days = daily.filter(_._1 == et).sortBy(_._2)
+      val slopes = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield (days(j)._3 - days(i)._3, days(j)._2 - days(i)._2)
+      assert(nPairs == slopes.length.toLong, s"$et pair count")
+      val sorted = slopes.sortBy { case (num, den) =>
+        (num.toDouble / den, num, den) }
+      val (num, den) = sorted((slopes.length + 1) / 2 - 1)
+      val expect = if (num >= 0) num * 1000000L / den else -((-num) * 1000000L / den)
+      assert(slope == expect, s"$et: $slope vs $expect")
+    }
+  }
 }
