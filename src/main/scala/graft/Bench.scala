@@ -203,11 +203,20 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries":$qsShort}"""
-    // Never let the line outgrow the tail window: drop the per-query map
-    // (it survives in the detail file) rather than ship another chopped
-    // line. The headline fields alone are ~300 chars.
+    // Never let the line outgrow the tail window: when the full map no
+    // longer fits (the catalog passed ~150 queries), keep the SLOWEST
+    // entries — the ones a reader actually wants in the headline — up to
+    // the budget, and note the cut. Full data survives in the detail file.
     println(if (line.length <= 1950) line
-      else s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries":{}}""")
+      else {
+        val prefix = s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries_slowest":"""
+        val budget = 1950 - prefix.length - 2
+        val entries = results.sortBy(-_._2).iterator
+          .map { case (k, v, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+          .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
+          .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
+        prefix + entries.mkString("{", ",", "}") + "}"
+      })
     spark.stop()
   }
 }

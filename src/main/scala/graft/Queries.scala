@@ -4592,6 +4592,70 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** 2-D skyline (Pareto frontier) of the part catalog: every part no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, one strict) — the "best tradeoffs only" operator behind
+    * procurement shortlists and hardware-config pickers. The textbook
+    * form is a quadratic NOT-EXISTS self-join (the oracle runs exactly
+    * that); the scale path is the classic 2-D reduction to a PREFIX MAX:
+    * a part is on the frontier iff its size is the max at its price AND
+    * strictly above the running max over all cheaper prices. That
+    * running max goes through [[graft.ops.Relational.shardedCumMax]]
+    * (same slicing as the cumulative sums — no single-reducer sort of
+    * the price summary), the strict-prefix test reduces to
+    * first-price-per-cum-level (a ≤size-domain-sized aggregate), and the
+    * frontier price list broadcasts back onto the scan. Higher
+    * dimensions would grid-partition first; 2-D is exact here.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part").select(col("p_partkey"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val byPrice = parts.groupBy(col("price_cents").as("v"))
+      .agg(max(col("size")).as("ms"))
+    val cum = graft.ops.Relational.shardedCumMax(byPrice, "v", Seq("ms"),
+      ascending = true)
+    // ms == cum_ms: this price achieves the running max; the FIRST price
+    // of each cum level is the one that raised it — strictly above every
+    // cheaper price's best size. cum levels are bounded by the size
+    // domain, so the frontier list is a broadcast.
+    val frontier = cum.filter(col("ms") === col("cum_ms"))
+    val firstAtLevel = frontier.groupBy(col("cum_ms")).agg(min(col("v")).as("v"))
+    val skyPrices = frontier.join(firstAtLevel, Seq("cum_ms", "v"))
+      .select(col("v").as("price_cents"), col("ms"))
+    parts.join(broadcast(skyPrices), "price_cents")
+      .filter(col("size") === col("ms"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  /** Explicit GROUPING SETS — the multi-level aggregation surface between
+    * q39's ROLLUP and q58's CUBE: exactly the requested levels
+    * ((lang, source), (lang), ()) in ONE pass, with `grouping()` flags
+    * labeling each row's level (the standard-SQL convention both engines
+    * share; rolled-up keys coalesce to 'ALL' so the level structure reads
+    * without NULL semantics). Spark plans one Expand over the three
+    * levels + a single hash aggregate with map-side partials — 3× the
+    * input rows into a bounded-cardinality rollup, the exact cost the
+    * operator advertises (and why q36 avoids Expand for N-distinct
+    * profiles: THERE the multiplier rode a corpus scan for per-column
+    * stats an ordinary aggregate already answers).
+    */
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"), col("g_lang"), col("g_source"))
+      .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4786,7 +4850,9 @@ object Queries {
     "q187_decile_migration" -> (decileMigration _),
     "q188_returned_items" -> (returnedItemReport _),
     "q189_priority_check" -> (orderPriorityCheck _),
-    "q190_theil_sen" -> (theilSenSlope _))
+    "q190_theil_sen" -> (theilSenSlope _),
+    "q191_skyline" -> (skylineParts _),
+    "q192_grouping_sets" -> (groupingSetsReport _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7604,6 +7670,26 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q192_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "q191_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |             CAST(p_size AS BIGINT) AS size
+        |           FROM part)
+        |SELECT p_partkey, price_cents, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size > a.size))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
     "q190_theil_sen" ->
       """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT)) AS BIGINT) AS y

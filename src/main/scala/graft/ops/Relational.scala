@@ -191,7 +191,26 @@ object Relational {
     * not overflow Long (any real business domain qualifies).
     */
   def shardedCumSum(byVal: DataFrame, v: String, weights: Seq[String],
-                    ascending: Boolean, slices: Int = 256): DataFrame = {
+                    ascending: Boolean, slices: Int = 256): DataFrame =
+    shardedCumAgg(byVal, v, weights, ascending, slices, op = "sum")
+
+  /** [[shardedCumSum]]'s running-MAX twin under the same slicing — the
+    * prefix-extremum behind skyline/frontier operators (is this row's
+    * weight above every earlier value's?). Same exactness and shape:
+    * `cum_<w>` = max of w over all rows at-or-before this `v` in the
+    * chosen direction. NULL-free inputs assumed (the summaries here are
+    * aggregate outputs).
+    */
+  def shardedCumMax(byVal: DataFrame, v: String, weights: Seq[String],
+                    ascending: Boolean, slices: Int = 256): DataFrame =
+    shardedCumAgg(byVal, v, weights, ascending, slices, op = "max")
+
+  private def shardedCumAgg(byVal: DataFrame, v: String, weights: Seq[String],
+                            ascending: Boolean, slices: Int,
+                            op: String): DataFrame = {
+    val partialOf: Column => Column = if (op == "max") max(_) else sum(_)
+    val combine: (Column, Column) => Column =
+      if (op == "max") (a, b) => greatest(a, b) else (a, b) => a + b
     val bounds = byVal.agg(min(col(v)).as("__mn"), max(col(v)).as("__mx"))
     // width >= 1 always; slice index is 0..slices even when mx == mn
     val sliced = byVal.crossJoin(broadcast(bounds))
@@ -200,16 +219,26 @@ object Relational {
       .drop("__mn", "__mx")
     val sliceOrd = if (ascending) col("__slice").asc else col("__slice").desc
     val valOrd = if (ascending) col(v).asc else col(v).desc
-    val partials = weights.map(w => sum(col(w)).as(s"__s_$w"))
+    val partials = weights.map(w => partialOf(col(w)).as(s"__s_$w"))
     val perSlice = sliced.groupBy(col("__slice"))
       .agg(partials.head, partials.tail: _*)
+    // strict-prefix per slice: the lag-1 running aggregate over the
+    // ≤slices+1-row summary (NULL on the first slice = neutral element,
+    // handled at combine time for max via coalesce-with-self)
     val prefix = weights.foldLeft(perSlice) { (d, w) =>
-      d.withColumn(s"__b_$w",
-        sum(col(s"__s_$w")).over(Window.orderBy(sliceOrd)) - col(s"__s_$w"))
+      val through = partialOf(col(s"__s_$w")).over(Window.orderBy(sliceOrd))
+      val before = if (op == "max")
+        partialOf(col(s"__s_$w")).over(
+          Window.orderBy(sliceOrd).rowsBetween(Window.unboundedPreceding, -1))
+      else through - col(s"__s_$w")
+      d.withColumn(s"__b_$w", before)
     }.select(col("__slice") +: weights.map(w => col(s"__b_$w")): _*)
     val win = Window.partitionBy(col("__slice")).orderBy(valOrd)
     weights.foldLeft(sliced.join(broadcast(prefix), "__slice")) { (d, w) =>
-      d.withColumn(s"cum_$w", col(s"__b_$w") + sum(col(w)).over(win))
+      val within = partialOf(col(w)).over(win)
+      val c = if (op == "max") combine(coalesce(col(s"__b_$w"), within), within)
+        else combine(col(s"__b_$w"), within)
+      d.withColumn(s"cum_$w", c)
     }.drop("__slice" +: weights.map(w => s"__b_$w"): _*)
   }
 

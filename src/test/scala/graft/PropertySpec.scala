@@ -514,6 +514,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shardedCumMax ≡ the naive global running max, both directions, any slice count") {
+    val valsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(-1000L, 100000L), Gen.chooseNum(-50L, 50L)))
+    forAll(valsGen) { pairs =>
+      val byVal = pairs.groupBy(_._1).toSeq
+        .map { case (v, g) => (v, g.map(_._2).max) }
+      val df = byVal.toDF("v", "m")
+      for (asc <- Seq(true, false); slices <- Seq(1, 3, 256)) {
+        val ord = if (asc) byVal.sortBy(_._1) else byVal.sortBy(-_._1)
+        val naive = ord.scanLeft((0L, Long.MinValue)) { case ((_, cm), (v, m)) =>
+          (v, math.max(cm, m))
+        }.drop(1).toSet
+        val got = Relational.shardedCumMax(df, "v", Seq("m"),
+            ascending = asc, slices = slices)
+          .selectExpr("v", "cum_m")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == naive, s"asc=$asc slices=$slices: $got vs $naive")
+      }
+    }
+  }
+
   test("kCore: peel fixpoint equals the brute-force iterated filter on random graphs") {
     val edgeGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))

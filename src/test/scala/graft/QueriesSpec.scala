@@ -1397,4 +1397,38 @@ class QueriesSpec extends AnyFunSuite {
       assert(slope == expect, s"$et: $slope vs $expect")
     }
   }
+
+  test("q191 skyline: members replay from naive dominance; non-members are all dominated") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val sky = SparkEntry.queries("q191_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)): Boolean = all.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val expect = all.filterNot(dominated).toSet
+    assert(sky == expect, s"${sky.size} vs ${expect.size}")
+    assert(sky.nonEmpty)
+  }
+
+  test("q192 grouping sets: each level's rows partition the corpus; no CUBE-only levels leak") {
+    val rows = SparkEntry.queries("q192_grouping_sets")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // exactly three levels: (lang, source) g=00, (lang) g=01, () g=11 —
+    // the (source)-only level (g=10) must NOT appear (that's CUBE)
+    val levels = rows.map(t => (t._5, t._6)).distinct.sorted.toSeq
+    assert(levels == Seq((0L, 0L), (0L, 1L), (1L, 1L)), levels.toString)
+    for ((gl, gs) <- levels) {
+      val lvl = rows.filter(t => t._5 == gl && t._6 == gs)
+      assert(lvl.map(_._3).sum == total, s"level ($gl,$gs) must partition the corpus")
+    }
+    val grand = rows.filter(t => t._5 == 1L && t._6 == 1L)
+    assert(grand.length == 1 && grand.head._1 == "ALL" && grand.head._2 == "ALL")
+  }
 }
