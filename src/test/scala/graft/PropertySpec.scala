@@ -535,6 +535,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shardedCum* degenerate edges: empty input, single value, all-equal weights") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "k")
+    assert(Relational.shardedCumSum(empty, "v", Seq("k"), ascending = true).count() == 0)
+    assert(Relational.shardedCumMax(empty, "v", Seq("k"), ascending = false).count() == 0)
+    val one = Seq((42L, 7L)).toDF("v", "k")
+    assert(Relational.shardedCumSum(one, "v", Seq("k"), ascending = true)
+      .selectExpr("cum_k").head().getLong(0) == 7L)
+    assert(Relational.shardedCumMax(one, "v", Seq("k"), ascending = false)
+      .selectExpr("cum_k").head().getLong(0) == 7L)
+    // every row the same value: one slice holds everything (width 1)
+    val flat = Seq((5L, 1L), (5L, 2L)).toDF("v", "k")
+      .groupBy(col("v")).agg(sum(col("k")).as("k"))
+    assert(Relational.shardedCumSum(flat, "v", Seq("k"), ascending = true)
+      .selectExpr("cum_k").head().getLong(0) == 3L)
+  }
+
   test("kCore: peel fixpoint equals the brute-force iterated filter on random graphs") {
     val edgeGen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
