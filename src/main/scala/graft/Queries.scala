@@ -4656,6 +4656,79 @@ object Queries {
       .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
   }
 
+  /** Median/MAD robust outlier census per language: the exact lower
+    * median of document length, the median absolute deviation around it,
+    * and how many documents sit beyond 3·MAD — the robust twin of q80's
+    * z-score outliers (one 10 MB page would drag a mean/stddev fence;
+    * the MAD fence doesn't move). Exactness: both medians come from
+    * distinct-value cumulative counts (smallest v with cum ≥ (n+1) DIV 2),
+    * all integer. Scale shape: document length is a BOUNDED domain (max
+    * doc size), so the per-language value summaries are bounded frames
+    * regardless of corpus size — the lang-partitioned cumulative windows
+    * sort ≤max-length rows each; the corpus itself is touched by two
+    * map-side-combined aggregation passes and one final outlier count.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars").as("v"))
+    val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      val byVal = df.groupBy(col("lang"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(
+          Window.partitionBy(col("lang")).orderBy(col("v"))))
+      byVal.join(broadcast(n), "lang")
+        .filter(col("cum") >= expr("(n + 1L) DIV 2"))
+        .groupBy(col("lang")).agg(min(col("v")).as("med"))
+    }
+    val med = medianOf(d, "v")
+    val devs = d.join(broadcast(med), "lang")
+      .select(col("lang"), abs(col("v") - col("med")).as("dev"))
+    val mad = medianOf(devs, "dev").withColumnRenamed("med", "mad")
+    val outliers = devs.join(broadcast(mad), "lang")
+      .filter(col("dev") > col("mad") * 3)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_outliers"))
+    n.join(med, "lang").join(mad, "lang")
+      .join(outliers, Seq("lang"), "left")
+      .select(col("lang"), col("n"), col("med").as("median_chars"),
+        col("mad").as("mad_chars"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
+  /** Audience overlap via chunked bitmaps: pairwise distinct-user overlap
+    * and Jaccard between event types, computed on 32-bit user bitmaps —
+    * the "roaring-lite" set representation that makes audience
+    * intersection a popcount instead of a distinct-join. Per (type,
+    * chunk = user DIV 32) one OR-folded lane; the pair join is chunk-
+    * keyed (users/32 narrow rows per type, ~97% smaller than the id
+    * list), and |A∩B| = Σ popcount(lanes AND). Lanes stay 32-bit because
+    * a 63-bit shift overflows BIGINT in other engines — the portability
+    * cap that keeps the oracle exact. Jaccard in integer ppm.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = t(spark, dir, "events")
+      .select(col("event_type"), expr("user_id DIV 32").as("chunk"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(expr("bit_or(bit)").as("lanes"))
+    val sizes = lanes.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(lanes)")).as("n_users"))
+    val a = lanes.select(col("event_type").as("type_a"), col("chunk"),
+      col("lanes").as("la"))
+    val b = lanes.select(col("event_type").as("type_b"), col("chunk"),
+      col("lanes").as("lb"))
+    a.join(b, Seq("chunk")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("bit_count(la & lb)")).as("n_overlap"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .selectExpr("type_a", "type_b", "n_a", "n_b", "n_overlap",
+        "(n_overlap * 1000000L) DIV (n_a + n_b - n_overlap) AS jaccard_ppm")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4852,7 +4925,9 @@ object Queries {
     "q189_priority_check" -> (orderPriorityCheck _),
     "q190_theil_sen" -> (theilSenSlope _),
     "q191_skyline" -> (skylineParts _),
-    "q192_grouping_sets" -> (groupingSetsReport _))
+    "q192_grouping_sets" -> (groupingSetsReport _),
+    "q193_mad_outliers" -> (madOutliers _),
+    "q194_audience_overlap" -> (audienceOverlap _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7670,6 +7745,42 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q193_mad_outliers" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |c1 AS (SELECT lang, v, sum(count(*)) OVER (PARTITION BY lang ORDER BY v) AS cum
+        |       FROM d GROUP BY lang, v),
+        |med AS (SELECT c1.lang, CAST(min(v) AS BIGINT) AS med
+        |        FROM c1 JOIN n ON c1.lang = n.lang
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (SELECT d.lang, abs(v - med) AS a FROM d JOIN med ON d.lang = med.lang),
+        |c2 AS (SELECT lang, a, sum(count(*)) OVER (PARTITION BY lang ORDER BY a) AS cum
+        |       FROM dev GROUP BY lang, a),
+        |mad AS (SELECT c2.lang, CAST(min(a) AS BIGINT) AS mad
+        |        FROM c2 JOIN n ON c2.lang = n.lang
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |o AS (SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_outliers
+        |      FROM dev JOIN mad ON dev.lang = mad.lang
+        |      WHERE a > mad * 3 GROUP BY 1)
+        |SELECT n.lang AS lang, n, med AS median_chars, mad AS mad_chars,
+        |  coalesce(n_outliers, 0) AS n_outliers
+        |FROM n JOIN med ON n.lang = med.lang JOIN mad ON n.lang = mad.lang
+        |LEFT JOIN o ON n.lang = o.lang
+        |ORDER BY n.lang""".stripMargin,
+    "q194_audience_overlap" ->
+      """WITH l AS (SELECT event_type, user_id // 32 AS chunk,
+        |             CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS BIGINT) AS lanes
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(sum(bit_count(lanes)) AS BIGINT) AS n_users
+        |      FROM l GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(sum(bit_count(a.lanes & b.lanes)) AS BIGINT) AS n_overlap
+        |      FROM l a JOIN l b ON a.chunk = b.chunk AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_overlap,
+        |  CAST(n_overlap * 1000000 // (sa.n_users + sb.n_users - n_overlap) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN s sa ON type_a = sa.event_type JOIN s sb ON type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q192_grouping_sets" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -1431,4 +1431,44 @@ class QueriesSpec extends AnyFunSuite {
     val grand = rows.filter(t => t._5 == 1L && t._6 == 1L)
     assert(grand.length == 1 && grand.head._1 == "ALL" && grand.head._2 == "ALL")
   }
+
+  test("q193 MAD: medians replay from driver-side sorts; fence is robust to the max doc") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q193_mad_outliers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    rows.foreach { case (lang, n, med, mad, nOut) =>
+      val vs = docs.filter(_._1 == lang).map(_._2).toSeq
+      assert(n == vs.length.toLong, lang)
+      assert(med == lowerMedian(vs), s"$lang median")
+      val devs = vs.map(v => math.abs(v - med))
+      assert(mad == lowerMedian(devs), s"$lang mad")
+      assert(nOut == devs.count(_ > 3 * mad).toLong, s"$lang outliers")
+    }
+  }
+
+  test("q194 audience overlap: bitmap counts equal distinct-set arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q194_audience_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val sets = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toSet }
+    rows.foreach { case (a, b, na, nb, ov, ppm) =>
+      assert(na == sets(a).size.toLong && nb == sets(b).size.toLong, s"$a/$b sizes")
+      val inter = (sets(a) & sets(b)).size.toLong
+      assert(ov == inter, s"$a/$b overlap $ov vs $inter")
+      assert(ppm == inter * 1000000L / (na + nb - inter), s"$a/$b jaccard")
+    }
+    // every unordered pair appears exactly once
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
 }
