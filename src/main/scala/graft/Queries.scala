@@ -4729,6 +4729,43 @@ object Queries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite): each
+    * q19 session becomes an ordered event-initial string and a regex
+    * classifies the journey — here "a signup later converts with no error
+    * in between" (`S[^E]*P`) and its frustrated twin "signup, then an
+    * error before any purchase" (`S[^P]*E`), rolled up per session-start
+    * day. This is the row-pattern operator class (SQL MATCH_RECOGNIZE /
+    * CEP) the relational plane can't express without it; the string form
+    * keeps it engine-portable and the oracle exact. Scale shape: the
+    * per-session string is built by ONE collect over the session group
+    * (sessions are gap-bounded; the string caps at 512 events — past
+    * that, journey classification is meaningless and the cap keeps state
+    * bounded), everything else is a day-cardinality rollup. The regexes
+    * stay in the Java∩RE2 subset.
+    */
+  def journeyPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val sess = graft.ops.Events.sessionize(e, col("user_id"), col("ts_us"),
+      col("event_id"), 1800000000L)
+    val strings = sess
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("start_us"),
+        concat_ws("", slice(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            upper(substring(col("event_type"), 1, 1)).as("c")))),
+          x => x.getField("c")), 1, 512)).as("walk"))
+    strings
+      .groupBy(expr("start_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("walk").rlike("S[^E]*P").cast("long")).as("n_clean_convert"),
+        sum(col("walk").rlike("S[^P]*E").cast("long")).as("n_frustrated"))
+      .withColumn("clean_convert_ppm",
+        expr("(n_clean_convert * 1000000L) DIV n_sessions"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4927,7 +4964,8 @@ object Queries {
     "q191_skyline" -> (skylineParts _),
     "q192_grouping_sets" -> (groupingSetsReport _),
     "q193_mad_outliers" -> (madOutliers _),
-    "q194_audience_overlap" -> (audienceOverlap _))
+    "q194_audience_overlap" -> (audienceOverlap _),
+    "q195_journey_patterns" -> (journeyPatterns _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7745,6 +7783,24 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q195_journey_patterns" ->
+      """WITH e0 AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+        |st AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+        |         substr(string_agg(upper(substr(event_type, 1, 1)), ''
+        |                           ORDER BY ts_us, event_id), 1, 512) AS walk
+        |       FROM s2 GROUP BY 1, 2)
+        |SELECT CAST(start_us // 86400000000 AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN regexp_matches(walk, 'S[^E]*P') THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_convert,
+        |  CAST(sum(CASE WHEN regexp_matches(walk, 'S[^P]*E') THEN 1 ELSE 0 END) AS BIGINT) AS n_frustrated,
+        |  CAST(sum(CASE WHEN regexp_matches(walk, 'S[^E]*P') THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS clean_convert_ppm
+        |FROM st GROUP BY 1 ORDER BY day""".stripMargin,
     "q193_mad_outliers" ->
       """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),

@@ -1471,4 +1471,36 @@ class QueriesSpec extends AnyFunSuite {
     // every unordered pair appears exactly once
     assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
   }
+
+  test("q195 journey patterns: classifications replay from driver-side session walks") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q195_journey_patterns")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // rebuild walks on the driver with the same gap sessionization
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val walks = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.Buffer.empty[Seq[(Long, Long, Long, String)]]
+      sorted.foreach { e =>
+        if (sessions.isEmpty || e._3 - sessions.last.last._3 > 1800000000L)
+          sessions += Seq(e)
+        else sessions(sessions.length - 1) = sessions.last :+ e
+      }
+      sessions.map { s =>
+        (s.head._3 / 86400000000L,
+          s.take(512).map(_._4.head.toUpper).mkString)
+      }
+    }
+    val byDay = walks.groupBy(_._1)
+    rows.foreach { case (day, n, clean, frustrated) =>
+      val ws = byDay(day).map(_._2)
+      assert(n == ws.length.toLong, s"day $day count")
+      assert(clean == ws.count(_.matches(".*S[^E]*P.*")).toLong, s"day $day clean")
+      assert(frustrated == ws.count(_.matches(".*S[^P]*E.*")).toLong, s"day $day frustrated")
+    }
+  }
 }
