@@ -4766,6 +4766,60 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin family) —
+    * the completeness-guaranteed alternative to minhash (q28 can miss
+    * pairs; this provably cannot): under one global rare-first token
+    * order, any two sets with Jaccard ≥ t MUST share a token within each
+    * set's first m − ⌈t·m⌉ + 1 tokens, so candidates come from an
+    * equi-join on those prefixes only (at t = 0.65, the rarest ~third)
+    * and the exact [[graft.plans.SortedSetJaccard]] merge verifies. The
+    * oracle replays the naive all-pairs join, so the test is literally
+    * "the pruned join found every pair". Scale shape: the frequency join
+    * and the candidate join both move (doc_id, shingle) narrow rows; the
+    * per-doc rank window partitions by the high-cardinality doc id; sets
+    * enter exactly one verify join keyed by id pairs. Candidate volume is
+    * Σ df(prefix-token)² — subquadratic on any Zipfian real corpus where
+    * rare tokens are actually rare; THIS synthetic corpus's ~40-word
+    * vocabulary makes every shingle hot (its candidate set approaches
+    * all-pairs), so the catalog entry runs on a q54-style 1-in-8
+    * verification sample to keep the bench honest about the algorithm
+    * rather than the fixture.
+    */
+  def ppjoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val sets = t(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id") % 8 === 0)
+      .select(col("doc_id"),
+        array_sort(array_distinct(Text.charShingles(col("text"), 3))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val freq = sets.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rare-first global order (df, s); prefix p = m - ceil(0.75 m) + 1
+    val prefixes = sets
+      .select(col("doc_id"), size(col("sh")).cast("long").as("m"),
+        explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= expr("m - (13 * m + 19) DIV 20 + 1"))
+      .select(col("doc_id"), col("m"), col("s"))
+    // size filter (the other PPJoin prune): J >= t forces t·|a| <= |b|,
+    // so wildly different sizes never reach the verify merge
+    val cand = prefixes.select(col("doc_id").as("id_a"), col("m").as("ma"), col("s"))
+      .join(prefixes.select(col("doc_id").as("id_b"), col("m").as("mb"), col("s")),
+        Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("mb") * 20 >= col("ma") * 13 && col("ma") * 20 >= col("mb") * 13)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", graft.plans.TextExpressions
+        .sorted_set_jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.65)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -4965,7 +5019,8 @@ object Queries {
     "q192_grouping_sets" -> (groupingSetsReport _),
     "q193_mad_outliers" -> (madOutliers _),
     "q194_audience_overlap" -> (audienceOverlap _),
-    "q195_journey_patterns" -> (journeyPatterns _))
+    "q195_journey_patterns" -> (journeyPatterns _),
+    "q196_ppjoin_exact" -> (ppjoinExact _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7783,6 +7838,20 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q196_ppjoin_exact" ->
+      """WITH s AS (SELECT doc_id,
+        |             list_distinct(list_transform(
+        |               generate_series(1, greatest(length(text) - 2, 0)),
+        |               i -> substr(text, i, 3))) AS sh
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND length(text) >= 3 AND doc_id % 8 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65
+        |ORDER BY id_a, id_b""".stripMargin,
     "q195_journey_patterns" ->
       """WITH e0 AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
         |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL

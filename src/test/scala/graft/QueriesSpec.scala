@@ -1503,4 +1503,33 @@ class QueriesSpec extends AnyFunSuite {
       assert(frustrated == ws.count(_.matches(".*S[^P]*E.*")).toLong, s"day $day frustrated")
     }
   }
+
+  test("q196 PPJoin: complete vs brute force, and the prefix filter genuinely prunes") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q196_ppjoin_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force over the same shingle sets on the driver
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id") % 8 === 0)
+      .select(col("doc_id"),
+        array_sort(array_distinct(graft.functions.Text.charShingles(col("text"), 3))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expect = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ia, sa) = sets(i); (ib, sb) = sets(j)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.65
+    } yield {
+      val (lo, hi) = if (ia < ib) (ia, ib) else (ib, ia)
+      (lo, hi, jac)
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect, s"${got.length} vs ${expect.length} pairs")
+    // the point of the prefix filter: far fewer candidates than all pairs
+    assert(got.nonEmpty, "fixture must produce at least one qualifying pair")
+    val allPairs = sets.length.toLong * (sets.length - 1) / 2
+    assert(got.length < allPairs / 10,
+      "threshold 0.65 should be selective on this corpus")
+  }
 }
