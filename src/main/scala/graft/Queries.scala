@@ -4203,10 +4203,15 @@ object Queries {
       .select(col("user_id"), expr("ts div 86400000000000").as("day"),
         (dec2(col("value")) * 100).cast("long").as("cents"))
     val maxDay = p.agg(max(col("day")).as("mx"))
-    val users = p.crossJoin(broadcast(maxDay))
-      .groupBy(col("user_id"))
-      .agg(min(expr("mx - day")).as("recency"),
-        count(lit(1)).as("frequency"), sum(col("cents")).as("monetary"))
+    // one per-user rollup feeds FIVE consumers (the population scalar,
+    // three quintile summaries, the final scoring joins): materialize it
+    // once or the events scan+rollup re-derives per consumer
+    val users = graft.functions.Graph.materialize(
+      p.crossJoin(broadcast(maxDay))
+        .groupBy(col("user_id"))
+        .agg(min(expr("mx - day")).as("recency"),
+          count(lit(1)).as("frequency"), sum(col("cents")).as("monetary")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     def quintile(metric: String): DataFrame = {
       val byVal = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("k"))
       graft.ops.Relational.shardedCumSum(byVal, "v", Seq("k"), ascending = true)
@@ -4323,6 +4328,10 @@ object Queries {
       (dec2(col("l_extendedprice")) *
         (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
         .cast("long").as("rev_sc4"))
+    // the cells rollup feeds both the output and the region-year totals;
+    // a materialization seam here measured SLOWER (1.0 -> 1.4s at sf0.1):
+    // the duplicated fact subtrees dedupe through runtime exchange reuse,
+    // so the checkpoint only added overhead — left on the reuse path.
     val cells = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("region"), col("yr"), col("nation"))
@@ -4350,12 +4359,16 @@ object Queries {
     val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
-        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
-          .cast("long").as("late"))
-      .groupBy(col("ok"), col("sk"))
-      .agg(max(col("late")).as("any_late"))
+    // the per-(order, supplier) flags feed the per-order rollup AND the
+    // credit join: materialize once (one fact join instead of two)
+    val perSupp = graft.functions.Graph.materialize(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+            .cast("long").as("late"))
+        .groupBy(col("ok"), col("sk"))
+        .agg(max(col("late")).as("any_late")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     val perOrder = perSupp.groupBy(col("ok"))
       .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
     perSupp.join(perOrder, "ok")
@@ -4412,10 +4425,14 @@ object Queries {
       .select(col("user_id"), expr("ts div 86400000000000").as("day"),
         (dec2(col("value")) * 100).cast("long").as("cents"))
     val mid = p.agg(expr("min(day) + (max(day) - min(day) + 1L) DIV 2").as("mid"))
-    val users = p.crossJoin(broadcast(mid))
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("v1"),
-        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("v2"))
+    // four consumers (population scalar, two quintile summaries, the
+    // final joins) share one per-user rollup: materialize it (q179's seam)
+    val users = graft.functions.Graph.materialize(
+      p.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("v1"),
+          sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("v2")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     val n = users.agg(count(lit(1)).as("n"))
     def quintile(metric: String): DataFrame = {
       val byVal = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("k"))
@@ -4669,7 +4686,11 @@ object Queries {
     * map-side-combined aggregation passes and one final outlier count.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select(col("lang"), col("n_chars").as("v"))
+    // (lang, length) pairs feed the population counts, the first median,
+    // and the deviation pass: materialize the two-long projection once
+    val d = graft.functions.Graph.materialize(
+      t(spark, dir, "documents").select(col("lang"), col("n_chars").as("v")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     def medianOf(df: DataFrame, valueCol: String): DataFrame = {
       val byVal = df.groupBy(col("lang"), col(valueCol).as("v"))
@@ -4706,11 +4727,15 @@ object Queries {
     * cap that keeps the oracle exact. Jaccard in integer ppm.
     */
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val lanes = t(spark, dir, "events")
-      .select(col("event_type"), expr("user_id DIV 32").as("chunk"),
-        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
-      .groupBy(col("event_type"), col("chunk"))
-      .agg(expr("bit_or(bit)").as("lanes"))
+    // the bitmap table feeds three consumers (sizes + both join sides):
+    // materialize the compressed frame so events scan+fold runs once
+    val lanes = graft.functions.Graph.materialize(
+      t(spark, dir, "events")
+        .select(col("event_type"), expr("user_id DIV 32").as("chunk"),
+          expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+        .groupBy(col("event_type"), col("chunk"))
+        .agg(expr("bit_or(bit)").as("lanes")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     val sizes = lanes.groupBy(col("event_type"))
       .agg(sum(expr("bit_count(lanes)")).as("n_users"))
     val a = lanes.select(col("event_type").as("type_a"), col("chunk"),
