@@ -46,13 +46,7 @@ object Graph {
     * pass the cut frame, instead of re-deriving per consumer.
     */
   def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
-    }
+    graft.ops.Relational.materialize(df, checkpointDir)
 
   /** Weighted integer PageRank. `edges` must be pre-aggregated
     * (src, dst, weight) with src ≠ dst; returns (host, rank) for every
