@@ -3512,6 +3512,9 @@ object Queries {
   def dupGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
       .filter(size(Text.shingles(col("text"), 3)) > 0)
+    // a materialization seam on the candidate list measured flat here
+    // (1.67 vs 1.71s): minHashCandidates ends in a distinct whose
+    // exchange every triangleStats consumer reuses — the reuse path holds
     val pairs = Dedup.minHashCandidates(d, col("doc_id"), col("text"),
       shingleK = 3, bands = 2, rowsPerBand = 2)
     graft.functions.Graph.triangleStats(pairs, col("id_a"), col("id_b"))
