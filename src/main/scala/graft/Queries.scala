@@ -4848,6 +4848,94 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Session-gap sensitivity curve: how many sessions (and events per
+    * session) the q19 sessionization yields at EVERY candidate gap
+    * threshold — from ONE pass over the inter-event gaps, because
+    * n_sessions(T) = n_users + #\{gaps > T\}: each user's first event
+    * opens a session and every over-threshold gap opens one more. The
+    * parameter sweep that normally costs one sessionization per
+    * threshold becomes a gap histogram probed five times — the evidence
+    * for CHOOSING the 30-minute constant every downstream session query
+    * hard-codes. All counts exact; scale shape: one lag window
+    * partitioned by the high-cardinality user id, all five thresholds
+    * counted in ONE conditional aggregate (no per-threshold pass),
+    * unpivoted by `stack`.
+    */
+  def sessionGapCurve(spark: SparkSession, dir: String): DataFrame = {
+    val minutes = Seq(5L, 15L, 30L, 60L, 120L)
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gaps = e.withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val breakCounts = minutes.map(m =>
+      sum((col("gap") > m * 60000000L).cast("long")).as(s"b_$m"))
+    val breaks = gaps.agg(breakCounts.head, breakCounts.tail: _*)
+    val totals = e.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    breaks.crossJoin(broadcast(totals))
+      .selectExpr(s"stack(${minutes.length}, " +
+        minutes.map(m => s"${m}L, b_$m").mkString(", ") +
+        ") AS (gap_minutes, n_breaks)", "n_events", "n_users")
+      .selectExpr("gap_minutes",
+        "n_users + n_breaks AS n_sessions",
+        "(n_events * 1000L) DIV (n_users + n_breaks) AS events_per_session_milli")
+      .orderBy(col("gap_minutes"))
+  }
+
+  /** Two-proportion z-test, exact-integer form: do users who arrived in
+    * the first half of the window convert (purchase within 7 days of
+    * their first event) at a different rate than later arrivals? The
+    * squared z-statistic z² = (ca·nb − cb·na)²·N / (na·nb·c·(N−c))
+    * evaluates in a FIXED two-step integer-division sequence over
+    * DECIMAL(38,0) intermediates (d² ≤ 10³⁶ fits; dividing by na·nb
+    * BEFORE multiplying by N keeps every intermediate in range at any
+    * population), so both engines truncate identically and the
+    * significance verdict (z² > 1.96², i.e. z2_milli > 3841) replays
+    * bit-for-bit — no sqrt, no doubles, no libm. The A/B evaluation an
+    * experimentation platform runs nightly, minus the floating point.
+    * Scale shape: one per-user first-event rollup, one purchase
+    * range-check join keyed by user, a 2-row cohort aggregate.
+    */
+  def abConversionTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    val firstE = e.groupBy(col("user_id")).agg(min(col("ts_us")).as("f"))
+    // split on the FIRST-EVENT distribution's midpoint: the raw event-time
+    // midpoint leaves the late cohort empty whenever arrivals front-load
+    val bounds = firstE.agg(expr("(min(f) + max(f) + 1L) DIV 2").as("mid"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(firstE, "user_id")
+      .filter(col("ts_us") >= col("f") &&
+        col("ts_us") <= col("f") + lit(7L * 86400000000L))
+      .select(col("user_id")).distinct()
+      .withColumn("cv", lit(1L))
+    val cohorts = firstE.crossJoin(broadcast(bounds))
+      .join(converted, Seq("user_id"), "left")
+      .groupBy((col("f") < col("mid")).as("early"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("cv"), lit(0L))).as("c"))
+    cohorts
+      .agg(max(when(col("early"), col("n"))).as("na"),
+        max(when(col("early"), col("c"))).as("ca"),
+        max(when(!col("early"), col("n"))).as("nb"),
+        max(when(!col("early"), col("c"))).as("cb"))
+      .selectExpr("na", "ca", "nb", "cb",
+        "(ca * 1000000L) DIV na AS rate_a_ppm",
+        "(cb * 1000000L) DIV nb AS rate_b_ppm",
+        // z² in milli: A = d² DIV (na·nb); z2 = A·1000·N DIV (c·(N−c))
+        "CAST((CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)" +
+          " * (CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)" +
+          " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS DECIMAL(38,0)) AS __A")
+      .selectExpr("na", "ca", "nb", "cb", "rate_a_ppm", "rate_b_ppm",
+        // degenerate pooled variance (all or none converted): both rates
+        // are equal at an extreme, d = 0, z² is 0 by definition
+        "CAST(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0 " +
+          "ELSE __A * 1000 * (na + nb) DIV (CAST(ca + cb AS DECIMAL(38,0))" +
+          " * (na + nb - ca - cb)) END AS BIGINT) AS z2_milli")
+      .selectExpr("na", "ca", "nb", "cb", "rate_a_ppm", "rate_b_ppm", "z2_milli",
+        "CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS is_significant")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -5048,7 +5136,9 @@ object Queries {
     "q193_mad_outliers" -> (madOutliers _),
     "q194_audience_overlap" -> (audienceOverlap _),
     "q195_journey_patterns" -> (journeyPatterns _),
-    "q196_ppjoin_exact" -> (ppjoinExact _))
+    "q196_ppjoin_exact" -> (ppjoinExact _),
+    "q197_session_gap_curve" -> (sessionGapCurve _),
+    "q198_ab_test" -> (abConversionTest _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7866,6 +7956,57 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q198_ab_test" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |f AS (SELECT user_id, min(ts_us) AS f FROM e GROUP BY 1),
+        |b AS (SELECT (min(f) + max(f) + 1) // 2 AS mid FROM f),
+        |cv AS (SELECT DISTINCT e.user_id FROM e JOIN f USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND ts_us >= f AND ts_us <= f + 604800000000),
+        |coh AS (SELECT CASE WHEN f < mid THEN 1 ELSE 0 END AS early,
+        |          CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |        FROM f CROSS JOIN b LEFT JOIN cv ON f.user_id = cv.user_id
+        |        GROUP BY 1),
+        |w AS (SELECT max(CASE WHEN early = 1 THEN n END) AS na,
+        |        max(CASE WHEN early = 1 THEN c END) AS ca,
+        |        max(CASE WHEN early = 0 THEN n END) AS nb,
+        |        max(CASE WHEN early = 0 THEN c END) AS cb
+        |      FROM coh),
+        |z AS (SELECT na, ca, nb, cb,
+        |        CAST(ca * 1000000 // na AS BIGINT) AS rate_a_ppm,
+        |        CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_ppm,
+        |        (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |          * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |          // (CAST(na AS HUGEINT) * nb) AS A
+        |      FROM w),
+        |z2 AS (SELECT *,
+        |         CAST(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0
+        |                   ELSE A * 1000 * (na + nb)
+        |                        // (CAST(ca + cb AS HUGEINT) * (na + nb - ca - cb))
+        |              END AS BIGINT) AS z2_milli
+        |       FROM z)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(ca AS BIGINT) AS ca,
+        |  CAST(nb AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb,
+        |  rate_a_ppm, rate_b_ppm, z2_milli,
+        |  CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS is_significant
+        |FROM z2""".stripMargin,
+    "q197_session_gap_curve" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts_us, event_id) AS gap
+        |      FROM e),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+        |m AS (SELECT unnest([5, 15, 30, 60, 120]) AS gap_minutes),
+        |b AS (SELECT gap_minutes,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM g
+        |         WHERE gap > CAST(gap_minutes AS BIGINT) * 60000000) AS n_breaks
+        |      FROM m)
+        |SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+        |  n_users + n_breaks AS n_sessions,
+        |  CAST(n_events * 1000 // (n_users + n_breaks) AS BIGINT) AS events_per_session_milli
+        |FROM b CROSS JOIN t ORDER BY gap_minutes""".stripMargin,
     "q196_ppjoin_exact" ->
       """WITH s AS (SELECT doc_id,
         |             list_distinct(list_transform(

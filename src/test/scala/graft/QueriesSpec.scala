@@ -1532,4 +1532,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.length < allPairs / 10,
       "threshold 0.65 should be selective on this corpus")
   }
+
+  test("q197 session gap curve: counts replay against real sessionization at each threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q197_session_gap_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(5L, 15L, 30L, 60L, 120L))
+    // monotone: larger gaps merge sessions
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    rows.foreach { case (mins, nSessions, epsMilli) =>
+      val real = graft.ops.Events.sessionize(e, col("user_id"), col("ts_us"),
+          col("event_id"), mins * 60000000L)
+        .select(col("user_id"), col("session_seq")).distinct().count()
+      assert(nSessions == real, s"$mins min: $nSessions vs $real")
+      assert(epsMilli == e.count() * 1000L / real, s"$mins min eps")
+    }
+  }
+
+  test("q198 A/B test: z-squared replays from the exact integer sequence on the driver") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q198_ab_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (na, ca, nb, cb) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(na > 0 && nb > 0 && ca <= na && cb <= nb)
+    assert(row.getLong(4) == ca * 1000000L / na && row.getLong(5) == cb * 1000000L / nb)
+    val d = BigInt(ca) * nb - BigInt(cb) * na
+    val a = (d * d) / (BigInt(na) * nb)
+    val z2 = if (ca + cb == 0 || ca + cb == na + nb) BigInt(0)
+      else (a * 1000 * (na + nb)) / (BigInt(ca + cb) * (na + nb - ca - cb))
+    assert(row.getLong(6) == z2.toLong, s"z2_milli ${row.getLong(6)} vs $z2")
+    assert(row.getLong(7) == (if (z2 > 3841) 1L else 0L))
+    // cohort populations partition the user base
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == users, "cohorts partition the users")
+  }
 }
