@@ -4936,6 +4936,47 @@ object Queries {
         "CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS is_significant")
   }
 
+  /** Release-merge audit: does a corpus release BRIDGE previously-distinct
+    * duplicate clusters? Components are computed over the old half alone
+    * (doc_id below the id midpoint) and over the full corpus; old-doc
+    * clusters that fuse through new bridge documents show up as the drop
+    * in distinct cluster labels among old docs. The structural twin of
+    * q108's row-level release diff — row counts can't see that two old
+    * families became one — and the audit that decides whether a release
+    * forces re-running survivorship (q96) over closed clusters. Scale
+    * shape: two CC runs (each the q60 plan, lineage-cut rounds), one
+    * id-keyed join of label frames, a 1-row rollup; old labels translate
+    * through the join, never via collect.
+    */
+  def releaseMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = spark.conf.getOption("spark.graft.checkpoint.dir")
+    val d = t(spark, dir, "documents")
+      .filter(size(Text.shingles(col("text"), 3)) > 0)
+    val cut = d.agg(expr("(min(doc_id) + max(doc_id) + 1L) DIV 2").as("mid"))
+    val dOld = d.crossJoin(broadcast(cut)).filter(col("doc_id") < col("mid"))
+    def cc(docs: DataFrame): DataFrame =
+      Dedup.connectedComponents(
+        Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+          shingleK = 3, bands = 2, rowsPerBand = 2),
+        checkpointDir = ckpt)
+    val before = cc(dOld).withColumnRenamed("cluster", "c_before")
+    val after = cc(d).withColumnRenamed("cluster", "c_after")
+    // old docs only: new docs may ADD clusters; the merge signal lives in
+    // how many distinct labels the old population keeps. Two separate
+    // distinct aggregates (q36's no-Expand discipline) over the
+    // materialized join; docs first clustered only AFTER the release are
+    // intentionally out of scope (they are new structure, not merges).
+    val joined = graft.ops.Relational.materialize(
+      before.join(after, "id"), ckpt)
+    joined.agg(count(lit(1)).as("n_old_clustered_docs"))
+      .crossJoin(joined.select(col("c_before")).distinct()
+        .agg(count(lit(1)).as("n_clusters_before")))
+      .crossJoin(joined.select(col("c_after")).distinct()
+        .agg(count(lit(1)).as("n_clusters_after")))
+      .selectExpr("n_old_clustered_docs", "n_clusters_before", "n_clusters_after",
+        "n_clusters_before - n_clusters_after AS n_merged")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -5138,7 +5179,8 @@ object Queries {
     "q195_journey_patterns" -> (journeyPatterns _),
     "q196_ppjoin_exact" -> (ppjoinExact _),
     "q197_session_gap_curve" -> (sessionGapCurve _),
-    "q198_ab_test" -> (abConversionTest _))
+    "q198_ab_test" -> (abConversionTest _),
+    "q199_release_merge" -> (releaseMergeAudit _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7956,6 +7998,34 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q199_release_merge" -> {
+      val eligible = s"len($DNTOKS) >= 3"
+      val midSub = s"(SELECT (min(doc_id) + max(doc_id) + 1) // 2 FROM documents WHERE $eligible)"
+      val bodyOld = MinhashPairsBody.replace("FROM documents",
+        s"FROM documents WHERE doc_id < $midSub")
+      s"""WITH RECURSIVE pairs_old AS MATERIALIZED ($bodyOld),
+         |pairs_all AS MATERIALIZED ($MinhashPairsBody),
+         |eo AS (SELECT id_a AS src, id_b AS dst FROM pairs_old
+         |       UNION ALL SELECT id_b, id_a FROM pairs_old),
+         |ro(id, lbl) AS (
+         |  SELECT src, src FROM eo
+         |  UNION
+         |  SELECT e.src, r.lbl FROM eo e JOIN ro r ON e.dst = r.id),
+         |lo AS (SELECT id, min(lbl) AS c_before FROM ro GROUP BY id),
+         |ea AS (SELECT id_a AS src, id_b AS dst FROM pairs_all
+         |       UNION ALL SELECT id_b, id_a FROM pairs_all),
+         |ra(id, lbl) AS (
+         |  SELECT src, src FROM ea
+         |  UNION
+         |  SELECT e.src, r.lbl FROM ea e JOIN ra r ON e.dst = r.id),
+         |la AS (SELECT id, min(lbl) AS c_after FROM ra GROUP BY id),
+         |j AS (SELECT lo.id, c_before, c_after FROM lo JOIN la ON lo.id = la.id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_old_clustered_docs,
+         |  CAST(count(DISTINCT c_before) AS BIGINT) AS n_clusters_before,
+         |  CAST(count(DISTINCT c_after) AS BIGINT) AS n_clusters_after,
+         |  CAST(count(DISTINCT c_before) - count(DISTINCT c_after) AS BIGINT) AS n_merged
+         |FROM j""".stripMargin
+    },
     "q198_ab_test" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
         |f AS (SELECT user_id, min(ts_us) AS f FROM e GROUP BY 1),

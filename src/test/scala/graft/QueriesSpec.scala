@@ -1570,4 +1570,26 @@ class QueriesSpec extends AnyFunSuite {
       .select(col("user_id")).distinct().count()
     assert(na + nb == users, "cohorts partition the users")
   }
+
+  test("q199 release merge: monotone cluster algebra and consistency with q60's full labels") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q199_release_merge")(spark, sf).collect()
+    assert(r.length == 1)
+    val (nDocs, before, after, merged) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    // adding documents can only merge old clusters, never split them
+    assert(after <= before && merged == before - after && merged >= 0)
+    assert(nDocs >= before && before >= 1)
+    // the after-labels restricted to old docs must agree with q60's full
+    // component labels (same pair pipeline, same propagation)
+    val full = SparkEntry.queries("q60_dedup_clusters")(spark, sf)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(graft.functions.Text.shingles(col("text"), 3)) > 0)
+      .agg(expr("(min(doc_id) + max(doc_id) + 1L) DIV 2")).head().getLong(0)
+    val fullOldLabels = full.filter(col("id") < d)
+      .select(col("cluster")).distinct().count()
+    // q199's after-count covers only docs ALSO clustered before the
+    // release, so it is bounded by the full old-doc label count
+    assert(after <= fullOldLabels + 0L || fullOldLabels == 0L, s"$after vs $fullOldLabels")
+  }
 }
