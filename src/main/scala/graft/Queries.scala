@@ -4977,6 +4977,32 @@ object Queries {
         "n_clusters_before - n_clusters_after AS n_merged")
   }
 
+  /** Large-volume customers (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds 200 units, with their customer and order
+    * value, top-10 by order value — the HAVING-driven semi-aggregate
+    * join: the qualifying-order set comes from ONE map-side-combined
+    * rollup of the fact (only orderkeys and a quantity sum shuffle), and
+    * only survivors join the orders/customer dims. Quantity stays exact
+    * DECIMAL through the sum and integerizes at scale 2 for the output;
+    * the final cut is TakeOrdered.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qualifying = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 200)
+    qualifying
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("price_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("price_cents"), (col("qty") * 100).cast("long").as("total_qty_centi"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -5180,7 +5206,8 @@ object Queries {
     "q196_ppjoin_exact" -> (ppjoinExact _),
     "q197_session_gap_curve" -> (sessionGapCurve _),
     "q198_ab_test" -> (abConversionTest _),
-    "q199_release_merge" -> (releaseMergeAudit _))
+    "q199_release_merge" -> (releaseMergeAudit _),
+    "q200_big_orders" -> (bigOrders _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -7998,6 +8025,16 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q200_big_orders" ->
+      """WITH q AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |           FROM lineitem GROUP BY 1
+        |           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |  CAST(qty * 100 AS BIGINT) AS total_qty_centi
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
     "q199_release_merge" -> {
       val eligible = s"len($DNTOKS) >= 3"
       val midSub = s"(SELECT (min(doc_id) + max(doc_id) + 1) // 2 FROM documents WHERE $eligible)"

@@ -1592,4 +1592,20 @@ class QueriesSpec extends AnyFunSuite {
     // release, so it is bounded by the full old-doc label count
     assert(after <= fullOldLabels + 0L || fullOldLabels == 0L, s"$after vs $fullOldLabels")
   }
+
+  test("q200 big orders: every row's quantity replays and exceeds the HAVING threshold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q200_big_orders")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq, "price-descending")
+    val qty = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))) * 100).cast("long").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, ok, _, q) =>
+      assert(q == qty(ok) && q > 20000L, s"order $ok qty $q")
+    }
+  }
 }
