@@ -105,7 +105,9 @@ object AvroIo {
   private def escape(v: Any): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else v.toString.flatMap {
-      case c if c == '/' || c == '\\' || c == '=' || c == ':' =>
+      // '%' must escape itself or a literal "%2F" in a value would
+      // round-trip as '/'
+      case c if c == '/' || c == '\\' || c == '=' || c == ':' || c == '%' =>
         f"%%${c.toInt}%02X"
       case c => c.toString
     }
