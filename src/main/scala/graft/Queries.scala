@@ -5025,6 +5025,52 @@ object Queries {
       .limit(10)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per source: the exact maximum
+    * CDF distance between each source's document-length distribution and
+    * the corpus's, with the length at which it occurs — the
+    * distribution-shape drift statistic q110's binned monitor
+    * approximates (KS sees a shifted mode even when bin totals agree).
+    * Exactness: both CDFs are integer ppm at their jump points, and the
+    * supremum of a step-function difference is attained at a jump, so
+    * evaluating F_source at every CORPUS value (a superset of each
+    * source's values) makes the max exact. Scale shape: document length
+    * is a bounded domain, so the (source × value) grid is bounded
+    * regardless of corpus size; the cumulative windows partition by
+    * source over that bounded grid; the corpus touches only two
+    * map-side-combined rollups. The oracle recomputes F_source by a
+    * triangular sum — different algorithm, same integers.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("source"), col("n_chars").as("v"))
+    val corpusByVal = d.groupBy(col("v")).agg(count(lit(1)).as("ck"))
+    val corpusN = d.agg(count(lit(1)).as("cn"))
+    // the corpus cumulative rides shardedCumSum like every other
+    // distinct-value running total (the catalog lint bans a bare global
+    // window here — it cannot know THIS value domain is bounded)
+    val corpusCdf = graft.ops.Relational
+      .shardedCumSum(corpusByVal, "v", Seq("ck"), ascending = true)
+      .crossJoin(broadcast(corpusN))
+      .select(col("v"), expr("(cum_ck * 1000000L) DIV cn").as("fc_ppm"))
+    val srcByVal = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("k"))
+    val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // grid = every corpus value × every source; the source CDF at corpus
+    // values falls out of one cumulative over coalesced per-value counts
+    val grid = corpusCdf.crossJoin(broadcast(srcN.select(col("source"))))
+      .join(srcByVal, Seq("source", "v"), "left")
+      .withColumn("scum", sum(coalesce(col("k"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .join(broadcast(srcN), "source")
+      .withColumn("fs_ppm", expr("(scum * 1000000L) DIV n"))
+      .withColumn("dist", abs(col("fc_ppm") - col("fs_ppm")))
+    grid
+      .withColumn("mx", max(col("dist")).over(Window.partitionBy(col("source"))))
+      .filter(col("dist") === col("mx"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("dist")).as("ks_ppm"),
+        min(col("v")).as("at_length"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog + oracles
   // ---------------------------------------------------------------------
@@ -5229,7 +5275,8 @@ object Queries {
     "q197_session_gap_curve" -> (sessionGapCurve _),
     "q198_ab_test" -> (abConversionTest _),
     "q199_release_merge" -> (releaseMergeAudit _),
-    "q200_big_orders" -> (bigOrders _))
+    "q200_big_orders" -> (bigOrders _),
+    "q201_ks_drift" -> (ksDrift _))
 
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
@@ -8047,6 +8094,26 @@ object Queries {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q201_ks_drift" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM d),
+        |cv AS (SELECT DISTINCT v FROM d),
+        |sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |g AS (SELECT sn.source, cv.v, sn.n FROM cv CROSS JOIN sn),
+        |f AS (SELECT g.source, g.v, g.n,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM d WHERE d.v <= g.v) AS ccount,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM d
+        |         WHERE d.source = g.source AND d.v <= g.v) AS scount
+        |      FROM g),
+        |dist AS (SELECT source, v, n,
+        |           abs((ccount * 1000000 // (SELECT cn FROM cn))
+        |               - (scount * 1000000 // n)) AS dist
+        |         FROM f),
+        |mx AS (SELECT source, max(dist) AS mxd FROM dist GROUP BY 1)
+        |SELECT dist.source AS source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(max(dist) AS BIGINT) AS ks_ppm, CAST(min(v) AS BIGINT) AS at_length
+        |FROM dist JOIN mx ON dist.source = mx.source AND dist.dist = mx.mxd
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     "q200_big_orders" ->
       """WITH q AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
         |           FROM lineitem GROUP BY 1

@@ -1608,4 +1608,30 @@ class QueriesSpec extends AnyFunSuite {
       assert(q == qty(ok) && q > 20000L, s"order $ok qty $q")
     }
   }
+
+  test("q201 KS drift: the exact sup-distance replays from driver-side CDFs") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q201_ks_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val corpusVals = docs.map(_._2).distinct.sorted
+    val cn = docs.length.toLong
+    rows.foreach { case (src, n, ks, at) =>
+      val mine = docs.filter(_._1 == src).map(_._2)
+      assert(n == mine.length.toLong, src)
+      val dists = corpusVals.map { v =>
+        val fc = docs.count(_._2 <= v).toLong * 1000000L / cn
+        val fs = mine.count(_ <= v).toLong * 1000000L / n
+        v -> math.abs(fc - fs)
+      }
+      val mx = dists.map(_._2).max
+      assert(ks == mx, s"$src ks $ks vs $mx")
+      assert(at == dists.filter(_._2 == mx).map(_._1).min, s"$src argmax")
+    }
+    // KS of the union against itself would be 0; real sources must differ
+    assert(rows.exists(_._3 > 0L), "at least one source drifts")
+  }
 }
