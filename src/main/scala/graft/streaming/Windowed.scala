@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming twins of the batch event operators (graft.ops.Events): the
   * batch forms are oracle-checkable SQL; these run the same semantics
@@ -149,6 +149,33 @@ object Windowed {
         joinType)
       .drop("p_user_id")
   }
+
+  /** Streaming point-in-time SCD2 enrichment: each micro-batch of facts
+    * joins the dimension VERSION in effect at the fact's event time
+    * ([[graft.pipeline.Pipeline.lookupAsOf]] over the full version
+    * chain), through foreachBatch — the as-of join needs a window over
+    * the unioned timeline, which continuous mode can't express, and the
+    * micro-batch seam is exactly where a lakehouse runs it. The dim is
+    * re-read per batch, so a version closed between batches takes effect
+    * on the next batch — the same freshness contract as stream-static
+    * equi joins. Late facts still match their OWN time's version: that
+    * is the point of as-of (a plain equi join would enrich them with
+    * today's dim).
+    */
+  def startAsOfEnrich(facts: DataFrame, dim: () => DataFrame,
+                      businessKey: String, factTime: String,
+                      dimCols: Seq[String], outPath: String,
+                      checkpoint: String): StreamingQuery =
+    facts.writeStream
+      .queryName("graft_asof_enrich")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Pipeline
+          .lookupAsOf(batch, dim(), businessKey, factTime, dimCols)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 
   final case class EwmaIn(event_type: String, ts: Timestamp)
   final case class EwmaState(day: Long, n: Long, ewma: Long, hasEwma: Boolean)

@@ -337,6 +337,37 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == d0 + 3), "open day must not emit")
   }
 
+  test("streaming as-of enrichment joins the dim version in effect at each fact's time") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_asof_stream").toString
+    // SCD2 chain for key 7: price 100 until Jan 2, then 200 (open)
+    val dim = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 100L),
+      (7L, ts("2024-01-02 00:00:00"), 200L))
+      .toDF("item_id", "effective_from", "price")
+    val stream = MemoryStream[Click] // (user_id, click_ts, page) — reuse shape
+    val q = Windowed.startAsOfEnrich(
+      stream.toDF().withColumnRenamed("user_id", "item_id"),
+      () => dim, "item_id", "click_ts", Seq("price"),
+      s"$root/out", s"$root/ckpt")
+    stream.addData(
+      Click(7L, ts("2024-01-01 12:00:00"), "old"),   // version 1 in effect
+      Click(7L, ts("2024-01-03 12:00:00"), "new"))   // version 2 in effect
+    q.processAllAvailable(); q.stop()
+    // a second batch with a LATE fact must still match its own time
+    val stream2 = stream
+    stream2.addData(Click(7L, ts("2024-01-01 23:00:00"), "late"))
+    val q2 = Windowed.startAsOfEnrich(
+      stream2.toDF().withColumnRenamed("user_id", "item_id"),
+      () => dim, "item_id", "click_ts", Seq("price"),
+      s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getAs[String]("page") -> r.getAs[Long]("asof_price")).toMap
+    assert(out == Map("old" -> 100L, "new" -> 200L, "late" -> 100L), out.toString)
+  }
+
   test("listener records batch durations and ledger-parses kafka offsets") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new OffsetLedgerListener
