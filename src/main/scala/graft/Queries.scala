@@ -4516,8 +4516,12 @@ object Queries {
     * re-crawls peel away entirely); a 3-core only survives densely
     * cross-linked boilerplate, the structure that tells a dedup owner
     * whether q60's transitive merging is collapsing genuine families or
-    * bridged accidents. Fixed 8-round peel (monotone, so the early-exit
-    * and the oracle's unrolled CTE agree bit-for-bit); counts stay
+    * bridged accidents. The peel runs to FIXPOINT (safety cap 64 — a
+    * fixed low round count truncates long chains, the r13 ADVICE fix);
+    * the oracle's 8-round unrolled CTE still replays it bit-for-bit
+    * because peeling is monotone (rounds past the fixpoint are no-ops)
+    * and the measured fixpoint on every gate SF is ≤ 2 rounds — GraphSpec
+    * pins the long-chain behavior the unroll can't see. Counts stay
     * in-plan as 1-row aggregates.
     */
   def dupCoreStrength(spark: SparkSession, dir: String): DataFrame = {
@@ -4528,7 +4532,7 @@ object Queries {
       minhashPairs(spark, dir), ckpt)
     Seq(2, 3).map { k =>
       val core = graft.functions.Graph.kCore(pairs, col("id_a"), col("id_b"),
-        k, rounds = 8, checkpointDir = ckpt)
+        k, checkpointDir = ckpt)
       val nodes = core.select(col("a").as("id"))
         .unionAll(core.select(col("b").as("id"))).distinct()
         .agg(count(lit(1)).as("n_core_nodes"))

@@ -165,18 +165,23 @@ object Graph {
     * [[triangleStats]]: a 2-core is any cycle structure (re-crawl chains
     * vanish), a 3-core is densely cross-linked boilerplate.
     *
-    * `rounds` is FIXED (peeling is monotone, so extra rounds past the
-    * fixpoint are no-ops — the early `stable` exit skips their cost
-    * without changing the result, which is what lets a fixed-round SQL
-    * unroll replay this bit-for-bit). Per round: one degree aggregate +
-    * two semi-joins, all on narrow id pairs; lineage cuts per round (the
-    * [[pageRankInt]] / connected-components discipline). Returns the
-    * surviving undirected edges (a, b).
+    * Peels until the edge count stops changing (the true fixpoint), with
+    * `maxRounds` as a SAFETY CAP only — a k=2 peel of an n-edge chain
+    * needs ~n/2 rounds, so a low fixed round count silently returns a
+    * partial peel on long re-crawl chains (the pre-r13 default of 8 did
+    * exactly that; GraphSpec's 40-edge-chain case pins the fix). Peeling
+    * is monotone, so a fixed-round SQL unroll of r ≥ fixpoint rounds
+    * replays the result bit-for-bit (extra unrolled rounds are no-ops) —
+    * which is what keeps the DuckDB oracle's finite unroll valid as long
+    * as the data's fixpoint lands within it. Per round: one degree
+    * aggregate + two semi-joins, all on narrow id pairs; lineage cuts per
+    * round (the [[pageRankInt]] / connected-components discipline).
+    * Returns the surviving undirected edges (a, b).
     */
   def kCore(pairs: DataFrame, a: Column, b: Column, k: Int,
-            rounds: Int = 8,
+            maxRounds: Int = 64,
             checkpointDir: Option[String] = None): DataFrame = {
-    require(k >= 1 && rounds >= 1)
+    require(k >= 1 && maxRounds >= 1)
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
@@ -189,7 +194,7 @@ object Graph {
     var prevCount = edges.count()
     var i = 0
     var stable = prevCount == 0
-    while (i < rounds && !stable) {
+    while (i < maxRounds && !stable) {
       val keep = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)

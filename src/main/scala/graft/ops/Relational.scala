@@ -75,14 +75,18 @@ object Relational {
     */
   def nativeTopK(df: DataFrame, keys: Seq[String],
                  order: Seq[(String, Boolean)], k: Int): DataFrame = {
-    val params: Seq[Any] = k +: (keys.map("key:" + _) ++
-      order.map { case (c, asc) => (if (asc) "asc:" else "desc:") + c })
-    val hinted = df.hint("graft_topk", params: _*)
-    val native = hinted.queryExecution.analyzed.collectFirst {
-      case t: graft.plans.TopKPlan.TopKPerKey => t
-    }.isDefined
-    if (native) hinted
-    else {
+    // Gate on the injected planner strategy, not on analyzing a hinted
+    // plan: probing by analysis made plain sessions log a HintErrorLogger
+    // WARN per call. Strategy present ⇒ ResolveTopKHint is injected too
+    // (both come from GraftExtensions) and it always rewrites a hint with
+    // non-empty keys/order, so the hinted path never silently degrades.
+    val native = df.sparkSession.sessionState.planner.strategies
+      .exists(_.isInstanceOf[graft.plans.TopKPlan.Strategy])
+    if (native) {
+      val params: Seq[Any] = k +: (keys.map("key:" + _) ++
+        order.map { case (c, asc) => (if (asc) "asc:" else "desc:") + c })
+      df.hint("graft_topk", params: _*)
+    } else {
       val oc = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
       groupTopK(df, keys.map(col), oc, col(order.last._1), k).drop("rank")
     }

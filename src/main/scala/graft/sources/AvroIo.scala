@@ -5,16 +5,16 @@ import java.io.ByteArrayOutputStream
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.util.Utf8
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro container-file source/sink over avro-core — the reference's conform
   * layer is AVRO in hive-partitioned dirs (`Kafka_ArrivalToConform.sh:536-540`
@@ -35,9 +35,14 @@ import org.apache.spark.sql.types._
   * does.
   *
   * Types cover the conform-layer surface (and any flat relational table):
-  * string/int/long/float/double/boolean/binary, nullable as avro unions.
-  * Nested types are out of scope — the reference's conform rows are flat
-  * Kafka payloads.
+  * string/int/long/float/double/boolean/binary, nullable as avro unions,
+  * plus the standard LOGICAL types the reference's dated conform layout
+  * carries (`Kafka_ArrivalToConform.sh:536-540` partitions by date and the
+  * payloads hold timestamps/amounts): DateType ↔ int/`date`,
+  * TimestampType ↔ long/`timestamp-micros`, DecimalType(p,s) ↔
+  * bytes/`decimal(p,s)` — the same mappings spark-avro uses, so files
+  * interchange with any standard Avro reader. Nested types are out of
+  * scope — the reference's conform rows are flat Kafka payloads.
   */
 object AvroIo {
 
@@ -53,6 +58,13 @@ object AvroIo {
         case DoubleType => Schema.create(Schema.Type.DOUBLE)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case d: DecimalType =>
+          LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
         case other => throw new IllegalArgumentException(
           s"AvroIo supports flat relational types only, got $other for ${f.name}")
       }
@@ -63,7 +75,10 @@ object AvroIo {
     }.endRecord()
   }
 
-  /** Avro record schema → Spark StructType (unions of [null, t] = nullable). */
+  /** Avro record schema → Spark StructType (unions of [null, t] = nullable;
+    * date/timestamp-micros/decimal logical annotations map back to their
+    * Spark types).
+    */
   def toSparkSchema(schema: Schema): StructType = {
     def field(s: Schema): (DataType, Boolean) = s.getType match {
       case Schema.Type.UNION =>
@@ -71,6 +86,14 @@ object AvroIo {
         val nonNull = branches.filter(_.getType != Schema.Type.NULL)
         require(nonNull.length == 1, s"unsupported union $s")
         (field(nonNull.head)._1, branches.exists(_.getType == Schema.Type.NULL))
+      case Schema.Type.INT if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
+        (DateType, false)
+      case Schema.Type.LONG
+        if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
+        (TimestampType, false)
+      case Schema.Type.BYTES if s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        val d = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
+        (DecimalType(d.getPrecision, d.getScale), false)
       case Schema.Type.STRING => (StringType, false)
       case Schema.Type.INT => (IntegerType, false)
       case Schema.Type.LONG => (LongType, false)
@@ -86,9 +109,66 @@ object AvroIo {
     })
   }
 
-  private def toAvroValue(v: Any): Any = v match {
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case other => other
+  /** Per-field Spark → Avro value encoder. Timestamp/date math matches
+    * Spark's own external↔internal conversions (floor semantics, so
+    * pre-1970 instants encode correctly); decimals re-scale to the
+    * declared scale with UNNECESSARY rounding — Spark already enforces
+    * the column's (p, s), so a throw here means a caller bug, not data.
+    */
+  private def encoderFor(dt: DataType): Any => Any = dt match {
+    case BinaryType => {
+      case null => null
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    }
+    case DateType => {
+      case null => null
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    }
+    case TimestampType => {
+      case null => null
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    }
+    case d: DecimalType => {
+      case null => null
+      case bd: java.math.BigDecimal =>
+        java.nio.ByteBuffer.wrap(
+          bd.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue().toByteArray)
+    }
+    case _ => identity[Any]
+  }
+
+  /** Per-field Avro → Spark value decoder, driven by the (union-stripped)
+    * avro field schema so logical types come back as their Spark values.
+    */
+  private def decoderFor(s: Schema): Any => Any = {
+    val base = s.getType match {
+      case Schema.Type.UNION =>
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      case _ => s
+    }
+    (base.getType, Option(base.getLogicalType)) match {
+      case (Schema.Type.INT, Some(_: LogicalTypes.Date)) => {
+        case null => null
+        case days: Int =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      }
+      case (Schema.Type.LONG, Some(_: LogicalTypes.TimestampMicros)) => {
+        case null => null
+        case micros: Long =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+      }
+      case (Schema.Type.BYTES, Some(dec: LogicalTypes.Decimal)) => {
+        case null => null
+        case b: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+          new java.math.BigDecimal(new java.math.BigInteger(arr), dec.getScale)
+      }
+      case _ => fromAvroValue
+    }
   }
 
   private def fromAvroValue(v: Any): Any = v match {
@@ -112,11 +192,22 @@ object AvroIo {
       case c => c.toString
     }
 
+  /** Inverse of [[escape]], tolerant of foreign writers: a '%' not
+    * followed by two hex digits passes through literally (other tools
+    * escape differently — throwing on their layouts would contradict the
+    * any-hive-partitioned-layout contract), and the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel maps back to null, matching
+    * Spark's own partition-discovery semantics.
+    */
   private def unescape(s: String): String = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") return null
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val out = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
         out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
       } else { out.append(s.charAt(i)); i += 1 }
     }
@@ -137,13 +228,21 @@ object AvroIo {
     val dataSchema = StructType(dataFields.toIndexedSeq)
     val avroJson = toAvroSchema(dataSchema).toString
     val dataNames = dataFields.map(_.name).toSeq
+    val dataTypes = dataFields.map(_.dataType).toSeq
     val partNames = partitionCols
+    // the session's hadoop config (spark.hadoop.* — S3A credentials,
+    // HDFS nameservices) must reach the tasks, or cluster deployments
+    // silently write with a blank Configuration (the r13 ADVICE fix);
+    // SerializableConfiguration is the standard broadcast vehicle.
+    val sc = df.sparkSession.sparkContext
+    val bconf = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
     // route columns: data first, partition values last, fixed order
     val ordered = df.select((dataNames ++ partNames).map(col).toIndexedSeq: _*)
     ordered.rdd.foreachPartition { rows =>
       val taskId = TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
-      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val encoders = dataTypes.map(encoderFor)
+      val fs = FileSystem.get(new java.net.URI(path), bconf.value.value)
       val writers = mutable.Map.empty[Seq[String], DataFileWriter[GenericRecord]]
       def writerFor(pv: Seq[String]): DataFileWriter[GenericRecord] =
         writers.getOrElseUpdate(pv, {
@@ -160,7 +259,7 @@ object AvroIo {
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < dataNames.length) {
-          rec.put(dataNames(i), toAvroValue(row.get(i))); i += 1
+          rec.put(dataNames(i), encoders(i)(row.get(i))); i += 1
         }
         val pv = partNames.indices
           .map(j => escape(row.get(dataNames.length + j)))
@@ -187,7 +286,9 @@ object AvroIo {
     * Spark's partition discovery would order them.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val sc = spark.sparkContext
+    val bconf = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
+    val fs = FileSystem.get(new java.net.URI(path), sc.hadoopConfiguration)
     val root = new Path(path)
     val files = listAvroFiles(fs, root)
     require(files.nonEmpty, s"no .avro files under $path")
@@ -221,13 +322,13 @@ object AvroIo {
     val rdd = spark.sparkContext
       .parallelize(fileList, math.max(1, fileList.length))
       .flatMap { case (file, pv) =>
-        val conf = new Configuration()
         val p = new Path(file)
-        val in = p.getFileSystem(conf).open(p)
+        val in = p.getFileSystem(bconf.value.value).open(p)
         val stream = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
+        val decoders = names.map(n => decoderFor(stream.getSchema.getField(n).schema()))
         val iter = stream.iterator().asScala.map { rec =>
-          Row.fromSeq(names.map(n => fromAvroValue(rec.get(n))) ++ pv)
+          Row.fromSeq(names.indices.map(i => decoders(i)(rec.get(names(i)))) ++ pv)
         }
         // materialize the (file-sized) batch so the stream can close;
         // conform files are micro-batch sized by construction

@@ -161,26 +161,98 @@ object Windowed {
     * equi joins. Late facts still match their OWN time's version: that
     * is the point of as-of (a plain equi join would enrich them with
     * today's dim).
+    *
+    * Exactly-once: foreachBatch delivers at-least-once (the
+    * [[ArrivalJob.writeBatch]] contract), so the output is stamped with
+    * the batch id and written via DYNAMIC partition overwrite scoped to
+    * that batch's own `job_run_id=` partition — a replayed epoch replaces
+    * exactly what its first attempt wrote instead of appending a
+    * duplicate copy (the r13 ADVICE fix; a plain mode("append") here
+    * duplicated rows on crash-replay).
+    *
+    * When `auditPath` is set, each micro-batch also appends the standard
+    * DQ audit rows ([[graft.dq.Checks]]) the batch stages log at every
+    * seam — count preserved through the join, fact columns unchanged
+    * (the as-of lookup is 1:1), no duplicate output rows, key/time never
+    * null — the streaming leg of the reference's per-stage PASS/FAIL
+    * trail (`KafkaDemo.sh:133-143`). Audit rows are batch-stamped and
+    * dynamically overwritten too, so replays do not double-log.
     */
   def startAsOfEnrich(facts: DataFrame, dim: () => DataFrame,
                       businessKey: String, factTime: String,
                       dimCols: Seq[String], outPath: String,
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String,
+                      auditPath: Option[String] = None): StreamingQuery =
     facts.writeStream
       .queryName("graft_asof_enrich")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.pipeline.Pipeline
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = graft.pipeline.Pipeline
           .lookupAsOf(batch, dim(), businessKey, factTime, dimCols)
-          .write.mode("append").parquet(outPath)
+        writeBatchIdempotent(enriched, batchId, outPath)
+        auditPath.foreach { ap =>
+          import graft.dq.Checks
+          val factCols = batch.columns.toIndexedSeq.map(col)
+          val audit = Seq(
+            Checks.countMatch(batch, enriched, "asof_enrich", "STREAM_ASOF"),
+            Checks.dataMatch(batch, enriched.select(factCols: _*),
+              "asof_enrich", "STREAM_ASOF"),
+            Checks.duplicateCheck(enriched, "asof_enrich", "STREAM_ASOF"),
+            Checks.nullCheck(enriched, "asof_enrich", "STREAM_ASOF",
+              columns = Seq(businessKey, factTime)))
+          import batch.sparkSession.implicits._
+          writeBatchIdempotent(audit.toDS().toDF(), batchId, ap)
+        }
+      }
+      .start()
+
+  /** Batch-stamped idempotent parquet write — the shared foreachBatch
+    * discipline ([[ArrivalJob.writeBatch]]): stamp `job_run_id` =
+    * batchId, dynamic-partition-overwrite only that run's partition.
+    * At-least-once delivery + self-replacing writes = exactly-once files.
+    */
+  private def writeBatchIdempotent(df: DataFrame, batchId: Long,
+                                   path: String): Unit =
+    df.withColumn("job_run_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("job_run_id")
+      .parquet(path)
+
+  /** Generic audited streaming sink: write any streaming transform's
+    * output (e.g. [[dedupStream]], [[curationGateStream]]) to parquet
+    * with the batch-stamped idempotent discipline, appending per-batch DQ
+    * audit rows — duplicate check (post-dedup batches must be dup-free)
+    * and null audit over `notNullCols` — to `auditPath`. This is the
+    * streaming twin of the batch stages' per-seam ValidationResult trail:
+    * the same [[graft.dq.Checks]] rows, keyed by `job_run_id`, queryable
+    * next to the data they describe.
+    */
+  def startAuditedSink(out: DataFrame, outPath: String, checkpoint: String,
+                       auditPath: String, sourceName: String, stage: String,
+                       notNullCols: Seq[String]): StreamingQuery =
+    out.writeStream
+      .queryName(s"graft_audited_$sourceName")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outPath)
+        import graft.dq.Checks
+        val audit = Seq(
+          Checks.duplicateCheck(batch, sourceName, stage),
+          Checks.nullCheck(batch, sourceName, stage, columns = notNullCols))
+        import batch.sparkSession.implicits._
+        writeBatchIdempotent(audit.toDS().toDF(), batchId, auditPath)
       }
       .start()
 
   final case class EwmaIn(event_type: String, ts: Timestamp)
-  final case class EwmaState(day: Long, n: Long, ewma: Long, hasEwma: Boolean)
+  final case class EwmaState(day: Long, n: Long, ewma: Long, hasEwma: Boolean,
+                             lateDrops: Long = 0L)
   final case class EwmaOut(event_type: String, day: Long, n: Long,
-                           ewma_prev_micro: Long, is_anomaly: Int)
+                           ewma_prev_micro: Long, is_anomaly: Int,
+                           n_late_dropped: Long = 0L)
 
   /** Streaming twin of the q184 integer-EWMA anomaly monitor: per event
     * type, a day's count is scored against the exponentially weighted mean
@@ -192,6 +264,16 @@ object Windowed {
     * (day, count, ewma) triple per event type regardless of stream
     * length: the bounded-state form of anomaly tracking on an unbounded
     * stream. The open day never emits (its count may still grow).
+    *
+    * Out-of-order guard (the r13 ADVICE fix): within a batch events apply
+    * in event-time order, but ACROSS batches an event whose day precedes
+    * the open day cannot be folded in — the naive `else` branch would
+    * close the open day with a partial count (a wrong anomaly row) and
+    * re-open the past day, so Append output carried duplicate and
+    * incorrect day rows. Such stragglers are DROPPED and counted: every
+    * emitted row carries the cumulative `n_late_dropped` for its key, the
+    * side-channel a monitor alarms on (a nonzero rate means the source
+    * needs the batch q184 sweep, whose full-sort semantics are exact).
     */
   def ewmaAnomalyStream(events: Dataset[EwmaIn]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
@@ -207,14 +289,15 @@ object Windowed {
             val day = e.ts.getTime / 86400000L
             if (st.day < 0) st = EwmaState(day, 1L, 0L, hasEwma = false)
             else if (day == st.day) st = st.copy(n = st.n + 1)
+            else if (day < st.day) st = st.copy(lateDrops = st.lateDrops + 1)
             else {
               // close st.day
               val x = st.n * 1000000L
               val ePrev = if (st.hasEwma) st.ewma else x
               out += EwmaOut(key, st.day, st.n, ePrev,
-                if (math.abs(x - ePrev) * 2 > ePrev) 1 else 0)
+                if (math.abs(x - ePrev) * 2 > ePrev) 1 else 0, st.lateDrops)
               val eNew = if (st.hasEwma) st.ewma + sgnDiv8(x - st.ewma) else x
-              st = EwmaState(day, 1L, eNew, hasEwma = true)
+              st = st.copy(day = day, n = 1L, ewma = eNew, hasEwma = true)
             }
           }
           state.update(st)

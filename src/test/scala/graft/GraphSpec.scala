@@ -94,4 +94,17 @@ class GraphSpec extends AnyFunSuite {
     // duplicate/reversed edges collapse first
     assert(core(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)), 2).size == 3)
   }
+
+  test("kCore reaches the fixpoint on long chains (the r13 ADVICE fix: " +
+    "a 40-edge path needs ~20 peel rounds, past the old 8-round default)") {
+    // path 0-1-2-...-40: each k=2 round peels only the two endpoint
+    // edges, so the empty fixpoint needs 20 rounds — under the pre-r13
+    // rounds=8 default this returned 24 phantom "2-core" edges
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    assert(core(chain, 2).isEmpty, "long chain must peel away entirely")
+    // and a cycle spliced onto the same chain survives while the chain goes
+    val cycled = chain ++ Seq((100L, 101L), (101L, 102L), (102L, 100L), (40L, 100L))
+    assert(core(cycled, 2) ==
+      Set((100L, 101L), (101L, 102L), (100L, 102L)))
+  }
 }

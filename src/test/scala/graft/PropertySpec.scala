@@ -569,11 +569,122 @@ class PropertySpec extends AnyFunSuite {
             edges = pruned
           }
           val got = graft.functions.Graph
-            .kCore(und.toDF("a", "b"), col("a"), col("b"), k, rounds = 20)
+            .kCore(und.toDF("a", "b"), col("a"), col("b"), k, maxRounds = 20)
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           assert(got == edges, s"k=$k on ${und.length} edges")
         }
       }
     }
+  }
+
+  /** Batch CollectMetrics rows land on QueryExecutionListener
+    * asynchronously; runs `body`, then waits for the named metric row
+    * (the SimilaritySpec pattern).
+    */
+  private def withObservedMetric(name: String)(body: => Unit): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.currentTimeMillis() + 10000
+      while (!seen.containsKey(name) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val row = seen.get(name)
+      assert(row != null, s"observed metric '$name' never arrived")
+      row
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("adversarial skew: AQE splits the hot-key join partition, and the salted " +
+    "join matches the unsalted result on the same 50%-hot fixture") {
+    // one key holds ~half the fact rows — the shape that melts a single
+    // reducer at 100 TB. Documents the TWO defense layers: AQE's runtime
+    // skew-split on the plain sort-merge join, and Skew.saltedJoin's
+    // ahead-of-time salting (the q62 shape), which must agree exactly.
+    val fact = ((0 until 50000).map(i => (0L, i.toDouble)) ++
+      (0 until 50000).map(i => ((i % 200).toLong + 1L, i.toDouble)))
+      .toDF("k", "v")
+    val dim = (0L to 200L).map(k => (k, s"name_$k")).toDF("k", "nm")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // skew-activation probe: the BARE join (no same-key aggregate after
+      // it — AQE declines to split when a downstream operator would reuse
+      // the join's partitioning, which is exactly why q62-style shapes
+      // ALSO need the ahead-of-time salting asserted below)
+      val bare = fact.join(dim, Seq("k"))
+      // execute THIS dataframe (count() builds its own plan tree, leaving
+      // bare's adaptive plan unfinalized)
+      assert(bare.collect().length == 100000)
+      val finalPlan = bare.queryExecution.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE skew-split did not activate on the hot-key join:\n$finalPlan")
+      // correctness under skew: salted == plain on the full agg shape
+      val plainRows = fact.join(dim, Seq("k")).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = Skew.saltedJoin(fact, dim, "k", buckets = 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == plainRows, "salted join must match the unsalted result")
+      assert(plainRows.exists { case (k, n, _) => k == 0L && n == 50000L })
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("adversarial skew: the LSH bucket cap drops the degenerate mega-bucket " +
+    "(metric fires) and keeps every pair outside it") {
+    // 60 identical docs = one 50%-hot band bucket (pair expansion would be
+    // quadratic); a 2-doc dup group + distinct fillers must be untouched.
+    val mega = (0L until 60L).map(i => (i, "the same boilerplate text repeated " +
+      "over and over across the whole mirror farm"))
+    val pairB = Seq((100L, "a genuinely unique pair document about owls and rivers"),
+      (101L, "a genuinely unique pair document about owls and rivers"))
+    val fillers = (200L until 220L).map(i =>
+      (i, s"distinct filler number $i with its own words ${i * 31} and ${i * 97}"))
+    val docs = (mega ++ pairB ++ fillers).toDF("doc_id", "text")
+    var capped = Set.empty[(Long, Long)]
+    val m = withObservedMetric("graft.lsh") {
+      capped = Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+          maxBucketSize = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(m.getAs[Long]("dropped_buckets") > 0L,
+      s"the cap must report its drops: $m")
+    assert(m.getAs[Int]("max_bucket_size") >= 60)
+    val uncapped = Dedup.minHashCandidates(docs, col("doc_id"), col("text"),
+        maxBucketSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((100L, 101L)),
+      s"the small dup group must survive the cap: $capped")
+    assert(!capped.exists { case (a, b) => a < 60L && b < 60L },
+      "mega-bucket pairs must be dropped under the cap")
+    assert(uncapped.count { case (a, b) => a < 60L && b < 60L } == 60 * 59 / 2,
+      "uncapped reference keeps the full quadratic expansion")
+    // the degradation contract: ONLY mega-bucket pairs were lost
+    assert((uncapped -- capped).forall { case (a, b) => a < 60L && b < 60L },
+      s"cap must lose only in-mega pairs: ${(uncapped -- capped).take(5)}")
   }
 }

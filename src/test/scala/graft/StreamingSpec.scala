@@ -114,4 +114,47 @@ class StreamingSpec extends AnyFunSuite {
     ).toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
     assert(Checks.offsetContinuity(ledger, "t").testResult == ValidationResult.FAILED)
   }
+
+  test("crash between data write and checkpoint commit recovers with no loss and no dup") {
+    // The reference's exactly-once contract (KafkaDemo.sh:184-200) under
+    // FAILURE, not just sequential runs: epoch 1 writes its data+ledger,
+    // then the query dies BEFORE the checkpoint commit (the at-least-once
+    // crash window). On restart Spark replays epoch 1 from the offset WAL;
+    // writeBatch's run-scoped dynamic overwrite must make the replay
+    // replace its first attempt — ledger continuous, counts exact.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_crash").toString
+    val (data, ledger, ckpt) = (s"$dir/data", s"$dir/ledger", s"$dir/ckpt")
+    val stream = MemoryStream[KRec]
+    @volatile var bomb = true
+    def start() = stream.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ArrivalJob.writeBatch(b, id, data, ledger)
+        if (bomb && id == 1L) {
+          bomb = false
+          throw new RuntimeException("injected crash: data written, commit pending")
+        }
+      }
+      .start()
+    stream.addData((0L until 40L).map(o => KRec("tc", (o % 2).toInt, o / 2, s"v$o")))
+    val q0 = start(); q0.processAllAvailable(); q0.stop() // epoch 0, clean
+    stream.addData((40L until 70L).map(o => KRec("tc", (o % 2).toInt, o / 2, s"v$o")))
+    val q1 = start()
+    val died = intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(died.getMessage != null, "epoch 1 must fail mid-commit")
+    scala.util.Try(q1.stop())
+    // first attempt's files ARE on disk (the crash window is real)
+    assert(spark.read.parquet(data).count() == 70)
+    val q2 = start(); q2.processAllAvailable(); q2.stop() // replay epoch 1
+    val arrived = spark.read.parquet(data)
+    assert(arrived.count() == 70, "replay must replace, not append")
+    assert(arrived.distinct().count() == 70)
+    val led = spark.read.parquet(ledger)
+    assert(led.count() == 4, s"one ledger row per (partition, run): ${led.count()}")
+    assert(Checks.offsetContinuity(led, "tc").testResult == ValidationResult.PASSED)
+    assert(Checks.offsetCountMatch(led, 70L, "tc").testResult == ValidationResult.PASSED)
+  }
 }

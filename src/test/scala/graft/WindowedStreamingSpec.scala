@@ -337,6 +337,92 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == d0 + 3), "open day must not emit")
   }
 
+  test("ewmaAnomalyStream drops and counts cross-batch stragglers instead of " +
+    "closing the open day with a partial count (r13 ADVICE fix)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Windowed.EwmaIn]
+    val q = Windowed.ewmaAnomalyStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ewma_late_out").start()
+    def ev(d: Int): Windowed.EwmaIn =
+      Windowed.EwmaIn("view", ts(f"2024-02-${d}%02d 00:00:00"))
+    // batch 1: day 1 (3 events), day 2 opens with 1 event → day 1 closes
+    in.addData(ev(1), ev(1), ev(1), ev(2))
+    q.processAllAvailable()
+    // batch 2: a STRAGGLER from day 1 arrives while day 2 is open — the
+    // naive fold would close day 2 at n=1 (wrong row) and re-open day 1
+    // (duplicate row); the guard drops + counts it. Then day 3 opens,
+    // closing day 2 with its true count of 2.
+    in.addData(ev(1), ev(2), ev(3))
+    q.processAllAvailable()
+    val rows = spark.table("ewma_late_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).sortBy(_._1)
+    q.stop()
+    val d0 = ts("2024-02-01 00:00:00").getTime / 86400000L
+    assert(rows.toSeq == Seq((d0, 3L, 0L), (d0 + 1, 2L, 1L)),
+      s"day rows must be unique and full-count, stragglers counted: ${rows.mkString(",")}")
+  }
+
+  test("startAsOfEnrich appends per-batch DQ audit rows next to the enriched output") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_asof_audit").toString
+    val dim = Seq((7L, ts("2024-01-01 00:00:00"), 100L))
+      .toDF("item_id", "effective_from", "price")
+    val stream = MemoryStream[Click]
+    stream.addData(Click(7L, ts("2024-01-02 12:00:00"), "p1"),
+      Click(7L, ts("2024-01-03 12:00:00"), "p2"))
+    val q = Windowed.startAsOfEnrich(
+      stream.toDF().withColumnRenamed("user_id", "item_id"),
+      () => dim, "item_id", "click_ts", Seq("price"),
+      s"$root/out", s"$root/ckpt", auditPath = Some(s"$root/audit"))
+    q.processAllAvailable(); q.stop()
+    stream.addData(Click(7L, ts("2024-01-04 12:00:00"), "p3"))
+    val q2 = Windowed.startAsOfEnrich(
+      stream.toDF().withColumnRenamed("user_id", "item_id"),
+      () => dim, "item_id", "click_ts", Seq("price"),
+      s"$root/out", s"$root/ckpt", auditPath = Some(s"$root/audit"))
+    q2.processAllAvailable(); q2.stop()
+    val audit = spark.read.parquet(s"$root/audit")
+    // every micro-batch logged the full four-check seam, keyed by run
+    val byRun = audit.collect()
+      .groupBy(_.getAs[Number]("job_run_id").longValue())
+      .map { case (k, rs) => k -> rs.map(_.getAs[String]("testCase")).sorted.toSeq }
+    assert(byRun == Map(
+      0L -> Seq("count_match", "data_match", "duplicate_check", "null_check"),
+      1L -> Seq("count_match", "data_match", "duplicate_check", "null_check")),
+      byRun.toString)
+    assert(audit.collect().forall(_.getAs[String]("testResult") == "PASSED"),
+      "the 1:1 as-of enrichment must pass all four checks")
+    assert(audit.collect().forall(_.getAs[String]("stage") == "STREAM_ASOF"))
+  }
+
+  test("startAuditedSink writes idempotent batch-stamped output + dedup/null audits") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_audited_sink").toString
+    val stream = MemoryStream[Doc]
+    stream.addData(
+      Doc(ts("2024-01-01 00:01:00"), "the cat sat"),
+      Doc(ts("2024-01-01 00:02:00"), "THE  CAT   SAT"), // dup → dropped upstream
+      Doc(ts("2024-01-01 00:03:00"), "another doc"))
+    val q = Windowed.startAuditedSink(
+      Windowed.dedupStream(stream.toDF(), "10 minutes"),
+      s"$root/out", s"$root/ckpt", s"$root/audit",
+      sourceName = "docs", stage = "STREAM_DEDUP",
+      notNullCols = Seq("text"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 2, "post-dedup batch must hold the two uniques")
+    assert(out.columns.contains("job_run_id"), "output is batch-stamped")
+    val audit = spark.read.parquet(s"$root/audit").collect()
+    val cases = audit.map(r =>
+      r.getAs[String]("testCase") -> r.getAs[String]("testResult")).toMap
+    assert(cases == Map("duplicate_check" -> "PASSED", "null_check" -> "PASSED"),
+      cases.toString)
+    assert(audit.forall(_.getAs[String]("stage") == "STREAM_DEDUP"))
+  }
+
   test("streaming as-of enrichment joins the dim version in effect at each fact's time") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
