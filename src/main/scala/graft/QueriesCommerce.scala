@@ -1,0 +1,1227 @@
+package graft
+
+import graft.functions.{Dedup, Domains, Quant, Sampling, Similarity, Text}
+import graft.ops.{Events, Relational}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Commerce/relational analytics over the TPC-H-ish star schema
+  * (orders/lineitem/customer/part/supplier): the SURVEY §2A relational
+  * and DQ shapes plus the money-exact reporting queries.
+  *
+  * One thematic slice of the [[Queries]] catalog (r13 split — the object
+  * grew past 8k lines); `Queries.all` remains the assembly point. Members
+  * self-type against `Queries.type` so cross-theme builders and shared
+  * fragments resolve exactly as before the split.
+  */
+private[graft] trait QueriesCommerce { this: Queries.type =>
+
+
+  // ---------------------------------------------------------------------
+  // §2A relational operators
+  // ---------------------------------------------------------------------
+
+  /** 2A-1/3/14: scan → filter → group → aggregate (pricing summary, the
+    * engine's TPC-H-Q1-shaped smoke of scan/project/agg correctness).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        money(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        money(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("sum_disc_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+
+  /** 2A-17: rank-latest — ROW_NUMBER() ... rank=1, the reference's
+    * latest-run-per-job query (`KafkaDemo.sh:64-71`), over orders/customer.
+    */
+  def rankLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    Relational.rankLatest(o, Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+
+  /** 2A-14 / 2B-12: watermark bounds NVL(MIN/MAX,0) over the control-table
+    * stand-in (`Fact_Dagg_automation.sh:71-75`).
+    */
+  def watermarkBounds(spark: SparkSession, dir: String): DataFrame =
+    Relational.watermarkBounds(t(spark, dir, "orders"), col("o_orderkey"),
+      lit(1000L), col("o_orderstatus") === "F")
+
+
+  /** 2A-4: incremental range filter (`query.txt:2` run-id window). */
+  def incrementalFilter(spark: SparkSession, dir: String): DataFrame =
+    Relational.incrementalFilter(t(spark, dir, "lineitem"), col("l_shipdate"),
+        lit("1996-01-01"), lit("1996-03-31"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+
+  /** 2A-5/6: IN-list + LIKE-disjunction filters (`query.txt:1`,
+    * `FACT_AUTOMATION.sh:75-87`).
+    */
+  def filterInLike(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        Relational.likeAny(col("p_name"), Seq("widget", "bolt")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+
+  /** 2A-8/12: the flagship shape — multi-way LEFT OUTER join with constant
+    * predicates inside ON + CASE-classification + aggregate
+    * (`query.txt:1`). Dimension sides are broadcast (they are small by
+    * construction — the 100 TB side is lineitem).
+    */
+  def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    val s = t(spark, dir, "supplier")
+    val p = t(spark, dir, "part")
+    // Broadcast hints only on the guaranteed-tiny dims (nation/region);
+    // customer/supplier/part scale with the data — auto-broadcast + AQE
+    // pick broadcast when they fit and fall back to shuffled joins when
+    // they don't (a forced broadcast() would OOM the driver at 100 TB dims).
+    li
+      .join(o, li("l_orderkey") === o("o_orderkey") &&
+        o("o_orderstatus").isin("F", "O"), "left_outer")
+      .join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
+      .join(s, li("l_suppkey") === s("s_suppkey"), "left_outer")
+      .join(p, li("l_partkey") === p("p_partkey"), "left_outer")
+      .withColumn("segment_class",
+        when(col("c_mktsegment") === "AUTOMOBILE", "Vehicle")
+          .when(col("c_mktsegment") === "MACHINERY", "Industrial")
+          .when(col("c_mktsegment").isNull, "Not Applicable")
+          .otherwise("Other"))
+      .groupBy(coalesce(col("r_name"), lit("UNKNOWN")).as("region_name"), col("segment_class"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        money(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("region_name"), col("segment_class"))
+  }
+
+
+  /** 2A-9: LEFT JOIN to an aggregating subquery (`query.txt:1` Z/Q joins). */
+  def joinAggSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val z = t(spark, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"), max(col("o_totalprice")).as("max_price"))
+    c.join(z, c("c_custkey") === z("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("max_price"), lit(0.0)).as("max_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+
+  /** 2A-11: IN-subquery predicate → left-semi join. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").filter(col("o_totalprice") > 190000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+
+  /** NOT-EXISTS → left-anti join (complement of [[semiJoin]]). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+
+  /** 2A-13: DISTINCT. */
+  def distinctValues(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+
+  /** 2A-15 / 2B-7: duplicate finder — GROUP BY all columns HAVING count>1
+    * (`FACT_AUTOMATION.sh:334-342`), on a projection that actually has
+    * duplicates.
+    */
+  def dupFinder(spark: SparkSession, dir: String): DataFrame =
+    Relational.duplicateRows(
+        t(spark, dir, "orders").select(col("o_custkey"), col("o_orderstatus")))
+      .orderBy(col("o_custkey"), col("o_orderstatus"))
+
+
+  /** 2A-16: ordered string aggregation — LISTAGG WITHIN GROUP
+    * (`Fact_Dagg_automation.sh:73`).
+    */
+  def listAggNations(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    Relational.listAgg(
+        r.join(n, r("r_regionkey") === n("n_regionkey")),
+        Seq(col("r_name")), col("n_name"))
+      .select(col("r_name"), col("list_agg").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+
+  /** 2A-20 / 2B-6: MINUS both directions — symmetric-difference data diff
+    * (`FACT_AUTOMATION.sh:182-231`).
+    */
+  def exceptDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 150000.0).select(col("o_orderkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    Relational.symmetricDiff(a, b).orderBy(col("o_orderkey"), col("diff_side"))
+  }
+
+
+  /** 2A-7 / 2B-8: null-audit disjunction over join-produced nulls
+    * (`fact_dim_merging.sh:305-316`).
+    */
+  def nullAuditJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    Relational.nullAudit(
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer"),
+        Seq("o_orderkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+
+  /** 2B-5: count reconciliation source vs target as one row
+    * (`KafkaScript_ConformToStaging.sh:222-246`).
+    */
+  def countReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders").agg(count(lit(1)).as("src_count"))
+    val tgt = t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("tgt_count"))
+    src.crossJoin(tgt)
+      .withColumn("is_match", col("src_count") === col("tgt_count"))
+  }
+
+
+  /** Named-database fidelity (`KafkaScript_ConformToStaging.sh:143` runs
+    * `use governed_data; <stored query>`): CREATE DATABASE + saveAsTable
+    * into the session catalog, then a stored query over the catalog tables
+    * with the database selected via USE — the full governed-warehouse path,
+    * not temp views.
+    */
+  def catalogStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dw")
+    // The in-memory session catalog is process-scoped but the warehouse
+    // directory persists: a managed-table location left by a previous
+    // process would fail CREATE with LOCATION_ALREADY_EXISTS. Drop the
+    // orphan location when the catalog doesn't know the table.
+    def freshManagedTable(db: String, table: String): Unit =
+      if (!spark.catalog.tableExists(s"$db.$table")) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$db.db/$table")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    freshManagedTable("graft_dw", "dim_nation")
+    freshManagedTable("graft_dw", "dim_region")
+    t(spark, dir, "nation").write.mode("overwrite").saveAsTable("graft_dw.dim_nation")
+    t(spark, dir, "region").write.mode("overwrite").saveAsTable("graft_dw.dim_region")
+    spark.sql("USE graft_dw")
+    try spark.sql(
+      """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM dim_nation JOIN dim_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin)
+    finally spark.sql("USE default")
+  }
+
+
+  /** 2A-18/19: ordered top-k — Spark plans this as TakeOrderedAndProject
+    * (per-partition heap + merge, no global sort materialization).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+
+  /** 2A-21: cast chains + TO_DATE-style parsing round trips
+    * (`KafkaDemo.sh:80` to_number, `Fact_Dagg_automation.sh:49` TO_DATE).
+    */
+  def castConvert(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").cast("string").cast("long").as("rt_key"),
+        unix_timestamp(
+          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"))
+          .as("order_epoch"))
+      .orderBy(col("o_orderkey"))
+
+
+  /** Catalog-driven column profiling (one-pass, all columns in a single
+    * aggregate) — the reference's metadata-generated null/count checks
+    * generalized (`fact_dim_merging.sh:282-358`).
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Profile.profile(t(spark, dir, "orders"), exact = true)
+      .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+
+
+  /** Full CUBE over order status × priority (q39 is the ROLLUP twin) —
+    * every grouping-set combination in one Expand pass.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(dec2(col("o_totalprice"))).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+
+  /** Set-op family completion: INTERSECT (customers active in both halves
+    * of the date range — set semantics like Oracle MINUS's sibling).
+    */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val early = o.filter(col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1997-01-01")).select(col("o_custkey"))
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
+
+  /** Window frames beyond rank: running total + lag over customer order
+    * history (decimal-exact running sum presented as double).
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+
+  /** The DAGG (daily aggregate) table shape: per-day, per-status rollups —
+    * the dimensional layer's daily tables (`Fact_Dagg_automation.sh:25-43`).
+    */
+  def dailyAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(dec2(col("o_totalprice"))).as("day_total"))
+      .orderBy(col("order_day"), col("o_orderstatus"))
+
+
+  /** ROLLUP hierarchy totals (region → nation → grand total) with grouping
+    * flags — the aggregate-hierarchy half of the DWDD layer.
+    */
+  def rollupRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        money(dec2(col("c_acctbal"))).as("total_balance"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_balance"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * l_quantity is integral so interpolated values are exact halves).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+
+  /** Fixed-range histogram binning (explicit floor-division formula, same
+    * arithmetic on both engines; `width_bucket` where available).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+
+  /** Production twin of q36: the same single-pass profile with
+    * approx_count_distinct — no Expand, one partial/final aggregate pair
+    * regardless of column count. Rows-only under the driver (HLL estimates
+    * are engine-specific), but benched, so the measured number tracks the
+    * plan the operator ships with; q36 keeps exact distinct so DuckDB can
+    * match values.
+    */
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.dq.Profile.profile(t(spark, dir, "orders"), exact = false)
+      .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+
+
+  /** Bloom-filter membership ([[graft.ops.Bloom]]): high-spend order
+    * custkeys fold into a 1024-bit filter; every customer is tested by
+    * broadcast, with the exact member set alongside so the per-nation
+    * rollup exposes the false-positive overhead a re-verify pass would
+    * pay. The probe side never shuffles on the key.
+    */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val keys = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("key")).distinct()
+    val bloom = graft.ops.Bloom.build(keys, col("key"))
+    graft.ops.Bloom.mightContain(cust, col("c_custkey"), bloom)
+      .join(broadcast(keys.withColumnRenamed("key", "mk")),
+        col("c_custkey") === col("mk"), "left")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("mk").isNotNull, 1L).otherwise(0L)).as("n_members"))
+      .orderBy(col("nation"))
+  }
+
+
+  /** Join-key statistics for every FK edge in the warehouse schema
+    * ([[graft.dq.Checks.fkProfile]]): the planner-facing profile —
+    * cardinalities, hottest-key skew multiple, referential orphans, dead
+    * dim keys — that decides broadcast vs shuffle vs bucketing vs salting
+    * for each join BEFORE anyone runs it at 100 TB. q131 diagnoses one
+    * key's heat; this is the schema-wide table: five edges, each fed by a
+    * single two-phase per-key count (8-byte key shuffle, map-side
+    * partials) plus key-projected anti-joins, unioned into a five-row
+    * report. All-integer output, so the profile replays exactly.
+    */
+  def joinStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dq.Checks.fkProfile
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val edges = Seq(
+      fkProfile(li, col("l_orderkey"), o, col("o_orderkey"),
+        "lineitem.l_orderkey->orders"),
+      fkProfile(li, col("l_partkey"), t(spark, dir, "part"), col("p_partkey"),
+        "lineitem.l_partkey->part"),
+      fkProfile(li, col("l_suppkey"), t(spark, dir, "supplier"), col("s_suppkey"),
+        "lineitem.l_suppkey->supplier"),
+      fkProfile(o, col("o_custkey"), t(spark, dir, "customer"), col("c_custkey"),
+        "orders.o_custkey->customer"),
+      fkProfile(t(spark, dir, "customer"), col("c_nationkey"),
+        t(spark, dir, "nation"), col("n_nationkey"),
+        "customer.c_nationkey->nation"))
+    edges.reduce(_ unionAll _).orderBy(col("edge"))
+  }
+
+
+  /** Blocked fuzzy-match audit (entity resolution): customer names
+    * self-joined WITHIN 16-char-prefix blocks and matched at Levenshtein
+    * ≤ 1 — the classic ER pipeline shape (block → bounded quadratic
+    * compare → adjudicate) that finds typo'd / re-keyed duplicate
+    * entities exact dedup (q13) misses and MinHash (q28) is
+    * wrong-grained for (edit distance on short keys, not shingle
+    * Jaccard on documents). Per block: records, compared pairs, matches,
+    * match rate ppm. Scale discipline: ALL quadratic work is inside a
+    * block — the block key bounds the join fan-out exactly like the LSH
+    * bucket caps (an unblocked fuzzy join is a corpus² nested loop);
+    * `levenshtein` is an exact integer both engines implement
+    * identically, which is what puts a fuzzy-match operator under a
+    * bit-for-bit oracle at all.
+    */
+  def fuzzyNameAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      .withColumn("blk", substring(col("nm"), 1, 16))
+    val sizes = c.groupBy(col("blk")).agg(count(lit(1)).as("n_records"))
+    val agg = c.as("a")
+      .join(c.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.blk").as("blk"),
+        (levenshtein(col("a.nm"), col("b.nm")) <= 1).cast("long").as("m"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("n_matches"))
+    sizes.join(agg, Seq("blk"), "left")
+      .selectExpr("blk AS block", "n_records",
+        "coalesce(n_pairs, 0L) AS n_pairs",
+        "coalesce(n_matches, 0L) AS n_matches",
+        "CASE WHEN coalesce(n_pairs, 0L) = 0 THEN 0L " +
+          "ELSE (coalesce(n_matches, 0L) * 1000000L) DIV n_pairs END AS match_ppm")
+      .orderBy(col("block"))
+  }
+
+
+  /** Order-to-ship lead time per order priority: exact median / p90 / max
+    * of (ship date − order date) in days — the fulfilment-SLA table, and
+    * the operational-analytics face of the warehouse's biggest join
+    * (lineitem ⋈ orders on the order key, the shuffle that bucketing
+    * (`sources.Bucketing`) exists to eliminate). Percentiles are the
+    * discrete inverse-ECDF cuts (q169's definition: smallest value whose
+    * cumulative count reaches ⌈n·p/100⌉), computed over per-(priority,
+    * days) DISTINCT-value summaries — the corpus never enters a window.
+    * Day arithmetic is integer datediff on both engines.
+    */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    val lags = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    val byVal = lags.groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).as("k"))
+    val totals = byVal.groupBy(col("priority"))
+      .agg(sum(col("k")).as("n"), max(col("days")).as("max_days"))
+    val cum = byVal
+      .withColumn("cum", sum(col("k")).over(
+        Window.partitionBy(col("priority")).orderBy(col("days"))))
+      .join(broadcast(totals), "priority")
+    cum.groupBy(col("priority"), col("n"), col("max_days"))
+      .agg(min(when(expr("cum >= (n * 50 + 99) DIV 100"), col("days"))).as("median_days"),
+        min(when(expr("cum >= (n * 90 + 99) DIV 100"), col("days"))).as("p90_days"))
+      .select(col("priority"), col("n").as("n_lineitems"),
+        col("median_days"), col("p90_days"), col("max_days"))
+      .orderBy(col("priority"))
+  }
+
+
+  /** Price–volume–mix variance bridge per brand: the FP&A decomposition of
+    * revenue change between two periods (orders before vs after
+    * 1998-01-01) into volume-at-old-price, price, and a mix/interaction
+    * residual, with new and discontinued parts as their own legs — and
+    * the residual defined as ΔR − volume − price, so the bridge RECONCILES
+    * EXACTLY by construction (the spec pins per-brand conservation to the
+    * micro-cent; a float bridge never ties out, which is why finance
+    * teams distrust them). All money in integer cents through
+    * DECIMAL(18,2); per-part divisions are sign-explicit with DECIMAL
+    * products. Scale shape: one lineitem⋈orders⋈part pass, a per-(brand,
+    * part) rollup (map-side partials on the high-card part key), effects
+    * as projections, then a brands-cardinality rollup.
+    */
+  def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+        when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b").as("period"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("r"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q"))
+    val perPart = li.groupBy(col("brand"), col("pk")).agg(
+      sum(when(col("period") === "a", col("r")).otherwise(0L)).as("r1"),
+      sum(when(col("period") === "b", col("r")).otherwise(0L)).as("r2"),
+      sum(when(col("period") === "a", col("q")).otherwise(0L)).as("q1"),
+      sum(when(col("period") === "b", col("q")).otherwise(0L)).as("q2"))
+    val effects = perPart.selectExpr("brand", "r1", "r2", "q1", "q2",
+      "CASE WHEN q1 > 0 AND q2 > 0 THEN 1L ELSE 0L END AS is_both",
+      """CASE WHEN q1 > 0 AND q2 > 0 THEN
+        |  CASE WHEN q2 >= q1
+        |    THEN CAST((CAST(q2 - q1 AS DECIMAL(38,0)) * r1) DIV q1 AS BIGINT)
+        |    ELSE -CAST((CAST(q1 - q2 AS DECIMAL(38,0)) * r1) DIV q1 AS BIGINT) END
+        |ELSE 0L END AS vol_e""".stripMargin.replaceAll("\n", " "),
+      """CASE WHEN q1 > 0 AND q2 > 0
+        |  THEN CAST((CAST(r2 AS DECIMAL(38,0)) * q1) DIV q2 AS BIGINT) - r1
+        |ELSE 0L END AS price_e""".stripMargin.replaceAll("\n", " "))
+      .selectExpr("brand", "is_both", "vol_e", "price_e",
+        "CASE WHEN is_both = 1 THEN (r2 - r1) - vol_e - price_e ELSE 0L END AS mix_e",
+        "CASE WHEN q1 = 0 THEN r2 ELSE 0L END AS new_rev",
+        "CASE WHEN q2 = 0 THEN r1 ELSE 0L END AS disc_rev",
+        "r2 - r1 AS delta")
+    effects.groupBy(col("brand"))
+      .agg(sum(col("is_both")).as("n_parts_both"),
+        sum(col("delta")).as("delta_cents"),
+        sum(col("vol_e")).as("volume_cents"),
+        sum(col("price_e")).as("price_cents"),
+        sum(col("mix_e")).as("mix_cents"),
+        sum(col("new_rev")).as("new_cents"),
+        sum(col("disc_rev")).as("discontinued_cents"))
+      .orderBy(col("brand"))
+  }
+
+
+  /** Part-affinity market basket: the top 20 part PAIRS co-ordered in the
+    * same order, ranked by lift with a minimum-support floor — q158's
+    * association analysis moved to the scale regime that actually bites:
+    * a high-cardinality item space (pair universe = |parts|²) made
+    * tractable because pair GENERATION is bounded by basket size, not the
+    * catalog — the within-order self-join emits C(basket, 2) rows per
+    * order and baskets are small by construction (the itemset-mining
+    * contract; cap baskets for pathological orders). The support floor
+    * (n_ab ≥ 3) is what keeps one-off coincidences from topping the lift
+    * ranking — lift with tiny support is noise, the classic market-basket
+    * trap. Marginals broadcast; lift in DECIMAL/HUGEINT ppm; the final
+    * cut is TakeOrderedAndProject.
+    */
+  def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(marg.select(col("pk").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(marg.select(col("pk").as("part_b"), col("n_p").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .selectExpr("part_a", "part_b", "n_ab",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+
+  /** Pareto revenue concentration: the exact share of order revenue held
+    * by the top 1/5/10/20/50% of customers — the 80/20 card that q168's
+    * Gini summarizes into one number, here as the actionable table
+    * (VIP-program sizing, concentration-risk reporting). Exactness at the
+    * boundary: customers tied at the cut all carry the SAME revenue
+    * value, so the top-n revenue is cum-before + (n_top − users_before)·v
+    * regardless of which tied customers are "in" — no tiebreak needed and
+    * no per-customer ranking: the cumulative runs DESC over the
+    * distinct-revenue summary (q168's tie-group discipline). That summary
+    * is ~#customers distinct cent values, so both running totals go
+    * through [[graft.ops.Relational.shardedCumSum]]'s value-range
+    * sharding — only the ≤257-row slice summary takes an unpartitioned
+    * window, never the per-customer frame. Thresholds are a 5-row literal
+    * frame, and n_top = ⌈n·k/100⌉ in integer ceiling DIV. One
+    * per-customer rollup touches the orders table; money in DECIMAL cents
+    * throughout.
+    */
+  def paretoConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("v"))
+    val byVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val totals = perCust.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val cum = graft.ops.Relational.shardedCumSum(
+        byVal.withColumn("vk", expr("v * k")), "v", Seq("k", "vk"),
+        ascending = false)
+      .withColumnRenamed("cum_k", "users_through")
+      .withColumnRenamed("cum_vk", "rev_through")
+      .withColumn("users_before", col("users_through") - col("k"))
+      .withColumn("rev_before", col("rev_through") - col("vk"))
+    val thresholds = spark.sql(
+      "SELECT explode(array(1L, 5L, 10L, 20L, 50L)) AS pct")
+    thresholds.crossJoin(broadcast(totals))
+      .withColumn("n_top", expr("(n * pct + 99) DIV 100"))
+      .join(cum, expr("users_before < n_top AND n_top <= users_through"))
+      .selectExpr("pct", "n_top AS n_top_customers",
+        "rev_before + (n_top - users_before) * v AS revenue_cents",
+        "((rev_before + (n_top - users_before) * v) * 1000000L) DIV tot AS share_ppm")
+      .orderBy(col("pct"))
+  }
+
+
+  /** Regional market share (the TPC-H Q8 shape on this star): each
+    * customer nation's share of discounted lineitem revenue within its
+    * region, per order year — the market-share card a commercial analytics
+    * deployment refreshes per release. Money integerizes at scale 4
+    * (DECIMAL(18,2)×DECIMAL(18,2) is exact at scale 4, so ×10000 → BIGINT
+    * loses nothing and replays bit-for-bit in any engine); shares are
+    * integer ppm of the region-year total. Scale shape: two id-keyed
+    * shuffles (orderkey, custkey) carry only ids + the revenue long;
+    * nation/region broadcast onto the customer projection; the rollup is
+    * regions × years × nations with map-side partials, and the region-year
+    * totals re-join as a broadcast summary.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("yr"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"),
+      (dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+        .cast("long").as("rev_sc4"))
+    // the cells rollup feeds both the output and the region-year totals;
+    // a materialization seam here measured SLOWER (1.0 -> 1.4s at sf0.1):
+    // the duplicated fact subtrees dedupe through runtime exchange reuse,
+    // so the checkpoint only added overhead — left on the reuse path.
+    val cells = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region"), col("yr"), col("nation"))
+      .agg(sum(col("rev_sc4")).as("rev"))
+    val regionYear = cells.groupBy(col("region"), col("yr"))
+      .agg(sum(col("rev")).as("rtot"))
+    cells.join(broadcast(regionYear), Seq("region", "yr"))
+      .selectExpr("region", "yr", "nation", "rev AS revenue_sc4",
+        "(rev * 1000000L) DIV rtot AS share_ppm")
+      .orderBy(col("region"), col("yr"), col("nation"))
+  }
+
+
+  /** Waiting-supplier audit (the TPC-H Q21 shape, correlated EXISTS /
+    * NOT EXISTS): suppliers who were the SOLE late shipper on a
+    * multi-supplier order — their line shipped more than 60 days after
+    * the order date while every other supplier on the order shipped in
+    * time. The correlated-subquery form decorrelates into ONE per-order
+    * aggregate: per (order, supplier) a late flag, per order the supplier
+    * and late-supplier counts, then the credit filter is a row predicate —
+    * no EXISTS re-scan of lineitem per row, which is the difference
+    * between O(n) and O(n²) at fact scale. Output ends in the
+    * TakeOrdered top-10.
+    */
+  def supplierWait(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // the per-(order, supplier) flags feed the per-order rollup AND the
+    // credit join: materialize once (one fact join instead of two)
+    val perSupp = graft.functions.Graph.materialize(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
+            .cast("long").as("late"))
+        .groupBy(col("ok"), col("sk"))
+        .agg(max(col("late")).as("any_late")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
+    val perOrder = perSupp.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
+    perSupp.join(perOrder, "ok")
+      .filter(col("any_late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+
+  /** Returned-item revenue report (the TPC-H Q10 shape): the 20 customers
+    * who cost the most in returned-line revenue (l_returnflag = 'R'),
+    * with their nation — the churn-risk escalation list. Money at exact
+    * scale 4 (the q182 discipline); the customer join is id-keyed AFTER
+    * the per-customer rollup so only (custkey, revenue) pairs shuffle to
+    * meet the dim, and the final cut is TakeOrdered (per-partition top-k
+    * + merge), never a global sort of the customer base.
+    */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val returned = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+    val perCust = returned
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_sc4")).as("lost_revenue_sc4"))
+    perCust
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("lost_revenue_sc4"))
+      .orderBy(col("lost_revenue_sc4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+
+  /** Order-priority integrity count (the TPC-H Q4 shape: EXISTS over the
+    * fact inside a date window): per order priority, how many orders of
+    * one quarter have at least one line shipped more than 30 days after
+    * the order date. The correlated EXISTS plans as a LEFT SEMI join of
+    * the date-windowed orders against the qualifying lineitem keys —
+    * the order scan prunes on the pushed date range, the semi join
+    * carries only orderkeys, and the rollup is priority-cardinality with
+    * map-side partials.
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lateLines = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val qualifying = o.join(lateLines,
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 30,
+        "left_semi")
+    qualifying.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+
+  /** 2-D skyline (Pareto frontier) of the part catalog: every part no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, one strict) — the "best tradeoffs only" operator behind
+    * procurement shortlists and hardware-config pickers. The textbook
+    * form is a quadratic NOT-EXISTS self-join (the oracle runs exactly
+    * that); the scale path is the classic 2-D reduction to a PREFIX MAX:
+    * a part is on the frontier iff its size is the max at its price AND
+    * strictly above the running max over all cheaper prices. That
+    * running max goes through [[graft.ops.Relational.shardedCumMax]]
+    * (same slicing as the cumulative sums — no single-reducer sort of
+    * the price summary), the strict-prefix test reduces to
+    * first-price-per-cum-level (a ≤size-domain-sized aggregate), and the
+    * frontier price list broadcasts back onto the scan. Higher
+    * dimensions would grid-partition first; 2-D is exact here.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part").select(col("p_partkey"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val byPrice = parts.groupBy(col("price_cents").as("v"))
+      .agg(max(col("size")).as("ms"))
+    val cum = graft.ops.Relational.shardedCumMax(byPrice, "v", Seq("ms"),
+      ascending = true)
+    // ms == cum_ms: this price achieves the running max; the FIRST price
+    // of each cum level is the one that raised it — strictly above every
+    // cheaper price's best size. cum levels are bounded by the size
+    // domain, so the frontier list is a broadcast.
+    val frontier = cum.filter(col("ms") === col("cum_ms"))
+    val firstAtLevel = frontier.groupBy(col("cum_ms")).agg(min(col("v")).as("v"))
+    val skyPrices = frontier.join(firstAtLevel, Seq("cum_ms", "v"))
+      .select(col("v").as("price_cents"), col("ms"))
+    parts.join(broadcast(skyPrices), "price_cents")
+      .filter(col("size") === col("ms"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+
+  /** Large-volume customers (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds 200 units, with their customer and order
+    * value, top-10 by order value — the HAVING-driven semi-aggregate
+    * join: the qualifying-order set comes from ONE map-side-combined
+    * rollup of the fact (only orderkeys and a quantity sum shuffle), and
+    * only survivors join the orders/customer dims. Quantity stays exact
+    * DECIMAL through the sum and integerizes at scale 2 for the output;
+    * the final cut is TakeOrdered.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qualifying = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 200)
+    qualifying
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("price_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("price_cents"), (col("qty") * 100).cast("long").as("total_qty_centi"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  protected lazy val commerceOracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS count_order,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_rank_latest" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q03_watermark_bounds" ->
+      """SELECT coalesce(min(o_orderkey), 0) AS min_run_id, coalesce(max(o_orderkey), 0) AS max_run_id
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey > 1000""".stripMargin,
+    "q04_incremental_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q05_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND (p_name LIKE '%widget%' OR p_name LIKE '%bolt%')
+        |ORDER BY p_partkey""".stripMargin,
+    "q06_dim_enrich" ->
+      """SELECT coalesce(r_name, 'UNKNOWN') AS region_name,
+        | CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Vehicle'
+        |      WHEN c_mktsegment = 'MACHINERY' THEN 'Industrial'
+        |      WHEN c_mktsegment IS NULL THEN 'Not Applicable'
+        |      ELSE 'Other' END AS segment_class,
+        | count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus IN ('F','O')
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_join_agg_subquery" ->
+      """SELECT c_custkey, c_name, coalesce(z.order_cnt, 0) AS order_cnt,
+        | coalesce(z.max_price, 0.0) AS max_price
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS order_cnt, max(o_totalprice) AS max_price
+        |           FROM orders GROUP BY o_custkey) z
+        |  ON c_custkey = z.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 190000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q13_dup_finder" ->
+      """SELECT o_custkey, o_orderstatus, count(*) AS dup_count FROM orders
+        |GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+    "q14_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q15_except_diff" ->
+      """SELECT o_orderkey, 'source_only' AS diff_side FROM
+        | (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_orderkey, 'target_only' AS diff_side FROM
+        | (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY o_orderkey, diff_side""".stripMargin,
+    "q16_null_audit" ->
+      """SELECT c_custkey, c_name FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin,
+    "q17_count_reconcile" ->
+      """SELECT (SELECT count(*) FROM orders) AS src_count,
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS tgt_count,
+        | (SELECT count(*) FROM orders) = (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS is_match""".stripMargin,
+    "q51_catalog_query" ->
+      """SELECT r_name AS region_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin,
+    "q58_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q34_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q35_cast_convert" ->
+      """SELECT o_orderkey, CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS rt_key,
+        | CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS order_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q37_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        | lag(o_totalprice) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q38_daily_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderstatus,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q39_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        | coalesce(n_name, 'ALL') AS nation_name,
+        | count(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q47_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "q81_bloom_filter" ->
+      """WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 400000),
+        |kpos AS (SELECT key, (('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8*j, 8))::BIGINT) % 1024 AS pos
+        |         FROM keys, (VALUES (0), (1), (2)) jt(j)),
+        |bloom AS (SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+        |          FROM kpos GROUP BY pos // 32),
+        |cpos AS (SELECT c_custkey, (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1 + 8*j, 8))::BIGINT) % 1024 AS pos
+        |         FROM customer, (VALUES (0), (1), (2)) jt(j)),
+        |verd AS (SELECT c_custkey,
+        |           min(CASE WHEN (coalesce(bits, 0) & (1::BIGINT << (pos % 32))) = (1::BIGINT << (pos % 32))
+        |                    THEN 1 ELSE 0 END) AS hit
+        |         FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word
+        |         GROUP BY c_custkey)
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS nation, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN v.hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+        |  CAST(sum(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members
+        |FROM customer c
+        |JOIN verd v ON c.c_custkey = v.c_custkey
+        |LEFT JOIN keys k ON c.c_custkey = k.key
+        |GROUP BY c.c_nationkey ORDER BY nation""".stripMargin,
+    "q149_join_stats" -> {
+      val edges = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"))
+      edges.map { case (f, k, d, dk, name) =>
+        s"""SELECT '$name' AS edge, n_rows, n_keys, max_freq,
+           | (max_freq * 1000000) // greatest(n_rows // n_keys, 1) AS skew_ppm,
+           | orphan_rows, unmatched_dim_keys
+           |FROM (WITH f AS (SELECT $k AS k, count(*) AS c FROM $f WHERE $k IS NOT NULL GROUP BY 1),
+           | s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq FROM f),
+           | orp AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS orphan_rows FROM f WHERE NOT EXISTS (SELECT 1 FROM $d d WHERE d.$dk = f.k)),
+           | um AS (SELECT CAST(count(*) AS BIGINT) AS unmatched_dim_keys FROM $d d WHERE NOT EXISTS (SELECT 1 FROM f f2 WHERE f2.k = d.$dk))
+           | SELECT * FROM s, orp, um)""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
+    },
+    "q172_fuzzy_blocks" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |             substr(c_name, 1, 16) AS blk FROM customer),
+        |sz AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_records FROM c GROUP BY 1),
+        |pr AS (SELECT a.blk,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN levenshtein(a.nm, b.nm) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        |       FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |       GROUP BY 1)
+        |SELECT sz.blk AS block, n_records,
+        |  coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(n_matches, 0) AS n_matches,
+        |  CAST(CASE WHEN coalesce(n_pairs, 0) = 0 THEN 0
+        |            ELSE coalesce(n_matches, 0) * 1000000 // n_pairs END AS BIGINT) AS match_ppm
+        |FROM sz LEFT JOIN pr USING (blk) ORDER BY block""".stripMargin,
+    "q173_lead_time" ->
+      """WITH lg AS (SELECT o_orderpriority AS priority,
+        |              CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bv AS (SELECT priority, days, CAST(count(*) AS BIGINT) AS k FROM lg GROUP BY 1, 2),
+        |tt AS (SELECT priority, CAST(sum(k) AS BIGINT) AS n,
+        |         CAST(max(days) AS BIGINT) AS max_days FROM bv GROUP BY 1),
+        |cm AS (SELECT bv.*, n, max_days,
+        |         CAST(sum(k) OVER (PARTITION BY bv.priority ORDER BY days) AS BIGINT) AS cum
+        |       FROM bv JOIN tt USING (priority))
+        |SELECT priority, n AS n_lineitems,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN days END) AS median_days,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN days END) AS p90_days,
+        |  max_days
+        |FROM cm GROUP BY priority, n, max_days ORDER BY priority""".stripMargin,
+    "q174_variance_bridge" ->
+      """WITH li AS (SELECT p_brand AS brand, l_partkey AS pk,
+        |              CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period,
+        |              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r,
+        |              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        |            FROM lineitem
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            JOIN part ON l_partkey = p_partkey),
+        |pp AS (SELECT brand, pk,
+        |         CAST(sum(CASE WHEN period = 'a' THEN r ELSE 0 END) AS BIGINT) AS r1,
+        |         CAST(sum(CASE WHEN period = 'b' THEN r ELSE 0 END) AS BIGINT) AS r2,
+        |         CAST(sum(CASE WHEN period = 'a' THEN q ELSE 0 END) AS BIGINT) AS q1,
+        |         CAST(sum(CASE WHEN period = 'b' THEN q ELSE 0 END) AS BIGINT) AS q2
+        |       FROM li GROUP BY 1, 2),
+        |ef AS (SELECT brand, r1, r2, q1, q2,
+        |         CASE WHEN q1 > 0 AND q2 > 0 THEN 1 ELSE 0 END AS is_both,
+        |         CASE WHEN q1 > 0 AND q2 > 0 THEN
+        |           CASE WHEN q2 >= q1
+        |             THEN CAST((CAST(q2 - q1 AS HUGEINT) * r1) // q1 AS BIGINT)
+        |             ELSE -CAST((CAST(q1 - q2 AS HUGEINT) * r1) // q1 AS BIGINT) END
+        |         ELSE 0 END AS vol_e,
+        |         CASE WHEN q1 > 0 AND q2 > 0
+        |           THEN CAST((CAST(r2 AS HUGEINT) * q1) // q2 AS BIGINT) - r1
+        |         ELSE 0 END AS price_e
+        |       FROM pp),
+        |ef2 AS (SELECT brand, is_both, vol_e, price_e,
+        |          CASE WHEN is_both = 1 THEN (r2 - r1) - vol_e - price_e ELSE 0 END AS mix_e,
+        |          CASE WHEN q1 = 0 THEN r2 ELSE 0 END AS new_rev,
+        |          CASE WHEN q2 = 0 THEN r1 ELSE 0 END AS disc_rev,
+        |          r2 - r1 AS delta
+        |        FROM ef)
+        |SELECT brand, CAST(sum(is_both) AS BIGINT) AS n_parts_both,
+        |  CAST(sum(delta) AS BIGINT) AS delta_cents,
+        |  CAST(sum(vol_e) AS BIGINT) AS volume_cents,
+        |  CAST(sum(price_e) AS BIGINT) AS price_cents,
+        |  CAST(sum(mix_e) AS BIGINT) AS mix_cents,
+        |  CAST(sum(new_rev) AS BIGINT) AS new_cents,
+        |  CAST(sum(disc_rev) AS BIGINT) AS discontinued_cents
+        |FROM ef2 GROUP BY brand ORDER BY brand""".stripMargin,
+    "q175_part_affinity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+        |mg AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM it GROUP BY 1),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab,
+        |  CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000) //
+        |       (CAST(ma.n_p AS HUGEINT) * mb.n_p) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN mg ma ON pr.part_a = ma.pk
+        |        JOIN mg mb ON pr.part_b = mb.pk
+        |        CROSS JOIN no
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q180_pareto" ->
+      """WITH pc AS (SELECT o_custkey,
+        |              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM pc GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tot FROM pc),
+        |cm AS (SELECT v, k,
+        |         CAST(sum(k) OVER (ORDER BY v DESC) AS BIGINT) AS users_through,
+        |         CAST(sum(v * k) OVER (ORDER BY v DESC) AS BIGINT) AS rev_through
+        |       FROM bv),
+        |cm2 AS (SELECT *, users_through - k AS users_before,
+        |          rev_through - v * k AS rev_before FROM cm),
+        |th AS (SELECT unnest([1, 5, 10, 20, 50])::BIGINT AS pct)
+        |SELECT pct, (n * pct + 99) // 100 AS n_top_customers,
+        |  CAST(rev_before + ((n * pct + 99) // 100 - users_before) * v AS BIGINT) AS revenue_cents,
+        |  CAST(((rev_before + ((n * pct + 99) // 100 - users_before) * v) * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM th CROSS JOIN tt JOIN cm2
+        |  ON users_before < (n * pct + 99) // 100 AND (n * pct + 99) // 100 <= users_through
+        |ORDER BY pct""".stripMargin,
+    "q36_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    "q182_market_share" ->
+      """WITH dims AS (SELECT c_custkey, n_name AS nation, r_name AS region
+        |              FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey),
+        |li AS (SELECT l_orderkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |              * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |       FROM lineitem),
+        |cells AS (SELECT region, CAST(year(o_orderdate) AS BIGINT) AS yr, nation,
+        |            CAST(sum(rev_sc4) AS BIGINT) AS rev
+        |          FROM li JOIN orders ON l_orderkey = o_orderkey
+        |          JOIN dims ON o_custkey = c_custkey
+        |          GROUP BY 1, 2, 3),
+        |ry AS (SELECT region, yr, CAST(sum(rev) AS BIGINT) AS rtot
+        |       FROM cells GROUP BY 1, 2)
+        |SELECT region, yr, nation, rev AS revenue_sc4,
+        |  CAST(rev * 1000000 // rtot AS BIGINT) AS share_ppm
+        |FROM cells JOIN ry USING (region, yr)
+        |ORDER BY region, yr, nation""".stripMargin,
+    "q183_supplier_wait" ->
+      """WITH ps AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |              CAST(max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                                           CAST(l_shipdate AS DATE)) > 60
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS any_late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            GROUP BY 1, 2),
+        |po AS (SELECT ok, CAST(count(*) AS BIGINT) AS n_supp,
+        |         CAST(sum(any_late) AS BIGINT) AS n_late
+        |       FROM ps GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps JOIN po USING (ok) JOIN supplier ON sk = s_suppkey
+        |WHERE any_late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q188_returned_items" ->
+      """WITH r AS (SELECT l_orderkey,
+        |             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |           FROM lineitem WHERE l_returnflag = 'R'),
+        |pc AS (SELECT o_custkey, CAST(sum(rev_sc4) AS BIGINT) AS lost_revenue_sc4
+        |       FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name AS nation, lost_revenue_sc4
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_revenue_sc4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q200_big_orders" ->
+      """WITH q AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |           FROM lineitem GROUP BY 1
+        |           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |  CAST(qty * 100 AS BIGINT) AS total_qty_centi
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q191_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |             CAST(p_size AS BIGINT) AS size
+        |           FROM part)
+        |SELECT p_partkey, price_cents, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size > a.size))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
+    "q189_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                              CAST(l_shipdate AS DATE)) > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}
