@@ -474,7 +474,13 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q198_ab_test" -> (abConversionTest _),
     "q199_release_merge" -> (releaseMergeAudit _),
     "q200_big_orders" -> (bigOrders _),
-    "q201_ks_drift" -> (ksDrift _))
+    "q201_ks_drift" -> (ksDrift _),
+    "q202_excess_inventory" -> (excessInventory _),
+    "q203_idle_customers" -> (idleCustomers _),
+    "q204_event_lift" -> (eventLift _),
+    "q205_ttr_curve" -> (ttrCurve _),
+    "q206_chunk_library" -> (chunkLibrary _),
+    "q207_int8_recall" -> (int8Recall _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

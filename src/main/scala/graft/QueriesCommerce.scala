@@ -859,7 +859,109 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .limit(10)
   }
 
+  /** Excess-inventory suppliers (the TPC-H Q20 shape): per (part,
+    * supplier), the 1996-H1 shipped quantity; a pair is EXCESS when it
+    * ships more than 1.5× its part's average per-supplier quantity; report
+    * the top suppliers by excess-part count. The correlated "per-part
+    * average" subquery decorrelates into one part-grain aggregate joined
+    * back — one scan, no per-row re-scan; the 1.5× test stays in integer
+    * centi-units as a cross-multiplication (`2·q > 3·avg`), so neither
+    * engine ever divides. Supplier dim joins AFTER the rollup (only
+    * (suppkey, counts) meet the dim) and the cut is TakeOrdered.
+    */
+  def excessInventory(spark: SparkSession, dir: String): DataFrame = {
+    val h1 = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q_centi"))
+    val perPair = h1.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q_centi")).as("pair_centi"))
+    val perPart = perPair.groupBy(col("l_partkey"))
+      .agg(sum(col("pair_centi")).as("part_centi"),
+        count(lit(1)).as("n_supp"))
+      .select(col("l_partkey"),
+        expr("part_centi DIV n_supp").as("avg_centi"))
+    val excess = perPair.join(perPart, "l_partkey")
+      .filter(col("pair_centi") * 2 > col("avg_centi") * 3)
+    excess.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"),
+        sum(col("pair_centi")).as("excess_centi"))
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"),
+        col("excess_centi"))
+      .orderBy(col("n_excess_parts").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Idle high-balance customers (the TPC-H Q22 shape, engagement
+    * variant): customers whose balance beats their SEGMENT's average
+    * positive balance but whose order COUNT is under half the segment's
+    * average — dormant capital with low engagement. Both correlated
+    * averages decorrelate into ONE segment-grain aggregate (≤ #segments
+    * rows, broadcast back); order counts come from a key-grain
+    * pre-aggregate left-joined so never-buyers count 0, not NULL. All
+    * comparisons integer-exact (cents; the half test cross-multiplies,
+    * `2·n < avg`, no division).
+    */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val cc = c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val segAvg = cc.filter(col("bal_cents") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("sum(bal_cents) DIV count(1)").as("avg_cents"),
+        expr("sum(n_orders) DIV count(1)").as("avg_orders"))
+    cc.join(broadcast(segAvg), "c_mktsegment")
+      .filter(col("bal_cents") > col("avg_cents") &&
+        col("n_orders") * 2 < col("avg_orders"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_idle"), sum(col("bal_cents")).as("idle_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q202_excess_inventory" ->
+      """WITH h1 AS (SELECT l_partkey, l_suppkey,
+        |              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_centi
+        |            FROM lineitem
+        |            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'),
+        |pp AS (SELECT l_partkey, l_suppkey, CAST(sum(q_centi) AS BIGINT) AS pair_centi
+        |       FROM h1 GROUP BY 1, 2),
+        |pa AS (SELECT l_partkey,
+        |         CAST(sum(pair_centi) AS BIGINT) // count(*) AS avg_centi
+        |       FROM pp GROUP BY 1),
+        |ex AS (SELECT pp.* FROM pp JOIN pa USING (l_partkey)
+        |       WHERE pair_centi * 2 > avg_centi * 3)
+        |SELECT s_suppkey, s_name,
+        |  CAST(count(*) AS BIGINT) AS n_excess_parts,
+        |  CAST(sum(pair_centi) AS BIGINT) AS excess_centi
+        |FROM ex JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_excess_parts DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q203_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |           FROM customer),
+        |oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |       FROM orders GROUP BY 1),
+        |cc AS (SELECT c.*, coalesce(oc.n_orders, 0) AS n_orders
+        |       FROM c LEFT JOIN oc ON c_custkey = o_custkey),
+        |sa AS (SELECT c_mktsegment,
+        |         CAST(sum(bal_cents) AS BIGINT) // count(*) AS avg_cents,
+        |         CAST(sum(n_orders) AS BIGINT) // count(*) AS avg_orders
+        |       FROM cc WHERE bal_cents > 0 GROUP BY 1),
+        |idle AS (SELECT cc.* FROM cc JOIN sa USING (c_mktsegment)
+        |         WHERE bal_cents > avg_cents AND n_orders * 2 < avg_orders)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_idle,
+        |  CAST(sum(bal_cents) AS BIGINT) AS idle_cents
+        |FROM idle GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS count_order,

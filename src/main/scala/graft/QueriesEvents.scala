@@ -1459,7 +1459,55 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         "CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS is_significant")
   }
 
+  /** Event-type co-occurrence lift: for every type pair, how much more
+    * (or less) often users do BOTH than independence predicts —
+    * `lift = P(a∧b) / (P(a)·P(b))` in exact ppm via
+    * `n_both · n_users · 10⁶ DIV (n_a · n_b)`, all integer (the
+    * engine-portable form of pointwise mutual information without a
+    * libm log). The frame is the DISTINCT (user, type) incidence — one
+    * dedup shuffle on narrow pairs — and the pair join is user-keyed
+    * with `type_a < type_b`, so fan-out per user is ≤ C(#types, 2), a
+    * constant; output is type²-bounded. The global user count rides in
+    * as a broadcast scalar, never a driver collect.
+    */
+  def eventLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("n_both * n_users * 1000000 DIV (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q204_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |       WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+        |  CAST(n_both * n_users * 1000000 // (pa.n_t * pb.n_t) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN pt pa ON pr.type_a = pa.event_type
+        |JOIN pt pb ON pr.type_b = pb.event_type
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
     "q11_case_unpivot" ->
       """SELECT user_id,
         | max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_max,

@@ -2228,7 +2228,97 @@ private[graft] trait QueriesText { this: Queries.type =>
        |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
        |FROM h""".stripMargin
 
+  /** Type-token-ratio curve: per (lang, prefix budget k ∈ {50, 100, 200}),
+    * the corpus-aggregate TTR — Σ distinct tokens in each doc's first k ÷
+    * Σ tokens counted, in exact ppm — the lexical-diversity curve that
+    * separates natural prose (TTR decays slowly with k) from template spam
+    * (collapses fast). ENTIRELY map-side per doc: `size(array_distinct(
+    * slice(tokens, 1, k)))` computes each prefix without any explode, so
+    * the only shuffle is the ≤ langs×3-group rollup.
+    */
+  def ttrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Text.tokens(Text.normalized(col("text")))
+    val base = t(spark, dir, "documents").select(col("lang"), w.as("w"))
+    Seq(50, 100, 200).map { k =>
+      base.select(col("lang"), lit(k.toLong).as("k"),
+          size(array_distinct(slice(col("w"), 1, k))).cast("long").as("d"),
+          least(size(col("w")), lit(k)).cast("long").as("n"))
+        .groupBy(col("lang"), col("k"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("distinct_toks"),
+          sum(col("n")).as("total_toks"))
+    }.reduce(_ unionByName _)
+      .select(col("lang"), col("k"), col("n_docs"), col("distinct_toks"),
+        col("total_toks"),
+        expr("distinct_toks * 1000000 DIV greatest(total_toks, 1)").as("ttr_ppm"))
+      .orderBy(col("lang"), col("k"))
+  }
+
+  /** Corpus chunk-reuse library (the q86 CDC machinery lifted to source
+    * grain): per source, how much of its character mass lives in chunks
+    * that ALSO occur in another document — the copy-detection rollup that
+    * tells a curation owner which feeds are mirror farms before any
+    * pairwise dedup runs. Chunk doc-frequency aggregates over the
+    * DISTINCT (doc, h) incidence (16-byte hashes only — text never
+    * shuffles, the [[graft.functions.Dedup.cdcChunkFrame]] contract);
+    * instances tag by joining the h-grain shared flag back; the final
+    * rollup is sources-bounded. Reuse is exact integer ppm.
+    */
+  def chunkLibrary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val chunks = graft.functions.Dedup
+      .cdcChunkFrame(docs, col("doc_id"), col("text"))
+    val sharedByH = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg((count(lit(1)) >= 2).as("is_shared"))
+    val tagged = chunks
+      .join(sharedByH, "h")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    tagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("total_chars"),
+        sum(when(col("is_shared"), col("clen")).otherwise(0L)).as("shared_chars"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_shared_chunks"),
+        col("total_chars"), col("shared_chars"),
+        expr("shared_chars * 1000000 DIV greatest(total_chars, 1)").as("reuse_ppm"))
+      .orderBy(col("source"))
+  }
+
   protected lazy val textOracle: Map[String, String] = Map(
+    "q205_ttr_curve" ->
+      s"""WITH toks AS (SELECT lang, $DNTOKS AS tk FROM documents),
+         |ks AS (SELECT unnest([50, 100, 200]) AS k),
+         |per AS (SELECT lang, CAST(k AS BIGINT) AS k,
+         |          CAST(len(list_distinct(tk[1:k])) AS BIGINT) AS d,
+         |          CAST(least(len(tk), k) AS BIGINT) AS n
+         |        FROM toks CROSS JOIN ks)
+         |SELECT lang, k, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(d) AS BIGINT) AS distinct_toks,
+         |  CAST(sum(n) AS BIGINT) AS total_toks,
+         |  CAST(sum(d) * 1000000 // greatest(sum(n), 1) AS BIGINT) AS ttr_ppm
+         |FROM per GROUP BY 1, 2 ORDER BY lang, k""".stripMargin,
+    "q206_chunk_library" ->
+      s"""WITH nt AS (SELECT doc_id, $DNORM AS n FROM documents),
+         |wins AS (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 6, 1))) AS i FROM nt),
+         |cuts AS (SELECT doc_id, n, i AS cut FROM wins
+         |         WHERE ('0x' || substr(md5(n[i:i+7]), 1, 8))::BIGINT % 64 = 0
+         |         UNION
+         |         SELECT doc_id, n, len(n) AS cut FROM nt),
+         |chunks AS (SELECT doc_id,
+         |             md5(n[lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) + 1 : cut]) AS h,
+         |             cut - lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS clen
+         |           FROM cuts),
+         |sh AS (SELECT h, count(*) >= 2 AS is_shared
+         |       FROM (SELECT DISTINCT doc_id, h FROM chunks) GROUP BY h),
+         |tagged AS (SELECT d.source, c.clen, sh.is_shared
+         |           FROM chunks c JOIN sh USING (h)
+         |           JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         |  CAST(sum(clen) AS BIGINT) AS total_chars,
+         |  CAST(sum(CASE WHEN is_shared THEN clen ELSE 0 END) AS BIGINT) AS shared_chars,
+         |  CAST(sum(CASE WHEN is_shared THEN clen ELSE 0 END) * 1000000
+         |       // greatest(sum(clen), 1) AS BIGINT) AS reuse_ppm
+         |FROM tagged GROUP BY 1 ORDER BY source""".stripMargin,
     "q23_dedup_groups" ->
       s"""SELECT md5($DNORM) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

@@ -753,7 +753,82 @@ private[graft] trait QueriesVector { this: Queries.type =>
        |${assignCte("af", s"cb$iters")}""".stripMargin
   }
 
+  /** Int8-quantization retrieval audit: recall@10 of ranking by the
+    * all-integer sign-aware squared cosine over q74's int8 codes, against
+    * the float cosine truth (the q30 contract) — does 8-bit compression
+    * change what you retrieve, measured, not assumed. The integer proxy
+    * `sign(dot)·dot²·10⁶ DIV (|a|²·|b|²)` replays bit-for-bit in DuckDB
+    * (no float enters the RANKING; the float truth side reuses q30's
+    * already-oracled form). Same scale shape as q30: a 5-query bounded
+    * broadcast against one corpus scan (adjudicated BNLJ), per-query
+    * windows, k-bounded joins after.
+    */
+  def int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val scale = Quant.fitScale(e, col("embedding"))
+    val codes = e.select(col("vec_id"), Quant.encode(col("embedding"), scale).as("c"))
+    val truth = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val scored = codes.select(col("vec_id").as("cid"), col("c").as("cc"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(qc, cc, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, x) -> a + x)")
+          .as("dot"),
+        expr("aggregate(qc, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)").as("nq"),
+        expr("aggregate(cc, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)").as("nc"))
+      .select(col("qid"), col("cid"),
+        expr("CASE WHEN dot >= 0 THEN dot * dot * 1000000 DIV greatest(nq * nc, 1L) " +
+          "ELSE -(dot * dot * 1000000 DIV greatest(nq * nc, 1L)) END").as("sim2_ppm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim2_ppm").desc, col("cid"))
+    val approx = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"))
+    approx
+      .join(truth, col("qid") === col("query_id") && col("cid") === col("corpus_id"),
+        "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid").as("query_id"), col("n_hits"),
+        expr("n_hits * 1000000 DIV 10").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   protected lazy val vectorOracle: Map[String, String] = Map(
+    "q207_int8_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS sc FROM e),
+        |codes AS (SELECT vec_id,
+        |            list_transform(v, x -> CAST(floor(x / sc * 127.0 + 0.5) AS BIGINT)) AS c
+        |          FROM e CROSS JOIN s),
+        |truth AS (SELECT qid AS query_id, cid AS corpus_id FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS rnk
+        |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+        |  WHERE q.vec_id <> c.vec_id) WHERE rnk <= 10),
+        |sc2 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |          CAST(list_inner_product(q.c, c.c) AS BIGINT) AS dot,
+        |          CAST(list_inner_product(q.c, q.c) AS BIGINT) AS nq,
+        |          CAST(list_inner_product(c.c, c.c) AS BIGINT) AS nc
+        |        FROM codes c CROSS JOIN (SELECT * FROM codes WHERE vec_id < 5) q
+        |        WHERE q.vec_id <> c.vec_id),
+        |pp AS (SELECT qid, cid,
+        |         CASE WHEN dot >= 0 THEN dot * dot * 1000000 // greatest(nq * nc, 1)
+        |              ELSE -(dot * dot * 1000000 // greatest(nq * nc, 1)) END AS sim2_ppm
+        |       FROM sc2),
+        |ap AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |                  ORDER BY sim2_ppm DESC, cid) AS rnk FROM pp)
+        |       WHERE rnk <= 10)
+        |SELECT ap.qid AS query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(*) * 1000000 // 10 AS BIGINT) AS recall_ppm
+        |FROM ap JOIN truth ON ap.qid = truth.query_id AND ap.cid = truth.corpus_id
+        |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "q66_pq_codes" ->
       s"""WITH $PqCodesSql
          |SELECT vec_id, pq_code FROM codes ORDER BY vec_id""".stripMargin,

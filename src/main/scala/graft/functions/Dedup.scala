@@ -547,29 +547,7 @@ object Dedup {
     */
   def cdcChunkStats(docs: DataFrame, idCol: Column, textCol: Column,
                     window: Int = 8, avgChunk: Int = 64): DataFrame = {
-    val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
-    // Chunking is ENTIRELY map-side: the native one-pass boundary scan
-    // (graft.plans.CdcCuts — identical cuts to posexplode(charShingles) +
-    // hashBucket==0, without a String + hex rendering + conv() per char
-    // position), the end-of-text cut append, and the per-chunk
-    // (md5, length) derivation all happen inside one projection, so the
-    // explode emits 16-byte hashes + lengths and NO shuffle ever carries
-    // document text. (An earlier row-wise form dragged the normalized text
-    // through a distinct and a lag window — two full-text shuffles.)
-    val withCuts = base.select(col("doc_id"), col("norm"),
-      array_sort(array_distinct(concat(
-        graft.plans.CdcExpressions.cdc_cuts(col("norm"), window, avgChunk),
-        array(length(col("norm")))))).as("cuts"))
-    val chunks = withCuts
-      .select(col("doc_id"), explode(transform(col("cuts"), (c, i) => {
-        // CaseWhen branches evaluate lazily, so element_at never sees the
-        // out-of-range index 0 (ANSI mode would throw).
-        val prev = when(i === 0, lit(0)).otherwise(element_at(col("cuts"), i))
-        struct(
-          md5(col("norm").substr(prev + 1, c - prev)).as("h"),
-          (c - prev).cast("long").as("clen"))
-      })).as("ch"))
-      .select(col("doc_id"), col("ch.h").as("h"), col("ch.clen").as("clen"))
+    val chunks = cdcChunkFrame(docs, idCol, textCol, window, avgChunk)
     val stats = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
     val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
@@ -579,6 +557,37 @@ object Dedup {
       .agg(sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
     stats.join(shared, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("total_chars"), col("n_shared"))
+  }
+
+  /** The raw content-defined chunk frame behind [[cdcChunkStats]] (and the
+    * q206 corpus-level reuse library): one (doc_id, h = md5(chunk),
+    * clen) row per chunk. Chunking is ENTIRELY map-side: the native
+    * one-pass boundary scan (graft.plans.CdcCuts — identical cuts to
+    * posexplode(charShingles) + hashBucket==0, without a String + hex
+    * rendering + conv() per char position), the end-of-text cut append,
+    * and the per-chunk (md5, length) derivation all happen inside one
+    * projection, so the explode emits 16-byte hashes + lengths and NO
+    * shuffle ever carries document text. (An earlier row-wise form
+    * dragged the normalized text through a distinct and a lag window —
+    * two full-text shuffles.)
+    */
+  def cdcChunkFrame(docs: DataFrame, idCol: Column, textCol: Column,
+                    window: Int = 8, avgChunk: Int = 64): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
+    val withCuts = base.select(col("doc_id"), col("norm"),
+      array_sort(array_distinct(concat(
+        graft.plans.CdcExpressions.cdc_cuts(col("norm"), window, avgChunk),
+        array(length(col("norm")))))).as("cuts"))
+    withCuts
+      .select(col("doc_id"), explode(transform(col("cuts"), (c, i) => {
+        // CaseWhen branches evaluate lazily, so element_at never sees the
+        // out-of-range index 0 (ANSI mode would throw).
+        val prev = when(i === 0, lit(0)).otherwise(element_at(col("cuts"), i))
+        struct(
+          md5(col("norm").substr(prev + 1, c - prev)).as("h"),
+          (c - prev).cast("long").as("clen"))
+      })).as("ch"))
+      .select(col("doc_id"), col("ch.h").as("h"), col("ch.clen").as("clen"))
   }
 
   /** C4-style boilerplate-line removal summary: split each document on

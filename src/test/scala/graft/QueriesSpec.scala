@@ -1634,4 +1634,129 @@ class QueriesSpec extends AnyFunSuite {
     // KS of the union against itself would be 0; real sources must differ
     assert(rows.exists(_._3 > 0L), "at least one source drifts")
   }
+
+  test("q202 excess inventory: every row replays from a brute per-pair recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q202_excess_inventory")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pair = li.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.map(_._3).sum }
+    val avg = pair.groupBy(_._1._1).map { case (p, g) =>
+      p -> g.map(_._2).sum / g.size }
+    val excess = pair.filter { case ((p, _), q) => q * 2 > avg(p) * 3 }
+    val bySupp = excess.groupBy(_._1._2).map { case (s, g) =>
+      s -> (g.size.toLong, g.map(_._2).sum) }
+    rows.foreach { case (s, n, tot) =>
+      assert(bySupp(s) == ((n, tot)), s"supplier $s") }
+    // top-20 cut keeps the best counts
+    val kept = rows.map(_._2).min
+    assert(bySupp.count(_._2._1 > kept) <= rows.length)
+  }
+
+  test("q203 idle customers: the segment thresholds and membership replay exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q203_idle_customers")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nOrd = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySeg = cust.groupBy(_._2)
+    val expect = bySeg.flatMap { case (seg, cs) =>
+      val pos = cs.filter(_._3 > 0)
+      val avgB = pos.map(_._3).sum / pos.size
+      val avgN = pos.map(c => nOrd.getOrElse(c._1, 0L)).sum / pos.size
+      val idle = cs.filter(c => c._3 > avgB && nOrd.getOrElse(c._1, 0L) * 2 < avgN)
+      if (idle.isEmpty) None
+      else Some(seg -> (idle.size.toLong, idle.map(_._3).sum))
+    }
+    assert(rows == expect, s"$rows vs $expect")
+  }
+
+  test("q204 event lift: counts and the integer lift replay from the incidence sets") {
+    import org.apache.spark.sql.functions._
+    val byName = SparkEntry.queries("q204_event_lift")(spark, sf).collect().map { r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("lift_ppm"))
+    }.toMap
+    val ut = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val users = ut.map(_._1).distinct.length.toLong
+    val byType = ut.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val byUser = ut.groupBy(_._1)
+    byName.foreach { case ((a, b), (nBoth, nA, nB, lift)) =>
+      assert(a < b)
+      assert(nA == byType(a) && nB == byType(b))
+      val both = byUser.count { case (_, g) =>
+        g.exists(_._2 == a) && g.exists(_._2 == b) }.toLong
+      assert(nBoth == both, s"($a,$b)")
+      assert(lift == nBoth * users * 1000000L / (nA * nB), s"($a,$b) lift")
+    }
+    assert(byName.nonEmpty)
+  }
+
+  test("q205 TTR curve: prefix distinct/token sums replay from a Scala tokenizer") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q205_ttr_curve")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }.toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .trim.split("\\s+").toSeq))
+    for (((lang, k), (nDocs, d, n, ppm)) <- rows) {
+      val mine = docs.filter(_._1 == lang).map(_._2)
+      assert(nDocs == mine.length.toLong, s"$lang/$k docs")
+      val dd = mine.map(_.take(k.toInt).distinct.length.toLong).sum
+      val nn = mine.map(w => math.min(w.length, k.toInt).toLong).sum
+      assert(d == dd && n == nn, s"$lang/$k: $d/$n vs $dd/$nn")
+      assert(ppm == d * 1000000L / math.max(n, 1L))
+    }
+    // diversity must not INCREASE with the budget (more tokens, more repeats)
+    rows.keys.map(_._1).foreach { lang =>
+      val curve = Seq(50L, 100L, 200L).map(k => rows((lang, k))._4)
+      assert(curve == curve.sorted.reverse, s"$lang TTR not non-increasing: $curve")
+    }
+  }
+
+  test("q206 chunk library: totals reconcile with the per-doc q86 stats and ppm derives") {
+    val rows = SparkEntry.queries("q206_chunk_library")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nCh, nSh, tot, sh, ppm) =>
+      assert(nSh <= nCh && sh <= tot, src)
+      assert(ppm == sh * 1000000L / math.max(tot, 1L), src)
+    }
+    // corpus-level conservation against the q86 per-doc frame
+    val q86 = SparkEntry.queries("q86_cdc_chunks")(spark, sf).collect()
+    assert(rows.map(_._2).sum == q86.map(_.getLong(1)).sum, "chunk instances")
+    assert(rows.map(_._4).sum == q86.map(_.getLong(2)).sum, "character mass")
+  }
+
+  test("q207 int8 recall: one row per query, exact ppm derivation, high recall at tiny sf") {
+    val rows = SparkEntry.queries("q207_int8_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { case (q, hits, ppm) =>
+      assert(hits >= 0L && hits <= 10L, s"q$q")
+      assert(ppm == hits * 100000L, s"q$q ppm")
+      // 64-dim int8 against a ~200-vector corpus: near-lossless by
+      // construction; below 8/10 means the quantizer or ranking broke
+      assert(hits >= 8L, s"q$q int8 recall collapsed: $hits/10")
+    }
+  }
 }
