@@ -480,7 +480,12 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q204_event_lift" -> (eventLift _),
     "q205_ttr_curve" -> (ttrCurve _),
     "q206_chunk_library" -> (chunkLibrary _),
-    "q207_int8_recall" -> (int8Recall _))
+    "q207_int8_recall" -> (int8Recall _),
+    "q208_active_streaks" -> (activeStreaks _),
+    "q209_decay_attribution" -> (decayAttribution _),
+    "q210_dow_profile" -> (dowProfile _),
+    "q211_promo_share" -> (promoShare _),
+    "q212_supplier_variety" -> (supplierVariety _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -926,7 +926,82 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Monthly promotion revenue share (the TPC-H Q14 shape): what fraction
+    * of each month's discounted revenue came from PROMO-type parts, in
+    * exact ppm. Revenue at scale 4 (the q182 money discipline) so the
+    * conditional and total sums are bit-identical in both engines; part
+    * joins lineitem id-keyed (only keys + money shuffle), the rollup is
+    * months-bounded.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+    li.join(t(spark, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_sc4")).otherwise(0L))
+          .as("promo_rev_sc4"),
+        sum(col("rev_sc4")).as("total_rev_sc4"))
+      .select(col("month"), col("promo_rev_sc4"), col("total_rev_sc4"),
+        expr("promo_rev_sc4 * 1000000 DIV greatest(total_rev_sc4, 1L)")
+          .as("promo_ppm"))
+      .orderBy(col("month"))
+  }
+
+  /** Supplier variety per (brand, type) excluding complaint suppliers (the
+    * TPC-H Q16 shape without a partsupp table): how many DISTINCT
+    * suppliers ship each brand×type, after dropping suppliers whose
+    * return rate exceeds 35% (`20·returns > 7·total`, integer
+    * cross-multiplication — the threshold sits above the corpus's ~30%
+    * base rate so the complaint set is a tail, not the population). The distinct (brand, type, supplier) incidence
+    * replaces a countDistinct per group (same one shuffle, no Expand
+    * risk); the complaint set is a supplier-grain aggregate anti-joined
+    * key-to-key.
+    */
+  def supplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
+    val complaints = li.groupBy(col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"),
+        count(lit(1)).as("n"))
+      .filter(col("r") * 20 > col("n") * 7)
+      .select(col("l_suppkey").as("bad_supp"))
+    val incidence = li
+      .join(complaints, col("l_suppkey") === col("bad_supp"), "left_anti")
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("l_suppkey"))
+      .distinct()
+    incidence.groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("p_brand"), col("p_type"))
+  }
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q211_promo_share" ->
+      """WITH li AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |              CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                   * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |            FROM lineitem)
+        |SELECT month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_sc4 ELSE 0 END) AS BIGINT) AS promo_rev_sc4,
+        |  CAST(sum(rev_sc4) AS BIGINT) AS total_rev_sc4,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_sc4 ELSE 0 END) * 1000000
+        |       // greatest(sum(rev_sc4), 1) AS BIGINT) AS promo_ppm
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |GROUP BY month ORDER BY month""".stripMargin,
+    "q212_supplier_variety" ->
+      """WITH bad AS (SELECT l_suppkey FROM lineitem
+        |             GROUP BY 1
+        |             HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 20 > count(*) * 7),
+        |inc AS (SELECT DISTINCT p_brand, p_type, l_suppkey
+        |        FROM lineitem JOIN part ON l_partkey = p_partkey
+        |        WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad))
+        |SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM inc GROUP BY 1, 2 ORDER BY p_brand, p_type""".stripMargin,
     "q202_excess_inventory" ->
       """WITH h1 AS (SELECT l_partkey, l_suppkey,
         |              CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_centi

@@ -1493,7 +1493,127 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Longest-activity-streak distribution (the gaps-and-islands operator):
+    * consecutive active DAYS group into islands via the classic
+    * `day − row_number()` constant-per-island key, the per-user longest
+    * island is kept, and the output is the #users per longest-streak
+    * length — the engagement-depth curve. Both windows partition by
+    * user_id (corpus-cardinality keys — no global sort anywhere) and the
+    * result is bounded by the calendar length.
+    */
+  def activeStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id")).agg(max(col("len")).as("streak_days"))
+      .groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("streak_days"))
+  }
+
+  /** Time-decay purchase attribution: every click in the 7 days before a
+    * same-user purchase earns credit halving per day of age
+    * (`w = 2^(6−age)`, same-day 64× … six-days-old 1×), normalized per
+    * purchase in exact milli-units (`w·1000 DIV Σw`) — the
+    * multi-touch-attribution shape next to q157's last-click. The pair
+    * join is user-keyed equi (the time bound is a residual filter, ≤ 7
+    * days of one user's clicks per purchase); weights are power-of-two
+    * shifts in ≤ 32-bit lanes so both engines stay exact; output is
+    * 7-row bounded.
+    */
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val pairs = purchases.join(clicks, "user_id")
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("CAST(7 AS BIGINT) * 86400000000000"))
+      .select(col("pid"), expr("(pts - cts) div 86400000000000").as("age_days"))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(6 - age_days AS INT))"))
+    val perPurchase = pairs.groupBy(col("pid")).agg(sum(col("w")).as("sw"))
+    pairs.join(perPurchase, "pid")
+      .select(col("age_days"), expr("w * 1000 DIV sw").as("credit_milli"))
+      .groupBy(col("age_days"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("credit_milli")).as("credit_milli_sum"))
+      .orderBy(col("age_days"))
+  }
+
+  /** Day-of-week activity profile with deviation from the corpus base
+    * rate: per (event_type, weekday), the type's share of events on that
+    * weekday vs the all-types weekday share, as an exact signed ppm
+    * difference — the weekly-seasonality screen behind alert thresholds
+    * (a type whose Saturday share is 3× the corpus's is batch traffic,
+    * not users). Weekday from the integer epoch day (`(day+4) % 7`,
+    * 1970-01-01 = Thursday) — identical arithmetic on both engines; the
+    * rollup is types×7-bounded with the two marginals broadcast back.
+    */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("((ts div 86400000000000) + 4) % 7").as("dow"))
+    val cell = d.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val perType = cell.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    val perDow = cell.groupBy(col("dow")).agg(sum(col("n")).as("dn"))
+    val total = cell.agg(sum(col("n")).as("g"))
+    cell.join(broadcast(perType), "event_type")
+      .join(broadcast(perDow), "dow")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 1000000 DIV t").as("share_ppm"),
+        expr("n * 1000000 DIV t - dn * 1000000 DIV g").as("dev_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q208_active_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |                epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |        FROM days),
+        |st AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+        |       FROM isl GROUP BY 1, 2),
+        |lg AS (SELECT user_id, max(len) AS streak_days FROM st GROUP BY 1)
+        |SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY streak_days""".stripMargin,
+    "q209_decay_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) AS pts, event_id AS pid FROM events
+        |      WHERE event_type = 'purchase'),
+        |pr AS (SELECT pid, (pts - cts) // 86400000000000 AS age_days
+        |       FROM p JOIN c USING (user_id)
+        |       WHERE cts <= pts AND cts > pts - 7 * 86400000000000),
+        |w AS (SELECT pid, age_days,
+        |        (CAST(1 AS BIGINT) << CAST(6 - age_days AS INTEGER)) AS w
+        |      FROM pr),
+        |sw AS (SELECT pid, CAST(sum(w) AS BIGINT) AS sw FROM w GROUP BY 1)
+        |SELECT age_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(w * 1000 // sw) AS BIGINT) AS credit_milli_sum
+        |FROM w JOIN sw USING (pid)
+        |GROUP BY 1 ORDER BY age_days""".stripMargin,
+    "q210_dow_profile" ->
+      """WITH d AS (SELECT event_type,
+        |             ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow
+        |           FROM events),
+        |cell AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        |         FROM d GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM cell GROUP BY 1),
+        |pd AS (SELECT dow, CAST(sum(n) AS BIGINT) AS dn FROM cell GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM cell)
+        |SELECT event_type, dow, n,
+        |  CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+        |  CAST(n * 1000000 // t - dn * 1000000 // g AS BIGINT) AS dev_ppm
+        |FROM cell JOIN pt USING (event_type) JOIN pd USING (dow) CROSS JOIN g
+        |ORDER BY event_type, dow""".stripMargin,
     "q204_event_lift" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),

@@ -1747,6 +1747,117 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == q86.map(_.getLong(2)).sum, "character mass")
   }
 
+  test("q208 active streaks: the longest-run histogram replays from per-user day sets") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q208_active_streaks")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def longest(ds: Seq[Long]): Long = {
+      val s = ds.sorted
+      var best = 1L; var cur = 1L
+      s.sliding(2).foreach {
+        case Seq(a, b) => if (b == a + 1) { cur += 1; best = math.max(best, cur) }
+          else cur = 1L
+        case _ =>
+      }
+      math.max(best, 1L)
+    }
+    val expect = days.groupBy(_._1).map { case (_, g) => longest(g.map(_._2).toSeq) }
+      .groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    assert(rows == expect, s"$rows vs $expect")
+    assert(rows.values.sum == days.map(_._1).distinct.length.toLong,
+      "every active user appears exactly once")
+  }
+
+  test("q209 decay attribution: weights halve per day and credits replay per purchase") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q209_decay_attribution")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val dayNs = 86400000000000L
+    val pairs = for {
+      (u, pts, _, pid) <- purchases
+      (cu, cts, _, _) <- clicks
+      if cu == u && cts <= pts && cts > pts - 7 * dayNs
+    } yield (pid, (pts - cts) / dayNs)
+    val expect = pairs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ws = g.map { case (_, age) => age -> (1L << (6 - age).toInt) }
+      val sw = ws.map(_._2).sum
+      ws.map { case (age, w) => age -> w * 1000L / sw }
+    }.groupBy(_._1).map { case (age, cs) => age -> (cs.size.toLong, cs.map(_._2).sum) }
+    assert(rows == expect, s"$rows vs $expect")
+    assert(rows.keys.forall(a => a >= 0 && a <= 6))
+  }
+
+  test("q210 DOW profile: shares partition each type and deviations cancel against the base") {
+    val rows = SparkEntry.queries("q210_dow_profile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, cells) =>
+      val total = cells.map(_._3).sum
+      cells.foreach { case (_, dow, n, share, dev) =>
+        assert(dow >= 0 && dow <= 6)
+        assert(share == n * 1000000L / total, s"$tpe/$dow share")
+      }
+      // shares within a type sum to ~1e6 (floor slack < #cells)
+      val s = cells.map(_._4).sum
+      assert(s > 1000000L - cells.length && s <= 1000000L, s"$tpe shares sum $s")
+    }
+    // deviation replays exactly from the collected cells' own marginals
+    val g = rows.map(_._3).sum
+    val perDow = rows.groupBy(_._2).map { case (d, cs) => d -> cs.map(_._3).sum }
+    rows.foreach { case (tpe, dow, _, share, dev) =>
+      assert(dev == share - perDow(dow) * 1000000L / g, s"$tpe/$dow dev")
+    }
+  }
+
+  test("q211 promo share: conditional and total revenue replay exactly per month") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q211_promo_share")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val types = spark.read.parquet(s"$sf/part.parquet")
+      .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_type")).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = li.groupBy(_._2).map { case (m, g) =>
+      val promo = g.filter(x => types(x._1) == "PROMO").map(_._3).sum
+      val total = g.map(_._3).sum
+      m -> (promo, total, promo * 1000000L / math.max(total, 1L))
+    }
+    assert(rows == expect, s"${rows.size} months")
+    assert(rows.values.exists(_._1 > 0L), "PROMO parts must contribute somewhere")
+  }
+
+  test("q212 supplier variety: complaint exclusion and distinct counts replay") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q212_supplier_variety")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bad = li.groupBy(_._2).collect {
+      case (s, g) if g.count(_._3 == "R") * 20 > g.size * 7 => s
+    }.toSet
+    val expect = li.filterNot(x => bad(x._2))
+      .map(x => (parts(x._1), x._2)).distinct
+      .groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    assert(rows == expect)
+    assert(rows.nonEmpty)
+  }
+
   test("q207 int8 recall: one row per query, exact ppm derivation, high recall at tiny sf") {
     val rows = SparkEntry.queries("q207_int8_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
