@@ -485,7 +485,10 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q209_decay_attribution" -> (decayAttribution _),
     "q210_dow_profile" -> (dowProfile _),
     "q211_promo_share" -> (promoShare _),
-    "q212_supplier_variety" -> (supplierVariety _))
+    "q212_supplier_variety" -> (supplierVariety _),
+    "q213_gap_hazard" -> (gapHazard _),
+    "q214_vocab_growth" -> (vocabGrowth _),
+    "q215_fill_sla" -> (fillTimeSla _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -980,7 +980,56 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .orderBy(col("p_brand"), col("p_type"))
   }
 
+  /** Order fill-time SLA bridge: per order priority, how many orders were
+    * FULLY shipped (last line shipped) within 30/60/90/90+ days — the
+    * service-level table behind fulfillment dashboards. One per-order
+    * `max(l_shipdate)` aggregate (the order is the grain — no window),
+    * id-keyed join to orders, then a priorities×4 bounded rollup with
+    * per-priority shares in exact ppm.
+    */
+  def fillTimeSla(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+    val joined = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+          .cast("long").as("fill_days"))
+      .select(col("o_orderpriority"),
+        when(col("fill_days") <= 30, "a_030")
+          .when(col("fill_days") <= 60, "b_060")
+          .when(col("fill_days") <= 90, "c_090")
+          .otherwise("d_90plus").as("sla_bucket"))
+    val cell = joined.groupBy(col("o_orderpriority"), col("sla_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    val perPrio = cell.groupBy(col("o_orderpriority")).agg(sum(col("n_orders")).as("t"))
+    cell.join(broadcast(perPrio), "o_orderpriority")
+      .select(col("o_orderpriority"), col("sla_bucket"), col("n_orders"),
+        expr("n_orders * 1000000 DIV t").as("share_ppm"))
+      .orderBy(col("o_orderpriority"), col("sla_bucket"))
+  }
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q215_fill_sla" ->
+      """WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |            FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderpriority,
+        |        date_diff('day', CAST(o_orderdate AS DATE), CAST(last_ship AS DATE)) AS fill_days
+        |      FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |b AS (SELECT o_orderpriority,
+        |        CASE WHEN fill_days <= 30 THEN 'a_030'
+        |             WHEN fill_days <= 60 THEN 'b_060'
+        |             WHEN fill_days <= 90 THEN 'c_090'
+        |             ELSE 'd_90plus' END AS sla_bucket
+        |      FROM j),
+        |cell AS (SELECT o_orderpriority, sla_bucket, CAST(count(*) AS BIGINT) AS n_orders
+        |         FROM b GROUP BY 1, 2),
+        |pp AS (SELECT o_orderpriority, CAST(sum(n_orders) AS BIGINT) AS t FROM cell GROUP BY 1)
+        |SELECT o_orderpriority, sla_bucket, n_orders,
+        |  CAST(n_orders * 1000000 // t AS BIGINT) AS share_ppm
+        |FROM cell JOIN pp USING (o_orderpriority)
+        |ORDER BY o_orderpriority, sla_bucket""".stripMargin,
     "q211_promo_share" ->
       """WITH li AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
         |              CAST(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -1572,7 +1572,43 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Inter-event gap hazard: per event type, the distribution of per-user
+    * day gaps between consecutive events — the return-time curve that
+    * separates habitual types (mass at 0-1 days) from episodic ones. One
+    * lead window per (user, type) — corpus-cardinality partition keys, no
+    * global sort — then a types×gap-days bounded rollup with each cell's
+    * share of its type in exact ppm.
+    */
+  def gapHazard(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"))
+    val gaps = e.withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"),
+        expr("(nxt - ts) div 86400000000000").as("gap_days"))
+    val cell = gaps.groupBy(col("event_type"), col("gap_days"))
+      .agg(count(lit(1)).as("n"))
+    val perType = cell.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    cell.join(broadcast(perType), "event_type")
+      .select(col("event_type"), col("gap_days"), col("n"),
+        expr("n * 1000000 DIV t").as("share_ppm"))
+      .orderBy(col("event_type"), col("gap_days"))
+  }
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q213_gap_hazard" ->
+      """WITH g AS (SELECT event_type,
+        |             (lead(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+        |                ORDER BY epoch_ns(ts)) - epoch_ns(ts)) // 86400000000000 AS gap_days
+        |           FROM events),
+        |cell AS (SELECT event_type, gap_days, CAST(count(*) AS BIGINT) AS n
+        |         FROM g WHERE gap_days IS NOT NULL GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM cell GROUP BY 1)
+        |SELECT event_type, gap_days, n,
+        |  CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+        |FROM cell JOIN pt USING (event_type)
+        |ORDER BY event_type, gap_days""".stripMargin,
     "q208_active_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |                epoch_ns(ts) // 86400000000000 AS day FROM events),

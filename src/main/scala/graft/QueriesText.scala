@@ -2283,7 +2283,58 @@ private[graft] trait QueriesText { this: Queries.type =>
       .orderBy(col("source"))
   }
 
+  /** Vocabulary-growth (Heaps' law) audit: distinct-token and total-token
+    * counts at 8 corpus prefixes (doc_id order) — does vocabulary keep
+    * growing with corpus size (healthy diversity) or saturate (template
+    * mass)? The scale trick: cumulative DISTINCT is not decomposable,
+    * but "distinct tokens among docs < c" ≡ "tokens whose FIRST
+    * occurrence doc < c" — so one token-grain `min(doc_id)` aggregate +
+    * a broadcast 8-row checkpoint grid replaces any sequential scan.
+    * Checkpoints derive from max(doc_id) in-plan (`max·k DIV 8`); token
+    * text never joins anything bigger than the 8-row grid.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(Text.normalized(col("text")))).as("tok"))
+    val firstSeen = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val cps = spark.range(1, 9).toDF("k")
+      .crossJoin(broadcast(mx))
+      .select(col("k"), expr("(mx + 1) * k DIV 8").as("cp"))
+    val vocab = firstSeen.crossJoin(broadcast(cps))
+      .filter(col("first_doc") < col("cp"))
+      .groupBy(col("k"), col("cp"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    val mass = perDoc.crossJoin(broadcast(cps))
+      .filter(col("doc_id") < col("cp"))
+      .groupBy(col("k"), col("cp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    mass.join(vocab, Seq("k", "cp"))
+      .select(col("k"), col("cp"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        expr("distinct_tokens * 1000000 DIV greatest(total_tokens, 1L)")
+          .as("vocab_ppm"))
+      .orderBy(col("k"))
+  }
+
   protected lazy val textOracle: Map[String, String] = Map(
+    "q214_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS tok FROM documents),
+         |fs AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1),
+         |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+         |cps AS (SELECT CAST(k AS BIGINT) AS k, (mx + 1) * k // 8 AS cp
+         |        FROM range(1, 9) t(k) CROSS JOIN mx),
+         |vocab AS (SELECT k, cp, CAST(count(*) AS BIGINT) AS distinct_tokens
+         |          FROM fs CROSS JOIN cps WHERE first_doc < cp GROUP BY 1, 2),
+         |mass AS (SELECT k, cp, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+         |         FROM pd CROSS JOIN cps WHERE doc_id < cp GROUP BY 1, 2)
+         |SELECT k, cp, n_docs, total_tokens, distinct_tokens,
+         |  CAST(distinct_tokens * 1000000 // greatest(total_tokens, 1) AS BIGINT) AS vocab_ppm
+         |FROM mass JOIN vocab USING (k, cp) ORDER BY k""".stripMargin,
     "q205_ttr_curve" ->
       s"""WITH toks AS (SELECT lang, $DNTOKS AS tk FROM documents),
          |ks AS (SELECT unnest([50, 100, 200]) AS k),

@@ -1858,6 +1858,79 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q213 gap hazard: the gap multiset replays from sorted per-(user,type) times") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q213_gap_hazard")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dayNs = 86400000000000L
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, tpe), g) =>
+      val ts = g.map(_._3).sorted
+      ts.zip(ts.drop(1)).map { case (a, b) => tpe -> (b - a) / dayNs }
+    }
+    val expect = gaps.groupBy(identity).map { case ((tpe, gap), cs) =>
+      (tpe, gap) -> cs.size.toLong }
+    val perType = gaps.groupBy(_._1).map { case (t, g) => t -> g.size.toLong }
+    assert(rows.view.mapValues(_._1).toMap == expect, "gap histogram")
+    rows.foreach { case ((tpe, _), (n, ppm)) =>
+      assert(ppm == n * 1000000L / perType(tpe), s"$tpe share") }
+  }
+
+  test("q214 vocab growth: first-occurrence counting equals brute prefix distincts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q214_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").trim.split("\\s+").toSeq))
+    val mx = docs.map(_._1).max
+    rows.foreach { case (k, cp, nDocs, tot, dist, ppm) =>
+      assert(cp == (mx + 1) * k / 8, s"checkpoint $k")
+      val prefix = docs.filter(_._1 < cp)
+      assert(nDocs == prefix.length.toLong, s"k=$k docs")
+      assert(tot == prefix.map(_._2.length.toLong).sum, s"k=$k mass")
+      assert(dist == prefix.flatMap(_._2).distinct.length.toLong, s"k=$k vocab")
+      assert(ppm == dist * 1000000L / math.max(tot, 1L))
+    }
+    // vocabulary never shrinks; diversity ppm never grows (Heaps direction)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq)
+    assert(rows.map(_._6).toSeq == rows.map(_._6).sorted.reverse.toSeq)
+  }
+
+  test("q215 fill SLA: per-priority buckets replay from the per-order last-ship date") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q215_fill_sla")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // timestamps arrive as Timestamp OR LocalDateTime depending on the
+    // parquet physical type (the TESTDATA ts caveat) — normalize to dates
+    def ld(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case d: java.time.LocalDateTime => d.toLocalDate
+    }
+    val lastShip = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ls"))
+      .collect().map(r => r.getLong(0) -> ld(r.get(1))).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), ld(r.get(1)), r.getString(2)))
+    val expect = orders.flatMap { case (ok, od, prio) =>
+      lastShip.get(ok).map { ls =>
+        val d = java.time.temporal.ChronoUnit.DAYS.between(od, ls)
+        val b = if (d <= 30) "a_030" else if (d <= 60) "b_060"
+          else if (d <= 90) "c_090" else "d_90plus"
+        (prio, b)
+      }
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val perPrio = expect.groupBy(_._1._1).map { case (p, g) => p -> g.values.sum }
+    assert(rows.view.mapValues(_._1).toMap == expect, "bucket counts")
+    rows.foreach { case ((p, _), (n, ppm)) =>
+      assert(ppm == n * 1000000L / perPrio(p), s"$p share") }
+  }
+
   test("q207 int8 recall: one row per query, exact ppm derivation, high recall at tiny sf") {
     val rows = SparkEntry.queries("q207_int8_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
