@@ -214,11 +214,19 @@ object Bench {
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, summaryJson.getBytes("UTF-8"))
     }
-    val errsShort = results.collect { case (k, _, Some(m), _, _) =>
+    // Cap stdout errors at 5 entries: a systemic failure (every query
+    // erroring) would otherwise put ~13KB of error text on the one line
+    // that must fit the driver's 2000-char tail window whole. n_errors
+    // carries the true count; full error text lives in the summary file.
+    val erred = results.collect { case (k, _, Some(m), _, _) => (k, m) }
+    val errsShort = erred.take(5).map { case (k, m) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m.take(48)) }
       .mkString("{", ",", "}")
+    val suspectShort = results.collect { case (k, _, _, _, true) => k }
+      .take(20).map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val nSuspect = results.count(_._5)
     println(
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsShort,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"summary":"$summaryPath","detail":"$detailPath"}""")
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${erred.size},"errors":$errsShort,"n_suspect":$nSuspect,"suspect":$suspectShort,"loadavg":[$loadStart,$loadEnd],"summary":"$summaryPath","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -1489,7 +1489,10 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .crossJoin(broadcast(nUsers))
       .select(col("type_a"), col("type_b"), col("n_both"),
         col("n_a"), col("n_b"),
-        expr("n_both * n_users * 1000000 DIV (n_a * n_b)").as("lift_ppm"))
+        // lift multiplies in DECIMAL(38,0)/HUGEINT (the q158/q133 overflow
+        // discipline): n_both·n_users·1e6 wraps BIGINT at ~10M users
+        expr("CAST((CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -1659,7 +1662,8 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |       FROM ut a JOIN ut b ON a.user_id = b.user_id
         |       WHERE a.event_type < b.event_type GROUP BY 1, 2)
         |SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
-        |  CAST(n_both * n_users * 1000000 // (pa.n_t * pb.n_t) AS BIGINT) AS lift_ppm
+        |  CAST((CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000)
+        |       // (CAST(pa.n_t AS DECIMAL(38,0)) * pb.n_t) AS BIGINT) AS lift_ppm
         |FROM pr JOIN pt pa ON pr.type_a = pa.event_type
         |JOIN pt pb ON pr.type_b = pb.event_type
         |CROSS JOIN n

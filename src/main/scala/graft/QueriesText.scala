@@ -2238,15 +2238,19 @@ private[graft] trait QueriesText { this: Queries.type =>
     */
   def ttrCurve(spark: SparkSession, dir: String): DataFrame = {
     val w = Text.tokens(Text.normalized(col("text")))
+    // all three prefix budgets from ONE tokenization in ONE scan (a
+    // per-budget union would re-scan and re-tokenize the corpus 3×); the
+    // 3-struct explode happens after the per-doc numbers are computed, so
+    // it multiplies 3 small ints per doc, never token arrays
     val base = t(spark, dir, "documents").select(col("lang"), w.as("w"))
-    Seq(50, 100, 200).map { k =>
-      base.select(col("lang"), lit(k.toLong).as("k"),
-          size(array_distinct(slice(col("w"), 1, k))).cast("long").as("d"),
-          least(size(col("w")), lit(k)).cast("long").as("n"))
-        .groupBy(col("lang"), col("k"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("distinct_toks"),
-          sum(col("n")).as("total_toks"))
-    }.reduce(_ unionByName _)
+    val perDoc = base.select(col("lang"), explode(array(
+      Seq(50, 100, 200).map(k => struct(lit(k.toLong).as("k"),
+        size(array_distinct(slice(col("w"), 1, k))).cast("long").as("d"),
+        least(size(col("w")), lit(k)).cast("long").as("n"))): _*)).as("x"))
+    perDoc.select(col("lang"), col("x.k").as("k"), col("x.d").as("d"), col("x.n").as("n"))
+      .groupBy(col("lang"), col("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("distinct_toks"),
+        sum(col("n")).as("total_toks"))
       .select(col("lang"), col("k"), col("n_docs"), col("distinct_toks"),
         col("total_toks"),
         expr("distinct_toks * 1000000 DIV greatest(total_toks, 1)").as("ttr_ppm"))

@@ -788,13 +788,18 @@ private[graft] trait QueriesVector { this: Queries.type =>
     val approx = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("qid"), col("cid"))
-    approx
+    // DENSE over the query set (the q160 discipline): a query whose int8
+    // list shares NOTHING with the truth must report recall 0, not vanish
+    val hits = approx
       .join(truth, col("qid") === col("query_id") && col("cid") === col("corpus_id"),
         "left_semi")
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(col("qid").as("query_id"), col("n_hits"),
-        expr("n_hits * 1000000 DIV 10").as("recall_ppm"))
+      .agg(count(lit(1)).as("h"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) * 100000).as("recall_ppm"))
       .orderBy(col("query_id"))
   }
 
@@ -824,11 +829,14 @@ private[graft] trait QueriesVector { this: Queries.type =>
         |ap AS (SELECT qid, cid FROM (
         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
         |                  ORDER BY sim2_ppm DESC, cid) AS rnk FROM pp)
-        |       WHERE rnk <= 10)
-        |SELECT ap.qid AS query_id, CAST(count(*) AS BIGINT) AS n_hits,
-        |  CAST(count(*) * 1000000 // 10 AS BIGINT) AS recall_ppm
-        |FROM ap JOIN truth ON ap.qid = truth.query_id AND ap.cid = truth.corpus_id
-        |GROUP BY 1 ORDER BY query_id""".stripMargin,
+        |       WHERE rnk <= 10),
+        |h AS (SELECT ap.qid, CAST(count(*) AS BIGINT) AS h
+        |      FROM ap JOIN truth ON ap.qid = truth.query_id AND ap.cid = truth.corpus_id
+        |      GROUP BY 1),
+        |qs AS (SELECT DISTINCT vec_id AS qid FROM codes WHERE vec_id < 5)
+        |SELECT qs.qid AS query_id, coalesce(h.h, 0) AS n_hits,
+        |  CAST(coalesce(h.h, 0) * 100000 AS BIGINT) AS recall_ppm
+        |FROM qs LEFT JOIN h USING (qid) ORDER BY query_id""".stripMargin,
     "q66_pq_codes" ->
       s"""WITH $PqCodesSql
          |SELECT vec_id, pq_code FROM codes ORDER BY vec_id""".stripMargin,

@@ -75,6 +75,12 @@ object Relational {
     */
   def nativeTopK(df: DataFrame, keys: Seq[String],
                  order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // Empty keys/order would leave the hint unresolved on an extensions
+    // session — Spark DROPS unknown hints, which would silently return
+    // EVERY row instead of k. Fail fast; a global top-k is a different
+    // operator (TakeOrdered / orderBy.limit), not a per-key one.
+    require(keys.nonEmpty && order.nonEmpty,
+      "nativeTopK needs non-empty keys and order (global top-k = orderBy.limit)")
     // Gate on the injected planner strategy, not on analyzing a hinted
     // plan: probing by analysis made plain sessions log a HintErrorLogger
     // WARN per call. Strategy present ⇒ ResolveTopKHint is injected too

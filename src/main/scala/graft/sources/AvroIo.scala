@@ -326,9 +326,18 @@ object AvroIo {
         val in = p.getFileSystem(bconf.value.value).open(p)
         val stream = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
-        val decoders = names.map(n => decoderFor(stream.getSchema.getField(n).schema()))
+        // Schema evolution / foreign layouts: a file written before a
+        // column existed simply lacks the field — decode it as null
+        // instead of NPEing on the absent schema field.
+        val fields = names.map(n => Option(stream.getSchema.getField(n)))
+        val decoders = fields.map {
+          case Some(f) => decoderFor(f.schema())
+          case None => (_: Any) => null
+        }
         val iter = stream.iterator().asScala.map { rec =>
-          Row.fromSeq(names.indices.map(i => decoders(i)(rec.get(names(i)))) ++ pv)
+          Row.fromSeq(names.indices.map { i =>
+            decoders(i)(fields(i).map(f => rec.get(f.pos())).orNull)
+          } ++ pv)
         }
         // materialize the (file-sized) batch so the stream can close;
         // conform files are micro-batch sized by construction

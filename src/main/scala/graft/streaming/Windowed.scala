@@ -190,20 +190,25 @@ object Windowed {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val enriched = graft.pipeline.Pipeline
           .lookupAsOf(batch, dim(), businessKey, factTime, dimCols)
-        writeBatchIdempotent(enriched, batchId, outPath)
-        auditPath.foreach { ap =>
-          import graft.dq.Checks
-          val factCols = batch.columns.toIndexedSeq.map(col)
-          val audit = Seq(
-            Checks.countMatch(batch, enriched, "asof_enrich", "STREAM_ASOF"),
-            Checks.dataMatch(batch, enriched.select(factCols: _*),
-              "asof_enrich", "STREAM_ASOF"),
-            Checks.duplicateCheck(enriched, "asof_enrich", "STREAM_ASOF"),
-            Checks.nullCheck(enriched, "asof_enrich", "STREAM_ASOF",
-              columns = Seq(businessKey, factTime)))
-          import batch.sparkSession.implicits._
-          writeBatchIdempotent(audit.toDS().toDF(), batchId, ap)
-        }
+        // the write plus the four audit checks would each re-execute the
+        // as-of join (and re-read the dim) — persist for the batch's scope
+        if (auditPath.isDefined) enriched.persist()
+        try {
+          writeBatchIdempotent(enriched, batchId, outPath)
+          auditPath.foreach { ap =>
+            import graft.dq.Checks
+            val factCols = batch.columns.toIndexedSeq.map(col)
+            val audit = Seq(
+              Checks.countMatch(batch, enriched, "asof_enrich", "STREAM_ASOF"),
+              Checks.dataMatch(batch, enriched.select(factCols: _*),
+                "asof_enrich", "STREAM_ASOF"),
+              Checks.duplicateCheck(enriched, "asof_enrich", "STREAM_ASOF"),
+              Checks.nullCheck(enriched, "asof_enrich", "STREAM_ASOF",
+                columns = Seq(businessKey, factTime)))
+            import batch.sparkSession.implicits._
+            writeBatchIdempotent(audit.toDS().toDF(), batchId, ap)
+          }
+        } finally if (auditPath.isDefined) enriched.unpersist()
       }
       .start()
 

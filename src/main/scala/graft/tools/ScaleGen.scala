@@ -97,8 +97,9 @@ object ScaleGen {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
+    val dim = read("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
     replicate("embeddings")((d, i) => {
-      val dim = 64
       val rot = i % dim
       val emb = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, dim - rot),
