@@ -16,6 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * dimension merge) — with the audit log accumulating PASS rows across
   * stages, exactly the reference's validation shape end-to-end.
   */
+case class EnrichFact(cust_id: String, ts: java.sql.Timestamp, basket_cents: Long)
+
 class EndToEndPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -223,6 +225,40 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(dwddChecks.forall(_.testResult == ValidationResult.PASSED))
     logAudit(dwddChecks)
 
+    // ---- Streaming consumption: a LATE fact stream enriched with the
+    // point-in-time SCD2 version (startAsOfEnrich), audited per batch into
+    // the same ValidationResult trail — the r13 streaming-audit leg ----
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00") // during v1
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-02 12:00:00") // during v2
+    val factStream = MemoryStream[EnrichFact]
+    factStream.addData(
+      EnrichFact("c0", ts0, 500L), EnrichFact("c1", ts0, 700L),
+      EnrichFact("c0", ts1, 900L))
+    val qs1 = graft.streaming.Windowed.startAsOfEnrich(
+      factStream.toDF(), () => custDim, "cust_id", "ts", Seq("ltv_cents"),
+      s"$root/enriched", s"$root/enrich_ckpt",
+      auditPath = Some(s"$root/audit_stream"))
+    qs1.processAllAvailable(); qs1.stop()
+    // a second batch: a straggler fact from the v1 era arrives AFTER v2
+    // opened — as-of must still match its own time's version
+    factStream.addData(EnrichFact("c2", ts0, 300L))
+    val qs2 = graft.streaming.Windowed.startAsOfEnrich(
+      factStream.toDF(), () => custDim, "cust_id", "ts", Seq("ltv_cents"),
+      s"$root/enriched", s"$root/enrich_ckpt",
+      auditPath = Some(s"$root/audit_stream"))
+    qs2.processAllAvailable(); qs2.stop()
+    val versions = custDim.collect().map(r => (r.getAs[String]("cust_id"),
+      r.getAs[java.sql.Timestamp]("effective_from"),
+      r.getAs[Long]("ltv_cents")))
+    def expectedLtv(c: String, at: java.sql.Timestamp): Long =
+      versions.filter(v => v._1 == c && !v._2.after(at)).maxBy(_._2.getTime)._3
+    val enriched = spark.read.parquet(s"$root/enriched").collect()
+      .map(r => (r.getAs[String]("cust_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("asof_ltv_cents")))
+    assert(enriched.length == 4)
+    enriched.foreach { case (c, at, got) =>
+      assert(got == expectedLtv(c, at), s"$c@$at point-in-time version") }
+
     // ---- the ONE audit trail: every seam's rows, all green ----
     val trail = spark.read.parquet(audit)
     // 2 streaming + 2×4 conform + 2×(4+1) staging + 6 3NF + 2 DWDD = 28
@@ -232,5 +268,13 @@ class EndToEndPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byStage == Map("ARRIVAL" -> 2L, "CONFORM" -> 8L,
       "STAGING" -> 10L, "3NF" -> 6L, "DWDD" -> 2L), byStage.toString)
+    // plus the streaming leg's per-batch rows (batch-keyed for idempotent
+    // replay, hence a sibling dir): 4 checks × 2 micro-batches, all green
+    val streamTrail = spark.read.parquet(s"$root/audit_stream")
+    assert(streamTrail.count() == 8L, s"stream audit rows: ${streamTrail.count()}")
+    assert(streamTrail.filter(col("testResult") =!= ValidationResult.PASSED)
+      .count() == 0L)
+    assert(streamTrail.select(col("stage")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("STREAM_ASOF"))
   }
 }
