@@ -2018,22 +2018,35 @@ private[graft] trait QueriesText { this: Queries.type =>
       .select(col("doc_id"),
         array_sort(array_distinct(Text.charShingles(col("text"), 3))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val freq = sets.select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rare-first global order (df, s); prefix p = m - ceil(0.75 m) + 1
-    val prefixes = sets
+    // The shingle STRING never shuffles: tokens travel as a 128-bit
+    // two-lane xxhash64 key (16 bytes vs ~24-char strings) through the df
+    // aggregate, the per-doc prefix ranking, and the candidate equi-join.
+    // Exactness is unaffected — PPJoin's prefix filter is complete under
+    // ANY total token order shared by all docs ((df, h1, h2) is one), and
+    // the final sorted-set-jaccard verify runs on the original strings, so
+    // candidates are only a superset heuristic. A 128-bit collision
+    // (≈2⁻¹²⁸ per token pair — absent at any corpus size) is the only way
+    // two distinct shingles could share a key.
+    val tok = sets
       .select(col("doc_id"), size(col("sh")).cast("long").as("m"),
         explode(col("sh")).as("s"))
-      .join(freq, "s")
+      .select(col("doc_id"), col("m"),
+        xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+    val freq = tok.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
+    // rare-first global order (df, h1, h2); prefix p = m - ceil(0.75 m) + 1
+    val prefixes = tok
+      .join(freq, Seq("h1", "h2"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h1"), col("h2"))))
       .filter(col("rk") <= expr("m - (13 * m + 19) DIV 20 + 1"))
-      .select(col("doc_id"), col("m"), col("s"))
+      .select(col("doc_id"), col("m"), col("h1"), col("h2"))
     // size filter (the other PPJoin prune): J >= t forces t·|a| <= |b|,
     // so wildly different sizes never reach the verify merge
-    val cand = prefixes.select(col("doc_id").as("id_a"), col("m").as("ma"), col("s"))
-      .join(prefixes.select(col("doc_id").as("id_b"), col("m").as("mb"), col("s")),
-        Seq("s"))
+    val cand = prefixes
+      .select(col("doc_id").as("id_a"), col("m").as("ma"), col("h1"), col("h2"))
+      .join(prefixes
+        .select(col("doc_id").as("id_b"), col("m").as("mb"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
       .filter(col("id_a") < col("id_b") &&
         col("mb") * 20 >= col("ma") * 13 && col("ma") * 20 >= col("mb") * 13)
       .select(col("id_a"), col("id_b")).distinct()
