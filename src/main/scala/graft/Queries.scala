@@ -488,7 +488,13 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q212_supplier_variety" -> (supplierVariety _),
     "q213_gap_hazard" -> (gapHazard _),
     "q214_vocab_growth" -> (vocabGrowth _),
-    "q215_fill_sla" -> (fillTimeSla _))
+    "q215_fill_sla" -> (fillTimeSla _),
+    "q216_min_cost_supplier" -> (minCostSupplier _),
+    "q217_nation_trade" -> (nationTrade _),
+    "q218_important_stock" -> (importantStock _),
+    "q219_small_qty" -> (smallQtyRevenue _),
+    "q220_disjunctive_join" -> (disjunctiveJoin _),
+    "q221_top_supplier" -> (topSupplier _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

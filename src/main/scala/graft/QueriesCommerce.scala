@@ -1010,7 +1010,280 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .orderBy(col("o_orderpriority"), col("sla_bucket"))
   }
 
+  /** Minimum-cost supplier per part (the TPC-H Q2 correlated-min shape,
+    * with lineitem standing in for partsupp): for every LARGE part, which
+    * supplier(s) ship it at the lowest unit price. The correlated
+    * `WHERE unit = (SELECT min(unit) ...)` decorrelates into a per-part
+    * min aggregate equality-joined back to the offer rows — the exact
+    * rewrite Catalyst would produce, made explicit so both the agg and
+    * the join shuffle once on `l_partkey`.
+    *
+    * Unit price is exact integer micro-cents: `price_cents * 10000 DIV
+    * qty` (both operands non-negative, so Spark's truncating DIV and
+    * DuckDB's flooring `//` agree), so the min and the equality join
+    * replay bit-for-bit — no double division anywhere.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000" +
+          " DIV CAST(l_quantity AS BIGINT)").as("unit_microcents"))
+    val best = offers.groupBy(col("l_partkey").as("bp"))
+      .agg(min(col("unit_microcents")).as("best_unit"))
+    offers
+      .join(best, col("l_partkey") === col("bp") &&
+        col("unit_microcents") === col("best_unit"))
+      .select(col("l_partkey").as("partkey"), col("p_name"), col("l_suppkey"),
+        col("unit_microcents")).distinct()
+      .join(broadcast(t(spark, dir, "supplier")
+          .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("partkey"), col("p_name"), col("s_name"), col("supp_nation"),
+        col("unit_microcents"))
+      .orderBy(col("partkey"), col("s_name"))
+  }
+
+
+  /** Bilateral trade volume between two nations by year (the TPC-H Q7
+    * shape): revenue shipped from suppliers in one nation to customers in
+    * the other, both directions, per ship year. The nation pair filter is
+    * a disjunction of conjunctions evaluated AFTER the two broadcast dim
+    * joins; only lineitem→orders shuffles (on orderkey). Revenue in exact
+    * scale-4 longs.
+    */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(t(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_19", "NATION_11")))
+    val supp = broadcast(t(spark, dir, "supplier")
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(t(spark, dir, "customer")
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_19"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(sum(col("rev_sc4")).as("revenue_sc4"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+
+  /** Important stock (the TPC-H Q11 HAVING-vs-global-scalar shape): parts
+    * whose shipped value from NATION_3 suppliers exceeds 1/10000 of the
+    * total such value. The global total enters the plan as
+    * `crossJoin(broadcast(1-row agg))` — never a driver collect — and the
+    * threshold compares `part_value > total DIV 10000` in longs (floor of
+    * the fraction; documented, exact, and overflow-free where
+    * `part_value * 10000` would not be at the 100 TB corpus).
+    */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val supp = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val value = t(spark, dir, "lineitem")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("val_cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("val_cents")).as("part_value_cents"))
+    val total = value.agg(sum(col("part_value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("part_value_cents") > expr("total_cents DIV 10000"))
+      .select(col("l_partkey").as("partkey"), col("part_value_cents"))
+      .orderBy(col("part_value_cents").desc, col("partkey"))
+  }
+
+
+  /** Top supplier(s) by quarterly revenue (the TPC-H Q15 view+scalar-max
+    * shape): per-supplier revenue over 1996Q1, then the supplier(s)
+    * whose revenue equals the global max. Exact scale-4 longs make the
+    * max-equality join deterministic; the 1-row max broadcasts.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_sc4")).as("total_revenue_sc4"))
+    val mx = rev.agg(max(col("total_revenue_sc4")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_sc4") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_sc4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+
+  /** Small-quantity revenue loss (the TPC-H Q17 correlated-avg shape):
+    * lineitems of SMALL Brand#3 parts whose quantity falls below 20% of
+    * that part's average shipped quantity. The correlated
+    * `l_quantity < 0.2 * avg(...)` decorrelates to a per-part (sum, count)
+    * aggregate joined back, and the 20% comparison cross-multiplies into
+    * integers — `5 * qty * cnt < sum_qty` — so no double division or
+    * rounding enters the predicate. Quantities are integer-valued in this
+    * corpus (TPC-H semantics), asserted by the cast.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+          .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("price_cents"))
+    val avgQ = li.groupBy(col("l_partkey").as("ap"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("price_cents")).as("lost_cents"),
+        expr("CAST(sum(price_cents) DIV 7 AS BIGINT)").as("avg_yearly_cents"))
+  }
+
+
+  /** Disjunctive multi-predicate join (the TPC-H Q19 shape): revenue from
+    * three OR'd brand/size/quantity windows. The join stays a single
+    * equi-join on partkey (part broadcasts); the disjunction is a
+    * post-join filter — the plan Catalyst picks for OR-of-conjunctions
+    * with a shared equi-key, keeping the scan pushdown on the common
+    * `p_size >= 1` prefix. Grouped by brand so the result exercises all
+    * three branches.
+    */
+  def disjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+    li.join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("qty").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_sc4")).as("revenue_sc4"))
+      .orderBy(col("p_brand"))
+  }
+
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q216_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, p_name, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+        |      // CAST(l_quantity AS BIGINT) AS unit_microcents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 10),
+        |best AS (SELECT l_partkey AS bp, min(unit_microcents) AS best_unit
+        |         FROM offers GROUP BY 1),
+        |win AS (SELECT DISTINCT l_partkey AS partkey, p_name, l_suppkey, unit_microcents
+        |        FROM offers JOIN best
+        |          ON l_partkey = bp AND unit_microcents = best_unit)
+        |SELECT partkey, p_name, s_name, n_name AS supp_nation, unit_microcents
+        |FROM win JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY partkey, s_name""".stripMargin,
+    "q217_nation_trade" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |  FROM lineitem),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       WHERE n_name IN ('NATION_19','NATION_11')),
+        |cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |       JOIN nation ON c_nationkey = n_nationkey
+        |       WHERE n_name IN ('NATION_19','NATION_11'))
+        |SELECT supp_nation, cust_nation, ship_year,
+        |  CAST(sum(rev_sc4) AS BIGINT) AS revenue_sc4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN sn ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE (supp_nation = 'NATION_19' AND cust_nation = 'NATION_11')
+        |   OR (supp_nation = 'NATION_11' AND cust_nation = 'NATION_19')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q218_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS part_value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(part_value_cents) AS BIGINT) AS total_cents FROM v)
+        |SELECT l_partkey AS partkey, part_value_cents
+        |FROM v CROSS JOIN tot
+        |WHERE part_value_cents > total_cents // 10000
+        |ORDER BY part_value_cents DESC, partkey""".stripMargin,
+    "q219_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        |a AS (SELECT l_partkey AS ap, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(price_cents) AS BIGINT) AS lost_cents,
+        |  CAST(sum(price_cents) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM li JOIN a ON l_partkey = ap
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+    "q220_disjunctive_join" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_sc4
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(rev_sc4) AS BIGINT) AS revenue_sc4
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND qty BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q221_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |      AS total_revenue_sc4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_revenue_sc4) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue_sc4
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_sc4 = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
     "q215_fill_sla" ->
       """WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
         |            FROM lineitem GROUP BY 1),

@@ -1943,4 +1943,151 @@ class QueriesSpec extends AnyFunSuite {
       assert(hits >= 8L, s"q$q int8 recall collapsed: $hits/10")
     }
   }
+
+  test("q216 min-cost supplier: per-part min unit price and winners replay") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q216_min_cost_supplier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_name")).toMap
+    val suppliers = spark.read.parquet(s"$sf/supplier.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[String]("s_name"), r.getAs[String]("n_name"))).toMap
+    val offers = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000" +
+          " DIV CAST(l_quantity AS BIGINT)").as("unit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(o => parts.contains(o._1))
+    val best = offers.groupBy(_._1).map { case (p, g) => p -> g.map(_._3).min }
+    val expect = offers.filter(o => o._3 == best(o._1))
+      .map(o => (o._1, parts(o._1), suppliers(o._2)._1, suppliers(o._2)._2, o._3))
+      .distinct.sortBy(w => (w._1, w._3))
+    assert(rows.toSeq == expect.toSeq)
+    assert(rows.nonEmpty)
+  }
+
+  test("q217 nation trade: bilateral revenue replays per direction and year") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q217_nation_trade")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .collect().map(r => r.getAs[Number]("n_nationkey").longValue -> r.getAs[String]("n_name")).toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        nations(r.getAs[Number]("s_nationkey").longValue)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .collect().map(r => r.getAs[Long]("c_custkey") -> nations(r.getAs[Long]("c_nationkey"))).toMap
+    val ordCust = spark.read.parquet(s"$sf/orders.parquet")
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = Set(("NATION_19", "NATION_11"), ("NATION_11", "NATION_19"))
+    val expect = li.map { case (ok, sk, yr, rev) => (supp(sk), cust(ordCust(ok)), yr, rev) }
+      .filter(x => pairs((x._1, x._2)))
+      .groupBy(x => (x._1, x._2, x._3))
+      .map { case (k, g) => k -> (g.map(_._4).sum, g.size.toLong) }
+    assert(rows == expect)
+    assert(rows.nonEmpty, "the chosen nation pair must trade at sf0.001")
+  }
+
+  test("q218 important stock: the 1/10000-of-total threshold replays in longs") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q218_important_stock")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nation3 = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_name") === "NATION_3")
+      .collect().map(_.getAs[Number]("n_nationkey").longValue).toSet
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().filter(r => nation3(r.getAs[Number]("s_nationkey").longValue))
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val value = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => supp(x._2))
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._3).sum }
+    val total = value.values.sum
+    val expect = value.filter(_._2 > total / 10000).toSeq
+      .sortBy { case (p, v) => (-v, p) }
+    assert(rows.toSeq == expect)
+    assert(rows.nonEmpty)
+  }
+
+  test("q219 small-quantity revenue: the cross-multiplied 20%-of-avg predicate replays") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("q219_small_qty")(spark, sf).collect()
+    assert(row.length == 1)
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => parts(x._1))
+    val stats = li.groupBy(_._1).map { case (p, g) =>
+      p -> (g.map(_._2).sum, g.size.toLong) }
+    val small = li.filter { case (p, q, _) =>
+      val (sumQ, cnt) = stats(p); q * 5 * cnt < sumQ }
+    assert(row(0).getLong(0) == small.size.toLong)
+    if (small.nonEmpty) {
+      val lost = small.map(_._3).sum
+      assert(row(0).getLong(1) == lost)
+      assert(row(0).getLong(2) == lost / 7)
+    }
+  }
+
+  test("q220 disjunctive join: each OR branch contributes and counts replay per brand") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q220_disjunctive_join")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[Number]("p_size").longValue)).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = li.flatMap { case (pk, q, rev) =>
+      val (b, sz) = parts(pk)
+      val in = (b == "Brand#1" && sz >= 1 && sz <= 5 && q >= 1 && q <= 11) ||
+        (b == "Brand#2" && sz >= 1 && sz <= 10 && q >= 10 && q <= 20) ||
+        (b == "Brand#3" && sz >= 1 && sz <= 15 && q >= 20 && q <= 30)
+      if (in) Some(b -> rev) else None
+    }.groupBy(_._1).map { case (b, g) => b -> (g.size.toLong, g.map(_._2).sum) }
+    assert(rows == expect)
+    assert(rows.keySet == Set("Brand#1", "Brand#2", "Brand#3"),
+      "all three OR branches must fire at sf0.001")
+  }
+
+  test("q221 top supplier: the max-revenue equality join replays from per-supplier sums") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q221_top_supplier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val rev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val mx = rev.values.max
+    val expect = rev.filter(_._2 == mx).toSeq
+      .map { case (s, v) => (s, names(s), v) }.sortBy(_._1)
+    assert(rows.toSeq == expect)
+    assert(rows.nonEmpty)
+  }
 }
