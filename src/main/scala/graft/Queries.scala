@@ -494,7 +494,12 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q218_important_stock" -> (importantStock _),
     "q219_small_qty" -> (smallQtyRevenue _),
     "q220_disjunctive_join" -> (disjunctiveJoin _),
-    "q221_top_supplier" -> (topSupplier _))
+    "q221_top_supplier" -> (topSupplier _),
+    "q222_shipping_priority" -> (shippingPriority _),
+    "q223_local_supplier" -> (localSupplierVolume _),
+    "q224_forecast_revenue" -> (forecastRevenue _),
+    "q225_order_count_dist" -> (orderCountDistribution _),
+    "q226_nation_margin" -> (nationMargin _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -1188,7 +1188,204 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
   }
 
 
+  /** Shipping priority (the TPC-H Q3 shape): top-10 undelivered orders by
+    * open revenue for one market segment at a cutoff date. Each table is
+    * filtered BEFORE its join (segment, order date, ship date all reach
+    * their scans as pushed predicates); orders⋈customer shuffles on
+    * custkey, lineitem joins on orderkey, and the final cut is a
+    * TakeOrderedAndProject — no global sort materializes. Revenue in
+    * exact scale-4 longs; ties broken by orderkey so the LIMIT is
+    * deterministic on both engines.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1997-06-30"
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+          .cast("long").as("rev_sc4"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("order_date"))
+      .agg(sum(col("rev_sc4")).as("revenue_sc4"))
+      .orderBy(col("revenue_sc4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+
+  /** Local-supplier volume (the TPC-H Q5 shape): revenue in one region
+    * and order year where the supplier and the customer share a nation —
+    * the dim-attribute equi-correlation (`c_nationkey = s_nationkey`)
+    * rides the supplier join as a second hash key, so the whole thing
+    * stays equi-joins. Region→nation is a genuinely tiny broadcast; the
+    * supplier and customer joins shuffle on their keys.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val rn = broadcast(t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val supp = t(spark, dir, "supplier")
+      .join(rn, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (dec2(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
+              .cast("long").as("rev_sc4")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_sc4")).as("revenue_sc4"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_sc4").desc, col("n_name"))
+  }
+
+
+  /** Forecast-revenue change (the TPC-H Q6 shape): one pure scan-side
+    * filter-aggregate — no join, no shuffle beyond the final 1-row
+    * combine; every predicate (date range, discount band, quantity cap)
+    * reaches the parquet scan. The revenue delta is price × discount in
+    * exact scale-4 longs.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum((dec2(col("l_extendedprice")) * dec2(col("l_discount")) * 10000)
+          .cast("long"))).as("revenue_sc4"),
+        count(lit(1)).as("n_items"))
+  }
+
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly k qualifying orders, INCLUDING the
+    * never-ordered (the left-outer zero bucket). The scalable rewrite:
+    * orders pre-aggregate to customer grain FIRST (one map-side-combined
+    * count), then the left join carries one row per customer instead of
+    * fanning out order rows, then a second bounded rollup over k.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("k"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("k"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+
+  /** Product gross-margin by nation and order year (the TPC-H Q9 shape,
+    * tax-margin variant — this corpus has no partsupp/supplycost, so the
+    * profit expression becomes net vs tax-gross revenue): parts chosen by
+    * a LIKE substring, revenue attributed to the supplier's nation and
+    * the ORDER year. All money in exact integer 1e-4-cent units —
+    * `price_cents × (100−disc_pct) × (100±0/tax_pct)` — so the two sums
+    * and the tax-load ppm replay bit-for-bit (non-negative DIV).
+    */
+  def nationMargin(spark: SparkSession, dir: String): DataFrame = {
+    val widgets = t(spark, dir, "part")
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("price_cents"),
+        (dec2(col("l_discount")) * 100).cast("long").as("disc_pct"),
+        (dec2(col("l_tax")) * 100).cast("long").as("tax_pct"))
+      .join(widgets, col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("price_cents") * (lit(100L) - col("disc_pct")) * 100L).as("net_e4"),
+        sum(col("price_cents") * (lit(100L) - col("disc_pct")) *
+          (lit(100L) + col("tax_pct"))).as("gross_e4"))
+      .select(col("nation"), col("o_year"), col("net_e4"), col("gross_e4"),
+        expr("(gross_e4 - net_e4) * 1000000 DIV greatest(net_e4, 1)").as("tax_load_ppm"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q222_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS revenue_sc4
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1997-06-30' AND l_shipdate > '1997-06-30'
+        |GROUP BY 1, 2 ORDER BY revenue_sc4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q223_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS revenue_sc4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue_sc4 DESC, n_name""".stripMargin,
+    "q224_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS revenue_sc4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q225_order_count_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k FROM orders
+        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)
+        |SELECT coalesce(k, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT OUTER JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q226_nation_margin" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_pct,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_pct
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT n_name AS nation,
+        |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+        |    CAST(sum(price_cents * (100 - disc_pct) * 100) AS BIGINT) AS net_e4,
+        |    CAST(sum(price_cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS gross_e4
+        |  FROM li JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY 1, 2)
+        |SELECT nation, o_year, net_e4, gross_e4,
+        |  CAST((gross_e4 - net_e4) * 1000000 // greatest(net_e4, 1) AS BIGINT) AS tax_load_ppm
+        |FROM g ORDER BY nation, o_year""".stripMargin,
     "q216_min_cost_supplier" ->
       """WITH offers AS (
         |  SELECT l_partkey, p_name, l_suppkey,

@@ -2090,4 +2090,136 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.toSeq == expect)
     assert(rows.nonEmpty)
   }
+
+  test("q222 shipping priority: the top-10 cut replays from per-order open revenue") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q222_shipping_priority")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val building = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") < lit("1997-06-30"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(o => building(o._2)).map(o => o._1 -> o._3).toMap
+    val rev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1997-06-30"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(x => ord.contains(x._1))
+      .groupBy(_._1).map { case (ok, g) => (ok, ord(ok), g.map(_._2).sum) }
+    val expect = rev.toSeq.sortBy(x => (-x._3, x._1)).take(10)
+    assert(rows.toSeq == expect)
+    assert(rows.length == 10)
+  }
+
+  test("q223 local supplier: the c_nationkey=s_nationkey correlation replays per nation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q223_local_supplier")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val asia = spark.read.parquet(s"$sf/region.parquet")
+      .filter(col("r_name") === "ASIA")
+      .collect().map(_.getAs[Number]("r_regionkey").longValue).toSet
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .collect().filter(r => asia(r.getAs[Number]("n_regionkey").longValue))
+      .map(r => r.getAs[Number]("n_nationkey").longValue -> r.getAs[String]("n_name")).toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        r.getAs[Number]("s_nationkey").longValue).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .collect().map(r => r.getAs[Long]("c_custkey") ->
+        r.getAs[Number]("c_nationkey").longValue).toMap
+    val ordCust = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) * 10000)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = li.flatMap { case (ok, sk, rev) =>
+      for {
+        ck <- ordCust.get(ok)
+        sn = supp(sk)
+        if cust(ck) == sn
+        name <- nations.get(sn)
+      } yield (name, rev)
+    }.groupBy(_._1).map { case (n, g) => (n, g.map(_._2).sum, g.size.toLong) }
+      .toSeq.sortBy(x => (-x._2, x._1))
+    assert(rows.toSeq == expect)
+    assert(rows.nonEmpty, "ASIA must trade locally at sf0.001")
+  }
+
+  test("q224 forecast revenue: the pure filter-aggregate replays over banded rows") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("q224_forecast_revenue")(spark, sf).collect()
+    assert(row.length == 1)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_discount"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)") * 10000).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .filter(x => x._1 >= 0.05 && x._1 <= 0.07 && x._2 < 24)
+    assert(row(0).getLong(0) == li.map(_._3).sum)
+    assert(row(0).getLong(1) == li.size.toLong)
+    assert(li.nonEmpty)
+  }
+
+  test("q225 order-count distribution: the zero bucket counts exactly the never-ordered") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q225_order_count_dist")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .collect().map(_.getAs[Long]("o_custkey"))
+      .groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .collect().map(_.getAs[Long]("c_custkey"))
+    val expect = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, g) => (k, g.length.toLong) }
+      .toSeq.sortBy(x => (-x._2, -x._1))
+    assert(rows.toSeq == expect)
+    assert(expect.map(_._2).sum == custs.length.toLong, "every customer lands in one bucket")
+  }
+
+  test("q226 nation margin: net/gross integer sums and the tax-load ppm replay") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q226_nation_margin")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val widgets = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_name").like("%widget%"))
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .collect().map(r => r.getAs[Number]("n_nationkey").longValue -> r.getAs[String]("n_name")).toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        nations(r.getAs[Number]("s_nationkey").longValue)).toMap
+    val ordYear = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_tax").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(x => widgets(x._2))
+    val expect = li.map { case (ok, _, sk, pc, d, t) =>
+      (supp(sk), ordYear(ok)) -> (pc * (100L - d) * 100L, pc * (100L - d) * (100L + t))
+    }.groupBy(_._1).map { case (k, g) =>
+      val net = g.map(_._2._1).sum; val gross = g.map(_._2._2).sum
+      k -> (net, gross, (gross - net) * 1000000L / math.max(net, 1L))
+    }
+    assert(rows == expect)
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (net, gross, _) => assert(gross >= net) }
+  }
 }
