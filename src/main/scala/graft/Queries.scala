@@ -499,7 +499,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q223_local_supplier" -> (localSupplierVolume _),
     "q224_forecast_revenue" -> (forecastRevenue _),
     "q225_order_count_dist" -> (orderCountDistribution _),
-    "q226_nation_margin" -> (nationMargin _))
+    "q226_nation_margin" -> (nationMargin _),
+    "q227_seasonal_outliers" -> (seasonalOutliers _),
+    "q228_matryoshka_recall" -> (matryoshkaRecall _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -1599,7 +1599,68 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .orderBy(col("event_type"), col("gap_days"))
   }
 
+  /** Seasonal-residual outlier days: per event type, days whose volume
+    * deviates from the day-of-week expectation by more than 3 MAD — the
+    * ingestion-volume monitor that q210's static profile can't give
+    * (q210 says Mondays run hot; this says THIS Monday broke). The
+    * day-of-week baseline is the per-(type, dow) mean in floor-integer
+    * counts; the MAD is the lower median of |residual| read off the
+    * per-type cumulative over the (type, |r|) distinct-value summary —
+    * every window here is partitioned by type over a calendar-bounded
+    * frame, the raw stream is gone after the first rollup. All integer
+    * arithmetic, so the flags replay bit-for-bit.
+    */
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val expected = daily.groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(n) DIV count(1)").as("exp_n"))
+    val resid = daily.join(expected, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("n"), col("exp_n"),
+        (col("n") - col("exp_n")).as("resid"))
+    val summary = resid.groupBy(col("event_type"), abs(col("resid")).as("ar"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("ar"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val mad = summary
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tt", sum(col("c")).over(wAll))
+      .filter(col("cum") * 2 >= col("tt"))
+      .groupBy(col("event_type")).agg(min(col("ar")).as("mad"))
+    resid.join(broadcast(mad), "event_type")
+      .filter(abs(col("resid")) > lit(3L) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), col("day"), col("n"), col("exp_n"),
+        col("resid"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q227_seasonal_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+        |e AS (SELECT event_type, dow, CAST(sum(n) // count(*) AS BIGINT) AS exp_n
+        |      FROM d2 GROUP BY 1, 2),
+        |r AS (SELECT d2.event_type AS event_type, day, n, exp_n, n - exp_n AS resid
+        |      FROM d2 JOIN e ON d2.event_type = e.event_type AND d2.dow = e.dow),
+        |s AS (SELECT event_type, abs(resid) AS ar, count(*) AS c FROM r GROUP BY 1, 2),
+        |cum AS (SELECT event_type, ar,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY ar) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS t
+        |        FROM s),
+        |mad AS (SELECT event_type, CAST(min(ar) AS BIGINT) AS mad
+        |        FROM cum WHERE cum * 2 >= t GROUP BY 1)
+        |SELECT r.event_type AS event_type, day, n, exp_n, resid, mad
+        |FROM r JOIN mad ON r.event_type = mad.event_type
+        |WHERE abs(resid) > 3 * greatest(mad, 1)
+        |ORDER BY event_type, day""".stripMargin,
     "q213_gap_hazard" ->
       """WITH g AS (SELECT event_type,
         |             (lead(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type

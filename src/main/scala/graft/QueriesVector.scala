@@ -803,7 +803,75 @@ private[graft] trait QueriesVector { this: Queries.type =>
       .orderBy(col("query_id"))
   }
 
+  /** Matryoshka (prefix-dimension) recall curve: recall@10 of cosine
+    * ranking over the first 8/16/32/64 dims against the full-dim truth —
+    * the "how few dimensions can retrieval afford" audit behind
+    * MRL-truncated embedding serving, the dimension analog of q207's
+    * int8 precision cut. ONE corpus pass computes all four prefix
+    * similarities (the slices share the scan), stack unpivots to
+    * (dim, sim), one window family ranks per (dim, query), and the
+    * 64-dim branch IS the truth — recall is a semi-join against it,
+    * dense over the dims×queries grid so a collapsed prefix reports 0
+    * rather than vanishing. Query set is a bounded broadcast
+    * (adjudicated BNLJ, the q30/q207 pattern).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val dims = Seq(8, 16, 32, 64)
+    val sims = dims.map { d =>
+      Similarity.cosine(slice(col("cv"), 1, d), slice(col("qv"), 1, d)).as(s"sim$d")
+    }
+    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(q)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid") +: col("cid") +: sims: _*)
+    val stacked = scored.selectExpr("qid", "cid",
+      "stack(4, 8L, sim8, 16L, sim16, 32L, sim32, 64L, sim64) AS (dim_prefix, sim)")
+    val w = Window.partitionBy(col("dim_prefix"), col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val top = stacked.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("dim_prefix"), col("qid"), col("cid"))
+    val truth = top.filter(col("dim_prefix") === 64L)
+      .select(col("qid").as("tq"), col("cid").as("tc"))
+    val hits = top
+      .join(truth, col("qid") === col("tq") && col("cid") === col("tc"), "left_semi")
+      .groupBy(col("dim_prefix"), col("qid"))
+      .agg(count(lit(1)).as("h"))
+    q.select(col("qid"))
+      .withColumn("dim_prefix", explode(array(dims.map(d => lit(d.toLong)): _*)))
+      .join(hits, Seq("dim_prefix", "qid"), "left")
+      .select(col("dim_prefix"), col("qid").as("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) * 100000).as("recall_ppm"))
+      .orderBy(col("dim_prefix"), col("query_id"))
+  }
+
+
   protected lazy val vectorOracle: Map[String, String] = Map(
+    "q228_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |dims AS (SELECT * FROM (VALUES (8), (16), (32), (64)) AS d(dp)),
+        |s AS (SELECT dp, qid, e.vec_id AS cid,
+        |        list_cosine_similarity(list_slice(e.v, 1, dp), list_slice(qv, 1, dp)) AS sim
+        |      FROM e CROSS JOIN q CROSS JOIN dims WHERE e.vec_id <> qid),
+        |r AS (SELECT dp, qid, cid,
+        |        row_number() OVER (PARTITION BY dp, qid ORDER BY sim DESC, cid) AS rnk
+        |      FROM s),
+        |top AS (SELECT dp, qid, cid FROM r WHERE rnk <= 10),
+        |truth AS (SELECT qid, cid FROM top WHERE dp = 64),
+        |h AS (SELECT t.dp, t.qid, CAST(count(*) AS BIGINT) AS h
+        |      FROM top t JOIN truth u ON t.qid = u.qid AND t.cid = u.cid
+        |      GROUP BY 1, 2)
+        |SELECT CAST(d.dp AS BIGINT) AS dim_prefix, q.qid AS query_id,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.h, 0) * 100000 AS BIGINT) AS recall_ppm
+        |FROM q CROSS JOIN dims d
+        |LEFT JOIN h ON h.dp = d.dp AND h.qid = q.qid
+        |ORDER BY dim_prefix, query_id""".stripMargin,
     "q207_int8_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS sc FROM e),

@@ -2222,4 +2222,65 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.values.foreach { case (net, gross, _) => assert(gross >= net) }
   }
+
+  test("q227 seasonal outliers: the DOW baseline, MAD, and 3-MAD flags replay in integers") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q227_seasonal_outliers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+    val daily = ev.groupBy(identity).map { case ((t, d), g) => (t, d, g.size.toLong) }
+    val expected = daily.groupBy(x => (x._1, (x._2 + 4) % 7))
+      .map { case (k, g) => k -> g.map(_._3).sum / g.size }
+    val resid = daily.map { case (t, d, n) =>
+      (t, d, n, expected((t, (d + 4) % 7))) }
+      .map { case (t, d, n, e) => (t, d, n, e, n - e) }
+    val mad = resid.groupBy(_._1).map { case (t, g) =>
+      val ars = g.map(x => math.abs(x._5)).toSeq.sorted
+      // lower median: smallest value whose cumulative count doubles past the total
+      t -> ars((ars.size - 1) / 2)
+    }
+    val expect = resid.filter { case (t, _, _, _, r) =>
+      math.abs(r) > 3 * math.max(mad(t), 1L) }
+      .map { case (t, d, n, e, r) => (t, d, n, e, r, mad(t)) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == expect)
+    assert(rows.nonEmpty, "the sf0.001 stream must contain at least one seasonal outlier")
+  }
+
+  test("q228 matryoshka recall: prefix-cosine rankings replay and dim-64 is perfect") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q228_matryoshka_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val queries = vecs.keys.filter(_ < 5).toSeq.sorted
+    val dims = Seq(8, 16, 32, 64)
+    val top = (for { d <- dims; q <- queries } yield {
+      val ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (cid, cv) => (cid, cos(cv, vecs(q), d)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(10).map(_._1).toSet
+      (d.toLong, q) -> ranked
+    }).toMap
+    val expect = (for { d <- dims; q <- queries } yield {
+      val h = (top((d.toLong, q)) intersect top((64L, q))).size.toLong
+      (d.toLong, q) -> (h, h * 100000L)
+    }).toMap
+    assert(rows == expect)
+    queries.foreach(q => assert(rows((64L, q)) == ((10L, 1000000L)), s"dim-64 truth for q$q"))
+  }
 }
