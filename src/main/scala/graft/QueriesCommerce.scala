@@ -1165,8 +1165,8 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * three OR'd brand/size/quantity windows. The join stays a single
     * equi-join on partkey (part broadcasts); the disjunction is a
     * post-join filter — the plan Catalyst picks for OR-of-conjunctions
-    * with a shared equi-key, keeping the scan pushdown on the common
-    * `p_size >= 1` prefix. Grouped by brand so the result exercises all
+    * with a shared equi-key (a disjunction in the join CONDITION would
+    * plan a nested loop). Grouped by brand so the result exercises all
     * three branches.
     */
   def disjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1316,11 +1316,19 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
         col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), col("o_year"))
-      .agg(sum(col("price_cents") * (lit(100L) - col("disc_pct")) * 100L).as("net_e4"),
-        sum(col("price_cents") * (lit(100L) - col("disc_pct")) *
-          (lit(100L) + col("tax_pct"))).as("gross_e4"))
-      .select(col("nation"), col("o_year"), col("net_e4"), col("gross_e4"),
-        expr("(gross_e4 - net_e4) * 1000000 DIV greatest(net_e4, 1)").as("tax_load_ppm"))
+      // e4 units run 100× hotter than the repo's sc4 standard, so the sums
+      // and the ppm multiply widen to DECIMAL(38,0)/HUGEINT (the q198/q133
+      // overflow discipline); the BIGINT presentation cast then fails loudly
+      // on both engines instead of wrapping if a group ever tops ~$9.2e12.
+      .agg(sum((col("price_cents") * (lit(100L) - col("disc_pct")) * 100L)
+          .cast(DecimalType(38, 0))).as("net_d"),
+        sum((col("price_cents") * (lit(100L) - col("disc_pct")) *
+          (lit(100L) + col("tax_pct"))).cast(DecimalType(38, 0))).as("gross_d"))
+      .select(col("nation"), col("o_year"),
+        col("net_d").cast("long").as("net_e4"),
+        col("gross_d").cast("long").as("gross_e4"),
+        expr("CAST((gross_d - net_d) * 1000000 DIV greatest(net_d, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("tax_load_ppm"))
       .orderBy(col("nation"), col("o_year"))
   }
 
@@ -1375,16 +1383,17 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
         |g AS (
         |  SELECT n_name AS nation,
         |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
-        |    CAST(sum(price_cents * (100 - disc_pct) * 100) AS BIGINT) AS net_e4,
-        |    CAST(sum(price_cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS gross_e4
+        |    sum(price_cents * (100 - disc_pct) * 100) AS net_d,
+        |    sum(price_cents * (100 - disc_pct) * (100 + tax_pct)) AS gross_d
         |  FROM li JOIN part ON l_partkey = p_partkey
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE p_name LIKE '%widget%'
         |  GROUP BY 1, 2)
-        |SELECT nation, o_year, net_e4, gross_e4,
-        |  CAST((gross_e4 - net_e4) * 1000000 // greatest(net_e4, 1) AS BIGINT) AS tax_load_ppm
+        |SELECT nation, o_year,
+        |  CAST(net_d AS BIGINT) AS net_e4, CAST(gross_d AS BIGINT) AS gross_e4,
+        |  CAST((gross_d - net_d) * 1000000 // greatest(net_d, 1) AS BIGINT) AS tax_load_ppm
         |FROM g ORDER BY nation, o_year""".stripMargin,
     "q216_min_cost_supplier" ->
       """WITH offers AS (

@@ -817,13 +817,24 @@ private[graft] trait QueriesVector { this: Queries.type =>
     */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    val q = broadcast(e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val dims = Seq(8, 16, 32, 64)
+    // The scan-operator discipline (Similarity.scala): prefix norms are
+    // projected ONCE per row on each side below the join, so every
+    // candidate pair costs exactly one dot product per prefix — never a
+    // per-pair norm recomputation on the all-pairs hot path.
+    def withNorms(v: Column, p: String): Seq[Column] =
+      dims.map(d => Similarity.norm(slice(v, 1, d)).as(s"$p$d"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("embedding").as("qv") +:
+        withNorms(col("embedding"), "qn"): _*))
     val sims = dims.map { d =>
-      Similarity.cosine(slice(col("cv"), 1, d), slice(col("qv"), 1, d)).as(s"sim$d")
+      val den = col(s"cn$d") * col(s"qn$d")
+      when(den === 0, lit(0.0))
+        .otherwise(Similarity.dot(slice(col("cv"), 1, d), slice(col("qv"), 1, d)) / den)
+        .as(s"sim$d")
     }
-    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = e.select(col("vec_id").as("cid") +: col("embedding").as("cv") +:
+        withNorms(col("embedding"), "cn"): _*)
       .crossJoin(q)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid") +: col("cid") +: sims: _*)
