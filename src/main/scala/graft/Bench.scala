@@ -10,9 +10,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle parallelism sizes to the DATA, not the machine: at the
+    // rehearsal SFs (sf1/sf10) a 32-partition sort holds 100× the rows per
+    // partition it held at sf0.1 and heap-OOMs exactly the way a
+    // mis-provisioned cluster would. SPARK_GRAFT_SHUFFLE_PARTITIONS raises
+    // the INITIAL partition count for scale runs; AQE coalesces small
+    // stages back down, so the floor-gated sf0.1 runs keep their default.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1157,9 +1157,11 @@ private[graft] trait QueriesText { this: Queries.type =>
     * shared grams) and the near-dup buckets at ~10⁶ ppm — a flat curve
     * means the band/row trade-off is mis-sized for the dedup threshold.
     * Ground truth is the q54 discipline — exact set math only within
-    * (lang, source) blocks; at 100 TB the audit runs on a hash-sample of
-    * blocks BY DESIGN (exact all-pairs is what LSH exists to avoid), and
-    * candidates come from the capped band buckets over the same universe.
+    * (lang, source) blocks, and any block past 4096 docs keeps a
+    * deterministic hash-sample (exact all-pairs is what LSH exists to
+    * avoid; the cap is inert at every gate SF and bounds the truth side
+    * at 100 TB). Candidates come from the capped band buckets over the
+    * FULL universe — sampling the truth never hides a candidate.
     * Buckets are exact integer math ((inter*20) DIV union), so boundaries
     * cannot drift between engines; the truth-candidate join moves only id
     * pairs.
@@ -1172,9 +1174,23 @@ private[graft] trait QueriesText { this: Queries.type =>
     // the exact integer intersection (the q54 lesson, integer-typed)
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       array_sort(array_distinct(Text.shingles(col("text"), 3))).as("sh"))
-    val a = base.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+    // The documented sample-at-scale contract, implemented: exact all-pairs
+    // truth is quadratic in the block, so any (lang, source) block past the
+    // cap keeps a deterministic ~cap-sized hash-sample of docs (inert at
+    // every gate SF — sf0.01/sf0.1/sf1 blocks sit under 4096 — and proven
+    // necessary by the sf10 rehearsal, where unsampled truth went 25× for
+    // 10× data). Keep iff hashBucket(id)/10⁶ < cap/bn, all integers.
+    val truthBlockCap = 4096L
+    val sizes = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("bn"))
+    val sampled = base.join(broadcast(sizes), Seq("lang", "source"))
+      .filter(col("bn") <= truthBlockCap ||
+        Sampling.hashBucket(col("doc_id"), 1000000) * col("bn") <
+          lit(truthBlockCap * 1000000L))
+      .drop("bn")
+    val a = sampled.select(col("doc_id").as("id_a"), col("lang"), col("source"),
       col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+    val b = sampled.select(col("doc_id").as("id_b"), col("lang"), col("source"),
       col("sh").as("sh_b"))
     val truth = a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
@@ -2013,11 +2029,24 @@ private[graft] trait QueriesText { this: Queries.type =>
     * rather than the fixture.
     */
   def ppjoinExact(spark: SparkSession, dir: String): DataFrame = {
-    val sets = t(spark, dir, "documents")
+    val base = t(spark, dir, "documents")
       .filter(col("text").isNotNull && col("doc_id") % 8 === 0)
       .select(col("doc_id"),
         array_sort(array_distinct(Text.charShingles(col("text"), 3))).as("sh"))
       .filter(size(col("sh")) > 0)
+    // The verification sample is additionally CAPPED at ~8192 docs by a
+    // deterministic hash thin (in-plan scalar count, never a collect) —
+    // inert at every gate SF (sf0.01/sf0.1 samples sit at 625/6250) and
+    // the bound that keeps the degenerate-vocabulary fixture's
+    // near-all-pairs candidate set from exhausting executor memory at the
+    // sf10 rehearsal. The ALGORITHM is unchanged: within the sample the
+    // prefix filter remains provably complete.
+    val ns = base.agg(count(lit(1)).as("ns"))
+    val sets = base.crossJoin(broadcast(ns))
+      .filter(col("ns") <= 8192L ||
+        Sampling.hashBucket(col("doc_id"), 1000000) * col("ns") <
+          lit(8192L * 1000000L))
+      .drop("ns")
     // The shingle STRING never shuffles: tokens travel as a 128-bit
     // two-lane xxhash64 key (16 bytes vs ~24-char strings) through the df
     // aggregate, the per-doc prefix ranking, and the candidate equi-join.
@@ -3331,11 +3360,16 @@ private[graft] trait QueriesText { this: Queries.type =>
          |        list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
          |             ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
          |      FROM (SELECT doc_id, lang, source, $DNTOKS AS tk FROM documents)),
+         |s2 AS (SELECT * FROM s WHERE len(sh) > 0),
+         |sz AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS bn
+         |       FROM s2 GROUP BY 1, 2),
+         |ss AS (SELECT s2.* FROM s2 JOIN sz USING (lang, source)
+         |       WHERE bn <= 4096
+         |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 4096 * 1000000),
          |t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
          |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-         |      FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |      WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+         |      FROM ss a JOIN ss b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
          |tb AS (SELECT id_a, id_b, (inter * 20) // uni AS bucket FROM t WHERE inter > 0),
          |j AS (SELECT tb.bucket, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
          |      FROM tb LEFT JOIN cand c ON tb.id_a = c.id_a AND tb.id_b = c.id_b)
@@ -3646,12 +3680,16 @@ private[graft] trait QueriesText { this: Queries.type =>
          |FROM j""".stripMargin
     },
     "q196_ppjoin_exact" ->
-      """WITH s AS (SELECT doc_id,
+      """WITH s0 AS (SELECT doc_id,
         |             list_distinct(list_transform(
         |               generate_series(1, greatest(length(text) - 2, 0)),
         |               i -> substr(text, i, 3))) AS sh
         |           FROM documents
-        |           WHERE text IS NOT NULL AND length(text) >= 3 AND doc_id % 8 = 0)
+        |           WHERE text IS NOT NULL AND length(text) >= 3 AND doc_id % 8 = 0),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s0),
+        |s AS (SELECT s0.* FROM s0 CROSS JOIN ns
+        |      WHERE ns <= 8192
+        |         OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * ns < 8192 * 1000000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
