@@ -138,14 +138,33 @@ private[graft] trait QueriesText { this: Queries.type =>
     * deterministic 1-in-5 sample — the oracle row for the n-gram Jaccard
     * family (q28's LSH candidates are the scale path; this blocked exact
     * form is plain SQL on both engines, so it carries a real DuckDB oracle).
+    *
+    * Sample-at-scale contract (the q123/q196 discipline): blocked exact
+    * enumeration is quadratic in the block, so any (lang, source) block
+    * past the cap keeps a deterministic ~cap-sized hash-sample of its
+    * docs. Inert at every gate SF — blocks are 12 / 109 / 1090 docs at
+    * sf0.01 / sf0.1 / sf1, all under the 2048 cap, so oracle hashes and
+    * floors are untouched — and proven necessary by the sf10 full-catalog
+    * rehearsal, where the uncapped 10900-doc blocks went 373× wall for
+    * 100× data. Keep iff hashBucket(id)/10⁶ < cap/bn, all integers.
     */
-  def jaccardBlocked(spark: SparkSession, dir: String): DataFrame =
-    Dedup.blockedJaccardPairs(
-        t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+  def jaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+    val truthBlockCap = 2048L
+    val sizes = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("bn"))
+    val sampled = docs.join(broadcast(sizes), Seq("lang", "source"))
+      .filter(col("bn") <= truthBlockCap ||
+        Sampling.hashBucket(col("doc_id"), 1000000) * col("bn") <
+          lit(truthBlockCap * 1000000L))
+      .drop("bn")
+    Dedup.blockedJaccardPairs(sampled,
         col("doc_id"), col("text"), Seq(col("lang"), col("source")),
         shingleK = 3, threshold = 0.2)
       .select(col("id_a").as("left_id"), col("id_b").as("right_id"), col("jaccard"))
       .orderBy(col("left_id"), col("right_id"))
+  }
 
 
   /** Deterministic 80/10/10 train/val/test split from the md5 hash bucket of
@@ -2541,11 +2560,16 @@ private[graft] trait QueriesText { this: Queries.type =>
         |         list_transform(generate_series(1, greatest(length(text) - 2, 0)),
         |                        i -> substr(text, i, 3)) AS sh
         |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
-        |)
+        |),
+        |sz AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS bn
+        |       FROM s GROUP BY 1, 2),
+        |ss AS (SELECT s.* FROM s JOIN sz USING (lang, source)
+        |       WHERE bn <= 2048
+        |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 2048 * 1000000)
         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |FROM ss a JOIN ss b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
         |ORDER BY left_id, right_id""".stripMargin,
