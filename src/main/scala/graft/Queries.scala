@@ -501,7 +501,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q225_order_count_dist" -> (orderCountDistribution _),
     "q226_nation_margin" -> (nationMargin _),
     "q227_seasonal_outliers" -> (seasonalOutliers _),
-    "q228_matryoshka_recall" -> (matryoshkaRecall _))
+    "q228_matryoshka_recall" -> (matryoshkaRecall _),
+    "q229_late_priority" -> (latePriority _),
+    "q230_hubness" -> (hubnessAudit _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

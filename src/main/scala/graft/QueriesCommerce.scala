@@ -1333,7 +1333,49 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
   }
 
 
+  /** Late-shipment priority mix (the TPC-H Q12 shape, completing the
+    * catalog's Q1-Q22 sweep): among 1996-1997 lines that shipped more
+    * than 60 days after their order was placed, how many belonged to
+    * critical-priority orders (1-URGENT / 2-HIGH) versus everything
+    * else, per line status — the reference's priority-vs-latency
+    * integrity concern as one equi-join plus conditional aggregation
+    * (`query.txt:1`'s CASE rollup idiom). The ship-date window reaches
+    * the lineitem scan as a pushed predicate; the lateness test is a
+    * cheap post-join flag (it needs both sides, so it can't push
+    * further); the rollup is |linestatus| rows.
+    */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+
   protected lazy val commerceOracle: Map[String, String] = Map(
+    "q229_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                 CAST(l_shipdate AS DATE)) > 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q222_shipping_priority" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

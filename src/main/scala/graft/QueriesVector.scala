@@ -861,7 +861,45 @@ private[graft] trait QueriesVector { this: Queries.type =>
   }
 
 
+  /** Hubness audit (k-occurrence distribution): how often each corpus
+    * vector lands in other vectors' exact top-10 cosine lists, rolled up
+    * as a histogram of that occurrence count — the standard
+    * high-dimensional hubness diagnostic (a heavy right tail means hub
+    * vectors dominate retrieval and skew ANN ground truth; a mass near
+    * the probe mean means the space is well-behaved). The probe set is
+    * a fixed 64-query deterministic sample (`vec_id < 64`), so the
+    * scored frame is 64×corpus — linear in corpus, never all-pairs —
+    * while the corpus side is never sampled: every vector's occurrence
+    * count is exact for this probe set. Reuses the
+    * [[Similarity.bruteForceTopK]] broadcast→window path; after it, two
+    * bounded rollups (corpus-keyed count, then a ≤640-cell histogram).
+    * Vectors that never appear in any list carry occ=0 implicitly and
+    * are not emitted.
+    */
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 64), col("vec_id"), col("embedding"), k = 10)
+      .groupBy(col("corpus_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("occ"))
+  }
+
+
   protected lazy val vectorOracle: Map[String, String] = Map(
+    "q230_hubness" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 64),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, cid, list_cosine_similarity(cv, qv) AS sim
+        |      FROM c CROSS JOIN q WHERE qid <> cid),
+        |r AS (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |      FROM s),
+        |occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS occ
+        |        FROM r WHERE rnk <= 10 GROUP BY 1)
+        |SELECT occ, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM occ GROUP BY 1 ORDER BY occ""".stripMargin,
     "q228_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

@@ -638,6 +638,7 @@ class PlanSpec extends AnyFunSuite {
     "q68_ivf_pq", "q100_hybrid_rrf", "q122_knn_label", "q126_ann_recall",
     "q136_hard_negatives", "q142_maxsim", "q150_bitext_margin",
     "q160_ann_scorecard", "q207_int8_recall", "q228_matryoshka_recall",
+    "q230_hubness",
     // flagship dim build: the reference's scalar subqueries in join ON
     // (SELECT DISTINCT(...) — 1 row by data contract, query.txt:1) plan as
     // distinct-aggregate sides, grouped hence not provably scalar

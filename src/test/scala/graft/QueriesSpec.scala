@@ -2283,4 +2283,61 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows == expect)
     queries.foreach(q => assert(rows((64L, q)) == ((10L, 1000000L)), s"dim-64 truth for q$q"))
   }
+
+  test("q229 late priority: the Q12-shape flags replay from joined rows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q229_late_priority")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ord = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getString(2))).toMap
+    val lo = java.time.LocalDate.parse("1996-01-01")
+    val hi = java.time.LocalDate.parse("1998-01-01")
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+    val flagged = li
+      .filter { case (_, _, ship) => !ship.isBefore(lo) && ship.isBefore(hi) }
+      .flatMap { case (ok, st, ship) => ord.get(ok).collect {
+        case (od, pr) if java.time.temporal.ChronoUnit.DAYS.between(od, ship) > 60 =>
+          (st, pr == "1-URGENT" || pr == "2-HIGH") } }
+    val expect = flagged.groupBy(_._1).map { case (st, g) =>
+      (st, g.count(_._2).toLong, g.count(x => !x._2).toLong) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect)
+    assert(rows.map(r => r._2 + r._3).sum > 0, "the window must contain late lines")
+  }
+
+  test("q230 hubness: the k-occurrence histogram replays from exact cosine top-10 lists") {
+    val rows = SparkEntry.queries("q230_hubness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val probes = vecs.keys.filter(_ < 64).toSeq.sorted
+    val occ = probes.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (cid, cv) => (cid, cos(cv, vecs(q))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(10).map(_._1)
+    }.groupBy(identity).map { case (cid, g) => cid -> g.size.toLong }
+    val expect = occ.values.groupBy(identity)
+      .map { case (o, g) => (o, g.size.toLong) }.toSeq.sorted
+    assert(rows.toSeq == expect)
+    assert(rows.map(_._2).sum <= vecs.size)
+    assert(rows.map(r => r._1 * r._2).sum == probes.size * 10L,
+      "total occurrences must equal probes x k when corpus > k")
+  }
 }
