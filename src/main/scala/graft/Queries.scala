@@ -503,7 +503,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q227_seasonal_outliers" -> (seasonalOutliers _),
     "q228_matryoshka_recall" -> (matryoshkaRecall _),
     "q229_late_priority" -> (latePriority _),
-    "q230_hubness" -> (hubnessAudit _))
+    "q230_hubness" -> (hubnessAudit _),
+    "q231_ranksum_drift" -> (rankSumDrift _),
+    "q232_lag_autocorr" -> (lagAutocorr _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

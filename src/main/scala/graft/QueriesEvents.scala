@@ -1639,7 +1639,87 @@ private[graft] trait QueriesEvents { this: Queries.type =>
   }
 
 
+  /** Lag-k autocorrelation of daily event volume per type (k = 1 and 7):
+    * the seasonality-strength statistic q227's outlier flags sit on top
+    * of — r₇ ≫ r₁ means weekly rhythm, high r₁ means day-to-day
+    * momentum, both near 0 means white noise. Estimator: the calendar is
+    * zero-filled per type (missing days are real zeros), residuals are
+    * scaled by n to stay integral (y_t = n·x_t − S over n days, S total
+    * events), and r_k = Σ_{t≤n−k} y_t·y_{t+k} / Σ y_t² ships in ppm with
+    * the sign-explicit DIV (Spark truncates, DuckDB floors — they agree
+    * only for non-negative operands). Products widen to DECIMAL(38,0)
+    * before summing (y² ≈ (n·daily volume)² passes Long at planet
+    * scale). Scale shape: the dense grid is calendar-bounded per type
+    * (sequence-explode over min..max day), each lag is an equi-join on
+    * day+k over that bounded grid, and the raw stream touches exactly
+    * one map-side-combined daily rollup.
+    */
+  def lagAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val range = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("x")).as("s"))
+      .withColumn("n", col("d1") - col("d0") + 1)
+    val dense = range
+      .select(col("event_type"), col("s"), col("n"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") * coalesce(col("x"), lit(0L)) - col("s")).as("y"))
+    val denom = dense.groupBy(col("event_type"))
+      .agg(sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("den"),
+        max(col("n")).as("n_days"))
+    def num(k: Int): DataFrame = dense
+      .select(col("event_type"), col("day"), col("y").as("ya"))
+      .join(dense.select(col("event_type"), (col("day") - k).as("day"),
+          col("y").as("yb")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ya").cast(DecimalType(38, 0)) * col("yb")).as("num"))
+      .withColumn("lag_k", lit(k.toLong))
+    num(1).unionByName(num(7))
+      .join(broadcast(denom), "event_type")
+      .selectExpr("event_type", "lag_k", "n_days",
+        "CAST(CASE WHEN den = 0 THEN 0 " +
+          "WHEN num >= 0 THEN (num * 1000000) DIV den " +
+          "ELSE -(((-num) * 1000000) DIV den) END AS BIGINT) AS autocorr_ppm")
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q232_lag_autocorr" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
+        |          CAST(sum(x) AS BIGINT) AS s, max(day) - min(day) + 1 AS n
+        |        FROM daily GROUP BY 1),
+        |dense AS MATERIALIZED (
+        |  SELECT r.event_type AS event_type, g.day AS day, r.n AS n,
+        |         r.n * coalesce(d.x, 0) - r.s AS y
+        |  FROM rng r
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(r.d0, r.d1)) AS day) g
+        |  LEFT JOIN daily d ON d.event_type = r.event_type AND d.day = g.day),
+        |den AS (SELECT event_type, sum(y * y) AS den,
+        |          CAST(max(n) AS BIGINT) AS n_days
+        |        FROM dense GROUP BY 1),
+        |num AS (SELECT a.event_type AS event_type, k.lag_k, sum(a.y * b.y) AS num
+        |        FROM (VALUES (1), (7)) k(lag_k)
+        |        CROSS JOIN dense a
+        |        JOIN dense b ON a.event_type = b.event_type
+        |                    AND b.day = a.day + k.lag_k
+        |        GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, n_days,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |            WHEN num >= 0 THEN (num * 1000000) // den
+        |            ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS autocorr_ppm
+        |FROM num JOIN den USING (event_type)
+        |ORDER BY event_type, lag_k""".stripMargin,
     "q227_seasonal_outliers" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -2198,6 +2198,47 @@ private[graft] trait QueriesText { this: Queries.type =>
   }
 
 
+  /** Mann–Whitney rank-sum drift per source: the exact two-sample U
+    * statistic of each source's document-length distribution against the
+    * rest of the corpus, reported as the common-language effect size
+    * (AUC) in ppm — the location-shift twin of q201's KS statistic (KS
+    * sees any shape change anywhere; U answers "does this source run
+    * longer or shorter than everything else, and by how much probability
+    * mass"). Exactness under ties: midranks double to integers
+    * (2·midrank(v) = 2C(v) − ck(v) + 1 with C the inclusive corpus
+    * cumulative), so 2R and 2U stay integral and replay bit-for-bit; the
+    * AUC ppm is one integral DIV. The per-value products widen to
+    * DECIMAL(38,0) before summing (2C·k is ~N² at corpus scale — past
+    * Long near 1e10 docs) and the presentation casts fail loudly rather
+    * than wrap. Scale shape: document length is a bounded domain, so the
+    * value summary and the (source × value) grid are bounded regardless
+    * of corpus size; the corpus cumulative rides
+    * [[graft.ops.Relational.shardedCumSum]]; the raw corpus touches only
+    * map-side-combined rollups.
+    */
+  def rankSumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("source"), col("n_chars").as("v"))
+    val corpusByVal = d.groupBy(col("v")).agg(count(lit(1)).as("ck"))
+    val cum = graft.ops.Relational
+      .shardedCumSum(corpusByVal, "v", Seq("ck"), ascending = true)
+    val srcByVal = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("k"))
+    val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corpusN = d.agg(count(lit(1)).as("nn"))
+    val r2 = srcByVal.join(cum, "v")
+      .groupBy(col("source"))
+      .agg(sum(col("k").cast(DecimalType(38, 0)) *
+        (col("cum_ck") * 2 - col("ck") + 1)).as("r2"))
+    r2.join(broadcast(srcN), "source").crossJoin(broadcast(corpusN))
+      .select(col("source"), col("ns").as("n_docs"),
+        expr("CAST(r2 - CAST(ns AS DECIMAL(38,0)) * (ns + 1) AS BIGINT)")
+          .as("u2"),
+        expr("CAST((r2 - CAST(ns AS DECIMAL(38,0)) * (ns + 1)) * 1000000 " +
+          "DIV (2 * CAST(ns AS DECIMAL(38,0)) * greatest(nn - ns, 1)) AS BIGINT)")
+          .as("auc_ppm"))
+      .orderBy(col("source"))
+  }
+
+
   // DuckDB dialect fragments shared by the text oracles.
   // The PII/URL patterns are the EXACT strings the Spark side compiles
   // (Text.scala keeps them RE2∩Java-compatible), spliced into single-quoted
@@ -3655,6 +3696,22 @@ private[graft] trait QueriesText { this: Queries.type =>
          |  (SELECT CAST(count(*) AS BIGINT) FROM k3_8)
          |ORDER BY k""".stripMargin
     },
+    "q231_ranksum_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |cv AS (SELECT v, CAST(count(*) AS BIGINT) AS ck FROM d GROUP BY 1),
+        |cum AS (SELECT v, ck, sum(ck) OVER (ORDER BY v) AS c FROM cv),
+        |sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS k
+        |       FROM d GROUP BY 1, 2),
+        |r AS (SELECT source, sum(k * (2 * c - ck + 1)) AS r2
+        |      FROM sv JOIN cum USING (v) GROUP BY 1),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d)
+        |SELECT source, ns AS n_docs,
+        |  CAST(r2 - ns * (ns + 1) AS BIGINT) AS u2,
+        |  CAST((r2 - ns * (ns + 1)) * 1000000
+        |       // (2 * ns * greatest(nn - ns, 1)) AS BIGINT) AS auc_ppm
+        |FROM r JOIN n USING (source) CROSS JOIN t
+        |ORDER BY source""".stripMargin,
     "q201_ks_drift" ->
       """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
         |cn AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM d),

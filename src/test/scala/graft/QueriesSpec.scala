@@ -2340,4 +2340,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 * r._2).sum == probes.size * 10L,
       "total occurrences must equal probes x k when corpus > k")
   }
+
+  test("q231 ranksum drift: 2U and AUC ppm replay from naive midranks") {
+    val rows = SparkEntry.queries("q231_ranksum_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = d.length.toLong
+    val sorted = d.map(_._2).sorted
+    // 2*midrank per distinct value = first 1-based rank + last 1-based rank
+    val mid2 = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> (g.map(_._2.toLong + 1).min + g.map(_._2.toLong + 1).max)
+    }
+    val expect = d.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      val ns = g.length.toLong
+      val r2 = g.map(x => BigInt(mid2(x._2))).sum
+      val u2 = r2 - BigInt(ns) * BigInt(ns + 1)
+      val auc = u2 * 1000000 / (BigInt(2) * BigInt(ns) * BigInt(math.max(n - ns, 1L)))
+      (s, ns, u2.toLong, auc.toLong)
+    }
+    assert(rows.toSeq == expect)
+    rows.foreach { case (s, _, u2, auc) =>
+      assert(u2 >= 0 && auc >= 0 && auc <= 1000000, s"AUC out of range for $s")
+    }
+  }
+
+  test("q232 lag autocorr: r1/r7 ppm replay from the zero-filled daily series") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q232_lag_autocorr")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+    val expect = ev.groupBy(_._1).flatMap { case (tpe, g) =>
+      val byDay = g.groupBy(_._2).map { case (d, h) => d -> h.size.toLong }
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      val n = d1 - d0 + 1
+      val s = byDay.values.sum
+      val y = (d0 to d1).map(d => BigInt(n * byDay.getOrElse(d, 0L) - s))
+      val den = y.map(v => v * v).sum
+      Seq(1, 7).map { k =>
+        val num = (0 until (y.length - k)).map(i => y(i) * y(i + k)).sum
+        val r = if (den == 0) BigInt(0)
+          else if (num >= 0) num * 1000000 / den
+          else -((-num) * 1000000 / den)
+        (tpe, k.toLong) -> ((n, r.toLong))
+      }
+    }
+    assert(rows == expect)
+    assert(rows.nonEmpty && rows.keys.map(_._1).toSet.size >= 2)
+  }
 }
