@@ -1680,8 +1680,12 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .groupBy(col("event_type"))
       .agg(sum(col("ya").cast(DecimalType(38, 0)) * col("yb")).as("num"))
       .withColumn("lag_k", lit(k.toLong))
-    num(1).unionByName(num(7))
-      .join(broadcast(denom), "event_type")
+    // grid dense over (type × lag): a type whose calendar span is ≤ k has
+    // an empty lag-k pair set — that's autocorr 0, not a missing row
+    val grid = denom.withColumn("lag_k", explode(array(lit(1L), lit(7L))))
+    grid.join(num(1).unionByName(num(7)), Seq("event_type", "lag_k"), "left")
+      .withColumn("num",
+        coalesce(col("num"), lit(0L).cast(DecimalType(38, 0))))
       .selectExpr("event_type", "lag_k", "n_days",
         "CAST(CASE WHEN den = 0 THEN 0 " +
           "WHEN num >= 0 THEN (num * 1000000) DIV den " +
@@ -1714,11 +1718,15 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |        JOIN dense b ON a.event_type = b.event_type
         |                    AND b.day = a.day + k.lag_k
         |        GROUP BY 1, 2)
-        |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, n_days,
+        |SELECT den.event_type AS event_type, CAST(k.lag_k AS BIGINT) AS lag_k,
+        |  n_days,
         |  CAST(CASE WHEN den = 0 THEN 0
-        |            WHEN num >= 0 THEN (num * 1000000) // den
+        |            WHEN coalesce(num, 0) >= 0
+        |              THEN (coalesce(num, 0) * 1000000) // den
         |            ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS autocorr_ppm
-        |FROM num JOIN den USING (event_type)
+        |FROM den CROSS JOIN (VALUES (1), (7)) k(lag_k)
+        |LEFT JOIN num ON num.event_type = den.event_type
+        |             AND num.lag_k = k.lag_k
         |ORDER BY event_type, lag_k""".stripMargin,
     "q227_seasonal_outliers" ->
       """WITH daily AS (

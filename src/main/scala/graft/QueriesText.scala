@@ -151,14 +151,8 @@ private[graft] trait QueriesText { this: Queries.type =>
   def jaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
-    val truthBlockCap = 2048L
-    val sizes = docs.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("bn"))
-    val sampled = docs.join(broadcast(sizes), Seq("lang", "source"))
-      .filter(col("bn") <= truthBlockCap ||
-        Sampling.hashBucket(col("doc_id"), 1000000) * col("bn") <
-          lit(truthBlockCap * 1000000L))
-      .drop("bn")
+    val sampled =
+      Sampling.capBlocks(docs, Seq("lang", "source"), col("doc_id"), 2048L)
     Dedup.blockedJaccardPairs(sampled,
         col("doc_id"), col("text"), Seq(col("lang"), col("source")),
         shingleK = 3, threshold = 0.2)
@@ -1199,14 +1193,8 @@ private[graft] trait QueriesText { this: Queries.type =>
     // every gate SF — sf0.01/sf0.1/sf1 blocks sit under 4096 — and proven
     // necessary by the sf10 rehearsal, where unsampled truth went 25× for
     // 10× data). Keep iff hashBucket(id)/10⁶ < cap/bn, all integers.
-    val truthBlockCap = 4096L
-    val sizes = base.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("bn"))
-    val sampled = base.join(broadcast(sizes), Seq("lang", "source"))
-      .filter(col("bn") <= truthBlockCap ||
-        Sampling.hashBucket(col("doc_id"), 1000000) * col("bn") <
-          lit(truthBlockCap * 1000000L))
-      .drop("bn")
+    val sampled =
+      Sampling.capBlocks(base, Seq("lang", "source"), col("doc_id"), 4096L)
     val a = sampled.select(col("doc_id").as("id_a"), col("lang"), col("source"),
       col("sh").as("sh_a"))
     val b = sampled.select(col("doc_id").as("id_b"), col("lang"), col("source"),

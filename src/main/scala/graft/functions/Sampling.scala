@@ -26,6 +26,27 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Deterministic per-block down-sample for blocked-exact-pairs
+    * operators: any `blockCols` block larger than `cap` keeps a
+    * ~cap-sized hash-sample of its rows (kept iff
+    * hashBucket(id)/10⁶ < cap/bn, all integers), blocks at or under the
+    * cap pass through untouched — so a cap above every gate-SF block
+    * size is inert at the gates while bounding the quadratic pair frame
+    * at corpus scale (the q54/q123 sample-at-scale contract; their
+    * oracles carry the verbatim SQL mirror of this predicate). Plan: one
+    * block-size rollup broadcast back onto the scan + a scan-local
+    * filter — the frame itself never shuffles here.
+    */
+  def capBlocks(df: DataFrame, blockCols: Seq[String], id: Column,
+                cap: Long): DataFrame = {
+    val sizes = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    df.join(broadcast(sizes), blockCols)
+      .filter(col("__bn") <= cap ||
+        hashBucket(id, 1000000) * col("__bn") < lit(cap * 1000000L))
+      .drop("__bn")
+  }
+
   /** Train/validation/test assignment from the stable bucket: percentages
     * are cut points in [0,100). A scan-local projection — splitting a
     * 100 TB corpus shuffles nothing.

@@ -2288,16 +2288,20 @@ class QueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q229_late_priority")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // timestamps arrive as Timestamp OR LocalDateTime depending on the
+    // parquet physical type (the TESTDATA ts caveat) — normalize to dates
+    def ld(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case d: java.time.LocalDateTime => d.toLocalDate
+    }
     val ord = graft.sources.Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getString(2))).toMap
+      .collect().map(r => r.getLong(0) -> (ld(r.get(1)), r.getString(2))).toMap
     val lo = java.time.LocalDate.parse("1996-01-01")
     val hi = java.time.LocalDate.parse("1998-01-01")
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
-      .collect().map(r => (r.getLong(0), r.getString(1),
-        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+      .collect().map(r => (r.getLong(0), r.getString(1), ld(r.get(2))))
     val flagged = li
       .filter { case (_, _, ship) => !ship.isBefore(lo) && ship.isBefore(hi) }
       .flatMap { case (ok, st, ship) => ord.get(ok).collect {
