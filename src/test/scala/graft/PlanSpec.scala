@@ -325,6 +325,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p189.contains("GreaterThanOrEqual(o_orderdate"), p189)
   }
 
+  test("q229-q232: pushdown, pruning, bounded broadcast, sharded cumulative") {
+    // q229: the ship-date window reaches the lineitem scan; money columns
+    // are never read (3-column projection of an 11-column table)
+    val p229 = finalPlan(SparkEntry.queries("q229_late_priority")(spark, sf))
+    assert(p229.contains("GreaterThanOrEqual(l_shipdate"), p229)
+    assert(!p229.contains("l_extendedprice"), "q229 must not read money columns")
+    // q230: the 64-probe side broadcasts (bounded nested loop, the q30
+    // adjudicated shape) — corpus streams once, no corpus×corpus join
+    val p230 = finalPlan(SparkEntry.queries("q230_hubness")(spark, sf))
+    assert(p230.contains("BroadcastNestedLoopJoin"), p230)
+    // q231: the corpus cumulative must ride the sharded slices, not a
+    // bare global window over the value summary
+    val p231 = finalPlan(SparkEntry.queries("q231_ranksum_drift")(spark, sf))
+    assert(p231.contains("__slice"),
+      "q231's corpus cumulative must ride shardedCumSum's slices")
+    // q232: the events scan reads only (event_type, ts) — the payload
+    // columns never leave the parquet reader
+    val p232 = finalPlan(SparkEntry.queries("q232_lag_autocorr")(spark, sf))
+    val rs232 = p232.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs232.contains("props") && !rs232.contains("value"),
+      s"q232 must prune the events payload: $rs232")
+  }
+
   test("q36: exact profile has NO Expand — per-column pre-aggregation instead") {
     val plan = finalPlan(SparkEntry.queries("q36_profile")(spark, sf))
     // N countDistincts in one Aggregate would plan an Expand multiplying
