@@ -505,7 +505,8 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q229_late_priority" -> (latePriority _),
     "q230_hubness" -> (hubnessAudit _),
     "q231_ranksum_drift" -> (rankSumDrift _),
-    "q232_lag_autocorr" -> (lagAutocorr _))
+    "q232_lag_autocorr" -> (lagAutocorr _),
+    "q233_type_diversity" -> (typeDiversity _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -1694,7 +1694,48 @@ private[graft] trait QueriesEvents { this: Queries.type =>
   }
 
 
+  /** Per-user behavioral diversity (Gini–Simpson index) histogram: for
+    * each user, 1 − Σp_i² over their event-type mix — 0 = every event the
+    * same type, →1 = evenly spread — banded into integer percents and counted. The
+    * diversity complement to q204's co-occurrence lift: lift says which
+    * types travel together, this says how concentrated each user's
+    * behavior is, and the band histogram is the audience-shape summary a
+    * mixture planner reads. Pure integers: gs_ppm = 1e6 − (Σc²·1e6) DIV
+    * n² (Σc² ≤ n² so it never goes negative), band = gs_ppm DIV 1e4 (integer percent); the
+    * per-user frame is a user×type rollup (bounded by the type alphabet
+    * per user), the histogram is ≤11 rows. Σc²·1e6 widens to
+    * DECIMAL(38,0) — a 1e9-event user would pass Long.
+    */
+  def typeDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cell = t(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val per = cell.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("c2"))
+      .selectExpr("user_id",
+        "CAST(1000000 - (c2 * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS gs_ppm")
+    per.groupBy(expr("gs_ppm DIV 10000").as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("gs_ppm")).as("min_ppm"), max(col("gs_ppm")).as("max_ppm"))
+      .orderBy(col("band"))
+  }
+
+
   protected lazy val eventsOracle: Map[String, String] = Map(
+    "q233_type_diversity" ->
+      """WITH cell AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |              FROM events GROUP BY 1, 2),
+        |per AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |          sum(c * c) AS c2
+        |        FROM cell GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        CAST(1000000 - (c2 * 1000000) // (n * n) AS BIGINT) AS gs_ppm
+        |      FROM per)
+        |SELECT gs_ppm // 10000 AS band, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(gs_ppm) AS BIGINT) AS min_ppm,
+        |  CAST(max(gs_ppm) AS BIGINT) AS max_ppm
+        |FROM g GROUP BY 1 ORDER BY band""".stripMargin,
     "q232_lag_autocorr" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

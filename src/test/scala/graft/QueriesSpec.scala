@@ -2395,4 +2395,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows == expect)
     assert(rows.nonEmpty && rows.keys.map(_._1).toSet.size >= 2)
   }
+
+  test("q233 type diversity: Gini-Simpson bands replay from per-user type counts") {
+    val rows = SparkEntry.queries("q233_type_diversity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gs = ev.groupBy(_._1).map { case (_, g) =>
+      val n = BigInt(g.length)
+      val c2 = g.groupBy(_._2).values.map(h => BigInt(h.size) * h.size).sum
+      (BigInt(1000000) - c2 * 1000000 / (n * n)).toLong
+    }.toSeq
+    val expect = gs.groupBy(_ / 10000).toSeq.sortBy(_._1).map { case (b, g) =>
+      (b, g.size.toLong, g.min, g.max)
+    }
+    assert(rows.toSeq == expect)
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 10000 && hi < (b + 1) * 10000 || hi == 1000000,
+        s"band $b bounds") }
+  }
 }
