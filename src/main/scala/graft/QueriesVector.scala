@@ -824,9 +824,12 @@ private[graft] trait QueriesVector { this: Queries.type =>
     // per-pair norm recomputation on the all-pairs hot path.
     def withNorms(v: Column, p: String): Seq[Column] =
       dims.map(d => Similarity.norm(slice(v, 1, d)).as(s"$p$d"))
-    val q = broadcast(e.filter(col("vec_id") < 5)
+    // broadcast-hint ONLY at the crossJoin below: hinting this shared val
+    // would ride into the tail's left join (where the 20-row side is the
+    // LEFT of a left-outer — unbuildable) and spam HintErrorLogger WARNs
+    val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid") +: col("embedding").as("qv") +:
-        withNorms(col("embedding"), "qn"): _*))
+        withNorms(col("embedding"), "qn"): _*)
     val sims = dims.map { d =>
       val den = col(s"cn$d") * col(s"qn$d")
       when(den === 0, lit(0.0))
@@ -835,7 +838,7 @@ private[graft] trait QueriesVector { this: Queries.type =>
     }
     val scored = e.select(col("vec_id").as("cid") +: col("embedding").as("cv") +:
         withNorms(col("embedding"), "cn"): _*)
-      .crossJoin(q)
+      .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid") +: col("cid") +: sims: _*)
     val stacked = scored.selectExpr("qid", "cid",
