@@ -227,6 +227,25 @@ class SamplingSpec extends AnyFunSuite {
       "b" -> ((1L, 9L, 300L, 33334L))), out.toString)
   }
 
+  test("capBlocks: small blocks pass whole, big blocks thin to ~cap, deterministically") {
+    // block "small": 50 rows (under cap) — must pass through untouched;
+    // block "big": 5000 rows (25x the 200-row cap) — must thin to ~200
+    val df = ((1L to 50L).map(i => ("small", i)) ++
+      (1000L to 5999L).map(i => ("big", i))).toDF("blk", "id")
+    def run() = Sampling.capBlocks(df, Seq("blk"), col("id"), cap = 200L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kept = run()
+    val small = kept.filter(_._1 == "small")
+    val big = kept.filter(_._1 == "big")
+    assert(small.size == 50, "an under-cap block must keep every row")
+    // hashBucket(id)/1e6 < cap/bn keeps each row with p = cap/bn — the
+    // sample size concentrates tightly around cap (binomial, sd ~14)
+    assert(big.size > 130 && big.size < 270, s"~cap-sized sample, got ${big.size}")
+    assert(kept.subsetOf(df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet))
+    assert(run() == kept, "the hash-thin must be deterministic")
+  }
+
   test("exactQuantiles reports inverse-ECDF values per stratum") {
     // en: values 1..10 → p50 = value at rank ceil(5) = 5, p90 at rank 9
     // de: 4× the value 7 → every quantile is 7
