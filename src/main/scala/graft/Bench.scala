@@ -111,43 +111,83 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0))
       .getOrElse("-1")
     val loadStart = loadavg
-    val results = selected.map { case (name, fn) =>
-      def onePass(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        // A failed query must be VISIBLE in the output (an err entry),
-        // never a fast fake success.
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        evict()
-        (elapsed, err)
-      }
-      var runs = (1 to passes).map(_ => onePass())
-      def bestOf = runs.filter(_._2.isEmpty).map(_._1) match {
+    // One raw pass: (elapsed, err, loadavg-at-start, loadavg-at-end). The
+    // per-query load stamps are the artifact-level evidence separating
+    // "this query regressed" from "the box was busy during its window" —
+    // the r13 driver capture had a 9-query alphabetically-contiguous
+    // suspect block that took a post-hoc clean re-run to exonerate.
+    def onePass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[String], String, String) = {
+      val l0 = loadavg
+      val t0 = System.nanoTime()
+      // A failed query must be VISIBLE in the output (an err entry),
+      // never a fast fake success.
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      evict()
+      (elapsed, err, l0, loadavg)
+    }
+    def minOk(runs: Seq[(Double, Option[String], String, String)]): Double =
+      runs.filter(_._2.isEmpty).map(_._1) match {
         case ok if ok.nonEmpty => ok.min
         case _ => runs.map(_._1).min
       }
+    def overFloorFn(name: String, best: Double): Boolean = benchRef.get(name)
+      .exists(r => (best > 2 * r && best - r > 1.0) || best > 2.5 * r)
+    val sweep = collection.mutable.LinkedHashMap.empty[String,
+      (Vector[(Double, Option[String], String, String)],
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+    selected.foreach { case (name, fn) =>
+      var runs = Vector.fill(passes)(onePass(fn))
       // Internal tie-breaker: when the passes disagree wildly (>2x and >1s
       // apart), a stall likely covered one timed window — one more pass
       // keeps a genuine regression visible while giving a phantom one a
       // third chance to clear.
       val ts = runs.map(_._1)
       if (runs.forall(_._2.isEmpty) && ts.max > 2 * ts.min && ts.max - ts.min > 1.0)
-        runs :+= onePass()
-      // Reference tie-breaker: re-run (≤2 extra passes) while the min still
-      // exceeds the committed clean floor; flag as suspect if it never
-      // clears — a confirmed regression keeps its slow number AND the flag.
-      def overFloor = benchRef.get(name)
-        .exists(r => (bestOf > 2 * r && bestOf - r > 1.0) || bestOf > 2.5 * r)
+        runs :+= onePass(fn)
+      // Reference tie-breaker: ONE inline extra pass while the min exceeds
+      // the committed clean floor. The heavier retries are DEFERRED to
+      // after the sweep (below): the r13 capture showed that inline
+      // retries run inside the same contention window that caused the
+      // trip, so they burn passes without exonerating anything.
+      if (overFloorFn(name, minOk(runs))) runs :+= onePass(fn)
+      sweep(name) = (runs, fn)
+    }
+    // Deferred suspect retry: once the whole catalog has run (minutes
+    // later — any transient co-tenant burst has had time to pass), give
+    // every still-over-floor query up to 2 more passes. The recorded
+    // value is ALWAYS the min over every pass (first, inline extra,
+    // deferred), so a cleared suspect records its clean time and drops
+    // the flag; a confirmed regression keeps its slow min AND the flag.
+    sweep.keys.toSeq.foreach { name =>
+      val (runs0, fn) = sweep(name)
+      var runs = runs0
       var extra = 0
-      while (overFloor && extra < 2) { runs :+= onePass(); extra += 1 }
+      while (overFloorFn(name, minOk(runs)) && extra < 2) {
+        runs :+= onePass(fn); extra += 1
+      }
+      sweep(name) = (runs, fn)
+    }
+    val results = sweep.toSeq.map { case (name, (runs, _)) =>
+      val best = minOk(runs)
       // A query failing in SOME passes but succeeding in another has a
       // valid measurement: report the successful min and no error. err is
       // reserved for all-passes-failed (and excludes the query from totals).
       val err = if (runs.exists(_._2.isEmpty)) None else runs.flatMap(_._2).headOption
-      (name, bestOf, err, runs.map(_._1), overFloor)
+      (name, best, err, runs, overFloorFn(name, best))
+    }
+    // Early-warning gate at 1.8× floor (no absolute-delta escape): queries
+    // drifting toward the 2× suspect line get a named "warn" entry in the
+    // artifacts while still green, so floor staleness is visible a round
+    // before it becomes a false red.
+    val warned = results.collect {
+      case (name, best, None, _, _)
+        if benchRef.get(name).exists(r => best > 1.8 * r && !overFloorFn(name, best)) =>
+        name
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -168,7 +208,13 @@ object Bench {
     // goes to a file; stdout gets ONE compact line — qNN keys, 2-decimal
     // times — engineered to fit the 2000-char tail window whole.
     val raw = results.map { case (k, _, _, rs, _) =>
-      "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+      "\"" + k + "\":" + rs.map(r => r3(r._1)).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // Per-pass loadavg stamps ([start, end] per pass, aligned with "runs"):
+    // the contention evidence lives next to the numbers it explains.
+    val rawLoad = results.map { case (k, _, _, rs, _) =>
+      "\"" + k + "\":" + rs.map(r => s"[${r._3},${r._4}]")
+        .mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errsFull = results.collect { case (k, _, Some(m), _, _) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val suspect = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
@@ -193,8 +239,9 @@ object Bench {
     val loadEnd = loadavg
     val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val warnJson = warned.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"queries":$qsFull,"runs":$raw,"errors":$errsFull,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
+      s"""{"queries":$qsFull,"runs":$raw,"run_loadavg":$rawLoad,"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"${sys.props("java.io.tmpdir")}/graft_bench_detail.json")
     scala.util.Try {
@@ -209,7 +256,7 @@ object Bench {
     // judge reads the whole thing — and stdout carries ONLY totals +
     // errors + suspects (~300 chars, parseable whole in any tail window).
     val summaryJson =
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsFull,"suspect":$suspect,"loadavg":[$loadStart,$loadEnd],"queries":$qsFull,"detail":"$detailPath"}"""
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"queries":$qsFull,"detail":"$detailPath"}"""
     val summaryPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse {
         val repoRoot = scala.util.Try(new java.io.File(
@@ -219,11 +266,16 @@ object Bench {
         repoRoot.orElse(Some(new java.io.File(".")))
           .map(r => new java.io.File(r, "bench_out/last_run.json").getPath)
       }.get
-    scala.util.Try {
+    // A failed summary write must not leave stdout advertising the path —
+    // the reader would pick up a STALE prior run's file as if it were
+    // current. On failure stdout carries "summary":null.
+    val summaryWritten = scala.util.Try {
       val p = java.nio.file.Paths.get(summaryPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, summaryJson.getBytes("UTF-8"))
-    }
+    }.isSuccess
+    val summaryField =
+      if (summaryWritten) "\"" + summaryPath + "\"" else "null"
     // Cap stdout errors at 5 entries: a systemic failure (every query
     // erroring) would otherwise put ~13KB of error text on the one line
     // that must fit the driver's 2000-char tail window whole. n_errors
@@ -235,8 +287,10 @@ object Bench {
     val suspectShort = results.collect { case (k, _, _, _, true) => k }
       .take(20).map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val nSuspect = results.count(_._5)
+    val warnShort = warned.take(20).map("\"" + _.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${erred.size},"errors":$errsShort,"n_suspect":$nSuspect,"suspect":$suspectShort,"loadavg":[$loadStart,$loadEnd],"summary":"$summaryPath","detail":"$detailPath"}""")
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${erred.size},"errors":$errsShort,"n_suspect":$nSuspect,"suspect":$suspectShort,"n_warn":${warned.size},"warn":$warnShort,"loadavg":[$loadStart,$loadEnd],"summary":$summaryField,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

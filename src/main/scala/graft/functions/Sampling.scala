@@ -39,12 +39,21 @@ object Sampling {
     */
   def capBlocks(df: DataFrame, blockCols: Seq[String], id: Column,
                 cap: Long): DataFrame = {
+    // Null-safe (<=>) join on the block keys: groupBy already puts
+    // null-keyed rows in their own block, so a plain equi-join would
+    // silently drop them from the output entirely — as a shared
+    // primitive, a null block key must cap like any other block.
+    val keyAliases = blockCols.map(c => s"__capk_$c")
     val sizes = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
-    df.join(broadcast(sizes), blockCols)
+      .select(blockCols.zip(keyAliases).map {
+        case (c, a) => col(c).as(a) } :+ col("__bn"): _*)
+    val joinCond = blockCols.zip(keyAliases)
+      .map { case (c, a) => df(c) <=> col(a) }.reduce(_ && _)
+    df.join(broadcast(sizes), joinCond)
       .filter(col("__bn") <= cap ||
         hashBucket(id, 1000000) * col("__bn") < lit(cap * 1000000L))
-      .drop("__bn")
+      .drop("__bn").drop(keyAliases: _*)
   }
 
   /** Train/validation/test assignment from the stable bucket: percentages

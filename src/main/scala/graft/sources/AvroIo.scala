@@ -313,7 +313,16 @@ object AvroIo {
         try s.getSchema.toString finally s.close()
       } finally scala.util.Try(in.close())
     }
-    val dataSchema = toSparkSchema(new Schema.Parser().parse(avroJson))
+    // Every field reads as nullable regardless of what the header schema
+    // declares: schema evolution decodes a field ABSENT from an older
+    // file's schema as null, and a nullable=false StructField over a
+    // column that can carry nulls licenses the optimizer to elide null
+    // filters (wrong results, not just a bad schema). The pure
+    // translation (`toSparkSchema`) stays exact; only the multi-file
+    // read path pays the relaxation.
+    val dataSchema = StructType(
+      toSparkSchema(new Schema.Parser().parse(avroJson))
+        .fields.map(_.copy(nullable = true)).toIndexedSeq)
     val full = StructType(dataSchema.fields.toIndexedSeq ++
       partCols.map(c => StructField(c, StringType, nullable = true)))
     val fileList = files.map(f => (f.getPath.toString,

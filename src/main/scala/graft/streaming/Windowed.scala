@@ -279,6 +279,13 @@ object Windowed {
     * emitted row carries the cumulative `n_late_dropped` for its key, the
     * side-channel a monitor alarms on (a nonzero rate means the source
     * needs the batch q184 sweep, whose full-sort semantics are exact).
+    *
+    * CHECKPOINT COMPATIBILITY: adding `lateDrops` changed the
+    * flatMapGroupsWithState state encoder schema — a stream restarted
+    * from a checkpoint written before the field existed fails (or
+    * misreads state) under the state-store schema check. Deploying this
+    * version over an existing stream requires a FRESH checkpoint; the
+    * rest of the change is replay-safe.
     */
   def ewmaAnomalyStream(events: Dataset[EwmaIn]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._

@@ -99,11 +99,25 @@ object ScaleGen {
     })
     val dim = read("embeddings")
       .select(size(col("embedding"))).head().getInt(0)
+    // Replica permutation family: rotation by i % dim, composed with a
+    // full reversal on odd wraps (i / dim odd). Both are fixed
+    // permutations applied uniformly to every vector of the replica, so
+    // all intra-replica dot products / distances are preserved exactly;
+    // reversal is orientation-flipping while rotations are not, so the
+    // 2·dim members are pairwise distinct and no replica is a
+    // byte-identical copy of another (rot = i % dim alone collides at
+    // i = dim, 2·dim, … — the degenerate distance-0 K-clique geometry
+    // this family exists to avoid). Guard beyond the family size rather
+    // than silently generate broken rehearsal data.
+    require(k <= 2 * dim,
+      s"embedding replicas k=$k exceeds 2*dim=${2 * dim}: the " +
+        "rotation+reversal family wraps; lower k or widen vectors")
     replicate("embeddings")((d, i) => {
       val rot = i % dim
-      val emb = if (rot == 0) col("embedding")
+      val rotated = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, dim - rot),
           slice(col("embedding"), 1, rot))
+      val emb = if ((i / dim) % 2 == 0) rotated else reverse(rotated)
       d.withColumn("vec_id", col("vec_id") + lit(i * vS))
         .withColumn("embedding", emb)
     })

@@ -246,6 +246,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(run() == kept, "the hash-thin must be deterministic")
   }
 
+  test("capBlocks: null block keys form a block that caps, not drops") {
+    // The r13 ADVICE trap: a plain equi-join on the block cols silently
+    // dropped null-keyed rows entirely. The null-safe (<=>) join must
+    // treat null as its own block — under-cap passes whole, over-cap thins.
+    val df = ((1L to 30L).map(i => (Option.empty[String], i)) ++
+      (100L to 199L).map(i => (Some("x"), i))).toDF("blk", "id")
+    val kept = Sampling.capBlocks(df, Seq("blk"), col("id"), cap = 50L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val nullBlock = kept.filter(_._1.isEmpty)
+    val xBlock = kept.filter(_._1.contains("x"))
+    assert(nullBlock.size == 30,
+      "an under-cap NULL block must keep every row (not be dropped)")
+    assert(xBlock.size > 20 && xBlock.size < 80,
+      s"over-cap block thins to ~cap, got ${xBlock.size}")
+  }
+
   test("exactQuantiles reports inverse-ECDF values per stratum") {
     // en: values 1..10 → p50 = value at rank ceil(5) = 5, p90 at rank 9
     // de: 4× the value 7 → every quantile is 7
