@@ -228,23 +228,52 @@ object Queries extends QueriesCommerce with QueriesEvents
   }
 
 
-  /** Multimodal pipeline end-to-end (rows-only: DuckDB can't decode
-    * pixels or samples): synthetic binary media — real PNG bytes for
-    * images, real WAV bytes for audio — partition-batched feature
-    * extraction through the JDK-native decoders
-    * ([[graft.functions.Multimodal.JvmCodec]]; only video remains on the
-    * deterministic fake) → per-kind rollup of the extracted features.
+  /** Multimodal pipeline end-to-end: synthetic binary media — real PNG
+    * bytes for images, real WAV bytes for audio, real GIF/MJPEG-AVI
+    * containers for video — partition-batched feature extraction through
+    * the JDK-native decoders ([[graft.functions.Multimodal.JvmCodec]]) →
+    * per-kind rollup. Raw codec output isn't SQL-reproducible, so the
+    * rollup counts DECODE INVARIANTS the oracle hash-matches (every count
+    * must equal n_items, which DuckDB replays from the id arithmetic like
+    * q87):
+    *  - image: the luminance histogram slots (normalized by the pixel
+    *    loop) sum to 1 and channel means land in [0,1] — a real pixel
+    *    walk happened;
+    *  - audio: decoded duration (samples / rate) reproduces the metadata
+    *    duration_ms and the PCM stream is mono — a real sample decode;
+    *  - video: decoded canvas dims match metadata width/height and the
+    *    frame count reproduces the generator's 2 + id % 5 — a real
+    *    frame walk through the container.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.functions.Multimodal.syntheticMedia(spark, 300)
     val feats = graft.functions.Multimodal
       .extractFeatures(media, graft.functions.Multimodal.JvmCodec, dim = 16)
       .toDF()
-    feats
+    val meta = media.toDF().select(col("media_id"), col("kind"),
+      col("width"), col("height"), col("duration_ms"))
+    val f = col("feature")
+    def slot(i: Int) = try_element_at(f, lit(i))
+    val histSum = aggregate(slice(f, 7, 10), lit(0.0d),
+      (acc, x) => acc + x.cast("double"))
+    val decodeOk =
+      when(col("kind") === "image",
+        abs(histSum - 1.0d) < 0.001 &&
+          slot(1).between(0.0f, 1.0f) && slot(2).between(0.0f, 1.0f) &&
+          slot(3).between(0.0f, 1.0f))
+        .when(col("kind") === "audio",
+          abs(slot(5).cast("double") * 1000.0 - col("duration_ms")) < 1.0 &&
+            slot(6) === 1.0f)
+        .otherwise(
+          slot(5) === col("width").cast("float") &&
+            slot(6) === col("height").cast("float") &&
+            slot(1) === (lit(2L) + pmod(col("media_id"), lit(5L))).cast("float"))
+    feats.join(meta, Seq("media_id", "kind"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        avg(Similarity.norm(col("feature"))).as("mean_norm"))
+        sum(when(decodeOk, 1L).otherwise(0L)).as("n_decode_ok"),
+        sum(when(size(f) === 16, 1L).otherwise(0L)).as("n_dim_ok"),
+        sum(when(col("n_bytes") > 0, 1L).otherwise(0L)).as("n_bytes_pos"))
       .orderBy(col("kind"))
   }
 
@@ -517,6 +546,15 @@ object Queries extends QueriesCommerce with QueriesEvents
         |WHERE o_totalprice BETWEEN 100000.0 AND 110000.0 ORDER BY o_orderkey""".stripMargin,
     "q33_flagship_dim" -> FlagshipSql,
     "q50_flagship_full" -> FlagshipFullSql,
+    // q42's decode invariants must all hold, so every counter equals the
+    // per-kind item count, which replays from the id arithmetic.
+    "q42_media_features" ->
+      """WITH m AS (SELECT i,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM range(300) t(i))
+        |SELECT kind, count(*) AS n_items, count(*) AS n_decode_ok,
+        |  count(*) AS n_dim_ok, count(*) AS n_bytes_pos
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     "q87_media_metadata" ->
       """WITH m AS (SELECT i,
         |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -387,16 +387,26 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
 
   /** Production twin of q36: the same single-pass profile with
     * approx_count_distinct — no Expand, one partial/final aggregate pair
-    * regardless of column count. Rows-only under the driver (HLL estimates
-    * are engine-specific), but benched, so the measured number tracks the
-    * plan the operator ships with; q36 keeps exact distinct so DuckDB can
-    * match values.
+    * regardless of column count; benched, so the measured number tracks
+    * the plan the operator ships with. The HLL estimate is
+    * engine-specific, so instead of emitting the raw value the query
+    * carries the plan-twin row contract under the full oracle: every
+    * exact column (counts, nulls, min/max) hash-checks against q36's
+    * replay, and the estimate folds into `approx_in_bounds` —
+    * 0 iff no non-null rows, else within [1, 1.2 × non-null count]
+    * (default rsd 5%; 20% headroom) — in exact integer arithmetic.
     */
-  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val nonnull = col("n_rows") - col("n_nulls")
     graft.dq.Profile.profile(t(spark, dir, "orders"), exact = false)
       .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
-        col("approx_distinct").as("n_distinct"), col("min_str"), col("max_str"))
+        col("min_str"), col("max_str"),
+        ((nonnull === 0L && col("approx_distinct") === 0L) ||
+          (nonnull > 0L && col("approx_distinct") >= 1L &&
+            col("approx_distinct") * 10L <= nonnull * 12L))
+          .as("approx_in_bounds"))
       .orderBy(col("col_name"))
+  }
 
 
   /** Bloom-filter membership ([[graft.ops.Bloom]]): high-spend order
@@ -1893,6 +1903,19 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
            | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
            | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    // q61's exact columns replay like q36's; the HLL estimate itself is
+    // engine-specific, so the oracle pins its in-plan integer bound TRUE.
+    "q61_profile_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+           | TRUE AS approx_in_bounds
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },

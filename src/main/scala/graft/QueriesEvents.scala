@@ -325,13 +325,17 @@ private[graft] trait QueriesEvents { this: Queries.type =>
   }
 
 
-  /** Mergeable-sketch rollup (rows-only: HLL estimates are
-    * engine-specific): per-day HLL sketches of active users, UNIONED into
-    * per-week distinct estimates without rescanning the stream — the
-    * pre-aggregated sketch-table pattern that answers "distinct users any
-    * window" at 100 TB from kilobytes of state per day instead of a
-    * countDistinct over raw events. The exact twin is spec-checked to
-    * within HLL error; q116/q118 are the exact-arithmetic day rollups.
+  /** Mergeable-sketch rollup: per-day HLL sketches of active users,
+    * UNIONED into per-week distinct estimates without rescanning the
+    * stream — the pre-aggregated sketch-table pattern that answers
+    * "distinct users any window" at 100 TB from kilobytes of state per
+    * day instead of a countDistinct over raw events. The HLL estimate is
+    * engine-specific (no other engine reproduces it bit-for-bit), so the
+    * query carries its OWN accuracy contract in-plan: the estimate folds
+    * into `est_within_5pct` against an exact per-week distinct leg, and
+    * the oracle value-checks the exact counts plus the TRUE bound — the
+    * ≤5%-error invariant the spec used to hold alone now rides the
+    * driver's hash check. q116/q118 remain the exact-arithmetic rollups.
     */
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
@@ -339,12 +343,26 @@ private[graft] trait QueriesEvents { this: Queries.type =>
     val daily = e.groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
-    daily
+    val weekly = daily
       .groupBy((col("day") - pmod(col("day"), lit(7L))).as("week_start"))
       .agg(
         count(lit(1)).as("n_days"),
         sum(col("n_events")).as("n_events"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    // Exact verification leg (one distinct + count per week, the q116
+    // shuffle shape): the sketch path stays the production read pattern;
+    // this leg exists to carry the error bound under the oracle.
+    val exact = e
+      .select((col("day") - pmod(col("day"), lit(7L))).as("week_start"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("week_start"))
+      .agg(count(lit(1)).as("exact_distinct_users"))
+    weekly.join(exact, "week_start")
+      .select(col("week_start"), col("n_days"), col("n_events"),
+        col("exact_distinct_users"),
+        (abs(col("est") - col("exact_distinct_users")) * 20L <=
+          col("exact_distinct_users")).as("est_within_5pct"))
       .orderBy(col("week_start"))
   }
 
@@ -1969,6 +1987,20 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |  count(DISTINCT CASE WHEN tr.user_id IS NULL THEN ev.user_id END) AS n_cold_users
         |FROM ev LEFT JOIN tr ON ev.user_id = tr.user_id
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q120_sketch_rollup" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY day),
+        |weekly AS (SELECT day - day % 7 AS week_start,
+        |             CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(n_events) AS BIGINT) AS n_events
+        |           FROM daily GROUP BY 1),
+        |ex AS (SELECT day - day % 7 AS week_start,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+        |       FROM e GROUP BY 1)
+        |SELECT week_start, n_days, n_events, exact_distinct_users,
+        |       TRUE AS est_within_5pct
+        |FROM weekly JOIN ex USING (week_start)
+        |ORDER BY week_start""".stripMargin,
     "q121_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

@@ -82,11 +82,39 @@ private[graft] trait QueriesText { this: Queries.type =>
       .orderBy(col("id_a"), col("id_b"))
 
 
-  /** SimHash 64-bit signatures (xxhash64 fast path — rows-only check). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+  /** SimHash 64-bit signatures (xxhash64 fast path). The signature values
+    * are engine-specific (no xxhash64 in DuckDB), so the query emits the
+    * CHECKABLE facts about each signature instead of the raw bits, all of
+    * which the oracle hash-matches as TRUE per doc:
+    *  - `bands_rejoin`: the 4×16-bit band decomposition the LSH pair
+    *    machinery shifts out ([[graft.functions.Dedup.simHashCandidatesFromSigs]])
+    *    ORs back to the exact signature — the banding is lossless;
+    *  - `popcount_ok`: bit_count lands in [0, 64];
+    *  - `composable_match`: on a deterministic ~5% doc sample, the native
+    *    [[graft.plans.TextExpressions]] SimHash64 expression agrees
+    *    bit-for-bit with the composable built-ins twin — the DedupSpec
+    *    differential, riding the driver's oracle on live data (sampled so
+    *    the O(64·tokens) interpreted twin never dominates at scale).
+    * q52/q69 value-check the md5-portable signature and pair path.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigged = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        Dedup.simHash64(col("text")).as("sig"))
+    val mask = lit((1L << 16) - 1)
+    val rejoin = (0 until 4)
+      .map(b => shiftleft(shiftright(col("sig"), b * 16).bitwiseAND(mask), b * 16))
+      .reduce(_ bitwiseOR _)
+    val sampled = graft.functions.Sampling.hashBucket(col("doc_id"), 100) < 5
+    sigged
+      .select(col("doc_id"),
+        (rejoin === col("sig")).as("bands_rejoin"),
+        bit_count(col("sig")).between(0, 64).as("popcount_ok"),
+        (!sampled ||
+          Dedup.simHash64Composable(col("text")) === col("sig"))
+          .as("composable_match"))
       .orderBy(col("doc_id"))
+  }
 
 
   /** Engine-portable 32-bit md5 SimHash — same algorithm under the real
@@ -2507,6 +2535,13 @@ private[graft] trait QueriesText { this: Queries.type =>
          | list_min(list_transform(s, x -> md5('3|' || x))) AS mh_3
          |FROM sh WHERE len(s) > 0 ORDER BY doc_id""".stripMargin,
     "q28_minhash_pairs" -> s"$MinhashPairsBody\nORDER BY id_a, id_b",
+    // The xxhash64 signatures themselves are engine-specific; the oracle
+    // pins the per-doc invariants (band rejoin, popcount range, sampled
+    // native-vs-composable differential) all TRUE.
+    "q29_simhash" ->
+      """SELECT doc_id, TRUE AS bands_rejoin, TRUE AS popcount_ok,
+        |       TRUE AS composable_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($MinhashPairsBody),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

