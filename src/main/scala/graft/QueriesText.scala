@@ -1198,10 +1198,13 @@ private[graft] trait QueriesText { this: Queries.type =>
     * shared grams) and the near-dup buckets at ~10⁶ ppm — a flat curve
     * means the band/row trade-off is mis-sized for the dedup threshold.
     * Ground truth is the q54 discipline — exact set math only within
-    * (lang, source) blocks, and any block past 4096 docs keeps a
+    * (lang, source) blocks, and any block past 2048 docs keeps a
     * deterministic hash-sample (exact all-pairs is what LSH exists to
     * avoid; the cap is inert at every gate SF and bounds the truth side
-    * at 100 TB). Candidates come from the capped band buckets over the
+    * at 100 TB). The cap matches q54's 2048 — the r13 rehearsal ran this
+    * audit at 4096 and the truth leg alone cost 4× q54's at sf10 (105 s,
+    * the catalog's heaviest); a recall AUDIT needs a statistically dense
+    * truth sample, not a 4×-bigger one. Candidates come from the capped band buckets over the
     * FULL universe — sampling the truth never hides a candidate.
     * Buckets are exact integer math ((inter*20) DIV union), so boundaries
     * cannot drift between engines; the truth-candidate join moves only id
@@ -1218,11 +1221,11 @@ private[graft] trait QueriesText { this: Queries.type =>
     // The documented sample-at-scale contract, implemented: exact all-pairs
     // truth is quadratic in the block, so any (lang, source) block past the
     // cap keeps a deterministic ~cap-sized hash-sample of docs (inert at
-    // every gate SF — sf0.01/sf0.1/sf1 blocks sit under 4096 — and proven
+    // every gate SF — sf0.01/sf0.1/sf1 blocks sit under 2048 — and proven
     // necessary by the sf10 rehearsal, where unsampled truth went 25× for
     // 10× data). Keep iff hashBucket(id)/10⁶ < cap/bn, all integers.
     val sampled =
-      Sampling.capBlocks(base, Seq("lang", "source"), col("doc_id"), 4096L)
+      Sampling.capBlocks(base, Seq("lang", "source"), col("doc_id"), 2048L)
     val a = sampled.select(col("doc_id").as("id_a"), col("lang"), col("source"),
       col("sh").as("sh_a"))
     val b = sampled.select(col("doc_id").as("id_b"), col("lang"), col("source"),
@@ -3452,8 +3455,8 @@ private[graft] trait QueriesText { this: Queries.type =>
          |sz AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS bn
          |       FROM s2 GROUP BY 1, 2),
          |ss AS (SELECT s2.* FROM s2 JOIN sz USING (lang, source)
-         |       WHERE bn <= 4096
-         |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 4096 * 1000000),
+         |       WHERE bn <= 2048
+         |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 2048 * 1000000),
          |t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
          |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
