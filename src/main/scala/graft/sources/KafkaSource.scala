@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   * downstream pipeline (ArrivalJob's kafka-shaped contract
   * `topic/partition/offset/value`) are fully exercised by MemoryStream
   * tests.
+  *
+  * Resolution ATTEMPTED (r14): adding
+  * `"org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"` fails with
+  * `sbt.librarymanagement.ResolveException: Error downloading
+  * org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 — Not found` —
+  * the environment is zero-egress (COURSIER_MODE=offline) and the
+  * pre-warmed local cache carries only scalatest/scalacheck; no
+  * kafka-clients, connector, or embedded-kafka jar exists anywhere under
+  * the coursier/ivy caches or /opt/spark/jars, so neither a broker-backed
+  * test nor even connector classloading is possible here. On a real
+  * deployment the connector ships with `--packages
+  * org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>` and every
+  * option map this object builds is consumed as-is.
   */
 object KafkaSource {
 
