@@ -535,7 +535,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q230_hubness" -> (hubnessAudit _),
     "q231_ranksum_drift" -> (rankSumDrift _),
     "q232_lag_autocorr" -> (lagAutocorr _),
-    "q233_type_diversity" -> (typeDiversity _))
+    "q233_type_diversity" -> (typeDiversity _),
+    "q234_journey_grammar" -> (journeyGrammar _),
+    "q235_watermark_loss" -> (watermarkLoss _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -1364,19 +1364,28 @@ private[graft] trait QueriesEvents { this: Queries.type =>
     * bounded), everything else is a day-cardinality rollup. The regexes
     * stay in the Java∩RE2 subset.
     */
-  def journeyPatterns(spark: SparkSession, dir: String): DataFrame = {
+  /** Session walk strings shared by q195/q234: one char per event
+    * (C/E/P/S/V), sessionized at 30 min, capped at 512 chars. The
+    * extraction is verbatim q195's original derivation so its plan and
+    * floor are untouched.
+    */
+  private def sessionWalks(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
         col("event_type"))
     val sess = graft.ops.Events.sessionize(e, col("user_id"), col("ts_us"),
       col("event_id"), 1800000000L)
-    val strings = sess
+    sess
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts_us")).as("start_us"),
         concat_ws("", slice(transform(
           array_sort(collect_list(struct(col("ts_us"), col("event_id"),
             upper(substring(col("event_type"), 1, 1)).as("c")))),
           x => x.getField("c")), 1, 512)).as("walk"))
+  }
+
+  def journeyPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val strings = sessionWalks(spark, dir)
     strings
       .groupBy(expr("start_us div 86400000000").as("day"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -1387,6 +1396,101 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .orderBy(col("day"))
   }
 
+
+  /** MATCH_RECOGNIZE-style multi-pattern alternation (the r13 verdict's
+    * named gap — beyond q195's two independent regex flags): every session
+    * walk is classified into exactly ONE pattern of an ordered grammar,
+    * first-match-wins — the alternation-priority semantics of
+    * `PATTERN (RETRY | CLEAN | ERREXIT | NOSIGNUP)` — with a
+    * MEASURES-style aggregate (total length of the classifying match,
+    * leftmost-first like both engines' regex find) per (day, pattern).
+    * Grammar over C/E/P/S/V walks:
+    *   retry_convert   S.*E.*P   (error between signup and purchase)
+    *   clean_convert   S[^E]*P   (purchase with no intervening error)
+    *   error_exit      S[^P]*E[^P]*$ (a signup that errors and never buys)
+    *   nosignup_convert ^[^S]*P  (purchase before any signup)
+    *   browse_only     (no pattern matched)
+    * Patterns stay in the Java∩RE2 subset (no lookaround/backrefs) and
+    * are spliced verbatim into the DuckDB oracle. Scale shape: the walk
+    * table is session-sized, classification is a scan-local CASE, and the
+    * rollup groups by (day, pattern) — nothing beyond q195's shuffles.
+    */
+  def journeyGrammar(spark: SparkSession, dir: String): DataFrame = {
+    val grammar = Seq(
+      "retry_convert" -> "S.*E.*P",
+      "clean_convert" -> "S[^E]*P",
+      "error_exit" -> "S[^P]*E[^P]*$",
+      "nosignup_convert" -> "^[^S]*P")
+    val pattern = grammar.foldRight(lit("browse_only")) { case ((name, re), rest) =>
+      when(col("walk").rlike(re), lit(name)).otherwise(rest)
+    }
+    val matchLen = grammar.foldRight(lit(0L)) { case ((_, re), rest) =>
+      when(col("walk").rlike(re),
+        length(regexp_extract(col("walk"), re, 0)).cast("long")).otherwise(rest)
+    }
+    sessionWalks(spark, dir)
+      .select(expr("start_us div 86400000000").as("day"),
+        pattern.as("pattern"), matchLen.as("mlen"),
+        length(col("walk")).cast("long").as("wlen"))
+      .groupBy(col("day"), col("pattern"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("mlen")).as("match_len_total"),
+        expr("(sum(wlen) * 1000) DIV count(1)").as("walk_len_milli"))
+      .orderBy(col("day"), col("pattern"))
+  }
+
+  /** Streaming-join loss under watermark, quantified in batch (the r13
+    * verdict's second named gap): how many click→purchase interval-join
+    * pairs would a stream-stream join DROP at each candidate watermark
+    * delay? The watermark is modeled per kafka shard (user_id % 32) as
+    * the running max event time over arrival order (event_id) — the
+    * per-shard high-water mark a partitioned source actually advances —
+    * and an event is late by (watermark_before_it − its ts). For each
+    * delay D in {0s, 60s, 600s, 3600s}: the count of late-beyond-D
+    * events, the exact interval-join pair total (purchase within 1h
+    * after a click, same user), and the pairs lost because either side
+    * would have been dropped. The loss curve is what sizes a production
+    * `withWatermark` delay; StreamingSpec pins the live
+    * stream-stream-join drop semantics on a real micro-batch stream.
+    * Scale shape: ONE prefix-max window partitioned 32 ways (the
+    * packByBudget shard discipline), both legs of the loss curve are
+    * single conditional aggregates (no per-delay pass), combined by
+    * broadcasting two 1-row aggregates and unpivoted with stack.
+    */
+  def watermarkLoss(spark: SparkSession, dir: String): DataFrame = {
+    val delays = Seq(0L, 60L, 600L, 3600L) // seconds
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("shard", pmod(col("user_id"), lit(32L)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stamped = e
+      .withColumn("late_ns",
+        greatest(coalesce(max(col("ts")).over(w) - col("ts"), lit(0L)), lit(0L)))
+    val lateAggs = delays.map(d =>
+      sum((col("late_ns") > d * 1000000000L).cast("long")).as(s"late_$d"))
+    val lateRow = stamped.agg(lateAggs.head, lateAggs.tail: _*)
+    val c = stamped.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("late_ns").as("c_late"))
+    val p = stamped.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("late_ns").as("p_late"))
+    val pairs = c.join(p, Seq("user_id"))
+      .filter(col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + 3600000000000L)
+    val lossAggs = count(lit(1)).as("n_pairs") +: delays.map(d =>
+      sum((col("c_late") > d * 1000000000L ||
+        col("p_late") > d * 1000000000L).cast("long")).as(s"lost_$d"))
+    val lossRow = pairs.agg(lossAggs.head, lossAggs.tail: _*)
+    lateRow.crossJoin(broadcast(lossRow))
+      .selectExpr(s"stack(${delays.length}, " +
+        delays.map(d => s"${d}L, late_$d, lost_$d").mkString(", ") +
+        ") AS (delay_s, n_late_events, n_pairs_lost)", "n_pairs")
+      .withColumn("lost_ppm",
+        expr("(n_pairs_lost * 1000000L) DIV greatest(n_pairs, 1L)"))
+      .select(col("delay_s"), col("n_late_events"), col("n_pairs"),
+        col("n_pairs_lost"), col("lost_ppm"))
+      .orderBy(col("delay_s"))
+  }
 
   /** Session-gap sensitivity curve: how many sessions (and events per
     * session) the q19 sessionization yields at EVERY candidate gap
@@ -1987,6 +2091,74 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |  count(DISTINCT CASE WHEN tr.user_id IS NULL THEN ev.user_id END) AS n_cold_users
         |FROM ev LEFT JOIN tr ON ev.user_id = tr.user_id
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q234: identical session-walk CTE as q195; the ordered CASE is the
+    // alternation priority, patterns spliced verbatim from the builder.
+    "q234_journey_grammar" ->
+      """WITH e0 AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+        |st AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+        |         substr(string_agg(upper(substr(event_type, 1, 1)), ''
+        |                           ORDER BY ts_us, event_id), 1, 512) AS walk
+        |       FROM s2 GROUP BY 1, 2),
+        |cl AS (SELECT start_us // 86400000000 AS day,
+        |         CASE WHEN regexp_matches(walk, 'S.*E.*P') THEN 'retry_convert'
+        |              WHEN regexp_matches(walk, 'S[^E]*P') THEN 'clean_convert'
+        |              WHEN regexp_matches(walk, 'S[^P]*E[^P]*$') THEN 'error_exit'
+        |              WHEN regexp_matches(walk, '^[^S]*P') THEN 'nosignup_convert'
+        |              ELSE 'browse_only' END AS pattern,
+        |         CASE WHEN regexp_matches(walk, 'S.*E.*P') THEN length(regexp_extract(walk, 'S.*E.*P'))
+        |              WHEN regexp_matches(walk, 'S[^E]*P') THEN length(regexp_extract(walk, 'S[^E]*P'))
+        |              WHEN regexp_matches(walk, 'S[^P]*E[^P]*$') THEN length(regexp_extract(walk, 'S[^P]*E[^P]*$'))
+        |              WHEN regexp_matches(walk, '^[^S]*P') THEN length(regexp_extract(walk, '^[^S]*P'))
+        |              ELSE 0 END AS mlen,
+        |         length(walk) AS wlen
+        |       FROM st)
+        |SELECT CAST(day AS BIGINT) AS day, pattern,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(mlen) AS BIGINT) AS match_len_total,
+        |  CAST(sum(wlen) * 1000 // count(*) AS BIGINT) AS walk_len_milli
+        |FROM cl GROUP BY 1, 2 ORDER BY day, pattern""".stripMargin,
+    // q235: per-shard running-max watermark over arrival order; the two
+    // 1-row aggregate CTEs are MATERIALIZED so the 4-delay unpivot does
+    // not recompute the pair join per delay.
+    "q235_watermark_loss" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+        |             user_id % 32 AS shard FROM events),
+        |s AS (SELECT *, max(ts) OVER (PARTITION BY shard ORDER BY event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |      FROM e),
+        |l AS (SELECT *, CASE WHEN wm IS NULL OR wm <= ts THEN 0 ELSE wm - ts END AS late_ns FROM s),
+        |lr AS MATERIALIZED (SELECT
+        |        CAST(sum(CASE WHEN late_ns > 0 THEN 1 ELSE 0 END) AS BIGINT) AS late_0,
+        |        CAST(sum(CASE WHEN late_ns > 60000000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_60,
+        |        CAST(sum(CASE WHEN late_ns > 600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_600,
+        |        CAST(sum(CASE WHEN late_ns > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_3600
+        |      FROM l),
+        |c AS (SELECT user_id, ts, late_ns FROM l WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, late_ns FROM l WHERE event_type = 'purchase'),
+        |pr AS (SELECT c.late_ns AS cl, p.late_ns AS pl
+        |       FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + 3600000000000),
+        |ls AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN cl > 0 OR pl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_0,
+        |        CAST(sum(CASE WHEN cl > 60000000000 OR pl > 60000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_60,
+        |        CAST(sum(CASE WHEN cl > 600000000000 OR pl > 600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_600,
+        |        CAST(sum(CASE WHEN cl > 3600000000000 OR pl > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_3600
+        |      FROM pr),
+        |u AS (SELECT 0 AS delay_s, late_0 AS n_late_events, n_pairs, lost_0 AS n_pairs_lost FROM lr, ls
+        |      UNION ALL
+        |      SELECT 60, late_60, n_pairs, lost_60 FROM lr, ls
+        |      UNION ALL
+        |      SELECT 600, late_600, n_pairs, lost_600 FROM lr, ls
+        |      UNION ALL
+        |      SELECT 3600, late_3600, n_pairs, lost_3600 FROM lr, ls)
+        |SELECT CAST(delay_s AS BIGINT) AS delay_s, n_late_events, n_pairs, n_pairs_lost,
+        |  CAST(n_pairs_lost * 1000000 // greatest(n_pairs, 1) AS BIGINT) AS lost_ppm
+        |FROM u ORDER BY delay_s""".stripMargin,
     "q120_sketch_rollup" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
         |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY day),

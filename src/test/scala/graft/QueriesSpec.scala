@@ -2418,4 +2418,75 @@ class QueriesSpec extends AnyFunSuite {
       assert(lo >= b * 10000 && hi < (b + 1) * 10000 || hi == 1000000,
         s"band $b bounds") }
   }
+
+  test("q234 journey grammar: ordered alternation replays first-match-wins " +
+    "with leftmost match lengths") {
+    val rows = SparkEntry.queries("q234_journey_grammar")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent sessionization + walk build
+    val walks = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          if (acc.isEmpty || e._3 - acc.last.last._3 > 1800000000L) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.map { s =>
+        (s.head._3 / 86400000000L,
+          s.map(_._4.head.toUpper).mkString.take(512))
+      }
+    }
+    val grammar = Seq(
+      "retry_convert" -> "S.*E.*P", "clean_convert" -> "S[^E]*P",
+      "error_exit" -> "S[^P]*E[^P]*$", "nosignup_convert" -> "^[^S]*P")
+    val classified = walks.map { case (day, w) =>
+      grammar.find { case (_, re) => re.r.findFirstIn(w).isDefined } match {
+        case Some((name, re)) =>
+          (day, name, re.r.findFirstIn(w).get.length.toLong, w.length.toLong)
+        case None => (day, "browse_only", 0L, w.length.toLong)
+      }
+    }
+    val expect = classified.groupBy(c => (c._1, c._2)).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._3).sum, g.map(_._4).sum * 1000 / g.size))
+    }
+    assert(rows == expect)
+  }
+
+  test("q235 watermark loss: per-shard high-water lateness and join-loss " +
+    "counts replay exactly") {
+    val rows = SparkEntry.queries("q235_watermark_loss")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // lateness = prefix max of ts (strictly before, per shard) - ts
+    val late = ev.groupBy(e => e._2 % 32).toSeq.flatMap { case (_, g) =>
+      g.sortBy(_._1).foldLeft((Long.MinValue, Vector.empty[(Long, Long, String, Long)])) {
+        case ((hw, acc), e) =>
+          val l = if (hw == Long.MinValue || hw <= e._4) 0L else hw - e._4
+          (math.max(hw, e._4), acc :+ ((e._1, e._2, e._3, l)))
+      }._2
+    }
+    val byId = late.map(e => e._1 -> e._4).toMap
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val pairs = for {
+      c <- clicks
+      p <- purchases
+      if p._2 == c._2 && p._4 >= c._4 && p._4 <= c._4 + 3600000000000L
+    } yield (byId(c._1), byId(p._1))
+    val delays = Seq(0L, 60L, 600L, 3600L)
+    delays.foreach { d =>
+      val dNs = d * 1000000000L
+      val expectLate = late.count(_._4 > dNs).toLong
+      val expectLost = pairs.count { case (cl, pl) => cl > dNs || pl > dNs }.toLong
+      assert(rows(d) == ((expectLate, pairs.size.toLong, expectLost)),
+        s"delay $d: got ${rows(d)}, expect ($expectLate, ${pairs.size}, $expectLost)")
+    }
+  }
 }

@@ -310,6 +310,45 @@ class WindowedStreamingSpec extends AnyFunSuite {
       s"watermark-closed unmatched click must emit with nulls: ${rows.mkString(",")}")
   }
 
+  test("stream-stream join under watermark loss: a late purchase behind the " +
+    "advanced watermark is dropped, an equally-old one before the advance is not") {
+    // The loss mode q235_watermark_loss quantifies in batch, pinned live:
+    // the SAME (click, purchase) pair matches or not depending ONLY on
+    // whether the purchase arrives before or after the watermark passes
+    // its event time.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = Windowed.attributionJoin(clicks.toDF(), purchases.toDF(),
+      watermark = "10 minutes", maxDelay = "30 MINUTES")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_loss_out").start()
+
+    // batch 1: two clicks at t0; purchase A for user 1 arrives IN TIME
+    clicks.addData(
+      Click(1L, ts("2024-01-01 00:00:00"), "early"),
+      Click(2L, ts("2024-01-01 00:00:00"), "early"))
+    purchases.addData(Purchase(1L, ts("2024-01-01 00:20:00"), 10.0))
+    q.processAllAvailable()
+    // batch 2: both streams jump 6 hours ahead → watermark advances far
+    // past 00:50 (click + maxDelay + watermark) and closes the join state
+    clicks.addData(Click(9L, ts("2024-01-01 06:00:00"), "later"))
+    purchases.addData(Purchase(9L, ts("2024-01-01 06:10:00"), 1.0))
+    q.processAllAvailable()
+    // batch 3: user 2's purchase has the SAME event time as user 1's did,
+    // in-interval for its click — but it arrives BEHIND the watermark
+    purchases.addData(Purchase(2L, ts("2024-01-01 00:20:00"), 20.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_loss_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("amount")))
+    q.stop()
+    assert(rows.contains((1L, 10.0)), s"on-time purchase must match: ${rows.mkString(",")}")
+    assert(rows.contains((9L, 1.0)))
+    assert(!rows.exists(_._1 == 2L),
+      s"a purchase behind the watermark must be DROPPED by the join, " +
+        s"not matched late: ${rows.mkString(",")}")
+  }
+
   test("ewmaAnomalyStream matches q184's closed-day rows for an in-order stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Windowed.EwmaIn]
