@@ -106,12 +106,18 @@ private[graft] trait QueriesText { this: Queries.type =>
       .map(b => shiftleft(shiftright(col("sig"), b * 16).bitwiseAND(mask), b * 16))
       .reduce(_ bitwiseOR _)
     val sampled = graft.functions.Sampling.hashBucket(col("doc_id"), 100) < 5
+    // Null-SAFE (<=>) forms so the null contract is itself an invariant:
+    // null text → null signature (documented in simHash64), where a plain
+    // === would emit NULL against the oracle's TRUE. On null sig the band
+    // rejoin and the composable twin are both null (null <=> null holds)
+    // and popcount_ok falls back to asserting exactly that contract.
     sigged
       .select(col("doc_id"),
-        (rejoin === col("sig")).as("bands_rejoin"),
-        bit_count(col("sig")).between(0, 64).as("popcount_ok"),
+        (rejoin <=> col("sig")).as("bands_rejoin"),
+        coalesce(bit_count(col("sig")).between(0, 64), col("sig").isNull)
+          .as("popcount_ok"),
         (!sampled ||
-          Dedup.simHash64Composable(col("text")) === col("sig"))
+          (Dedup.simHash64Composable(col("text")) <=> col("sig")))
           .as("composable_match"))
       .orderBy(col("doc_id"))
   }
@@ -2647,7 +2653,9 @@ private[graft] trait QueriesText { this: Queries.type =>
         |),
         |sz AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS bn
         |       FROM s GROUP BY 1, 2),
-        |ss AS (SELECT s.* FROM s JOIN sz USING (lang, source)
+        |ss AS (SELECT s.* FROM s JOIN sz
+        |         ON s.lang IS NOT DISTINCT FROM sz.lang
+        |        AND s.source IS NOT DISTINCT FROM sz.source
         |       WHERE bn <= 2048
         |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 2048 * 1000000)
         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -3471,7 +3479,9 @@ private[graft] trait QueriesText { this: Queries.type =>
          |s2 AS (SELECT * FROM s WHERE len(sh) > 0),
          |sz AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS bn
          |       FROM s2 GROUP BY 1, 2),
-         |ss AS (SELECT s2.* FROM s2 JOIN sz USING (lang, source)
+         |ss AS (SELECT s2.* FROM s2 JOIN sz
+         |         ON s2.lang IS NOT DISTINCT FROM sz.lang
+         |        AND s2.source IS NOT DISTINCT FROM sz.source
          |       WHERE bn <= 2048
          |          OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) * bn < 2048 * 1000000),
          |t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -319,7 +319,10 @@ object AvroIo {
     // column that can carry nulls licenses the optimizer to elide null
     // filters (wrong results, not just a bad schema). The pure
     // translation (`toSparkSchema`) stays exact; only the multi-file
-    // read path pays the relaxation.
+    // read path pays the relaxation. Top-level copy() covers the whole
+    // schema space because toSparkSchema supports flat types only (a
+    // nested record/array throws "unsupported avro type" there) — if
+    // nesting is ever added, this relaxation must recurse with it.
     val dataSchema = StructType(
       toSparkSchema(new Schema.Parser().parse(avroJson))
         .fields.map(_.copy(nullable = true)).toIndexedSeq)

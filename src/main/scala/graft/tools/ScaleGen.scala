@@ -66,6 +66,15 @@ object ScaleGen {
     val (eS, uS) = (stride("events", "event_id"),
       read("events").agg(max(col("user_id"))).head().getLong(0) + 1L)
     val (dS, vS) = (stride("documents", "doc_id"), stride("embeddings", "vec_id"))
+    // Guard the embedding replica family BEFORE any table is written: a
+    // require that fires mid-generation would leave dest holding seven
+    // new-scale tables and a missing/stale embeddings.parquet — a
+    // silently cross-scale-inconsistent rehearsal directory.
+    val dim = read("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    require(k <= 2 * dim,
+      s"embedding replicas k=$k exceeds 2*dim=${2 * dim}: the " +
+        "rotation+reversal family wraps; lower k or widen vectors")
 
     def replicate(t: String)(tf: (DataFrame, Int) => DataFrame): Unit =
       write((0 until k).map(i => tf(read(t), i)).reduce(_ unionByName _), t)
@@ -97,8 +106,6 @@ object ScaleGen {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    val dim = read("embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
     // Replica permutation family: rotation by i % dim, composed with a
     // full reversal on odd wraps (i / dim odd). Both are fixed
     // permutations applied uniformly to every vector of the replica, so
@@ -107,11 +114,7 @@ object ScaleGen {
     // 2·dim members are pairwise distinct and no replica is a
     // byte-identical copy of another (rot = i % dim alone collides at
     // i = dim, 2·dim, … — the degenerate distance-0 K-clique geometry
-    // this family exists to avoid). Guard beyond the family size rather
-    // than silently generate broken rehearsal data.
-    require(k <= 2 * dim,
-      s"embedding replicas k=$k exceeds 2*dim=${2 * dim}: the " +
-        "rotation+reversal family wraps; lower k or widen vectors")
+    // this family exists to avoid; the guard ran before the first write).
     replicate("embeddings")((d, i) => {
       val rot = i % dim
       val rotated = if (rot == 0) col("embedding")

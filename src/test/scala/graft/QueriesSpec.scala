@@ -2456,6 +2456,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows == expect)
   }
 
+  test("q29 invariants hold for null-text docs (null sig contract, not NULL output)") {
+    // The r14 review finding: with a plain ===, a null text row emitted
+    // NULL invariant columns against the oracle's TRUE. The null-safe
+    // forms must emit TRUE — the null contract (null text → null sig) is
+    // itself the invariant being checked.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext").toString
+    val spark2 = spark
+    import spark2.implicits._
+    spark.read.parquet(s"$sf/documents.parquet").limit(5)
+      .unionByName(Seq((99999L, Option.empty[String], "xx", "null-src", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q29_simhash")(spark, dir).collect()
+    assert(rows.length == 6, "the null-text doc must appear, not drop")
+    rows.foreach { r =>
+      (1 to 3).foreach(i => assert(!r.isNullAt(i) && r.getBoolean(i),
+        s"invariant column $i must be TRUE for doc ${r.getLong(0)}"))
+    }
+  }
+
   test("q235 watermark loss: per-shard high-water lateness and join-loss " +
     "counts replay exactly") {
     val rows = SparkEntry.queries("q235_watermark_loss")(spark, sf).collect()
