@@ -62,6 +62,16 @@ object Bench {
     val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(s => s.exists(name.startsWith)) }
+    // One UNTIMED catalog query before the sweep: the table-priming block
+    // above warms IO and scan codegen but not the aggregate/join/window
+    // machinery a real catalog query compiles — the r14 driver capture
+    // started at loadavg 6.16 and parked four sub-second queries in the
+    // 1.8–2.4× warn band purely on first-query JIT+contention overlap.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () } // timed pass will surface the error
+      evict()
+    }
     // Drop state a query left behind (cached tables, localCheckpoint
     // RDDs) OUTSIDE its timed window: otherwise storage-memory pressure
     // from one query inflates every later measurement. Eviction must
@@ -137,6 +147,13 @@ object Bench {
       }
     def overFloorFn(name: String, best: Double): Boolean = benchRef.get(name)
       .exists(r => (best > 2 * r && best - r > 1.0) || best > 2.5 * r)
+    // Warn threshold (1.8× floor, no absolute-delta escape). Strictly
+    // broader than overFloorFn, so the deferred-retry loop keyed on it
+    // covers suspects AND warns: the r14 capture kept four warn-band
+    // queries because only suspects earned deferred retries, leaving
+    // contaminated first-pass mins in the committed artifact.
+    def warnFn(name: String, best: Double): Boolean =
+      benchRef.get(name).exists(r => best > 1.8 * r)
     val sweep = collection.mutable.LinkedHashMap.empty[String,
       (Vector[(Double, Option[String], String, String)],
         (SparkSession, String) => org.apache.spark.sql.DataFrame)]
@@ -157,17 +174,19 @@ object Bench {
       if (overFloorFn(name, minOk(runs))) runs :+= onePass(fn)
       sweep(name) = (runs, fn)
     }
-    // Deferred suspect retry: once the whole catalog has run (minutes
-    // later — any transient co-tenant burst has had time to pass), give
-    // every still-over-floor query up to 2 more passes. The recorded
-    // value is ALWAYS the min over every pass (first, inline extra,
-    // deferred), so a cleared suspect records its clean time and drops
-    // the flag; a confirmed regression keeps its slow min AND the flag.
+    // Deferred retry: once the whole catalog has run (minutes later — any
+    // transient co-tenant burst has had time to pass), give every query
+    // still over the WARN line (1.8× floor — covers suspects too, the
+    // warn threshold is strictly broader) up to 2 more passes. The
+    // recorded value is ALWAYS the min over every pass (first, inline
+    // extra, deferred), so a cleared suspect/warn records its clean time
+    // and drops the flag; a confirmed regression keeps its slow min AND
+    // the flag.
     sweep.keys.toSeq.foreach { name =>
       val (runs0, fn) = sweep(name)
       var runs = runs0
       var extra = 0
-      while (overFloorFn(name, minOk(runs)) && extra < 2) {
+      while (warnFn(name, minOk(runs)) && extra < 2) {
         runs :+= onePass(fn); extra += 1
       }
       sweep(name) = (runs, fn)
@@ -186,7 +205,7 @@ object Bench {
     // before it becomes a false red.
     val warned = results.collect {
       case (name, best, None, _, _)
-        if benchRef.get(name).exists(r => best > 1.8 * r && !overFloorFn(name, best)) =>
+        if warnFn(name, best) && !overFloorFn(name, best) =>
         name
     }
     def jstr(s: String): String =

@@ -1421,17 +1421,27 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       "clean_convert" -> "S[^E]*P",
       "error_exit" -> "S[^P]*E[^P]*$",
       "nosignup_convert" -> "^[^S]*P")
-    val pattern = grammar.foldRight(lit("browse_only")) { case ((name, re), rest) =>
-      when(col("walk").rlike(re), lit(name)).otherwise(rest)
+    // ONE regexp_extract per pattern per row: every grammar pattern's
+    // minimum match length is >= 1 (each requires at least one literal
+    // event char), so `length(extract) > 0` IS the match predicate and the
+    // r14 shape's second rlike pass is redundant. The lengths project in a
+    // separate select; CollapseProject keeps multiply-referenced non-cheap
+    // expressions un-inlined, so each regex runs once in the scan stage.
+    val lens = grammar.zipWithIndex.map { case ((_, re), i) =>
+      length(regexp_extract(col("walk"), re, 0)).cast("long").as(s"__l$i")
     }
-    val matchLen = grammar.foldRight(lit(0L)) { case ((_, re), rest) =>
-      when(col("walk").rlike(re),
-        length(regexp_extract(col("walk"), re, 0)).cast("long")).otherwise(rest)
+    val pattern = grammar.zipWithIndex.foldRight(lit("browse_only")) {
+      case (((name, _), i), rest) =>
+        when(col(s"__l$i") > 0, lit(name)).otherwise(rest)
+    }
+    val matchLen = grammar.zipWithIndex.foldRight(lit(0L)) {
+      case ((_, i), rest) => when(col(s"__l$i") > 0, col(s"__l$i")).otherwise(rest)
     }
     sessionWalks(spark, dir)
-      .select(expr("start_us div 86400000000").as("day"),
-        pattern.as("pattern"), matchLen.as("mlen"),
-        length(col("walk")).cast("long").as("wlen"))
+      .select(expr("start_us div 86400000000").as("day") +:
+        length(col("walk")).cast("long").as("wlen") +: lens: _*)
+      .select(col("day"), pattern.as("pattern"), matchLen.as("mlen"),
+        col("wlen"))
       .groupBy(col("day"), col("pattern"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("mlen")).as("match_len_total"),
@@ -1452,21 +1462,49 @@ private[graft] trait QueriesEvents { this: Queries.type =>
     * would have been dropped. The loss curve is what sizes a production
     * `withWatermark` delay; StreamingSpec pins the live
     * stream-stream-join drop semantics on a real micro-batch stream.
-    * Scale shape: ONE prefix-max window partitioned 32 ways (the
-    * packByBudget shard discipline), both legs of the loss curve are
-    * single conditional aggregates (no per-delay pass), combined by
-    * broadcasting two 1-row aggregates and unpivoted with stack.
+    * Scale shape: the per-shard prefix max runs TWO-PHASE (the
+    * shardedCumSum slicing discipline) — event_id's range splits into
+    * 256 equal-width chunks by integer DIV (monotone, so chunk order ≡
+    * arrival order within a shard), the strict-prefix max runs
+    * chunk-local under `partitionBy(shard, chunk)` (32×256 sorted tasks,
+    * not 32 shard-sized ones), and the cross-chunk carry-in joins back
+    * from a broadcast ≤32×257-row (shard, chunk) summary — so stamping
+    * parallelism scales with data while shard semantics stay identical.
+    * Shards are sign-explicit (`((user_id % 32) + 32) % 32`) so Spark,
+    * DuckDB, and the spec replay agree even for negative ids. Both legs
+    * of the loss curve are single conditional aggregates (no per-delay
+    * pass), combined by broadcasting two 1-row aggregates and unpivoted
+    * with stack.
     */
   def watermarkLoss(spark: SparkSession, dir: String): DataFrame = {
     val delays = Seq(0L, 60L, 600L, 3600L) // seconds
     val e = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .withColumn("shard", pmod(col("user_id"), lit(32L)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val stamped = e
+      .withColumn("shard", expr("((user_id % 32) + 32) % 32"))
+    val bounds = e.agg(min(col("event_id")).as("__mn"), max(col("event_id")).as("__mx"))
+    val chunked = e.crossJoin(broadcast(bounds))
+      .withColumn("chunk",
+        expr("(event_id - __mn) DIV (((__mx - __mn) DIV 256) + 1)"))
+      .drop("__mn", "__mx")
+    // carry-in: max ts over all STRICTLY EARLIER chunks of the same shard,
+    // computed on the bounded (shard, chunk) summary
+    val carry = chunked.groupBy(col("shard"), col("chunk"))
+      .agg(max(col("ts")).as("__cmax"))
+      .withColumn("__carry", max(col("__cmax")).over(
+        Window.partitionBy(col("shard")).orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("__cmax")
+    val localW = Window.partitionBy(col("shard"), col("chunk"))
+      .orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() skips NULLs, so a missing carry (first chunk) or empty
+    // local prefix (first row of a chunk) degrades to the other leg; both
+    // NULL = shard's first arrival = on time.
+    val stamped = chunked
+      .join(broadcast(carry), Seq("shard", "chunk"))
+      .withColumn("__wm", greatest(max(col("ts")).over(localW), col("__carry")))
       .withColumn("late_ns",
-        greatest(coalesce(max(col("ts")).over(w) - col("ts"), lit(0L)), lit(0L)))
+        greatest(coalesce(col("__wm") - col("ts"), lit(0L)), lit(0L)))
+      .drop("__wm", "__carry", "chunk")
     val lateAggs = delays.map(d =>
       sum((col("late_ns") > d * 1000000000L).cast("long")).as(s"late_$d"))
     val lateRow = stamped.agg(lateAggs.head, lateAggs.tail: _*)
@@ -2124,10 +2162,12 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |FROM cl GROUP BY 1, 2 ORDER BY day, pattern""".stripMargin,
     // q235: per-shard running-max watermark over arrival order; the two
     // 1-row aggregate CTEs are MATERIALIZED so the 4-delay unpivot does
-    // not recompute the pair join per delay.
+    // not recompute the pair join per delay. Shard is sign-explicit
+    // (((x % 32) + 32) % 32) to match Spark's pmod semantics even for
+    // negative ids (Spark % and DuckDB % both follow the dividend sign).
     "q235_watermark_loss" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
-        |             user_id % 32 AS shard FROM events),
+        |             ((user_id % 32) + 32) % 32 AS shard FROM events),
         |s AS (SELECT *, max(ts) OVER (PARTITION BY shard ORDER BY event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
         |      FROM e),

@@ -736,6 +736,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q235: watermark stamping is two-phase — data-sized prefix windows are (shard, chunk)-partitioned; any shard-only window reads the chunk summary") {
+    // The r14 shape was ONE prefix-max window per user_id%32 shard: 32
+    // sorted tasks no matter the data volume. The two-phase rewrite must
+    // keep every data-sized window partitioned by (shard, chunk) and allow
+    // a shard-only window ONLY over the bounded (shard, chunk) aggregate
+    // summary (the carry-in).
+    val ws = windowNodes("q235_watermark_loss").map { w =>
+      (w, w.partitionSpec.flatMap(_.references.toSeq).map(_.name).distinct.sorted)
+    }
+    assert(ws.exists(_._2 == Seq("chunk", "shard")),
+      s"missing the chunk-local prefix window; saw keys: ${ws.map(_._2)}")
+    ws.filterNot(_._2 == Seq("chunk", "shard")).foreach { case (w, keys) =>
+      assert(keys == Seq("shard"), s"unexpected window partition keys $keys")
+      val aggKeys = allNodes(w.child).collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.flatMap(_.references.toSeq)
+            .map(_.name).distinct.sorted
+      }
+      assert(aggKeys.contains(Seq("chunk", "shard")),
+        s"shard-only window must read the (shard, chunk) summary; aggs: $aggKeys")
+    }
+  }
+
   test("q152: the IVF argmax is a map-side-combinable aggregation — no window, no vector shuffles") {
     // a row_number window over the corpus x centroids frame would sort 32x
     // the corpus; the max(struct(cos, -cell)) aggregation partial-combines

@@ -2485,8 +2485,9 @@ class QueriesSpec extends AnyFunSuite {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "ts")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    // lateness = prefix max of ts (strictly before, per shard) - ts
-    val late = ev.groupBy(e => e._2 % 32).toSeq.flatMap { case (_, g) =>
+    // lateness = prefix max of ts (strictly before, per shard) - ts;
+    // shard is sign-explicit to match the query/oracle pair exactly
+    val late = ev.groupBy(e => ((e._2 % 32) + 32) % 32).toSeq.flatMap { case (_, g) =>
       g.sortBy(_._1).foldLeft((Long.MinValue, Vector.empty[(Long, Long, String, Long)])) {
         case ((hw, acc), e) =>
           val l = if (hw == Long.MinValue || hw <= e._4) 0L else hw - e._4
