@@ -1515,9 +1515,11 @@ private[graft] trait QueriesEvents { this: Queries.type =>
     val pairs = c.join(p, Seq("user_id"))
       .filter(col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + 3600000000000L)
+    // coalesce: sum over an EMPTY pair frame is NULL, and zero pairs is a
+    // legitimate corpus (PropertySpec generates them) — losses are then 0
     val lossAggs = count(lit(1)).as("n_pairs") +: delays.map(d =>
-      sum((col("c_late") > d * 1000000000L ||
-        col("p_late") > d * 1000000000L).cast("long")).as(s"lost_$d"))
+      coalesce(sum((col("c_late") > d * 1000000000L ||
+        col("p_late") > d * 1000000000L).cast("long")), lit(0L)).as(s"lost_$d"))
     val lossRow = pairs.agg(lossAggs.head, lossAggs.tail: _*)
     lateRow.crossJoin(broadcast(lossRow))
       .selectExpr(s"stack(${delays.length}, " +
@@ -2184,10 +2186,10 @@ private[graft] trait QueriesEvents { this: Queries.type =>
         |       FROM c JOIN p ON c.user_id = p.user_id
         |        AND p.ts >= c.ts AND p.ts <= c.ts + 3600000000000),
         |ls AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |        CAST(sum(CASE WHEN cl > 0 OR pl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_0,
-        |        CAST(sum(CASE WHEN cl > 60000000000 OR pl > 60000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_60,
-        |        CAST(sum(CASE WHEN cl > 600000000000 OR pl > 600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_600,
-        |        CAST(sum(CASE WHEN cl > 3600000000000 OR pl > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS lost_3600
+        |        CAST(COALESCE(sum(CASE WHEN cl > 0 OR pl > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS lost_0,
+        |        CAST(COALESCE(sum(CASE WHEN cl > 60000000000 OR pl > 60000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS lost_60,
+        |        CAST(COALESCE(sum(CASE WHEN cl > 600000000000 OR pl > 600000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS lost_600,
+        |        CAST(COALESCE(sum(CASE WHEN cl > 3600000000000 OR pl > 3600000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS lost_3600
         |      FROM pr),
         |u AS (SELECT 0 AS delay_s, late_0 AS n_late_events, n_pairs, lost_0 AS n_pairs_lost FROM lr, ls
         |      UNION ALL

@@ -89,7 +89,10 @@ private[graft] trait QueriesText { this: Queries.type =>
     *  - `bands_rejoin`: the 4×16-bit band decomposition the LSH pair
     *    machinery shifts out ([[graft.functions.Dedup.simHashCandidatesFromSigs]])
     *    ORs back to the exact signature — the banding is lossless;
-    *  - `popcount_ok`: bit_count lands in [0, 64];
+    *  - `null_contract`: sig is non-null IFF text is non-null (falsifiable
+    *    in both directions — a hash of null text or a null hash of real
+    *    text each flips it FALSE; the r14 popcount-in-[0,64] column it
+    *    replaces was a tautology on BIGINT);
     *  - `composable_match`: on a deterministic ~5% doc sample, the native
     *    [[graft.plans.TextExpressions]] SimHash64 expression agrees
     *    bit-for-bit with the composable built-ins twin — the DedupSpec
@@ -109,13 +112,13 @@ private[graft] trait QueriesText { this: Queries.type =>
     // Null-SAFE (<=>) forms so the null contract is itself an invariant:
     // null text → null signature (documented in simHash64), where a plain
     // === would emit NULL against the oracle's TRUE. On null sig the band
-    // rejoin and the composable twin are both null (null <=> null holds)
-    // and popcount_ok falls back to asserting exactly that contract.
+    // rejoin and the composable twin are both null (null <=> null holds);
+    // null_contract asserts the iff directly with never-null isNotNulls.
     sigged
       .select(col("doc_id"),
         (rejoin <=> col("sig")).as("bands_rejoin"),
-        coalesce(bit_count(col("sig")).between(0, 64), col("sig").isNull)
-          .as("popcount_ok"),
+        (col("sig").isNotNull === col("text").isNotNull)
+          .as("null_contract"),
         (!sampled ||
           (Dedup.simHash64Composable(col("text")) <=> col("sig")))
           .as("composable_match"))
@@ -2565,7 +2568,7 @@ private[graft] trait QueriesText { this: Queries.type =>
     // pins the per-doc invariants (band rejoin, popcount range, sampled
     // native-vs-composable differential) all TRUE.
     "q29_simhash" ->
-      """SELECT doc_id, TRUE AS bands_rejoin, TRUE AS popcount_ok,
+      """SELECT doc_id, TRUE AS bands_rejoin, TRUE AS null_contract,
         |       TRUE AS composable_match
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_dedup_clusters" ->

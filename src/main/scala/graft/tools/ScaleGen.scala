@@ -75,6 +75,14 @@ object ScaleGen {
     require(k <= 2 * dim,
       s"embedding replicas k=$k exceeds 2*dim=${2 * dim}: the " +
         "rotation+reversal family wraps; lower k or widen vectors")
+    // pairwise distinctness additionally needs dim >= 3 once the family
+    // wraps past the pure rotations: at dim 2 reversal equals rotation-by-1
+    // (and at dim 1 it is the identity), so replicas dim..2*dim-1 would be
+    // byte-identical to replicas 0..dim-1 — the degenerate distance-0
+    // geometry the family exists to avoid.
+    require(k <= dim || dim >= 3,
+      s"embedding replicas k=$k with dim=$dim: reversal degenerates to a " +
+        "rotation below dim 3, so the wrapped half duplicates the first")
 
     def replicate(t: String)(tf: (DataFrame, Int) => DataFrame): Unit =
       write((0 until k).map(i => tf(read(t), i)).reduce(_ unionByName _), t)

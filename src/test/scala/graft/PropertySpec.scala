@@ -687,4 +687,122 @@ class PropertySpec extends AnyFunSuite {
     assert((uncapped -- capped).forall { case (a, b) => a < 60L && b < 60L },
       s"cap must lose only in-mega pairs: ${(uncapped -- capped).take(5)}")
   }
+
+  /** Random events tables for the q234/q235 properties: (event_id,
+    * user_id, event_type, ts-nanos) with unique arrival-ordered ids.
+    * user ids may be NEGATIVE (exercises the sign-explicit shard);
+    * timestamps stay non-negative (calendar arithmetic).
+    */
+  private val eventsGen: Gen[List[(Long, Long, String, Long)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(-5L, 5L),
+      Gen.oneOf("click", "error", "purchase", "signup", "view"),
+      // spread over ~3 days with gaps straddling the 30-min session cut
+      Gen.chooseNum(0L, 3L * 86400L * 1000000000L)))
+  } yield rows.zipWithIndex.map { case ((u, t, ts), i) =>
+    (i.toLong, u, t, ts / 1000 * 1000) } // micro-aligned like real data
+
+  private def writeEvents(rows: List[(Long, Long, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prop_events").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q234 grammar: first-match-wins alternation priority and the " +
+    "browse_only remainder identity hold on random event corpora") {
+    val grammar = Seq(
+      "retry_convert" -> "S.*E.*P".r,
+      "clean_convert" -> "S[^E]*P".r,
+      "error_exit" -> "S[^P]*E[^P]*$".r,
+      "nosignup_convert" -> "^[^S]*P".r)
+    forAll(eventsGen, n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val dir = writeEvents(rows)
+        // reference: sessionize (30-min micro gap, (ts_us, id) order), walk
+        // of first letters, classify by FIRST matching pattern in grammar
+        // order, leftmost match length
+        val sessions = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+          val sorted = g.map(e => (e._4 / 1000, e._1, e._3)).sortBy(e => (e._1, e._2))
+          val cuts = sorted.zip((Long.MinValue, 0L, "") +: sorted.init).map {
+            case (cur, prev) => prev._1 == Long.MinValue || cur._1 - prev._1 > 1800000000L
+          }
+          val bySession = sorted.zip(cuts).foldLeft(List.empty[List[(Long, Long, String)]]) {
+            case (acc, (e, newSess)) =>
+              if (newSess || acc.isEmpty) List(e) :: acc
+              else (e :: acc.head) :: acc.tail
+          }.map(_.reverse).reverse
+          bySession.map { es =>
+            val walk = es.map(_._3.head.toUpper).mkString.take(512)
+            (es.map(_._1).min / 86400000000L, walk)
+          }
+        }
+        val ref = sessions.map { case (day, walk) =>
+          val hit = grammar.find(_._2.findFirstIn(walk).isDefined)
+          val name = hit.map(_._1).getOrElse("browse_only")
+          val mlen = hit.flatMap(_._2.findFirstIn(walk)).map(_.length.toLong).getOrElse(0L)
+          (day, name, mlen, walk.length.toLong)
+        }
+        val expect = ref.groupBy(r => (r._1, r._2)).map { case ((d, p), g) =>
+          (d, p) -> ((g.size.toLong, g.map(_._3).sum, g.map(_._4).sum * 1000 / g.size))
+        }
+        val got = SparkEntry.queries("q234_journey_grammar")(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        assert(got == expect, s"grammar rollup mismatch:\ngot    $got\nexpect $expect")
+        // explicit remainder identity: browse_only = total - sum(matches)
+        val perDayTotal = sessions.groupBy(_._1).view.mapValues(_.size.toLong)
+        perDayTotal.foreach { case (day, total) =>
+          val matched = grammar.map(g => got.getOrElse((day, g._1), (0L, 0L, 0L))._1).sum
+          assert(got.getOrElse((day, "browse_only"), (0L, 0L, 0L))._1 == total - matched)
+        }
+      }
+    }
+  }
+
+  test("q235 watermark loss: curve is monotone non-increasing in delay, " +
+    "lost <= n_pairs, and replays a direct reference (negative ids included)") {
+    forAll(eventsGen, n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val dir = writeEvents(rows)
+        val out = SparkEntry.queries("q235_watermark_loss")(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        // shape properties
+        out.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._2 >= b._2, s"n_late_events must not increase with delay: $out")
+            assert(a._4 >= b._4, s"lost must not increase with delay: $out")
+          case _ => ()
+        }
+        out.foreach { r =>
+          assert(r._4 <= r._3, s"lost must be <= n_pairs: $r")
+          assert(r._5 == r._4 * 1000000L / math.max(r._3, 1L), s"ppm identity: $r")
+        }
+        // direct reference with sign-explicit shards
+        val late = rows.groupBy(e => ((e._2 % 32) + 32) % 32).toSeq.flatMap { case (_, g) =>
+          g.sortBy(_._1).foldLeft((Long.MinValue, Vector.empty[(Long, Long)])) {
+            case ((hw, acc), e) =>
+              val l = if (hw == Long.MinValue || hw <= e._4) 0L else hw - e._4
+              (math.max(hw, e._4), acc :+ ((e._1, l)))
+          }._2
+        }.toMap
+        val clicks = rows.filter(_._3 == "click")
+        val purchases = rows.filter(_._3 == "purchase")
+        val pairs = for {
+          c <- clicks; p <- purchases
+          if p._2 == c._2 && p._4 >= c._4 && p._4 <= c._4 + 3600000000000L
+        } yield (late(c._1), late(p._1))
+        Seq(0L, 60L, 600L, 3600L).foreach { d =>
+          val dNs = d * 1000000000L
+          val row = out.find(_._1 == d).get
+          assert(row._2 == late.values.count(_ > dNs).toLong, s"late at $d: $row")
+          assert(row._3 == pairs.size.toLong, s"pairs at $d: $row")
+          assert(row._4 == pairs.count { case (cl, pl) => cl > dNs || pl > dNs }.toLong,
+            s"lost at $d: $row")
+        }
+      }
+    }
+  }
 }

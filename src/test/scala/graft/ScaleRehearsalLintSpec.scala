@@ -21,41 +21,49 @@ class ScaleRehearsalLintSpec extends AnyFunSuite {
     else new String(java.nio.file.Files.readAllBytes(f.toPath))
   }
 
-  /** Top-level keys of the named JSON object, extracted by brace matching
-    * (values may themselves be objects, as in BENCH_SF10's per-query
-    * entries). Dependency-free on purpose — the artifacts are flat enough
-    * that a counter suffices and strings in them never contain braces.
+  /** Top-level keys of the named JSON object, extracted by an escape-aware
+    * scan (values may themselves be objects, as in BENCH_SF10's per-query
+    * entries). String literals are consumed atomically so braces INSIDE
+    * them — the errors map holds arbitrary exception text — can never
+    * corrupt the depth count (the r15 ADVICE finding: a `{` in a crash
+    * message could otherwise let the crashed query count as evidence).
+    * A key is a depth-1 string whose next non-space character is ':'.
     */
   private def objectKeys(json: String, objName: String): Set[String] = {
     val start = json.indexOf("\"" + objName + "\"")
     if (start < 0) return Set.empty
     val open = json.indexOf('{', start)
     if (open < 0) return Set.empty
-    var (i, depth) = (open, 0)
+    val keys = scala.collection.mutable.Set.empty[String]
+    var i = open
+    var depth = 0
     var end = -1
     while (end < 0 && i < json.length) {
       json(i) match {
-        case '{' => depth += 1
-        case '}' => depth -= 1; if (depth == 0) end = i
-        case _ =>
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; if (depth == 0) end = i; i += 1
+        case '"' =>
+          val sb = new StringBuilder
+          var j = i + 1
+          var esc = false
+          var closed = false
+          while (!closed && j < json.length) {
+            val c = json(j)
+            if (esc) { sb += c; esc = false }
+            else if (c == '\\') esc = true
+            else if (c == '"') closed = true
+            else sb += c
+            j += 1
+          }
+          var k = j
+          while (k < json.length && json(k).isWhitespace) k += 1
+          if (depth == 1 && k < json.length && json(k) == ':') keys += sb.toString
+          i = j
+        case _ => i += 1
       }
-      i += 1
     }
-    if (end < 0) return Set.empty
-    val body = json.substring(open, end + 1)
-    // keys at depth 1 only: strip nested objects before matching
-    val flat = {
-      val sb = new StringBuilder
-      var d = 0
-      body.foreach {
-        case '{' => d += 1; if (d == 1) sb += '{'
-        case '}' => d -= 1; if (d == 0) sb += '}'
-        case c if d == 1 => sb += c
-        case _ =>
-      }
-      sb.toString
-    }
-    """"(q\d+[a-z0-9_]*)"\s*:""".r.findAllMatchIn(flat).map(_.group(1)).toSet
+    if (end < 0) Set.empty
+    else keys.filter(_.matches("q\\d+[a-z0-9_]*")).toSet
   }
 
   /** sf10 evidence = a CLEAN per-query time: a key in the artifact's
@@ -66,6 +74,13 @@ class ScaleRehearsalLintSpec extends AnyFunSuite {
   private def queryKeys(path: String): Set[String] = {
     val json = readFile(path)
     objectKeys(json, "queries") -- objectKeys(json, "errors")
+  }
+
+  test("objectKeys survives braces and escaped quotes inside string values") {
+    val json = """{"queries":{"q1_a":1.5,"q2_b":{"x":1}},""" +
+      """"errors":{"q2_b":"boom {unbalanced \" and } braces: {{{ \"q9_fake\": no"}}"""
+    assert(objectKeys(json, "queries") == Set("q1_a", "q2_b"))
+    assert(objectKeys(json, "errors") == Set("q2_b"))
   }
 
   test("every catalog query has an sf10 rehearsal entry in a committed artifact") {
