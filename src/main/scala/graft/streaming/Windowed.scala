@@ -253,8 +253,26 @@ object Windowed {
       .start()
 
   final case class EwmaIn(event_type: String, ts: Timestamp)
-  final case class EwmaState(day: Long, n: Long, ewma: Long, hasEwma: Boolean,
-                             lateDrops: Long = 0L)
+
+  /** Semantic version stamped into every flatMapGroupsWithState state
+    * envelope below. The state-store encoder schema is part of a streaming
+    * job's ON-DISK contract: r14's `lateDrops` addition changed
+    * [[EwmaState]]'s schema and forced a fresh checkpoint. The envelope
+    * makes the NEXT addition structural instead: each state class carries
+    * this version discriminator plus fixed reserved slots (`reservedA`/
+    * `reservedB` longs, `reservedS` string) that a future field CLAIMS
+    * without changing the stored schema — Spark's state schema check
+    * compares types, not names, so a bumped version repurposing a slot
+    * restores old checkpoints cleanly (old states carry the slot's
+    * neutral default; the new logic interprets by `version`).
+    * WindowedStreamingSpec pins the restore path with a live checkpoint.
+    */
+  val StateVersion: Int = 2
+
+  final case class EwmaState(version: Int, day: Long, n: Long, ewma: Long,
+                             hasEwma: Boolean, lateDrops: Long = 0L,
+                             reservedA: Long = 0L, reservedB: Long = 0L,
+                             reservedS: String = "")
   final case class EwmaOut(event_type: String, day: Long, n: Long,
                            ewma_prev_micro: Long, is_anomaly: Int,
                            n_late_dropped: Long = 0L)
@@ -280,12 +298,12 @@ object Windowed {
     * side-channel a monitor alarms on (a nonzero rate means the source
     * needs the batch q184 sweep, whose full-sort semantics are exact).
     *
-    * CHECKPOINT COMPATIBILITY: adding `lateDrops` changed the
-    * flatMapGroupsWithState state encoder schema — a stream restarted
-    * from a checkpoint written before the field existed fails (or
-    * misreads state) under the state-store schema check. Deploying this
-    * version over an existing stream requires a FRESH checkpoint; the
-    * rest of the change is replay-safe.
+    * CHECKPOINT COMPATIBILITY: state rides the versioned envelope (see
+    * [[StateVersion]]) — the r14 `lateDrops` addition and the envelope
+    * introduction itself each required a fresh checkpoint, but every
+    * FUTURE field addition claims a reserved slot under a bumped version
+    * with the stored schema unchanged, so deployed streams restart from
+    * their existing checkpoints.
     */
   def ewmaAnomalyStream(events: Dataset[EwmaIn]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
@@ -295,11 +313,12 @@ object Windowed {
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key, it, state) =>
-          var st = state.getOption.getOrElse(EwmaState(-1L, 0L, 0L, hasEwma = false))
+          var st = state.getOption
+            .getOrElse(EwmaState(StateVersion, -1L, 0L, 0L, hasEwma = false))
           val out = scala.collection.mutable.Buffer.empty[EwmaOut]
           it.toSeq.sortBy(_.ts.getTime).foreach { e =>
             val day = e.ts.getTime / 86400000L
-            if (st.day < 0) st = EwmaState(day, 1L, 0L, hasEwma = false)
+            if (st.day < 0) st = EwmaState(StateVersion, day, 1L, 0L, hasEwma = false)
             else if (day == st.day) st = st.copy(n = st.n + 1)
             else if (day < st.day) st = st.copy(lateDrops = st.lateDrops + 1)
             else {
@@ -318,7 +337,10 @@ object Windowed {
   }
 
   final case class FunnelInput(user_id: Long, event_type: String, ts: Timestamp)
-  final case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = stage not reached
+  // t1/t2/t3: 0 = stage not reached; versioned envelope per [[StateVersion]]
+  final case class FunnelState(version: Int, t1: Long, t2: Long, t3: Long,
+                               reservedA: Long = 0L, reservedB: Long = 0L,
+                               reservedS: String = "")
   final case class FunnelOut(user_id: Long, step: Int, stage: String, at_ms: Long)
 
   /** Streaming twin of the q115 ordered funnel: a fixed-size per-user state
@@ -336,7 +358,7 @@ object Windowed {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          var s = state.getOption.getOrElse(FunnelState(StateVersion, 0L, 0L, 0L))
           val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
           rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
             val t = r.ts.getTime
@@ -357,7 +379,11 @@ object Windowed {
   }
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  // versioned envelope per [[StateVersion]]
+  final case class SessionState(version: Int, start: Long, last: Long,
+                                n: Long, total: Double,
+                                reservedA: Long = 0L, reservedB: Long = 0L,
+                                reservedS: String = "")
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                               n_events: Long, total_value: Double)
 
@@ -423,12 +449,12 @@ object Windowed {
               val t = r.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + r.value))
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + r.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.start, s.last, s.n, s.total)
-                  cur = Some(SessionState(t, t, 1L, r.value))
+                  cur = Some(SessionState(StateVersion, t, t, 1L, r.value))
                 case None =>
-                  cur = Some(SessionState(t, t, 1L, r.value))
+                  cur = Some(SessionState(StateVersion, t, t, 1L, r.value))
               }
             }
             cur.foreach { s =>

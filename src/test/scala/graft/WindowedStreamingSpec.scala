@@ -493,6 +493,60 @@ class WindowedStreamingSpec extends AnyFunSuite {
     assert(out == Map("old" -> 100L, "new" -> 200L, "late" -> 100L), out.toString)
   }
 
+  test("versioned state envelope: a checkpoint written by the current layout " +
+    "restores under a future version that claims a reserved slot") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ckpt = java.nio.file.Files.createTempDirectory("env_ckpt").toString
+    val in = MemoryStream[Windowed.EwmaIn]
+    def ev(d: Int) = Windowed.EwmaIn("view", ts(f"2024-03-${d}%02d 00:00:00"))
+    // phase A — the "pre-change layout": the SHIPPED ewma machine writes
+    // state under StateVersion with the reserved slots at their defaults.
+    // foreachBatch sinks: the memory sink refuses checkpoint RECOVERY in
+    // Append mode, and recovery is exactly what phase B exercises.
+    val qa = Windowed.ewmaAnomalyStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Windowed.EwmaOut], _: Long) =>
+        b.count(); () // materialize: an unexecuted batch never commits state
+      }
+      .start()
+    in.addData(ev(1), ev(1), ev(2)) // day 1 closes at n=2; day 2 open at n=1
+    qa.processAllAvailable(); qa.stop()
+    // phase B — the "next field addition": same EwmaState schema, but the
+    // logic claims reservedA as a cumulative post-upgrade event counter
+    // under version+1, and RESTARTS FROM PHASE A'S CHECKPOINT. The state
+    // schema check must accept it (schema unchanged) and the restored
+    // envelope must carry phase A's exact state.
+    val evolved = in.toDS()
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Windowed.EwmaState, (String, Int, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val prev = state.getOption.getOrElse(Windowed.EwmaState(
+          Windowed.StateVersion + 1, -1L, 0L, 0L, hasEwma = false))
+        val st = prev.copy(version = Windowed.StateVersion + 1,
+          reservedA = prev.reservedA + it.size)
+        state.update(st)
+        Iterator((key, prev.version, prev.day, prev.n, st.reservedA))
+      }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Long)]
+    val qb = evolved.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Int, Long, Long, Long)], _: Long) =>
+        b.collect().foreach(got.add)
+      }
+      .start()
+    in.addData(ev(2), ev(2))
+    qb.processAllAvailable(); qb.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq
+    val d0 = ts("2024-03-01 00:00:00").getTime / 86400000L
+    // restored: the OLD version stamp, day 2 open at n=1 (phase A's state,
+    // not a re-init), and the claimed slot counting phase B's two events
+    assert(rows == Seq(("view", Windowed.StateVersion, d0 + 1, 1L, 2L)),
+      s"restore must carry phase A state into the evolved logic: ${rows.mkString(",")}")
+  }
+
   test("listener records batch durations and ledger-parses kafka offsets") {
     implicit val sqlCtx = spark.sqlContext
     val listener = new OffsetLedgerListener
