@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * `topic/partition/offset/value`) are fully exercised by MemoryStream
   * tests.
   *
-  * Resolution ATTEMPTED (r14): adding
+  * Resolution ATTEMPTED (r14; re-attempted r15, identical failure): adding
   * `"org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"` fails with
   * `sbt.librarymanagement.ResolveException: Error downloading
   * org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 — Not found` —

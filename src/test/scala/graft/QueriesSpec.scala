@@ -1536,6 +1536,55 @@ class QueriesSpec extends AnyFunSuite {
       "threshold 0.65 should be selective on this corpus")
   }
 
+  test("q196 PPJoin edge: threshold-exact pairs survive every prune with zero slack") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Two engineered pairs sitting EXACTLY on the t = 0.65 boundary, built
+    // from sliding char-3-grams over distinct-char strings (n distinct
+    // chars -> n-2 distinct shingles; appending fresh chars adds exactly
+    // 2 bridge + (k-2) new shingles):
+    //
+    //  SUBSET pair (docs 0, 8): A = 28 distinct chars (26 shingles),
+    //    B = A ++ 14 fresh chars (40 shingles, the first 26 = A's).
+    //    o = 26, J = 26/40 = 0.65 exactly;
+    //    - size filter at EQUALITY: ma*20 = 520 = mb*13 (a `>` kills it);
+    //    - A's tokens are all shared (df = 2) while B's 14 unshared are
+    //      df = 1, so B's prefix (40 - 26 + 1 = 15) holds exactly ONE
+    //      shared token, at its LAST slot: the pair's only candidate row
+    //      has extreme ranks (ra = 1, rb = 15) and positional bound
+    //      min(0, 14) + 1 + min(25, 25) = 26 = alpha EXACTLY — any
+    //      off-by-one in the bound, alpha, or the prefix length prunes
+    //      the pair's sole row and the pair vanishes.
+    //  EQUAL pair (docs 16, 24): A = 35 distinct chars (33 shingles),
+    //    B = A's first 28 chars ++ 7 fresh (33 shingles, 26 shared).
+    //    J = 26/(33 + 33 - 26) = 0.65 exactly.
+    //
+    // Disjoint alphabets across pairs keep cross-pair similarity at 0 and
+    // every df in {1, 2}.
+    val p1 = (33 to 74).map(_.toChar).mkString   // 42 chars for pair 1
+    val p2 = (75 to 116).map(_.toChar).mkString  // 42 chars for pair 2
+    val docA1 = p1.substring(0, 28)
+    val docB1 = p1 // A1 ++ 14 fresh
+    val docA2 = p2.substring(0, 35)
+    val docB2 = p2.substring(0, 28) + p2.substring(35, 42)
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin_edge").toString
+    Seq((0L, docA1), (8L, docB1), (16L, docA2), (24L, docB2))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fixture self-check: the engineered geometry, via the same shingler
+    def shingles(s: String): Set[String] = s.sliding(3).toSet
+    assert(shingles(docA1).size == 26 && shingles(docB1).size == 40 &&
+      (shingles(docA1) & shingles(docB1)).size == 26, "subset pair geometry")
+    assert(shingles(docA2).size == 33 && shingles(docB2).size == 33 &&
+      (shingles(docA2) & shingles(docB2)).size == 26, "equal pair geometry")
+    assert((shingles(docA1) ++ shingles(docB1))
+      .intersect(shingles(docA2) ++ shingles(docB2)).isEmpty, "pair isolation")
+    val got = SparkEntry.queries("q196_ppjoin_exact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 8L, 0.65), (16L, 24L, 0.65)),
+      s"threshold-exact pairs must survive the prune chain with J = 0.65: $got")
+  }
+
   test("q197 session gap curve: counts replay against real sessionization at each threshold") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q197_session_gap_curve")(spark, sf)
