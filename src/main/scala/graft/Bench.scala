@@ -62,16 +62,6 @@ object Bench {
     val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(s => s.exists(name.startsWith)) }
-    // One UNTIMED catalog query before the sweep: the table-priming block
-    // above warms IO and scan codegen but not the aggregate/join/window
-    // machinery a real catalog query compiles — the r14 driver capture
-    // started at loadavg 6.16 and parked four sub-second queries in the
-    // 1.8–2.4× warn band purely on first-query JIT+contention overlap.
-    selected.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () } // timed pass will surface the error
-      evict()
-    }
     // Drop state a query left behind (cached tables, localCheckpoint
     // RDDs) OUTSIDE its timed window: otherwise storage-memory pressure
     // from one query inflates every later measurement. Eviction must
@@ -82,6 +72,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+    // UNTIMED warm-up queries before the sweep: the table-priming block
+    // above warms IO and scan codegen but not the aggregate/join/window
+    // executor machinery a real catalog query compiles — the r14 driver
+    // capture started at loadavg 6.16 and parked four sub-second queries
+    // in the 1.8–2.4× warn band purely on first-use JIT+contention
+    // overlap. One cheap query per operator family (group-agg, window,
+    // multi-way join), so the first timed query of each shape pays no
+    // first-use cost.
+    Seq("q01_pricing_summary", "q02_rank_latest", "q06_dim_enrich")
+      .flatMap(SparkEntry.queries.get).foreach { fn =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // timed passes surface errors
+        evict()
+      }
     // Committed clean-run floor per query (BENCH_REF.json, regenerated when
     // a query's plan changes): internal spread alone cannot distinguish
     // "contended run" from "confirmed regression" when a sustained stall

@@ -1488,19 +1488,26 @@ private[graft] trait QueriesEvents { this: Queries.type =>
       .drop("__mn", "__mx")
     // carry-in: max ts over all STRICTLY EARLIER chunks of the same shard,
     // computed on the bounded (shard, chunk) summary
-    val carry = chunked.groupBy(col("shard"), col("chunk"))
+    val carry = chunked.groupBy(col("shard").as("__cs"), col("chunk").as("__cc"))
       .agg(max(col("ts")).as("__cmax"))
       .withColumn("__carry", max(col("__cmax")).over(
-        Window.partitionBy(col("shard")).orderBy(col("chunk"))
+        Window.partitionBy(col("__cs")).orderBy(col("__cc"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("__cmax")
     val localW = Window.partitionBy(col("shard"), col("chunk"))
       .orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
-    // greatest() skips NULLs, so a missing carry (first chunk) or empty
-    // local prefix (first row of a chunk) degrades to the other leg; both
-    // NULL = shard's first arrival = on time.
+    // Null-SAFE join keys: a null user_id (null shard) or null event_id
+    // (null chunk) still forms a window partition — the r14 single-window
+    // shape stamped such rows, so the two-phase rewrite must not silently
+    // drop them through a null-rejecting equi-join (groupBy groups null
+    // keys, so carry has the matching row). greatest() skips NULLs, so a
+    // missing carry (first chunk) or empty local prefix (first row of a
+    // chunk) degrades to the other leg; both NULL = first arrival = on
+    // time.
     val stamped = chunked
-      .join(broadcast(carry), Seq("shard", "chunk"))
+      .join(broadcast(carry),
+        col("shard") <=> col("__cs") && col("chunk") <=> col("__cc"))
+      .drop("__cs", "__cc")
       .withColumn("__wm", greatest(max(col("ts")).over(localW), col("__carry")))
       .withColumn("late_ns",
         greatest(coalesce(col("__wm") - col("ts"), lit(0L)), lit(0L)))

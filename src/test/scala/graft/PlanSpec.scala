@@ -748,14 +748,30 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.exists(_._2 == Seq("chunk", "shard")),
       s"missing the chunk-local prefix window; saw keys: ${ws.map(_._2)}")
     ws.filterNot(_._2 == Seq("chunk", "shard")).foreach { case (w, keys) =>
-      assert(keys == Seq("shard"), s"unexpected window partition keys $keys")
+      // the carry window partitions by the summary's renamed shard key
+      // (__cs; renamed so the data-side join keys stay null-safe <=>)
+      assert(keys == Seq("__cs"), s"unexpected window partition keys $keys")
       val aggKeys = allNodes(w.child).collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
           a.groupingExpressions.flatMap(_.references.toSeq)
             .map(_.name).distinct.sorted
       }
       assert(aggKeys.contains(Seq("chunk", "shard")),
-        s"shard-only window must read the (shard, chunk) summary; aggs: $aggKeys")
+        s"the carry window must read the (shard, chunk) summary; aggs: $aggKeys")
+    }
+  }
+
+  test("q234: each grammar regex is evaluated exactly once per row in the physical plan") {
+    // The r15 fold relies on CollapseProject declining to inline
+    // multiply-referenced non-cheap expressions: if a Spark upgrade or a
+    // builder edit re-inlines the per-pattern regexp_extract into both the
+    // CASE classifier and the match-length CASE, each regex doubles in the
+    // plan and the scan pays twice (the r14 shape this replaced).
+    val plan = SparkEntry.queries("q234_journey_grammar")(planningSession, sf)
+      .queryExecution.executedPlan.toString
+    Seq("S.*E.*P", "S[^E]*P", "S[^P]*E[^P]*$", "^[^S]*P").foreach { re =>
+      val n = plan.sliding(re.length).count(_ == re)
+      assert(n == 1, s"pattern $re must appear exactly once in the plan, saw $n")
     }
   }
 

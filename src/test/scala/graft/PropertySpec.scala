@@ -703,12 +703,17 @@ class PropertySpec extends AnyFunSuite {
   } yield rows.zipWithIndex.map { case ((u, t, ts), i) =>
     (i.toLong, u, t, ts / 1000 * 1000) } // micro-aligned like real data
 
-  private def writeEvents(rows: List[(Long, Long, String, Long)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("prop_events").toString
-    rows.toDF("event_id", "user_id", "event_type", "ts")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    dir
-  }
+  /** Scoped events fixture: writes the random corpus as parquet, runs the
+    * check, and deletes the tree (SpecIo) so property iterations don't
+    * accumulate fixtures in /tmp across gate runs.
+    */
+  private def withEvents[A](rows: List[(Long, Long, String, Long)])(
+      check: String => A): A =
+    SpecIo.withTempDir("prop_events") { dir =>
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      check(dir)
+    }
 
   test("q234 grammar: first-match-wins alternation priority and the " +
     "browse_only remainder identity hold on random event corpora") {
@@ -718,8 +723,7 @@ class PropertySpec extends AnyFunSuite {
       "error_exit" -> "S[^P]*E[^P]*$".r,
       "nosignup_convert" -> "^[^S]*P".r)
     forAll(eventsGen, n = 4) { rows =>
-      whenever(rows.nonEmpty) {
-        val dir = writeEvents(rows)
+      whenever(rows.nonEmpty) { withEvents(rows) { dir =>
         // reference: sessionize (30-min micro gap, (ts_us, id) order), walk
         // of first letters, classify by FIRST matching pattern in grammar
         // order, leftmost match length
@@ -757,15 +761,14 @@ class PropertySpec extends AnyFunSuite {
           val matched = grammar.map(g => got.getOrElse((day, g._1), (0L, 0L, 0L))._1).sum
           assert(got.getOrElse((day, "browse_only"), (0L, 0L, 0L))._1 == total - matched)
         }
-      }
+      }}
     }
   }
 
   test("q235 watermark loss: curve is monotone non-increasing in delay, " +
     "lost <= n_pairs, and replays a direct reference (negative ids included)") {
     forAll(eventsGen, n = 4) { rows =>
-      whenever(rows.nonEmpty) {
-        val dir = writeEvents(rows)
+      whenever(rows.nonEmpty) { withEvents(rows) { dir =>
         val out = SparkEntry.queries("q235_watermark_loss")(spark, dir).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
           .sortBy(_._1)
@@ -780,14 +783,8 @@ class PropertySpec extends AnyFunSuite {
           assert(r._4 <= r._3, s"lost must be <= n_pairs: $r")
           assert(r._5 == r._4 * 1000000L / math.max(r._3, 1L), s"ppm identity: $r")
         }
-        // direct reference with sign-explicit shards
-        val late = rows.groupBy(e => ((e._2 % 32) + 32) % 32).toSeq.flatMap { case (_, g) =>
-          g.sortBy(_._1).foldLeft((Long.MinValue, Vector.empty[(Long, Long)])) {
-            case ((hw, acc), e) =>
-              val l = if (hw == Long.MinValue || hw <= e._4) 0L else hw - e._4
-              (math.max(hw, e._4), acc :+ ((e._1, l)))
-          }._2
-        }.toMap
+        // direct reference with sign-explicit shards (shared EventRef)
+        val late = EventRef.latenessByEvent(rows)
         val clicks = rows.filter(_._3 == "click")
         val purchases = rows.filter(_._3 == "purchase")
         val pairs = for {
@@ -802,7 +799,7 @@ class PropertySpec extends AnyFunSuite {
           assert(row._4 == pairs.count { case (cl, pl) => cl > dNs || pl > dNs }.toLong,
             s"lost at $d: $row")
         }
-      }
+      }}
     }
   }
 }

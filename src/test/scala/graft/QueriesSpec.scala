@@ -1567,10 +1567,6 @@ class QueriesSpec extends AnyFunSuite {
     val docB1 = p1 // A1 ++ 14 fresh
     val docA2 = p2.substring(0, 35)
     val docB2 = p2.substring(0, 28) + p2.substring(35, 42)
-    val dir = java.nio.file.Files.createTempDirectory("ppjoin_edge").toString
-    Seq((0L, docA1), (8L, docB1), (16L, docA2), (24L, docB2))
-      .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // fixture self-check: the engineered geometry, via the same shingler
     def shingles(s: String): Set[String] = s.sliding(3).toSet
     assert(shingles(docA1).size == 26 && shingles(docB1).size == 40 &&
@@ -1579,10 +1575,43 @@ class QueriesSpec extends AnyFunSuite {
       (shingles(docA2) & shingles(docB2)).size == 26, "equal pair geometry")
     assert((shingles(docA1) ++ shingles(docB1))
       .intersect(shingles(docA2) ++ shingles(docB2)).isEmpty, "pair isolation")
-    val got = SparkEntry.queries("q196_ppjoin_exact")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(got == Seq((0L, 8L, 0.65), (16L, 24L, 0.65)),
-      s"threshold-exact pairs must survive the prune chain with J = 0.65: $got")
+    SpecIo.withTempDir("ppjoin_edge") { dir =>
+      Seq((0L, docA1), (8L, docB1), (16L, docA2), (24L, docB2))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q196_ppjoin_exact")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq((0L, 8L, 0.65), (16L, 24L, 0.65)),
+        s"threshold-exact pairs must survive the prune chain with J = 0.65: $got")
+    }
+  }
+
+  test("q235 edge: null user_id rows form their own shard and are stamped, not dropped") {
+    // The two-phase rewrite joins the carry summary back by (shard, chunk);
+    // a plain equi-join would silently DROP null-shard rows that the r14
+    // single-window shape (and the DuckDB oracle's PARTITION BY) kept.
+    // Fixture: two null-user events where the second arrives 100s late
+    // behind the first — visible ONLY if null shards survive the join.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    SpecIo.withTempDir("q235_null") { dir =>
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = true),
+        StructField("event_type", StringType, nullable = false),
+        StructField("ts", LongType, nullable = false)))
+      val rows = Seq(
+        Row(0L, null, "view", 100000000000L),
+        Row(1L, null, "view", 0L), // 100s behind the null-shard high-water
+        Row(2L, 5L, "click", 0L))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q235_watermark_loss")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 1L, 60L -> 1L, 600L -> 0L, 3600L -> 0L),
+        s"the null-shard straggler must be stamped late by 100s: $got")
+    }
   }
 
   test("q197 session gap curve: counts replay against real sessionization at each threshold") {
@@ -2534,16 +2563,9 @@ class QueriesSpec extends AnyFunSuite {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "ts")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    // lateness = prefix max of ts (strictly before, per shard) - ts;
-    // shard is sign-explicit to match the query/oracle pair exactly
-    val late = ev.groupBy(e => ((e._2 % 32) + 32) % 32).toSeq.flatMap { case (_, g) =>
-      g.sortBy(_._1).foldLeft((Long.MinValue, Vector.empty[(Long, Long, String, Long)])) {
-        case ((hw, acc), e) =>
-          val l = if (hw == Long.MinValue || hw <= e._4) 0L else hw - e._4
-          (math.max(hw, e._4), acc :+ ((e._1, e._2, e._3, l)))
-      }._2
-    }
-    val byId = late.map(e => e._1 -> e._4).toMap
+    // lateness + sign-explicit shard via the shared EventRef reference
+    // (one spelling across QueriesSpec and PropertySpec)
+    val byId = EventRef.latenessByEvent(ev.toSeq)
     val clicks = ev.filter(_._3 == "click")
     val purchases = ev.filter(_._3 == "purchase")
     val pairs = for {
@@ -2554,7 +2576,7 @@ class QueriesSpec extends AnyFunSuite {
     val delays = Seq(0L, 60L, 600L, 3600L)
     delays.foreach { d =>
       val dNs = d * 1000000000L
-      val expectLate = late.count(_._4 > dNs).toLong
+      val expectLate = byId.values.count(_ > dNs).toLong
       val expectLost = pairs.count { case (cl, pl) => cl > dNs || pl > dNs }.toLong
       assert(rows(d) == ((expectLate, pairs.size.toLong, expectLost)),
         s"delay $d: got ${rows(d)}, expect ($expectLate, ${pairs.size}, $expectLost)")
