@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *    stays that of the source corpus instead of every doc landing in a
   *    K-clique of exact copies — the degenerate dup graph a naive copy
   *    would produce. n_chars is recomputed to match.
-  *  - embedding VECTORS are cyclically rotated per replica: norms and
-  *    intra-replica geometry are preserved exactly while replicas land
-  *    near-orthogonal to each other — K× the corpus, not K× identical
-  *    points at distance 0.
+  *  - embedding VECTORS get a fixed affine index permutation per replica
+  *    (j → (a·j + b) mod dim, gcd(a, dim) = 1): norms and intra-replica
+  *    geometry are preserved exactly while replicas land in distinct
+  *    layouts — K× the corpus, not K× identical points at distance 0.
   *  - event timestamps are kept: K× the events per day models K× the
   *    traffic on the same calendar, which is what stresses the
   *    shuffle/window paths.
@@ -36,6 +36,33 @@ import org.apache.spark.sql.functions._
   * re-running reproduces the same bytes modulo parquet row-group layout.
   */
 object ScaleGen {
+
+  /** Multipliers coprime to dim, ascending — the `a` pool of the affine
+    * family below. dim = 1 degenerates to Seq(1) (identity only).
+    */
+  private[graft] def coprimesTo(dim: Int): IndexedSeq[Int] =
+    (1 until math.max(dim, 2))
+      .filter(a => BigInt(a).gcd(BigInt(dim)) == BigInt(1)).toIndexedSeq
+
+  /** Affine index-permutation family (r15, replacing r14's
+    * rotation+reversal): replica i rewrites `embedding` through the fixed
+    * permutation j → (a·j + b) mod dim with b = i % dim and a = the
+    * (i / dim)-th multiplier coprime to dim. Any fixed permutation applied
+    * uniformly to every vector of a replica preserves all intra-replica
+    * dot products and distances EXACTLY; affine maps with distinct (a, b)
+    * differ as functions (evaluate at j = 0, 1), so replica layouts are
+    * pairwise distinct. Subsumes the old family (rotation = a 1, reversal
+    * ≈ a dim−1) and lifts the replica ceiling from 2·dim to
+    * dim·φ(dim) members — 2048 at dim 64, enough for sf100 rehearsals.
+    */
+  private[graft] def affinePermutation(dim: Int, i: Int)
+      : org.apache.spark.sql.Column = {
+    val cps = coprimesTo(dim)
+    val (a, b) = (cps(i / dim), i % dim)
+    if (a == 1 && b == 0) col("embedding")
+    else expr(s"transform(sequence(0, ${dim - 1}), " +
+      s"j -> element_at(embedding, (($a * j + $b) % $dim) + 1))")
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcDir> <destDir> <replicas>")
@@ -72,17 +99,10 @@ object ScaleGen {
     // silently cross-scale-inconsistent rehearsal directory.
     val dim = read("embeddings")
       .select(size(col("embedding"))).head().getInt(0)
-    require(k <= 2 * dim,
-      s"embedding replicas k=$k exceeds 2*dim=${2 * dim}: the " +
-        "rotation+reversal family wraps; lower k or widen vectors")
-    // pairwise distinctness additionally needs dim >= 3 once the family
-    // wraps past the pure rotations: at dim 2 reversal equals rotation-by-1
-    // (and at dim 1 it is the identity), so replicas dim..2*dim-1 would be
-    // byte-identical to replicas 0..dim-1 — the degenerate distance-0
-    // geometry the family exists to avoid.
-    require(k <= dim || dim >= 3,
-      s"embedding replicas k=$k with dim=$dim: reversal degenerates to a " +
-        "rotation below dim 3, so the wrapped half duplicates the first")
+    require(k <= dim * coprimesTo(dim).size,
+      s"embedding replicas k=$k exceeds dim*phi(dim)=" +
+        s"${dim * coprimesTo(dim).size}: the affine permutation family " +
+        "is exhausted; widen vectors or extend the family")
 
     def replicate(t: String)(tf: (DataFrame, Int) => DataFrame): Unit =
       write((0 until k).map(i => tf(read(t), i)).reduce(_ unionByName _), t)
@@ -114,24 +134,12 @@ object ScaleGen {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    // Replica permutation family: rotation by i % dim, composed with a
-    // full reversal on odd wraps (i / dim odd). Both are fixed
-    // permutations applied uniformly to every vector of the replica, so
-    // all intra-replica dot products / distances are preserved exactly;
-    // reversal is orientation-flipping while rotations are not, so the
-    // 2·dim members are pairwise distinct and no replica is a
-    // byte-identical copy of another (rot = i % dim alone collides at
-    // i = dim, 2·dim, … — the degenerate distance-0 K-clique geometry
-    // this family exists to avoid; the guard ran before the first write).
-    replicate("embeddings")((d, i) => {
-      val rot = i % dim
-      val rotated = if (rot == 0) col("embedding")
-        else concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot))
-      val emb = if ((i / dim) % 2 == 0) rotated else reverse(rotated)
+    // Replica permutation family: see [[affinePermutation]] (guard above
+    // ran before the first write, so a family-exhausted require cannot
+    // leave dest cross-scale-inconsistent).
+    replicate("embeddings")((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vS))
-        .withColumn("embedding", emb)
-    })
+        .withColumn("embedding", affinePermutation(dim, i)))
     spark.stop()
   }
 }
