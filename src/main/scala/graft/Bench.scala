@@ -80,10 +80,14 @@ object Bench {
     // overlap. One cheap query per operator family (group-agg, window,
     // multi-way join), so the first timed query of each shape pays no
     // first-use cost.
+    // apply (not get): a rename must fail fast here, not silently skip the
+    // warm-up and let first-use JIT contaminate the warn band with no signal.
     Seq("q01_pricing_summary", "q02_rank_latest", "q06_dim_enrich")
-      .flatMap(SparkEntry.queries.get).foreach { fn =>
+      .map(SparkEntry.queries.apply).foreach { fn =>
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => () } // timed passes surface errors
+        // NonFatal only: an OOM/StackOverflow here means the JVM is already
+        // degraded — proceeding into the timed sweep would record garbage.
+        catch { case scala.util.control.NonFatal(_) => () }
         evict()
       }
     // Committed clean-run floor per query (BENCH_REF.json, regenerated when

@@ -767,11 +767,20 @@ class PlanSpec extends AnyFunSuite {
     // builder edit re-inlines the per-pattern regexp_extract into both the
     // CASE classifier and the match-length CASE, each regex doubles in the
     // plan and the scan pays twice (the r14 shape this replaced).
+    // Collect RegExpExtract nodes from the plan's expression TREES, not from
+    // the rendered string: plan strings truncate long expression lists under
+    // spark.sql.debug.maxToStringFields, so substring-counting could
+    // spuriously fail (or count 0) after unrelated select-list growth.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpExtract}
     val plan = SparkEntry.queries("q234_journey_grammar")(planningSession, sf)
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan
+    val patterns = plan.flatMap(_.expressions.flatMap(_.collect {
+      case RegExpExtract(_, Literal(p, _), _) => p.toString
+    }))
     Seq("S.*E.*P", "S[^E]*P", "S[^P]*E[^P]*$", "^[^S]*P").foreach { re =>
-      val n = plan.sliding(re.length).count(_ == re)
-      assert(n == 1, s"pattern $re must appear exactly once in the plan, saw $n")
+      val n = patterns.count(_ == re)
+      assert(n == 1, s"pattern $re must appear exactly once in the plan, saw $n" +
+        s" (all patterns: $patterns)")
     }
   }
 

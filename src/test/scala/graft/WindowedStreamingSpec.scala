@@ -12,6 +12,15 @@ case class HotEv(ts: Timestamp, user_id: Long)
 case class Doc(ts: Timestamp, text: String)
 case class Click(user_id: Long, click_ts: Timestamp, page: String)
 case class Purchase(user_id: Long, purchase_ts: Timestamp, amount: Double)
+// The "next field addition" layout for the envelope-restore test: identical
+// field TYPES and POSITIONS to Windowed.EwmaState, but reservedA is RENAMED
+// to a real field (eventCount). Spark's state schema check compares types,
+// not names — this class is what actually exercises that contract; reusing
+// EwmaState itself would pass even if the check were name-sensitive.
+case class EwmaStateClaimed(version: Int, day: Long, n: Long, ewma: Long,
+                            hasEwma: Boolean, lateDrops: Long = 0L,
+                            eventCount: Long = 0L, reservedB: Long = 0L,
+                            reservedS: String = "")
 
 class WindowedStreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -513,21 +522,23 @@ class WindowedStreamingSpec extends AnyFunSuite {
       .start()
     in.addData(ev(1), ev(1), ev(2)) // day 1 closes at n=2; day 2 open at n=1
     qa.processAllAvailable(); qa.stop()
-    // phase B — the "next field addition": same EwmaState schema, but the
-    // logic claims reservedA as a cumulative post-upgrade event counter
-    // under version+1, and RESTARTS FROM PHASE A'S CHECKPOINT. The state
-    // schema check must accept it (schema unchanged) and the restored
-    // envelope must carry phase A's exact state.
+    // phase B — the "next field addition": a NEW state class
+    // (EwmaStateClaimed) with reservedA RENAMED to eventCount — same types,
+    // same positions — claims the slot as a cumulative post-upgrade event
+    // counter under version+1, and RESTARTS FROM PHASE A'S CHECKPOINT. This
+    // is the scenario the envelope exists for: the state schema check must
+    // accept the rename (it compares types, not names) and the restored
+    // envelope must carry phase A's exact state into the new layout.
     val evolved = in.toDS()
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[Windowed.EwmaState, (String, Int, Long, Long, Long)](
+      .flatMapGroupsWithState[EwmaStateClaimed, (String, Int, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) { (key, it, state) =>
-        val prev = state.getOption.getOrElse(Windowed.EwmaState(
+        val prev = state.getOption.getOrElse(EwmaStateClaimed(
           Windowed.StateVersion + 1, -1L, 0L, 0L, hasEwma = false))
         val st = prev.copy(version = Windowed.StateVersion + 1,
-          reservedA = prev.reservedA + it.size)
+          eventCount = prev.eventCount + it.size)
         state.update(st)
-        Iterator((key, prev.version, prev.day, prev.n, st.reservedA))
+        Iterator((key, prev.version, prev.day, prev.n, st.eventCount))
       }
     val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Long)]
     val qb = evolved.writeStream.outputMode(OutputMode.Append())
