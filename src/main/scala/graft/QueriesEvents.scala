@@ -1504,6 +1504,14 @@ private[graft] trait QueriesEvents { this: Queries.type =>
     // missing carry (first chunk) or empty local prefix (first row of a
     // chunk) degrades to the other leg; both NULL = first arrival = on
     // time.
+    // Deliberately NO materialization seam although `stamped` feeds three
+    // consumers (the late-count aggregate and the click/purchase join
+    // legs): all three read the SAME (shard, chunk) exchange, so runtime
+    // exchange reuse dedupes the events scan + shuffle and only the
+    // post-exchange window re-evaluates. Measured r16 (3-pass isolated
+    // mins): localCheckpoint seam 1.05→0.97 s at sf0.1 (noise) but
+    // 3.8→5.0 s at sf10 — the checkpoint write costs more than the
+    // duplicated window saves (the q182/q149 lesson).
     val stamped = chunked
       .join(broadcast(carry),
         col("shard") <=> col("__cs") && col("chunk") <=> col("__cc"))
