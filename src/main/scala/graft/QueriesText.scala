@@ -2094,62 +2094,19 @@ private[graft] trait QueriesText { this: Queries.type =>
         Sampling.hashBucket(col("doc_id"), 1000000) * col("ns") <
           lit(8192L * 1000000L))
       .drop("ns")
-    // The shingle STRING never shuffles: tokens travel as a 128-bit
-    // two-lane xxhash64 key (16 bytes vs ~24-char strings) through the df
-    // aggregate, the per-doc prefix ranking, and the candidate equi-join.
-    // Exactness is unaffected — PPJoin's prefix filter is complete under
-    // ANY total token order shared by all docs ((df, h1, h2) is one), and
-    // the final sorted-set-jaccard verify runs on the original strings, so
-    // candidates are only a superset heuristic. A 128-bit collision
-    // (≈2⁻¹²⁸ per token pair — absent at any corpus size) is the only way
-    // two distinct shingles could share a key.
-    val tok = sets
-      .select(col("doc_id"), size(col("sh")).cast("long").as("m"),
-        explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("m"),
-        xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
-    val freq = tok.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
-    // rare-first global order (df, h1, h2); prefix p = m - ceil(0.75 m) + 1
-    val prefixes = tok
-      .join(freq, Seq("h1", "h2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h1"), col("h2"))))
-      .filter(col("rk") <= expr("m - (13 * m + 19) DIV 20 + 1"))
-      .select(col("doc_id"), col("m"), col("rk").cast("long").as("rk"),
-        col("h1"), col("h2"))
-    // size filter (PPJoin prune #2): J >= t forces t·|a| <= |b|, so wildly
-    // different sizes never reach the verify merge. Positional filter
-    // (prune #3, Xiao et al.): a shared token at ranks (i, j) of the two
-    // globally-sorted arrays bounds the overlap by
-    // min(i−1, j−1) + 1 + min(ma−i, mb−j) — common tokens before it,
-    // itself, common tokens after it. A qualifying pair (J ≥ 0.65 ⟺
-    // overlap ≥ α = ceil(13·(ma+mb)/33)) satisfies bound ≥ α at EVERY
-    // shared token, so the row-local prune below keeps completeness; it
-    // is applied per match row, scan-local BEFORE the distinct, so it
-    // adds no shuffle state — an aggregated min-bound variant prunes a
-    // few more pairs but was measured 35% slower at sf10 (the min/first
-    // buffers outweigh the extra verifies on this fixture's
-    // genuinely-similar candidate set).
-    val cand = prefixes
-      .select(col("doc_id").as("id_a"), col("m").as("ma"),
-        col("rk").as("ra"), col("h1"), col("h2"))
-      .join(prefixes
-        .select(col("doc_id").as("id_b"), col("m").as("mb"),
-          col("rk").as("rb"), col("h1"), col("h2")),
-        Seq("h1", "h2"))
-      .filter(col("id_a") < col("id_b") &&
-        col("mb") * 20 >= col("ma") * 13 && col("ma") * 20 >= col("mb") * 13 &&
-        (least(col("ra") - 1L, col("rb") - 1L) + 1L +
-          least(col("ma") - col("ra"), col("mb") - col("rb"))) * 33L >=
-          (col("ma") + col("mb")) * 13L)
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", graft.plans.TextExpressions
-        .sorted_set_jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.65)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // The pipeline itself — token hashing (the shingle STRING never
+    // shuffles: tokens travel as a 128-bit two-lane xxhash64 key), the
+    // rare-first (df, h1, h2) global order, the prefix/size/positional
+    // prunes, and the exact sorted-merge verify — is [[Dedup.ppjoin]],
+    // extracted r16 with the threshold as the exact rational 13/20 so
+    // PropertySpec can replay the completeness theorem generatively over
+    // random Zipfian corpora at several thresholds (the constants
+    // interpolate to the identical expression strings, so this entry's
+    // physical plan is unchanged). The row-local positional filter is
+    // deliberate: an aggregated min-bound variant prunes a few more pairs
+    // but was measured 35% slower at sf10 (the min/first buffers outweigh
+    // the extra verifies on this fixture's genuinely-similar candidates).
+    Dedup.ppjoin(sets, 13, 20)
       .orderBy(col("id_a"), col("id_b"))
   }
 

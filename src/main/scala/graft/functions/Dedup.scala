@@ -618,4 +618,63 @@ object Dedup {
         sum(when(col("line_docs").isNull, length(col("line")).cast("long"))
           .otherwise(0L)).as("kept_chars"))
   }
+
+  /** EXACT set-similarity join via prefix filtering (PPJoin, Xiao et al.) —
+    * the core the q196 catalog entry runs at t = 13/20 and PropertySpec
+    * exercises generatively at several thresholds. `sets` must carry
+    * (doc_id: long, sh: array&lt;string&gt;) with `sh` sorted-distinct and
+    * non-empty; the threshold is the exact rational tNum/tDen (0 &lt; t ≤ 1).
+    *
+    * Completeness: under one global rare-first token order, any two sets
+    * with J ≥ t share a token within each set's first m − ⌈t·m⌉ + 1 tokens
+    * (prefix filter); J ≥ t also forces t·|a| ≤ |b| (size filter) and, at
+    * any shared token at global ranks (i, j), overlap bound
+    * min(i−1, j−1) + 1 + min(ma−i, mb−j) ≥ α = ⌈t·(ma+mb)/(1+t)⌉
+    * (positional filter) — so every qualifying pair survives all three
+    * prunes and the exact sorted-merge verify decides membership. Tokens
+    * travel as 128-bit two-lane xxhash64 keys so the strings never shuffle;
+    * the per-doc rank window partitions by the high-cardinality doc id.
+    */
+  def ppjoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen out of (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val tok = sets
+      .select(col("doc_id"), size(col("sh")).cast("long").as("m"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("m"),
+        xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+    val freq = tok.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
+    // rare-first global order (df, h1, h2); prefix p = m - ceil(t·m) + 1
+    val prefixes = tok
+      .join(freq, Seq("h1", "h2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h1"), col("h2"))))
+      .filter(col("rk") <= expr(s"m - ($tNum * m + ${tDen - 1}) DIV $tDen + 1"))
+      .select(col("doc_id"), col("m"), col("rk").cast("long").as("rk"),
+        col("h1"), col("h2"))
+    // size filter (prune #2) + row-local positional filter (prune #3):
+    // α·(tDen+tNum) ≥ (ma+mb)·tNum rearranged to integer math — see the
+    // q196 Scaladoc for why the scan-local per-row form beats the
+    // aggregated min-bound variant on genuinely-similar candidate sets.
+    val cand = prefixes
+      .select(col("doc_id").as("id_a"), col("m").as("ma"),
+        col("rk").as("ra"), col("h1"), col("h2"))
+      .join(prefixes
+        .select(col("doc_id").as("id_b"), col("m").as("mb"),
+          col("rk").as("rb"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("id_a") < col("id_b") &&
+        col("mb") * tDen >= col("ma") * tNum && col("ma") * tDen >= col("mb") * tNum &&
+        (least(col("ra") - 1L, col("rb") - 1L) + 1L +
+          least(col("ma") - col("ra"), col("mb") - col("rb"))) * (tNum + tDen).toLong >=
+          (col("ma") + col("mb")) * tNum.toLong)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", graft.plans.TextExpressions
+        .sorted_set_jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= tNum.toDouble / tDen)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * so a batch replay of any historical run window is a one-liner.
   *
   * NOTE: the `spark-sql-kafka-0-10` connector jar is not on this
-  * environment's classpath (no broker either) — `readBatch`/`readStream`
-  * document the production call; the offset-JSON construction and the
-  * downstream pipeline (ArrivalJob's kafka-shaped contract
-  * `topic/partition/offset/value`) are fully exercised by MemoryStream
-  * tests.
+  * environment's classpath (no broker either) — against a deployment the
+  * default `format = "kafka"` is the production call. The CODE PATHS here
+  * execute end-to-end in this sandbox through [[GraftKafkaStubProvider]]
+  * (`format = "graft-kafka-stub"`), a DataSource V2 that consumes the same
+  * `subscribe`/`startingOffsets`/`endingOffsets` options with the same
+  * semantics (KafkaStubSpec drives both readBatch and readStream through
+  * it and asserts the option maps arrive verbatim); the offset-JSON
+  * construction and the downstream pipeline (ArrivalJob's kafka-shaped
+  * contract `topic/partition/offset/value`) are additionally exercised by
+  * MemoryStream tests.
   *
   * Resolution ATTEMPTED (r14; re-attempted r15, identical failure): adding
   * `"org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"` fails with
@@ -51,25 +56,28 @@ object KafkaSource {
     "startingOffsets" -> offsetsJson(ranges.map(r => (r.topicName, r.partition, r.fromOffset))),
     "endingOffsets" -> offsetsJson(ranges.map(r => (r.topicName, r.partition, r.untilOffset))))
 
-  /** Batch read of an explicit offset window (production path; requires the
-    * spark-sql-kafka connector on the classpath).
+  /** Batch read of an explicit offset window. `format` defaults to the real
+    * connector; tests inject `"graft-kafka-stub"` — everything else
+    * (options built, normalization) is identical on both paths.
     */
-  def readBatch(spark: SparkSession, bootstrap: String, ranges: Seq[OffsetRange]): DataFrame = {
+  def readBatch(spark: SparkSession, bootstrap: String, ranges: Seq[OffsetRange],
+                format: String = "kafka"): DataFrame = {
     val topics = ranges.map(_.topicName).distinct.mkString(",")
-    var reader = spark.read.format("kafka")
+    var reader = spark.read.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics)
     replayOptions(ranges).foreach { case (k, v) => reader = reader.option(k, v) }
     normalize(reader.load())
   }
 
-  /** Streaming read (production path). `minPartitions` lets one busy Kafka
-    * partition fan out over several Spark tasks — the scale knob the
-    * reference approximates with its per-partition wrapper jobs.
+  /** Streaming read. `minPartitions` lets one busy Kafka partition fan out
+    * over several Spark tasks — the scale knob the reference approximates
+    * with its per-partition wrapper jobs.
     */
   def readStream(spark: SparkSession, bootstrap: String, topics: Seq[String],
-                 minPartitions: Option[Int] = None): DataFrame = {
-    var reader = spark.readStream.format("kafka")
+                 minPartitions: Option[Int] = None,
+                 format: String = "kafka"): DataFrame = {
+    var reader = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
       .option("startingOffsets", "latest")

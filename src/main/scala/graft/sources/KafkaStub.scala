@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-JVM stand-in broker for the Kafka stub source: per-(topic, partition)
+  * append-only logs with an adjustable earliest offset (modeling retention).
+  *
+  * The real `spark-sql-kafka-0-10` connector jar is unresolvable in this
+  * zero-egress environment (KafkaSource.scala:16-35 documents the attempts),
+  * which left `KafkaSource.readBatch`/`readStream` documentation-only. This
+  * stub exists so those production call paths EXECUTE: a DataSource V2
+  * (`format("graft-kafka-stub")`) that consumes `subscribe` /
+  * `startingOffsets` / `endingOffsets` exactly as the connector does —
+  * same option keys, same offset-JSON shape `{"topic":{"0":123}}`, same
+  * `-1`(latest)/`-2`(earliest) per-partition sentinels, same exclusive
+  * `endingOffsets`, same out-of-range failure — backed by this registry
+  * instead of a broker. Reference: `KafkaDemo.sh:78-84` (the `kafka_event`
+  * ledger whose [from, until) windows these options replay).
+  */
+object KafkaStubBroker {
+  final case class StubRecord(key: Array[Byte], value: Array[Byte], tsMs: Long)
+
+  // (topic, partition) -> (earliestOffset, log). Offsets are
+  // earliestOffset + index; the high-water mark is earliest + log.size.
+  private val logs = TrieMap.empty[(String, Int), (Long, Vector[StubRecord])]
+
+  /** Options maps the provider actually received, captured per read path so
+    * specs can assert KafkaSource passes them through VERBATIM.
+    */
+  @volatile var lastBatchOptions: Map[String, String] = Map.empty
+  @volatile var lastStreamOptions: Map[String, String] = Map.empty
+
+  def clear(): Unit = { logs.clear(); lastBatchOptions = Map.empty; lastStreamOptions = Map.empty }
+
+  /** Create an empty partition whose earliest offset is `first` (a log head
+    * trimmed by retention — reads below it must fail like the connector's
+    * data-loss check).
+    */
+  def createPartition(topic: String, partition: Int, first: Long = 0L): Unit =
+    logs.putIfAbsent((topic, partition), (first, Vector.empty))
+
+  /** Append one record; returns its assigned offset. */
+  def publish(topic: String, partition: Int, value: String,
+              key: String = null, tsMs: Long = 0L): Long =
+    logs.synchronized {
+      val (first, log) = logs.getOrElse((topic, partition), (0L, Vector.empty))
+      val rec = StubRecord(Option(key).map(_.getBytes("UTF-8")).orNull,
+        value.getBytes("UTF-8"), tsMs)
+      logs((topic, partition)) = (first, log :+ rec)
+      first + log.size
+    }
+
+  def earliest(tp: (String, Int)): Long = logs.get(tp).map(_._1).getOrElse(0L)
+  def latest(tp: (String, Int)): Long =
+    logs.get(tp).map { case (f, l) => f + l.size }.getOrElse(0L)
+
+  def partitionsOf(topics: Seq[String]): Seq[(String, Int)] =
+    logs.keys.filter(k => topics.contains(k._1)).toSeq.sorted
+
+  /** [from, until) slice with connector-shaped range validation. */
+  def fetch(tp: (String, Int), from: Long, until: Long): Vector[(Long, StubRecord)] = {
+    val (first, log) = logs.getOrElse(tp,
+      throw new IllegalArgumentException(s"unknown topic-partition $tp"))
+    val high = first + log.size
+    require(from >= first && until <= high && from <= until,
+      s"offsets [$from, $until) out of available range [$first, $high) for $tp " +
+        "(the real connector fails this read as data loss)")
+    ((from until until).map(o => o -> log((o - first).toInt))).toVector
+  }
+
+  /** The real connector's 7-column output schema, field for field. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private val topicBlockRe = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+  private val partEntryRe = """"(-?\d+)"\s*:\s*(-?\d+)""".r
+
+  /** Parse the connector's offset JSON `{"topic":{"0":123,"1":-1}}` into
+    * per-partition longs, resolving the `-1`/`-2` sentinels against the
+    * registry exactly as the connector resolves them against the broker.
+    */
+  def parseOffsets(json: String): Map[(String, Int), Long] =
+    topicBlockRe.findAllMatchIn(json).flatMap { m =>
+      val topic = m.group(1)
+      partEntryRe.findAllMatchIn(m.group(2)).map { e =>
+        val tp = (topic, e.group(1).toInt)
+        val raw = e.group(2).toLong
+        tp -> (raw match {
+          case -1L => latest(tp)
+          case -2L => earliest(tp)
+          case o => o
+        })
+      }
+    }.toMap
+
+  /** startingOffsets/endingOffsets option value -> per-partition offsets for
+    * the subscribed topics ("earliest"/"latest" keywords or explicit JSON).
+    */
+  def resolve(optValue: String, topics: Seq[String]): Map[(String, Int), Long] =
+    optValue.trim match {
+      case "earliest" => partitionsOf(topics).map(tp => tp -> earliest(tp)).toMap
+      case "latest" => partitionsOf(topics).map(tp => tp -> latest(tp)).toMap
+      case json =>
+        val parsed = parseOffsets(json)
+        val bad = parsed.keys.filterNot(tp => topics.contains(tp._1))
+        require(bad.isEmpty, s"offset JSON names unsubscribed topic-partitions: $bad")
+        parsed
+    }
+}
+
+/** `format("graft-kafka-stub")` — see [[KafkaStubBroker]]. Registered via
+  * META-INF/services so the short name resolves like the real connector's.
+  */
+class GraftKafkaStubProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka-stub"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaStubBroker.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KafkaStubTable
+}
+
+private final class KafkaStubTable extends Table with SupportsRead {
+  override def name(): String = "graft-kafka-stub"
+  override def schema(): StructType = KafkaStubBroker.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaStubScan(options.asScala.toMap)
+    }
+}
+
+private final class KafkaStubScan(options: Map[String, String]) extends Scan {
+  // The contract the spec asserts: every option KafkaSource built arrives
+  // here unmodified (Spark lower-cases keys; values are verbatim).
+  private def topics: Seq[String] = options.getOrElse("subscribe",
+    throw new IllegalArgumentException("subscribe is required"))
+    .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  override def readSchema(): StructType = KafkaStubBroker.schema
+
+  override def toBatch: Batch = {
+    KafkaStubBroker.lastBatchOptions = options
+    val starts = KafkaStubBroker.resolve(
+      options.getOrElse("startingoffsets", "earliest"), topics)
+    val ends = KafkaStubBroker.resolve(
+      options.getOrElse("endingoffsets", "latest"), topics)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        KafkaStubBroker.partitionsOf(topics).map { tp =>
+          val from = starts.getOrElse(tp, KafkaStubBroker.earliest(tp))
+          val until = ends.getOrElse(tp, KafkaStubBroker.latest(tp))
+          KafkaStubInputPartition(tp._1, tp._2,
+            KafkaStubBroker.fetch(tp, from, until))
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KafkaStubReaderFactory
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    KafkaStubBroker.lastStreamOptions = options
+    new KafkaStubMicroBatchStream(topics,
+      options.getOrElse("startingoffsets", "latest"))
+  }
+}
+
+/** Offset = per-(topic, partition) next-offset map, serialized in the same
+  * `{"topic":{"0":123}}` shape the connector logs (deterministic key order).
+  */
+private final case class KafkaStubStreamOffset(offsets: Map[(String, Int), Long])
+  extends Offset {
+  override def json(): String =
+    KafkaSource.offsetsJson(offsets.toSeq.map { case ((t, p), o) => (t, p, o) })
+}
+
+private final class KafkaStubMicroBatchStream(topics: Seq[String], starting: String)
+  extends MicroBatchStream {
+  override def initialOffset(): Offset =
+    KafkaStubStreamOffset(KafkaStubBroker.resolve(starting, topics))
+  override def latestOffset(): Offset =
+    KafkaStubStreamOffset(KafkaStubBroker.partitionsOf(topics)
+      .map(tp => tp -> KafkaStubBroker.latest(tp)).toMap)
+  override def deserializeOffset(json: String): Offset =
+    KafkaStubStreamOffset(KafkaStubBroker.parseOffsets(json))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaStubStreamOffset].offsets
+    val e = end.asInstanceOf[KafkaStubStreamOffset].offsets
+    e.toSeq.sortBy(_._1).map { case (tp, until) =>
+      val from = s.getOrElse(tp, KafkaStubBroker.earliest(tp))
+      KafkaStubInputPartition(tp._1, tp._2, KafkaStubBroker.fetch(tp, from, until))
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaStubReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Rows are resolved at PLANNING time and embedded in the partition — one
+  * InputPartition per Kafka partition, mirroring the connector's native
+  * per-partition parallelism (the semantics the reference approximated with
+  * one wrapper job per partition, `KafkaDemo.sh:45-92`).
+  */
+private final case class KafkaStubInputPartition(
+    topic: String, partition: Int,
+    rows: Vector[(Long, KafkaStubBroker.StubRecord)]) extends InputPartition
+
+private final class KafkaStubReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KafkaStubInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.rows.iterator
+      private var cur: (Long, KafkaStubBroker.StubRecord) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        cur._2.key, cur._2.value, UTF8String.fromString(p.topic), p.partition,
+        cur._1, cur._2.tsMs * 1000L /* micros */, 0 /* CreateTime */))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -53,12 +53,24 @@ object ArrivalJob {
     */
   def writeBatch(batch: DataFrame, batchId: Long, dataPath: String,
                  ledgerPath: String): Unit = {
-    val stamped = batch.withColumn("job_run_id", lit(batchId))
-    stamped.write.mode("overwrite")
+    writeData(batch, batchId, dataPath)
+    writeLedger(batch, batchId, ledgerPath)
+  }
+
+  /** The data-file half of [[writeBatch]] (public so the crash-restart
+    * rehearsal can tear a batch exactly between the two writes — data
+    * present, ledger row missing, checkpoint uncommitted — the worst-case
+    * partial state a real executor loss leaves behind).
+    */
+  def writeData(batch: DataFrame, batchId: Long, dataPath: String): Unit =
+    batch.withColumn("job_run_id", lit(batchId))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("topic", "partition", "job_run_id")
       .parquet(dataPath)
-    // Ledger row per (topic, partition): offsets are [from, until).
+
+  /** Ledger row per (topic, partition): offsets are [from, until). */
+  def writeLedger(batch: DataFrame, batchId: Long, ledgerPath: String): Unit =
     batch.groupBy(col("topic").as("topicName"), col("partition"))
       .agg(min(col("offset")).as("fromOffset"),
         (max(col("offset")) + 1).as("untilOffset"))
@@ -67,7 +79,6 @@ object ArrivalJob {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("jobRunId")
       .parquet(ledgerPath)
-  }
 
   /** Arrival → Conform: promote a run window into the conformed layer,
     * partitioned by create_date + source file the way the reference lays out

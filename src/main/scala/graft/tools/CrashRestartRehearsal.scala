@@ -1,0 +1,214 @@
+package graft.tools
+
+import java.io.File
+
+import graft.dq.Checks
+import graft.model.ValidationResult
+import graft.streaming.ArrivalJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Crash-restart rehearsal of the streaming chain — the reference's
+  * rerunnability semantics (`rerunnability.sh:78-131`, delete-before-insert)
+  * under ACTUAL failure, not just the clean path StreamingRehearsal drives.
+  *
+  * Protocol (three child JVMs over ONE shared root/checkpoint, real
+  * `Runtime.halt` kills — no shutdown hooks, no graceful stop):
+  *
+  *  1. `tear:K` — arrival runs until batch K, which writes its DATA files
+  *     and then halts before the ledger write and before the checkpoint
+  *     commit: the worst-case partial state an executor/driver loss leaves
+  *     (data present, ledger missing, epoch uncommitted). Exit 137.
+  *  2. `seam`  — restart from the same checkpoint: Structured Streaming
+  *     replays batch K (same batch id, same file — the offset WAL entry
+  *     exists, the commit doesn't) and the dynamic-partition-overwrite
+  *     writes REPLACE the torn attempt's files. Arrival completes all runs,
+  *     then the child halts between arrival and conform. Exit 137.
+  *  3. `none`  — restart again: arrival finds nothing uncommitted, conform
+  *     + seam checks + the continuity/duplicate audits run to completion.
+  *
+  * The parent verifies the torn state from the FILESYSTEM between children
+  * (ledger run dirs stop at K − 1 while data already holds job_run_id=K
+  * partitions — proof the kill landed mid-batch), asserts the kill exit
+  * codes, and merges the final child's check results into the artifact.
+  * Asserted end state: offset continuity PASSED, ledger rows unique per
+  * (topic, partition, run), arrival row count == staged events == DISTINCT
+  * event ids (zero duplicates from the replay), conform count matches.
+  *
+  * Usage: `runMain graft.tools.CrashRestartRehearsal [sfDir] [outJson]`
+  * (defaults /tmp/graft_sf1 and BENCH_STREAM_CRASH_SF1.json).
+  * CrashRestartSpec pins the same protocol at sf0.01.
+  */
+object CrashRestartRehearsal {
+  import StreamingRehearsal.{Topic, NRuns}
+
+  /** Batch the tear child kills mid-write (of 0 until NRuns). */
+  val KillBatch = 7
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("--child") => child(args(1), args(2), args(3))
+    case _ =>
+      val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
+      val outJson = args.lift(1).getOrElse("BENCH_STREAM_CRASH_SF1.json")
+      val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+      val report = run(root, sfDir)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+        (report + "\n").getBytes("UTF-8"))
+      println(report)
+  }
+
+  /** The full three-child protocol; returns the artifact JSON. Shared with
+    * CrashRestartSpec (which re-verifies the end state independently).
+    */
+  def run(root: String, sfDir: String): String = {
+    def wall[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (exitTear, wTear) = wall(runChild(root, sfDir, s"tear:$KillBatch"))
+    require(exitTear != 0, s"tear child must die, exited $exitTear")
+    // Torn-state evidence, read straight off the filesystem: the ledger has
+    // runs 0..K-1 only, while the data layer already carries job_run_id=K
+    // partition dirs from the half-written batch.
+    val ledgerRunsAfterTear = listRunDirs(s"$root/ledger", "jobRunId")
+    val dataRunsAfterTear = listRunDirs(s"$root/arrival", "job_run_id")
+    require(ledgerRunsAfterTear == (0 until KillBatch).toSet,
+      s"ledger after tear must hold runs 0..${KillBatch - 1}: $ledgerRunsAfterTear")
+    require(dataRunsAfterTear.contains(KillBatch),
+      s"data layer must hold the torn batch $KillBatch: $dataRunsAfterTear")
+    val (exitSeam, wSeam) = wall(runChild(root, sfDir, "seam"))
+    require(exitSeam != 0, s"seam child must die, exited $exitSeam")
+    val ledgerRunsAfterSeam = listRunDirs(s"$root/ledger", "jobRunId")
+    require(ledgerRunsAfterSeam == (0 until NRuns).toSet,
+      s"restart must replay the torn batch and finish all runs: $ledgerRunsAfterSeam")
+    require(!new File(s"$root/conform").exists(),
+      "seam kill must land before conform ran")
+    val (exitNone, wNone) = wall(runChild(root, sfDir, "none"))
+    require(exitNone == 0, s"final child must complete, exited $exitNone " +
+      s"(see $root/child_none.log)")
+    val childJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/child_result.json")), "UTF-8").trim
+    s"""{"chain":"arrival(tear mid-batch) -> restart -> arrival(kill at conform seam) -> restart -> conform + audits",
+       |"sf_dir":"$sfDir","root":"$root",
+       |"kill_points":[{"mode":"tear","batch":$KillBatch,"exit":$exitTear,"wall_sec":${f"$wTear%.1f"},
+       |"ledger_runs_after":${ledgerRunsAfterTear.size},"torn_data_run_present":true},
+       |{"mode":"seam","exit":$exitSeam,"wall_sec":${f"$wSeam%.1f"},
+       |"ledger_runs_after":${ledgerRunsAfterSeam.size},"conform_absent":true}],
+       |"final":{"exit":$exitNone,"wall_sec":${f"$wNone%.1f"}},
+       |"result":$childJson}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private def listRunDirs(path: String, key: String): Set[Int] = {
+    def walk(f: File): Seq[File] =
+      if (!f.isDirectory) Seq.empty
+      else f +: Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+    walk(new File(path)).map(_.getName)
+      .filter(_.startsWith(key + "="))
+      .map(_.substring(key.length + 1).toInt).toSet
+  }
+
+  private def runChild(root: String, sfDir: String, mode: String): Int = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CrashRestartRehearsal", "--child", root, sfDir, mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new File(root, s"child_${mode.takeWhile(_ != ':')}.log"))
+    pb.start().waitFor()
+  }
+
+  private def child(root: String, sfDir: String, killMode: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (stage, data, ledger, ckpt, conform) =
+      (s"$root/stage_in", s"$root/arrival", s"$root/ledger", s"$root/ckpt",
+        s"$root/conform")
+    // First child stages; restarts reuse (the staged input must be
+    // IDENTICAL across children or the replayed batch would differ).
+    val neventsFile = java.nio.file.Paths.get(s"$root/nevents.txt")
+    val nEvents =
+      if (java.nio.file.Files.exists(neventsFile))
+        new String(java.nio.file.Files.readAllBytes(neventsFile), "UTF-8").trim.toLong
+      else {
+        val n = StreamingRehearsal.stageKafkaShape(spark, sfDir, stage, root)
+        java.nio.file.Files.write(neventsFile, n.toString.getBytes("UTF-8"))
+        n
+      }
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("value", StringType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = in.writeStream
+      .queryName("graft_arrival_crash")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (killMode == s"tear:$batchId") {
+          ArrivalJob.writeData(batch, batchId, data)
+          System.out.println(s"[crash-child] tearing batch $batchId: " +
+            "data written, ledger skipped, halting")
+          System.out.flush()
+          Runtime.getRuntime.halt(137)
+        } else ArrivalJob.writeBatch(batch, batchId, data, ledger)
+      }
+      .start()
+    q.awaitTermination()
+    if (killMode == "seam") {
+      System.out.println("[crash-child] arrival complete; halting at the conform seam")
+      System.out.flush()
+      Runtime.getRuntime.halt(137)
+    }
+    // ---- Final child: the post-restart audits the rehearsal exists for ----
+    val ledgerDf = spark.read.parquet(ledger)
+    val continuity = Checks.offsetContinuity(ledgerDf, Topic)
+    val countMatch = Checks.offsetCountMatch(ledgerDf, nEvents, Topic)
+    val ledgerRows = ledgerDf.count()
+    val ledgerDistinct = ledgerDf
+      .select(col("topicName"), col("partition"), col("jobRunId")).distinct().count()
+    val arrival = spark.read.parquet(data)
+    val nRows = arrival.count()
+    val nDistinctIds = arrival
+      .select(split(col("value"), "\\|").getItem(0).cast("long")).distinct().count()
+    ArrivalJob.conformRuns(spark, data, conform, 0L until NRuns.toLong, format = "avro")
+    val nConform = graft.sources.AvroIo.readAvro(spark, conform).count()
+    val ok = continuity.testResult == ValidationResult.PASSED &&
+      countMatch.testResult == ValidationResult.PASSED &&
+      ledgerRows == ledgerDistinct && nRows == nEvents &&
+      nDistinctIds == nEvents && nConform == nEvents
+    val json =
+      s"""{"n_events":$nEvents,"n_runs":$NRuns,
+         |"continuity":"${continuity.testResult}","count_match":"${countMatch.testResult}",
+         |"ledger_rows":$ledgerRows,"ledger_distinct":$ledgerDistinct,
+         |"arrival_rows":$nRows,"distinct_event_ids":$nDistinctIds,
+         |"conform_rows":$nConform,"zero_duplicates":${nRows == nDistinctIds && nRows == nEvents},
+         |"all_green":$ok}""".stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/child_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    require(ok, s"post-restart audit failed: $json")
+  }
+}

@@ -29,9 +29,49 @@ import org.apache.spark.sql.types._
   */
 object StreamingRehearsal {
 
-  private val Topic = "events_topic"
-  private val NParts = 32 // kafka partitions the stream is sharded into
-  private val NRuns = 24 // micro-batches (one staged file each)
+  private[tools] val Topic = "events_topic"
+  private[tools] val NParts = 32 // kafka partitions the stream is sharded into
+  private[tools] val NRuns = 24 // micro-batches (one staged file each)
+
+  /** Stage the events table into the kafka shape the arrival leg consumes:
+    * per-partition contiguous offsets, NRuns chunk files whose strictly
+    * increasing mtimes pin the micro-batch order (FileStreamSource orders by
+    * modification time; 1s apart — mtime granularity on some filesystems is
+    * a full second). Shared by the clean-path rehearsal and the
+    * crash-restart rehearsal. Returns the staged event count.
+    */
+  private[tools] def stageKafkaShape(spark: SparkSession, sfDir: String,
+                                     stage: String, scratch: String): Long = {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val keyed = ev
+      .withColumn("partition", pmod(col("user_id"), lit(NParts.toLong)).cast("int"))
+      .withColumn("offset",
+        row_number().over(
+          Window.partitionBy(col("partition")).orderBy(col("event_id")))
+          .cast("long") - 1L)
+      .withColumn("value",
+        concat_ws("|", col("event_id"), col("user_id"), col("event_type"), col("ts")))
+      .select(lit(Topic).as("topic"), col("partition"), col("offset"), col("value"))
+      .persist()
+    val n = keyed.count()
+    val maxLen = keyed.groupBy(col("partition")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val blk = (maxLen + NRuns - 1) / NRuns
+    val dir = new java.io.File(stage); dir.mkdirs()
+    (0 until NRuns).foreach { c =>
+      val tmp = s"$scratch/chunk_$c"
+      keyed.filter(col("offset") >= c * blk && col("offset") < (c + 1) * blk)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk_$c%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + c * 1000L)
+    }
+    keyed.unpersist()
+    n
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -64,38 +104,7 @@ object StreamingRehearsal {
     // ---- Stage the kafka shape: per-partition contiguous offsets,
     // NRuns chunk files whose mtimes pin the micro-batch order ----
     val nEvents = timed("stage_kafka_shape") {
-      val ev = graft.sources.Tables.load(spark, sfDir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val keyed = ev
-        .withColumn("partition", pmod(col("user_id"), lit(NParts.toLong)).cast("int"))
-        .withColumn("offset",
-          row_number().over(
-            Window.partitionBy(col("partition")).orderBy(col("event_id")))
-            .cast("long") - 1L)
-        .withColumn("value",
-          concat_ws("|", col("event_id"), col("user_id"), col("event_type"), col("ts")))
-        .select(lit(Topic).as("topic"), col("partition"), col("offset"), col("value"))
-        .persist()
-      val n = keyed.count()
-      val maxLen = keyed.groupBy(col("partition")).count()
-        .agg(max(col("count"))).head().getLong(0)
-      val blk = (maxLen + NRuns - 1) / NRuns
-      val dir = new java.io.File(stage); dir.mkdirs()
-      (0 until NRuns).foreach { c =>
-        val tmp = s"$root/chunk_$c"
-        keyed.filter(col("offset") >= c * blk && col("offset") < (c + 1) * blk)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(dir, f"chunk_$c%05d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        // FileStreamSource orders by modification time: pin it strictly
-        // increasing so batch c processes chunk c (1s apart — mtime
-        // granularity on some filesystems is a full second).
-        dest.setLastModified(1700000000000L + c * 1000L)
-      }
-      keyed.unpersist()
-      n
+      stageKafkaShape(spark, sfDir, stage, root)
     }
 
     // ---- Arrival through the real streaming engine ----

@@ -802,4 +802,55 @@ class PropertySpec extends AnyFunSuite {
       }}
     }
   }
+
+  // Zipfian corpora with planted exact/near duplicates: base docs draw from
+  // a skewed vocabulary (hot words everywhere — the regime where prefix
+  // filtering earns its keep), then a random subset gets an exact twin or a
+  // one-token-added near twin so qualifying pairs actually exist.
+  private val ppjoinCorpusGen: Gen[(List[(Long, Seq[String])], (Int, Int))] = for {
+    vocab <- Gen.chooseNum(8, 30)
+    nBase <- Gen.chooseNum(10, 40)
+    t <- Gen.oneOf((13, 20), (1, 2), (4, 5), (9, 10))
+    base <- Gen.listOfN(nBase, for {
+      len <- Gen.chooseNum(2, 12)
+      ws <- Gen.listOfN(len, Gen.frequency(
+        (1 to vocab).map(k => (1 + vocab / k, Gen.const(s"w$k"))): _*))
+    } yield ws.distinct)
+    dupIdx <- Gen.someOf(base.indices)
+    extra <- Gen.listOfN(base.size, Gen.chooseNum(1, vocab))
+  } yield {
+    val twins = dupIdx.toList.map { i =>
+      if (i % 2 == 0) base(i) else (base(i) :+ s"w${extra(i)}").distinct
+    }
+    val docs = (base ++ twins).filter(_.nonEmpty)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws: Seq[String]) }
+    (docs, t)
+  }
+
+  test("ppjoin is EXACT at any threshold: equals the naive all-pairs join on " +
+    "random Zipfian corpora with planted near-duplicates") {
+    forAll(ppjoinCorpusGen, n = 8) { case (docs, (tNum, tDen)) =>
+      whenever(docs.size >= 2) {
+        // production pipeline: same array_sort(array_distinct(...)) prep as q196
+        val sets = docs.toDF("doc_id", "raw")
+          .select(col("doc_id"), array_sort(array_distinct(col("raw"))).as("sh"))
+        val got = Dedup.ppjoin(sets, tNum, tDen).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        // naive reference: every pair, exact set Jaccard, same IEEE compare
+        val byId = docs.map { case (id, ws) => id -> ws.toSet }.toMap
+        val ids = docs.map(_._1)
+        val expected = (for {
+          a <- ids; b <- ids if a < b
+          inter = (byId(a) & byId(b)).size
+          union = (byId(a) | byId(b)).size
+          j = inter.toDouble / union
+          if j >= tNum.toDouble / tDen
+        } yield (a, b, j)).toSet
+        // completeness (the prefix/size/positional prunes dropped nothing)
+        // AND soundness (the verify admitted nothing extra), values exact
+        assert(got == expected,
+          s"t=$tNum/$tDen missing=${expected -- got} extra=${got -- expected}")
+      }
+    }
+  }
 }
