@@ -85,6 +85,27 @@ class KafkaStubSpec extends AnyFunSuite {
     assert(n == Map(0 -> 12L, 1 -> 8L)) // full surviving logs
   }
 
+  test("multi-topic ledger replay: one readBatch spans topics, offsets JSON groups per topic") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("orders_raw", 0)
+    KafkaStubBroker.createPartition("events_raw", 0)
+    (0 until 5).foreach(i => KafkaStubBroker.publish("orders_raw", 0, s"o$i"))
+    (0 until 5).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"e$i"))
+    val ranges = Seq(
+      graft.model.OffsetRange("events_raw", 0, 9L, 1L, 4L),
+      graft.model.OffsetRange("orders_raw", 0, 9L, 0L, 2L))
+    val built = KafkaSource.replayOptions(ranges)
+    // per-topic grouping, topics sorted — the connector's exact JSON shape
+    assert(built("startingOffsets") == """{"events_raw":{"0":1},"orders_raw":{"0":0}}""")
+    val rows = KafkaSource.readBatch(spark, "stub:9092", ranges, format = "graft-kafka-stub")
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[Long]("offset"),
+        r.getAs[String]("value"))).toSet
+    assert(rows == Set(("events_raw", 1L, "e1"), ("events_raw", 2L, "e2"),
+      ("events_raw", 3L, "e3"), ("orders_raw", 0L, "o0"), ("orders_raw", 1L, "o1")))
+    assert(KafkaStubBroker.lastBatchOptions("subscribe").split(",").toSet ==
+      Set("events_raw", "orders_raw"))
+  }
+
   test("readStream through the stub starts at latest and sees only post-start publishes") {
     fixture()
     val out = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
