@@ -106,6 +106,38 @@ class KafkaStubSpec extends AnyFunSuite {
       Set("events_raw", "orders_raw"))
   }
 
+  test("kafka -> arrival end-to-end through the stub: checkpointed resume picks up " +
+    "post-subscription publishes and the ledger mirrors broker offsets") {
+    import graft.streaming.ArrivalJob
+    KafkaStubBroker.clear()
+    (0 until 4).foreach(p => KafkaStubBroker.createPartition("events_raw", p))
+    (0 until 20).foreach(i => KafkaStubBroker.publish("events_raw", i % 4, s"pre-$i"))
+    val root = java.nio.file.Files.createTempDirectory("stub_arrival").toString
+    def arrivalOnce(): Unit = {
+      val in = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
+        format = "graft-kafka-stub")
+      val q = ArrivalJob.start(in, s"$root/data", s"$root/ledger", s"$root/ckpt")
+      q.awaitTermination()
+    }
+    arrivalOnce() // starts at LATEST: pins offsets {p: 5}, consumes nothing
+    val ledgerDir = new java.io.File(s"$root/ledger")
+    assert(!ledgerDir.exists() || !ledgerDir.listFiles()
+      .exists(_.getName.startsWith("jobRunId=")),
+      "nothing may be ledgered before the live publishes")
+    val live = (0 until 12).map(i =>
+      (i % 4, KafkaStubBroker.publish("events_raw", i % 4, s"live-$i")))
+    arrivalOnce() // resumes from the checkpoint: exactly the post-start window
+    val data = spark.read.parquet(s"$root/data")
+    assert(data.count() == 12)
+    val vals = data.collect().map(r =>
+      (r.getAs[Int]("partition"), r.getAs[Long]("offset"), r.getAs[String]("value"))).toSet
+    assert(vals == live.zipWithIndex.map { case ((p, o), i) => (p, o, s"live-$i") }.toSet)
+    // ledger rows = the replayOptions shape the reference's kafka_event holds
+    val ledger = spark.read.parquet(s"$root/ledger").collect().map(r =>
+      (r.getAs[Int]("partition"), r.getAs[Long]("fromOffset"), r.getAs[Long]("untilOffset"))).toSet
+    assert(ledger == (0 until 4).map(p => (p, 5L, 8L)).toSet, ledger.toString)
+  }
+
   test("readStream through the stub starts at latest and sees only post-start publishes") {
     fixture()
     val out = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
