@@ -544,6 +544,15 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * products. Scale shape: one lineitem⋈orders⋈part pass, a per-(brand,
     * part) rollup (map-side partials on the high-card part key), effects
     * as projections, then a brands-cardinality rollup.
+    *
+    * MEMORY FLOOR (measured, r15/r16): the 600M⋈150M sort-merge at sf100
+    * needs ≥ ~1 GB/core of executor memory — it OOMs
+    * (UNABLE_TO_ACQUIRE_MEMORY) on the deliberately under-provisioned
+    * 0.25 GB/core bench JVM at BOTH 1024 and 4096 shuffle partitions
+    * (r16 probe: more partitions don't help because 32 concurrent tasks
+    * split the same execution pool), and clears untouched at 1 GB/core
+    * (70.5 s r15 isolated, 85.6 s in the r16 full-catalog sweep). The
+    * plan is right; provision this operator's stage at production sizing.
     */
   def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
