@@ -124,6 +124,12 @@ object KafkaStubBroker {
         val parsed = parseOffsets(json)
         val bad = parsed.keys.filterNot(tp => topics.contains(tp._1))
         require(bad.isEmpty, s"offset JSON names unsubscribed topic-partitions: $bad")
+        // the real connector rejects a PARTIAL offset map (an assertion in
+        // KafkaOffsetReader): explicit JSON must cover every partition of
+        // every subscribed topic
+        val missing = partitionsOf(topics).filterNot(parsed.contains)
+        require(missing.isEmpty,
+          s"offset JSON must specify ALL partitions of subscribed topics; missing $missing")
         parsed
     }
 }

@@ -69,7 +69,7 @@ object CrashRestartRehearsal {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val (exitTear, wTear) = wall(runChild(root, sfDir, s"tear:$KillBatch"))
-    require(exitTear != 0, s"tear child must die, exited $exitTear")
+    require(exitTear == 137, s"tear child must die by OUR halt(137), exited $exitTear")
     // Torn-state evidence, read straight off the filesystem: the ledger has
     // runs 0..K-1 only, while the data layer already carries job_run_id=K
     // partition dirs from the half-written batch.
@@ -80,7 +80,7 @@ object CrashRestartRehearsal {
     require(dataRunsAfterTear.contains(KillBatch),
       s"data layer must hold the torn batch $KillBatch: $dataRunsAfterTear")
     val (exitSeam, wSeam) = wall(runChild(root, sfDir, "seam"))
-    require(exitSeam != 0, s"seam child must die, exited $exitSeam")
+    require(exitSeam == 137, s"seam child must die by OUR halt(137), exited $exitSeam")
     val ledgerRunsAfterSeam = listRunDirs(s"$root/ledger", "jobRunId")
     require(ledgerRunsAfterSeam == (0 until NRuns).toSet,
       s"restart must replay the torn batch and finish all runs: $ledgerRunsAfterSeam")
