@@ -59,7 +59,23 @@ object Bench {
     }
     // Optional local-iteration filter: `runMain graft.Bench q54,q60` times
     // just those queries (driver runs with no args = full catalog).
-    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // `--repeats N` (floor-regeneration protocol): N full passes per query,
+    // min/median/max recorded under "stats" in the detail file, and — when
+    // SPARK_GRAFT_BENCH_FLOOR_OUT is set — per-query MIN floors written in
+    // BENCH_REF.json format. Floors from min-of-3 strip the scheduling
+    // noise a single-run floor bakes in (the r16 lesson: 18% silent slack).
+    var repeats: Option[Int] = None
+    val positional = {
+      val it = args.iterator
+      val rest = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) it.next() match {
+        case "--repeats" if it.hasNext => repeats = Some(it.next().toInt.max(1))
+        case a => rest += a
+      }
+      rest.toSeq
+    }
+    val only = positional.headOption.map(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(s => s.exists(name.startsWith)) }
     // Drop state a query left behind (cached tables, localCheckpoint
@@ -123,7 +139,8 @@ object Bench {
     // r7 bench showed phantom 5× regressions on untouched code paths).
     // min-of-2 is robust to a one-off stall; all raw passes are emitted
     // under "runs" so a real regression (every pass slow) stays visible.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = repeats.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1))
     def loadavg: String = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0))
@@ -155,13 +172,16 @@ object Bench {
       }
     def overFloorFn(name: String, best: Double): Boolean = benchRef.get(name)
       .exists(r => (best > 2 * r && best - r > 1.0) || best > 2.5 * r)
-    // Warn threshold (1.8× floor, no absolute-delta escape). Strictly
+    // Warn threshold (default 1.8× floor — SPARK_GRAFT_BENCH_WARN_FACTOR
+    // overrides; no absolute-delta escape). Strictly
     // broader than overFloorFn, so the deferred-retry loop keyed on it
     // covers suspects AND warns: the r14 capture kept four warn-band
     // queries because only suspects earned deferred retries, leaving
     // contaminated first-pass mins in the committed artifact.
+    val warnFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARN_FACTOR", "1.8").toDouble
     def warnFn(name: String, best: Double): Boolean =
-      benchRef.get(name).exists(r => best > 1.8 * r)
+      benchRef.get(name).exists(r => best > warnFactor * r)
     val sweep = collection.mutable.LinkedHashMap.empty[String,
       (Vector[(Double, Option[String], String, String)],
         (SparkSession, String) => org.apache.spark.sql.DataFrame)]
@@ -225,8 +245,11 @@ object Bench {
       } + "\""
     // 3-decimal times: sub-millisecond digits are noise. Full-resolution
     // per-pass data lives in the DETAIL FILE; the stdout line must stay
-    // compact (see below).
-    def r3(v: Double): String = f"$v%.3f"
+    // compact (see below). Locale-pinned: the f"" interpolator honors the
+    // JVM default locale, and a comma-decimal locale would make every
+    // number in the artifact invalid JSON.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver's artifact keeps only the LAST 2000 chars of stdout and
     // json-parses what it finds there: with 100+ full query names plus
     // per-pass arrays the metric line is ~8 KB, so every round since r6
@@ -267,8 +290,26 @@ object Bench {
     val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val warnJson = warned.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query [min, median, max] over the SUCCESSFUL passes — the spread
+    // evidence the floor protocol reads (a tight spread supports a tighter
+    // warn band; a wide one means the box was contended during the run).
+    val statsJson = results.map { case (k, _, _, rs, _) =>
+      val ok = rs.filter(_._2.isEmpty).map(_._1).sorted
+      val xs = if (ok.nonEmpty) ok else rs.map(_._1).sorted
+      val med = xs(xs.size / 2)
+      "\"" + k + "\":[" + r3(xs.min) + "," + r3(med) + "," + r3(xs.max) + "]"
+    }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"queries":$qsFull,"runs":$raw,"run_loadavg":$rawLoad,"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
+      s"""{"queries":$qsFull,"runs":$raw,"run_loadavg":$rawLoad,"stats":$statsJson,"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
+    // Floor regeneration: per-query MIN in BENCH_REF.json format (queries
+    // with zero successful passes are omitted — an error must never mint a
+    // floor). Written only when explicitly requested.
+    sys.env.get("SPARK_GRAFT_BENCH_FLOOR_OUT").foreach { p =>
+      val floors = results.collect { case (k, best, None, _, _) =>
+        "\"" + k + "\":" + r3(best) }.mkString("{\n  ", ",\n  ", "\n}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (floors + "\n").getBytes("UTF-8"))
+    }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"${sys.props("java.io.tmpdir")}/graft_bench_detail.json")
     scala.util.Try {

@@ -93,20 +93,28 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
     val r = t(spark, dir, "region")
-    val s = t(spark, dir, "supplier")
-    val p = t(spark, dir, "part")
     // Broadcast hints only on the guaranteed-tiny dims (nation/region);
-    // customer/supplier/part scale with the data — auto-broadcast + AQE
-    // pick broadcast when they fit and fall back to shuffled joins when
-    // they don't (a forced broadcast() would OOM the driver at 100 TB dims).
+    // customer scales with the data — auto-broadcast + AQE pick broadcast
+    // when it fits and fall back to a shuffled join when it doesn't (a
+    // forced broadcast() would OOM the driver at 100 TB dims).
+    //
+    // JOIN ELIMINATION (r17, the sf100 top-factor fix): the reference
+    // query's supplier and part legs are LEFT OUTER joins on the dims'
+    // PRIMARY keys (unique by TPC-H construction and in this generator)
+    // whose columns this aggregate never references — a no-op on both
+    // row multiplicity (unique key ⇒ no fan-out) and row survival (outer
+    // ⇒ no filtering), i.e. exactly the join a PK-aware optimizer drops.
+    // Catalyst cannot infer parquet key uniqueness, so the elimination is
+    // manual; at sf100 it removes two 600M-row sort-merge passes that were
+    // 2/4 of this query's wall. The full seven-table physical shape stays
+    // exercised by q33's FlagshipFullSql, where supplier/part columns ARE
+    // consumed.
     li
       .join(o, li("l_orderkey") === o("o_orderkey") &&
         o("o_orderstatus").isin("F", "O"), "left_outer")
       .join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
-      .join(s, li("l_suppkey") === s("s_suppkey"), "left_outer")
-      .join(p, li("l_partkey") === p("p_partkey"), "left_outer")
       .withColumn("segment_class",
         when(col("c_mktsegment") === "AUTOMOBILE", "Vehicle")
           .when(col("c_mktsegment") === "MACHINERY", "Industrial")
@@ -541,34 +549,40 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * micro-cent; a float bridge never ties out, which is why finance
     * teams distrust them). All money in integer cents through
     * DECIMAL(18,2); per-part divisions are sign-explicit with DECIMAL
-    * products. Scale shape: one lineitem⋈orders⋈part pass, a per-(brand,
-    * part) rollup (map-side partials on the high-card part key), effects
-    * as projections, then a brands-cardinality rollup.
+    * products.
     *
-    * MEMORY FLOOR (measured, r15/r16): the 600M⋈150M sort-merge at sf100
-    * needs ≥ ~1 GB/core of executor memory — it OOMs
-    * (UNABLE_TO_ACQUIRE_MEMORY) on the deliberately under-provisioned
-    * 0.25 GB/core bench JVM at BOTH 1024 and 4096 shuffle partitions
-    * (r16 probe: more partitions don't help because 32 concurrent tasks
-    * split the same execution pool), and clears untouched at 1 GB/core
-    * (70.5 s r15 isolated, 85.6 s in the r16 full-catalog sweep). The
-    * plan is right; provision this operator's stage at production sizing.
+    * Scale shape (restructured r17 to lower the r15/r16 memory floor):
+    * the 600M-row side enters its one unavoidable shuffle — the orderkey
+    * join for the period bit — carrying only (orderkey, partkey, r, q),
+    * 4 narrow columns; orders contributes (orderkey, period) only. brand
+    * is functionally determined by the part key, so the part join happens
+    * AFTER the per-part rollup, at |parts| grain — the earlier shape
+    * joined part into the pre-aggregation frame, which at sf100 meant a
+    * SECOND 600M-row sort-merge carrying money columns plus brand, and
+    * THAT was the allocation that hit the 0.25 GB/core wall
+    * (UNABLE_TO_ACQUIRE_MEMORY at both 1024 and 4096 shuffle partitions,
+    * r16 probe — 32 concurrent tasks split one execution pool, so more
+    * partitions don't help; 1 GB/core cleared it in 85.6 s). Same oracle
+    * hash: regrouping (brand, pk) → (pk) is lossless under the pk → brand
+    * function, and every effect expression is untouched.
     */
   def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
-        when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b").as("period"),
+      .select(col("l_orderkey"), col("l_partkey").as("pk"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("r"),
         (dec2(col("l_quantity")) * 100).cast("long").as("q"))
-    val perPart = li.groupBy(col("brand"), col("pk")).agg(
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b")
+            .as("period")),
+        col("l_orderkey") === col("o_orderkey"))
+    val perPart = li.groupBy(col("pk")).agg(
       sum(when(col("period") === "a", col("r")).otherwise(0L)).as("r1"),
       sum(when(col("period") === "b", col("r")).otherwise(0L)).as("r2"),
       sum(when(col("period") === "a", col("q")).otherwise(0L)).as("q1"),
       sum(when(col("period") === "b", col("q")).otherwise(0L)).as("q2"))
+      .join(t(spark, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand")), "pk")
     val effects = perPart.selectExpr("brand", "r1", "r2", "q1", "q2",
       "CASE WHEN q1 > 0 AND q2 > 0 THEN 1L ELSE 0L END AS is_both",
       """CASE WHEN q1 > 0 AND q2 > 0 THEN

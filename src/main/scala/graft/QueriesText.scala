@@ -3788,8 +3788,8 @@ private[graft] trait QueriesText { this: Queries.type =>
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65
+        |WHERE len(list_intersect(a.sh, b.sh)) * 20
+        |        >= len(list_distinct(list_concat(a.sh, b.sh))) * 13
         |ORDER BY id_a, id_b""".stripMargin,
     "q193_mad_outliers" ->
       """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),

@@ -669,12 +669,22 @@ object Dedup {
           least(col("ma") - col("ra"), col("mb") - col("rb"))) * (tNum + tDen).toLong >=
           (col("ma") + col("mb")) * tNum.toLong)
       .select(col("id_a"), col("id_b")).distinct()
+    // Verify in EXACT integer arithmetic (inter·tDen ≥ union·tNum), never
+    // through the IEEE-rounded double: for thresholds not representable in
+    // binary (13/20, 1/3) a double compare can misclassify boundary pairs
+    // relative to the exact rational the prefix/size/positional prunes were
+    // derived from — the one crack through which 'EXACT at any threshold'
+    // could leak. The reported jaccard stays a double (correctly-rounded
+    // division is engine-portable); only the admission test is integer.
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", graft.plans.TextExpressions
-        .sorted_set_jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= tNum.toDouble / tDen)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("inter", graft.plans.TextExpressions
+        .sorted_set_intersect_size(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("union_sz",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * tDen >= col("union_sz") * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("union_sz")).as("jaccard"))
   }
 }

@@ -61,27 +61,41 @@ object KafkaSource {
     * (options built, normalization) is identical on both paths.
     */
   def readBatch(spark: SparkSession, bootstrap: String, ranges: Seq[OffsetRange],
-                format: String = "kafka"): DataFrame = {
+                format: String = "kafka",
+                failOnDataLoss: Boolean = true): DataFrame = {
     val topics = ranges.map(_.topicName).distinct.mkString(",")
     var reader = spark.read.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics)
+    if (!failOnDataLoss) reader = reader.option("failOnDataLoss", "false")
     replayOptions(ranges).foreach { case (k, v) => reader = reader.option(k, v) }
     normalize(reader.load())
   }
 
   /** Streaming read. `minPartitions` lets one busy Kafka partition fan out
     * over several Spark tasks — the scale knob the reference approximates
-    * with its per-partition wrapper jobs.
+    * with its per-partition wrapper jobs. `maxOffsetsPerTrigger` caps rows
+    * per micro-batch (split proportionally to per-partition lag, the
+    * connector's rate limit) — the knob the reference's
+    * `EVENT_CONTROL_CONFIG.BATCH_DURATION` expectations tune against
+    * (`Kafka_ArrivalToConform.sh:154-181`). `failOnDataLoss=false` is the
+    * connector's warn-and-continue mode when retention already trimmed
+    * offsets the checkpoint still references.
     */
   def readStream(spark: SparkSession, bootstrap: String, topics: Seq[String],
                  minPartitions: Option[Int] = None,
-                 format: String = "kafka"): DataFrame = {
+                 format: String = "kafka",
+                 maxOffsetsPerTrigger: Option[Long] = None,
+                 failOnDataLoss: Boolean = true,
+                 startingOffsets: String = "latest"): DataFrame = {
     var reader = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "latest")
+      .option("startingOffsets", startingOffsets)
     minPartitions.foreach(n => reader = reader.option("minPartitions", n.toString))
+    maxOffsetsPerTrigger.foreach(n =>
+      reader = reader.option("maxOffsetsPerTrigger", n.toString))
+    if (!failOnDataLoss) reader = reader.option("failOnDataLoss", "false")
     normalize(reader.load())
   }
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,9 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `startingOffsets` / `endingOffsets` exactly as the connector does —
   * same option keys, same offset-JSON shape `{"topic":{"0":123}}`, same
   * `-1`(latest)/`-2`(earliest) per-partition sentinels, same exclusive
-  * `endingOffsets`, same out-of-range failure — backed by this registry
-  * instead of a broker. Reference: `KafkaDemo.sh:78-84` (the `kafka_event`
-  * ledger whose [from, until) windows these options replay).
+  * `endingOffsets`, same out-of-range failure, same `maxOffsetsPerTrigger`
+  * proportional rate limit and `failOnDataLoss=false` warn-and-continue —
+  * backed by this registry instead of a broker. Reference:
+  * `KafkaDemo.sh:78-84` (the `kafka_event` ledger whose [from, until)
+  * windows these options replay) and `Kafka_ArrivalToConform.sh:154-181`
+  * (the BATCH_DURATION expectations that tune the trigger cap).
   */
 object KafkaStubBroker {
   final case class StubRecord(key: Array[Byte], value: Array[Byte], tsMs: Long)
@@ -44,14 +47,27 @@ object KafkaStubBroker {
   @volatile var lastBatchOptions: Map[String, String] = Map.empty
   @volatile var lastStreamOptions: Map[String, String] = Map.empty
 
-  def clear(): Unit = { logs.clear(); lastBatchOptions = Map.empty; lastStreamOptions = Map.empty }
+  /** Data-loss warnings emitted by `failOnDataLoss=false` reads (the real
+    * connector logs these at WARN and advances past the trimmed head; the
+    * arrival audit then sees the skipped window as an offset-continuity
+    * seam). Kept queryable so specs/audits can record the loss explicitly.
+    */
+  @volatile var dataLossEvents: Vector[String] = Vector.empty
+
+  def clear(): Unit = logs.synchronized {
+    logs.clear(); lastBatchOptions = Map.empty; lastStreamOptions = Map.empty
+    dataLossEvents = Vector.empty
+  }
 
   /** Create an empty partition whose earliest offset is `first` (a log head
     * trimmed by retention — reads below it must fail like the connector's
     * data-loss check).
     */
   def createPartition(topic: String, partition: Int, first: Long = 0L): Unit =
-    logs.putIfAbsent((topic, partition), (first, Vector.empty))
+    // Same monitor as publish: an unsynchronized putIfAbsent could race a
+    // concurrent publish's read-modify-write and silently reset a
+    // just-created partition's non-zero retention head back to 0.
+    logs.synchronized { logs.putIfAbsent((topic, partition), (first, Vector.empty)); () }
 
   /** Append one record; returns its assigned offset. */
   def publish(topic: String, partition: Int, value: String,
@@ -71,15 +87,33 @@ object KafkaStubBroker {
   def partitionsOf(topics: Seq[String]): Seq[(String, Int)] =
     logs.keys.filter(k => topics.contains(k._1)).toSeq.sorted
 
-  /** [from, until) slice with connector-shaped range validation. */
-  def fetch(tp: (String, Int), from: Long, until: Long): Vector[(Long, StubRecord)] = {
+  /** [from, until) slice with connector-shaped range validation.
+    *
+    * `failOnDataLoss=true` (the connector default): any window outside the
+    * surviving log fails the read. `false`: the connector's warn-and-continue
+    * contract — clamp to the surviving [earliest, high) window, emit the
+    * loss as a WARN plus a queryable [[dataLossEvents]] entry, and return
+    * what survives (possibly nothing).
+    */
+  def fetch(tp: (String, Int), from: Long, until: Long,
+            failOnDataLoss: Boolean = true): Vector[(Long, StubRecord)] = {
     val (first, log) = logs.getOrElse(tp,
       throw new IllegalArgumentException(s"unknown topic-partition $tp"))
     val high = first + log.size
-    require(from >= first && until <= high && from <= until,
-      s"offsets [$from, $until) out of available range [$first, $high) for $tp " +
-        "(the real connector fails this read as data loss)")
-    ((from until until).map(o => o -> log((o - first).toInt))).toVector
+    require(from <= until, s"inverted window [$from, $until) for $tp")
+    if (failOnDataLoss)
+      require(from >= first && until <= high,
+        s"offsets [$from, $until) out of available range [$first, $high) for $tp " +
+          "(the real connector fails this read as data loss)")
+    val cf = math.min(math.max(from, first), high)
+    val cu = math.max(math.min(until, high), cf)
+    if (cf != from || cu != until) {
+      val msg = s"data loss on $tp: requested [$from, $until) but available " +
+        s"[$first, $high); reading [$cf, $cu) and continuing (failOnDataLoss=false)"
+      logs.synchronized { dataLossEvents :+= msg }
+      System.err.println(s"WARN KafkaStubBroker: $msg")
+    }
+    ((cf until cu).map(o => o -> log((o - first).toInt))).toVector
   }
 
   /** The real connector's 7-column output schema, field for field. */
@@ -163,6 +197,8 @@ private final class KafkaStubScan(options: Map[String, String]) extends Scan {
   private def topics: Seq[String] = options.getOrElse("subscribe",
     throw new IllegalArgumentException("subscribe is required"))
     .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private def failOnDataLoss: Boolean =
+    options.getOrElse("failondataloss", "true").toBoolean
 
   override def readSchema(): StructType = KafkaStubBroker.schema
 
@@ -172,13 +208,14 @@ private final class KafkaStubScan(options: Map[String, String]) extends Scan {
       options.getOrElse("startingoffsets", "earliest"), topics)
     val ends = KafkaStubBroker.resolve(
       options.getOrElse("endingoffsets", "latest"), topics)
+    val fodl = failOnDataLoss
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         KafkaStubBroker.partitionsOf(topics).map { tp =>
           val from = starts.getOrElse(tp, KafkaStubBroker.earliest(tp))
           val until = ends.getOrElse(tp, KafkaStubBroker.latest(tp))
           KafkaStubInputPartition(tp._1, tp._2,
-            KafkaStubBroker.fetch(tp, from, until))
+            KafkaStubBroker.fetch(tp, from, until, fodl))
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new KafkaStubReaderFactory
@@ -188,7 +225,9 @@ private final class KafkaStubScan(options: Map[String, String]) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     KafkaStubBroker.lastStreamOptions = options
     new KafkaStubMicroBatchStream(topics,
-      options.getOrElse("startingoffsets", "latest"))
+      options.getOrElse("startingoffsets", "latest"),
+      options.get("maxoffsetspertrigger").map(_.toLong),
+      failOnDataLoss)
   }
 }
 
@@ -201,13 +240,80 @@ private final case class KafkaStubStreamOffset(offsets: Map[(String, Int), Long]
     KafkaSource.offsetsJson(offsets.toSeq.map { case ((t, p), o) => (t, p, o) })
 }
 
-private final class KafkaStubMicroBatchStream(topics: Seq[String], starting: String)
-  extends MicroBatchStream {
+/** Micro-batch stream with the real connector's admission-control surface:
+  *
+  *  - `maxOffsetsPerTrigger` → [[ReadMaxRows]]: when the available lag
+  *    exceeds the cap, each partition advances by its PROPORTIONAL share
+  *    (`limit · lag/totalLag`, ceil below 1 so a starved partition still
+  *    moves — the exact prorate shape of the connector's `rateLimit`),
+  *    so one run drains in several equal-ish batches instead of one.
+  *  - `Trigger.AvailableNow` → [[SupportsTriggerAvailableNow]]: the end
+  *    bound is pinned ONCE at `prepareForTriggerAvailableNow`, so a
+  *    rate-limited run terminates at the subscription-time high-water mark
+  *    even if publishes keep landing (the connector's semantics).
+  *  - `failOnDataLoss=false` → a checkpointed start below the surviving
+  *    head clamps forward with a recorded warning instead of failing
+  *    ([[KafkaStubBroker.fetch]]).
+  */
+private final class KafkaStubMicroBatchStream(
+    topics: Seq[String], starting: String,
+    maxOffsetsPerTrigger: Option[Long], failOnDataLoss: Boolean)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // End bound captured by prepareForTriggerAvailableNow (AvailableNow runs).
+  @volatile private var availableNowBound: Option[Map[(String, Int), Long]] = None
+
+  private def trueLatest: Map[(String, Int), Long] =
+    KafkaStubBroker.partitionsOf(topics)
+      .map(tp => tp -> KafkaStubBroker.latest(tp)).toMap
+
   override def initialOffset(): Offset =
     KafkaStubStreamOffset(KafkaStubBroker.resolve(starting, topics))
-  override def latestOffset(): Offset =
-    KafkaStubStreamOffset(KafkaStubBroker.partitionsOf(topics)
-      .map(tp => tp -> KafkaStubBroker.latest(tp)).toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  // With SupportsAdmissionControl Spark always calls the 2-arg form; the
+  // real connector throws here too.
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KafkaStubStreamOffset].offsets
+    val bound = availableNowBound.getOrElse(trueLatest)
+    val capped = limit match {
+      case _: ReadAllAvailable => bound
+      case r: ReadMaxRows => rateLimit(r.maxRows(), s, bound)
+      case other => throw new UnsupportedOperationException(
+        s"read limit $other not supported by graft-kafka-stub")
+    }
+    KafkaStubStreamOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = KafkaStubStreamOffset(trueLatest)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(trueLatest)
+
+  /** The connector's prorate split: each partition advances by
+    * `limit · lag/totalLag` (floor; ceil when the share is under one row so
+    * slow partitions are never starved), clamped to its own lag.
+    */
+  private def rateLimit(limit: Long, start: Map[(String, Int), Long],
+                        end: Map[(String, Int), Long]): Map[(String, Int), Long] = {
+    val begins = end.map { case (tp, _) =>
+      tp -> start.getOrElse(tp, KafkaStubBroker.earliest(tp)) }
+    val lags = end.map { case (tp, e) => tp -> math.max(0L, e - begins(tp)) }
+    val total = lags.values.sum
+    if (total <= limit) end
+    else end.map { case (tp, e) =>
+      val lag = lags(tp)
+      val prorate = limit.toDouble * lag / total
+      val take = if (prorate < 1) math.ceil(prorate).toLong
+                 else math.floor(prorate).toLong
+      tp -> math.min(begins(tp) + take, e)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset =
     KafkaStubStreamOffset(KafkaStubBroker.parseOffsets(json))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -215,7 +321,8 @@ private final class KafkaStubMicroBatchStream(topics: Seq[String], starting: Str
     val e = end.asInstanceOf[KafkaStubStreamOffset].offsets
     e.toSeq.sortBy(_._1).map { case (tp, until) =>
       val from = s.getOrElse(tp, KafkaStubBroker.earliest(tp))
-      KafkaStubInputPartition(tp._1, tp._2, KafkaStubBroker.fetch(tp, from, until))
+      KafkaStubInputPartition(tp._1, tp._2,
+        KafkaStubBroker.fetch(tp, from, until, failOnDataLoss))
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

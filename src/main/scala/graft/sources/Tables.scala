@@ -21,13 +21,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. The events stream's
-    * `ts` is normalized to epoch-nano longs (see [[normalizeEventTime]])
-    * so both the DataFrame and the SQL-view surface expose one event-time
-    * convention regardless of how the parquet files encode timestamps.
+  /** Read one table from a layer location — a parquet scale-factor
+    * directory, or (when the location is a `jdbc:` URL) a database table
+    * via [[Jdbc.read]], so a layer can live in the reference's
+    * Oracle-shaped storage without touching any query builder. The events
+    * stream's `ts` is normalized to epoch-nano longs (see
+    * [[normalizeEventTime]]) so both the DataFrame and the SQL-view
+    * surface expose one event-time convention regardless of how the
+    * files/columns encode timestamps.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (Jdbc.isJdbcLocation(dir)) Jdbc.read(spark, dir, name)
+      else spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTime(df) else df
   }
 

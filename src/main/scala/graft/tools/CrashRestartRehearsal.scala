@@ -37,23 +37,34 @@ import org.apache.spark.sql.types._
   * (topic, partition, run), arrival row count == staged events == DISTINCT
   * event ids (zero duplicates from the replay), conform count matches.
   *
-  * Usage: `runMain graft.tools.CrashRestartRehearsal [sfDir] [outJson]`
-  * (defaults /tmp/graft_sf1 and BENCH_STREAM_CRASH_SF1.json).
+  * Usage: `runMain graft.tools.CrashRestartRehearsal [sfDir] [outJson] [source]`
+  * (defaults /tmp/graft_sf1, BENCH_STREAM_CRASH_SF1.json, source `file`).
   * CrashRestartSpec pins the same protocol at sf0.01.
+  *
+  * `source = stub` runs the SAME kill protocol with the arrival leg reading
+  * through the `graft-kafka-stub` DataSource V2 (KafkaSource.readStream with
+  * `maxOffsetsPerTrigger`) instead of the file source: batch boundaries come
+  * from the connector's rate limit and recovery replays the torn batch from
+  * the CHECKPOINT'S OFFSET WAL resolved against the (re-populated) broker —
+  * the checkpoint, not the ledger, is the recovery source of truth, exactly
+  * as on a real Kafka deployment. Each child JVM republishes the staged
+  * events into its in-process broker deterministically (same order, same
+  * assigned offsets), so a replayed epoch reads byte-identical rows.
   */
 object CrashRestartRehearsal {
-  import StreamingRehearsal.{Topic, NRuns}
+  import StreamingRehearsal.{Topic, NParts, NRuns}
 
   /** Batch the tear child kills mid-write (of 0 until NRuns). */
   val KillBatch = 7
 
   def main(args: Array[String]): Unit = args.headOption match {
-    case Some("--child") => child(args(1), args(2), args(3))
+    case Some("--child") => child(args(1), args(2), args(3), args(4))
     case _ =>
       val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
       val outJson = args.lift(1).getOrElse("BENCH_STREAM_CRASH_SF1.json")
+      val source = args.lift(2).getOrElse("file")
       val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
-      val report = run(root, sfDir)
+      val report = run(root, sfDir, source)
       java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
         (report + "\n").getBytes("UTF-8"))
       println(report)
@@ -62,13 +73,18 @@ object CrashRestartRehearsal {
   /** The full three-child protocol; returns the artifact JSON. Shared with
     * CrashRestartSpec (which re-verifies the end state independently).
     */
-  def run(root: String, sfDir: String): String = {
+  def run(root: String, sfDir: String, source: String = "file"): String = {
     def wall[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (exitTear, wTear) = wall(runChild(root, sfDir, s"tear:$KillBatch"))
+    // Locale-pinned: the f"" interpolator uses the JVM default locale and
+    // under a comma-decimal locale (de_DE) would emit "wall_sec":41,5 —
+    // invalid JSON in the committed artifact.
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val (exitTear, wTear) = wall(runChild(root, sfDir, s"tear:$KillBatch", source))
     require(exitTear == 137, s"tear child must die by OUR halt(137), exited $exitTear")
     // Torn-state evidence, read straight off the filesystem: the ledger has
     // runs 0..K-1 only, while the data layer already carries job_run_id=K
@@ -79,25 +95,34 @@ object CrashRestartRehearsal {
       s"ledger after tear must hold runs 0..${KillBatch - 1}: $ledgerRunsAfterTear")
     require(dataRunsAfterTear.contains(KillBatch),
       s"data layer must hold the torn batch $KillBatch: $dataRunsAfterTear")
-    val (exitSeam, wSeam) = wall(runChild(root, sfDir, "seam"))
+    val (exitSeam, wSeam) = wall(runChild(root, sfDir, "seam", source))
     require(exitSeam == 137, s"seam child must die by OUR halt(137), exited $exitSeam")
     val ledgerRunsAfterSeam = listRunDirs(s"$root/ledger", "jobRunId")
-    require(ledgerRunsAfterSeam == (0 until NRuns).toSet,
+    // File mode produces exactly NRuns batches (maxFilesPerTrigger=1 over
+    // NRuns staged chunks); stub mode's batch count is emergent from the
+    // rate limit's prorate rounding — what MUST hold in both: the run ids
+    // are contiguous from 0 (no skipped epoch), the torn batch was replayed,
+    // and arrival ran past it.
+    require(ledgerRunsAfterSeam == (0 until ledgerRunsAfterSeam.size).toSet &&
+      ledgerRunsAfterSeam.contains(KillBatch) &&
+      (source != "file" || ledgerRunsAfterSeam.size == NRuns),
       s"restart must replay the torn batch and finish all runs: $ledgerRunsAfterSeam")
     require(!new File(s"$root/conform").exists(),
       "seam kill must land before conform ran")
-    val (exitNone, wNone) = wall(runChild(root, sfDir, "none"))
+    val (exitNone, wNone) = wall(runChild(root, sfDir, "none", source))
     require(exitNone == 0, s"final child must complete, exited $exitNone " +
       s"(see $root/child_none.log)")
     val childJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/child_result.json")), "UTF-8").trim
+    val sourceName = if (source == "stub") "graft-kafka-stub" else "file"
     s"""{"chain":"arrival(tear mid-batch) -> restart -> arrival(kill at conform seam) -> restart -> conform + audits",
+       |"source":"$sourceName",
        |"sf_dir":"$sfDir","root":"$root",
-       |"kill_points":[{"mode":"tear","batch":$KillBatch,"exit":$exitTear,"wall_sec":${f"$wTear%.1f"},
+       |"kill_points":[{"mode":"tear","batch":$KillBatch,"exit":$exitTear,"wall_sec":${d1(wTear)},
        |"ledger_runs_after":${ledgerRunsAfterTear.size},"torn_data_run_present":true},
-       |{"mode":"seam","exit":$exitSeam,"wall_sec":${f"$wSeam%.1f"},
+       |{"mode":"seam","exit":$exitSeam,"wall_sec":${d1(wSeam)},
        |"ledger_runs_after":${ledgerRunsAfterSeam.size},"conform_absent":true}],
-       |"final":{"exit":$exitNone,"wall_sec":${f"$wNone%.1f"}},
+       |"final":{"exit":$exitNone,"wall_sec":${d1(wNone)}},
        |"result":$childJson}""".stripMargin.replaceAll("\n", "")
   }
 
@@ -110,7 +135,8 @@ object CrashRestartRehearsal {
       .map(_.substring(key.length + 1).toInt).toSet
   }
 
-  private def runChild(root: String, sfDir: String, mode: String): Int = {
+  private def runChild(root: String, sfDir: String, mode: String,
+                       source: String): Int = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -125,14 +151,15 @@ object CrashRestartRehearsal {
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.tools.CrashRestartRehearsal", "--child", root, sfDir, mode)
+      "graft.tools.CrashRestartRehearsal", "--child", root, sfDir, mode, source)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(new File(root, s"child_${mode.takeWhile(_ != ':')}.log"))
     pb.start().waitFor()
   }
 
-  private def child(root: String, sfDir: String, killMode: String): Unit = {
+  private def child(root: String, sfDir: String, killMode: String,
+                    source: String): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -159,8 +186,32 @@ object CrashRestartRehearsal {
     val schema = StructType(Seq(
       StructField("topic", StringType), StructField("partition", IntegerType),
       StructField("offset", LongType), StructField("value", StringType)))
-    val in = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val in =
+      if (source == "stub") {
+        // Re-populate the in-JVM broker DETERMINISTICALLY (ordered by
+        // partition, offset — publish assigns offset = index, so the
+        // broker's offsets equal the staged ones in every child): a
+        // replayed epoch resolves its checkpointed [from, until) window
+        // against this broker and reads byte-identical rows, exactly as a
+        // restarted driver re-reads a real broker's retained log.
+        import graft.sources.{KafkaSource, KafkaStubBroker}
+        KafkaStubBroker.clear()
+        (0 until NParts).foreach(p => KafkaStubBroker.createPartition(Topic, p))
+        val it = spark.read.schema(schema).parquet(stage)
+          .orderBy(col("partition"), col("offset")).toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          KafkaStubBroker.publish(Topic, r.getAs[Int]("partition"),
+            r.getAs[String]("value"))
+        }
+        // Rate-limit so the run drains in ~NRuns checkpointed micro-batches
+        // (the batch boundaries the kill protocol tears between).
+        val cap = math.max(1L, (nEvents + NRuns - 1) / NRuns)
+        KafkaSource.readStream(spark, "stub:9092", Seq(Topic),
+          format = "graft-kafka-stub", maxOffsetsPerTrigger = Some(cap),
+          startingOffsets = "earliest")
+      } else spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
     val q = in.writeStream
       .queryName("graft_arrival_crash")
       .trigger(Trigger.AvailableNow())
@@ -192,14 +243,20 @@ object CrashRestartRehearsal {
     val nRows = arrival.count()
     val nDistinctIds = arrival
       .select(split(col("value"), "\\|").getItem(0).cast("long")).distinct().count()
-    ArrivalJob.conformRuns(spark, data, conform, 0L until NRuns.toLong, format = "avro")
+    // Run ids come from the LEDGER (file mode: exactly 0..NRuns-1; stub
+    // mode: however many rate-limited batches the prorate produced).
+    // jobRunId is a Hive partition column: its directory-name values come
+    // back int-inferred, so cast before extracting longs.
+    val runIds = ledgerDf.select(col("jobRunId").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    ArrivalJob.conformRuns(spark, data, conform, runIds, format = "avro")
     val nConform = graft.sources.AvroIo.readAvro(spark, conform).count()
     val ok = continuity.testResult == ValidationResult.PASSED &&
       countMatch.testResult == ValidationResult.PASSED &&
       ledgerRows == ledgerDistinct && nRows == nEvents &&
       nDistinctIds == nEvents && nConform == nEvents
     val json =
-      s"""{"n_events":$nEvents,"n_runs":$NRuns,
+      s"""{"n_events":$nEvents,"n_runs":${runIds.size},
          |"continuity":"${continuity.testResult}","count_match":"${countMatch.testResult}",
          |"ledger_rows":$ledgerRows,"ledger_distinct":$ledgerDistinct,
          |"arrival_rows":$nRows,"distinct_event_ids":$nDistinctIds,

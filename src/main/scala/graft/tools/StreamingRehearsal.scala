@@ -200,11 +200,15 @@ object StreamingRehearsal {
         else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
       walk(new java.io.File(p))
     }
-    val wallsJson = walls.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    // Locale-pinned formatting (a comma-decimal default locale would emit
+    // invalid JSON — same fix as CrashRestartRehearsal.d1).
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val wallsJson = walls.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString(",")
     val json =
       s"""{"chain":"arrival(avro conform) -> staging -> 3NF/dim","sf_dir":"$sfDir",
          |"n_events":$nEvents,"n_kafka_partitions":$NParts,"n_runs":$nRunsSeen,
-         |"walls_sec":{$wallsJson},"total_sec":${f"${walls.map(_._2).sum}%.3f"},
+         |"walls_sec":{$wallsJson},"total_sec":${d3(walls.map(_._2).sum)},
          |"checkpoint_bytes":${dirBytes(ckpt)},"ledger_bytes":${dirBytes(ledger)},
          |"ledger_rows":${ledgerDf.count()},"dim_rows":$nDim,
          |"audit_checks":$nChecks,"audit_passed":$nPassed,

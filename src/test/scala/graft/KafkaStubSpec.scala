@@ -66,11 +66,21 @@ class KafkaStubSpec extends AnyFunSuite {
 
   test("a window below the earliest surviving offset fails like the connector's data-loss check") {
     fixture()
-    val bad = Seq(OffsetRange("events_raw", 0, 43L, 2L, 6L)) // earliest is 5
+    // p1's window is valid — the failure must be p0's trimmed head (the
+    // offset JSON must still cover every partition, or the partial-map
+    // rejection fires first)
+    val bad = Seq(OffsetRange("events_raw", 0, 43L, 2L, 6L), // earliest is 5
+      OffsetRange("events_raw", 1, 43L, 0L, 1L))
     val e = intercept[Exception] {
       KafkaSource.readBatch(spark, "stub:9092", bad, format = "graft-kafka-stub").collect()
     }
-    assert(e.getMessage != null)
+    // Pin the out-of-range semantics specifically — a typo'd topic or an
+    // analysis error must NOT pass this test. Spark may wrap the planning
+    // failure, so search the cause chain.
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("out of available range")),
+      s"expected the connector-shaped data-loss message, got: $messages")
   }
 
   test("-2/-1 per-partition sentinels resolve to earliest/latest") {
@@ -136,6 +146,99 @@ class KafkaStubSpec extends AnyFunSuite {
     val ledger = spark.read.parquet(s"$root/ledger").collect().map(r =>
       (r.getAs[Int]("partition"), r.getAs[Long]("fromOffset"), r.getAs[Long]("untilOffset"))).toSet
     assert(ledger == (0 until 4).map(p => (p, 5L, 8L)).toSet, ledger.toString)
+  }
+
+  test("maxOffsetsPerTrigger drains a backlog in rate-limited batches and the " +
+    "ledger matches the broker exactly — the connector's admission control") {
+    import graft.streaming.ArrivalJob
+    KafkaStubBroker.clear()
+    // 3 partitions with skewed lag: 12 + 6 + 2 = 20 records
+    (0 until 3).foreach(p => KafkaStubBroker.createPartition("events_raw", p))
+    (0 until 12).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"p0-$i"))
+    (0 until 6).foreach(i => KafkaStubBroker.publish("events_raw", 1, s"p1-$i"))
+    (0 until 2).foreach(i => KafkaStubBroker.publish("events_raw", 2, s"p2-$i"))
+    val root = java.nio.file.Files.createTempDirectory("stub_ratelimit").toString
+    val in = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
+      format = "graft-kafka-stub", maxOffsetsPerTrigger = Some(8L),
+      startingOffsets = "earliest")
+    val q = ArrivalJob.start(in, s"$root/data", s"$root/ledger", s"$root/ckpt")
+    q.awaitTermination()
+    // options are captured when the scan materializes (query start)
+    assert(KafkaStubBroker.lastStreamOptions("maxoffsetspertrigger") == "8")
+    // every record arrived exactly once
+    val data = spark.read.parquet(s"$root/data")
+    assert(data.count() == 20)
+    val vals = data.collect().map(r =>
+      (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).toSet
+    assert(vals == (0 until 12).map(o => (0, o.toLong)).toSet ++
+      (0 until 6).map(o => (1, o.toLong)).toSet ++
+      (0 until 2).map(o => (2, o.toLong)).toSet)
+    // the run split into ≥3 batches (20 rows / cap 8) and each batch stayed
+    // under the cap — read off the LEDGER, the audit-surface of record
+    val ledger = spark.read.parquet(s"$root/ledger")
+    val perBatch = ledger.groupBy("jobRunId")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("untilOffset") -
+          org.apache.spark.sql.functions.col("fromOffset")).as("rows"))
+      .collect().map(r => r.getAs[Long]("jobRunId") -> r.getAs[Long]("rows")).toMap
+    assert(perBatch.size >= 3, s"expected >=3 rate-limited batches: $perBatch")
+    assert(perBatch.values.forall(_ <= 8L), s"a batch exceeded the cap: $perBatch")
+    assert(perBatch.values.sum == 20L)
+    // ledger windows are seamless per partition (continuity green)
+    val continuity = graft.dq.Checks.offsetContinuity(ledger, "events_raw")
+    assert(continuity.testResult == graft.model.ValidationResult.PASSED)
+    // proportional split: batch 0 advanced the laggiest partition the most
+    val b0 = ledger.filter(org.apache.spark.sql.functions.col("jobRunId") === 0L)
+      .collect().map(r => r.getAs[Int]("partition") ->
+        (r.getAs[Long]("untilOffset") - r.getAs[Long]("fromOffset"))).toMap
+    assert(b0.getOrElse(0, 0L) > b0.getOrElse(2, 0L),
+      s"prorate must favor the laggy partition: $b0")
+  }
+
+  test("failOnDataLoss=false reads past a trimmed head: surviving window only, " +
+    "loss recorded as a warning the arrival audit turns into a FAILED check") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0, first = 5L) // head trimmed to 5
+    (0 until 10).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"m$i"))
+    // the ledger says this run covered [2, 9) but retention ate [2, 5)
+    val ranges = Seq(OffsetRange("events_raw", 0, 7L, 2L, 9L))
+    val df = KafkaSource.readBatch(spark, "stub:9092", ranges,
+      format = "graft-kafka-stub", failOnDataLoss = false)
+    val offs = df.collect().map(_.getAs[Long]("offset")).sorted.toSeq
+    // options are captured when the batch scan materializes (the collect)
+    assert(KafkaStubBroker.lastBatchOptions("failondataloss") == "false")
+    assert(offs == (5L until 9L), s"must emit exactly the surviving window: $offs")
+    // the loss is surfaced, not swallowed
+    assert(KafkaStubBroker.dataLossEvents.exists(m =>
+      m.contains("(events_raw,0)") && m.contains("[2, 9)") && m.contains("[5, 15)")),
+      KafkaStubBroker.dataLossEvents.toString)
+    // and the arrival audit records it: expected count from the ledger (7)
+    // vs what actually survived (4) — offsetCountMatch FAILS, by design
+    val ledgerDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("events_raw", 0, 7L, 2L, 9L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("topicName",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("jobRunId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fromOffset",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("untilOffset",
+          org.apache.spark.sql.types.LongType))))
+    val audit = graft.dq.Checks.offsetCountMatch(ledgerDf, df.count(), "events_raw")
+    assert(audit.testResult == graft.model.ValidationResult.FAILED)
+    assert(audit.comments.contains("expected=7") && audit.comments.contains("actual=4"))
+    // whereas failOnDataLoss=true (the default) refuses the same read
+    val e = intercept[Exception] {
+      KafkaSource.readBatch(spark, "stub:9092", ranges,
+        format = "graft-kafka-stub").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("out of available range")), msgs.toString)
   }
 
   test("readStream through the stub starts at latest and sees only post-start publishes") {

@@ -836,16 +836,17 @@ class PropertySpec extends AnyFunSuite {
           .select(col("doc_id"), array_sort(array_distinct(col("raw"))).as("sh"))
         val got = Dedup.ppjoin(sets, tNum, tDen).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        // naive reference: every pair, exact set Jaccard, same IEEE compare
+        // naive reference: every pair, exact set Jaccard, EXACT rational
+        // threshold compare (inter·tDen ≥ union·tNum) — the contract ppjoin
+        // guarantees even for thresholds like 1/3 that IEEE can't represent
         val byId = docs.map { case (id, ws) => id -> ws.toSet }.toMap
         val ids = docs.map(_._1)
         val expected = (for {
           a <- ids; b <- ids if a < b
           inter = (byId(a) & byId(b)).size
           union = (byId(a) | byId(b)).size
-          j = inter.toDouble / union
-          if j >= tNum.toDouble / tDen
-        } yield (a, b, j)).toSet
+          if inter.toLong * tDen >= union.toLong * tNum
+        } yield (a, b, inter.toDouble / union)).toSet
         // completeness (the prefix/size/positional prunes dropped nothing)
         // AND soundness (the verify admitted nothing extra), values exact
         assert(got == expected,
