@@ -551,38 +551,44 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * DECIMAL(18,2); per-part divisions are sign-explicit with DECIMAL
     * products.
     *
-    * Scale shape (restructured r17 to lower the r15/r16 memory floor):
-    * the 600M-row side enters its one unavoidable shuffle — the orderkey
-    * join for the period bit — carrying only (orderkey, partkey, r, q),
-    * 4 narrow columns; orders contributes (orderkey, period) only. brand
-    * is functionally determined by the part key, so the part join happens
-    * AFTER the per-part rollup, at |parts| grain — the earlier shape
-    * joined part into the pre-aggregation frame, which at sf100 meant a
-    * SECOND 600M-row sort-merge carrying money columns plus brand, and
-    * THAT was the allocation that hit the 0.25 GB/core wall
-    * (UNABLE_TO_ACQUIRE_MEMORY at both 1024 and 4096 shuffle partitions,
-    * r16 probe — 32 concurrent tasks split one execution pool, so more
-    * partitions don't help; 1 GB/core cleared it in 85.6 s). Same oracle
-    * hash: regrouping (brand, pk) → (pk) is lossless under the pk → brand
-    * function, and every effect expression is untouched.
+    * Scale shape: one lineitem⋈orders⋈part pass, a per-(brand, part)
+    * rollup (map-side partials on the high-card part key), effects as
+    * projections, then a brands-cardinality rollup.
+    *
+    * MEMORY FLOOR (measured r15/r16, RE-CONFIRMED against a plan fix in
+    * r17): the 600M⋈150M orderkey sort-merge at sf100 needs ≥ ~1 GB/core —
+    * it OOMs on the deliberately under-provisioned 0.25 GB/core bench JVM
+    * at 1024 AND 4096 shuffle partitions (32 concurrent tasks split one
+    * execution pool, so more partitions don't help) and clears untouched
+    * at 1 GB/core (85.6 s in the r16 full-catalog sf100 sweep). The r17
+    * attempted fix — money columns narrowed to longs BEFORE the join and
+    * the part join moved to the per-part grain after the rollup — kept the
+    * oracle hash (235/235) but STILL hit SparkOutOfMemory in the same
+    * stage at 8 g sf100, because the wall is the orderkey SMJ itself,
+    * which any shape of this query shares; explain also showed part
+    * already broadcasts in this shape well past sf10, so the feared
+    * "second fat sort" never existed, and the rewrite measured 58% slower
+    * at sf10 (isolated min-of-3: 6.26 s vs 9.92 s). Bucketing both sides
+    * (sources/Bucketing.scala) would remove the SMJ exchange but requires
+    * pre-bucketed table layout, which the raw-parquet bench contract
+    * doesn't provide. The floor stands: provision this operator's stage
+    * at ≥1 GB/core.
     */
   def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey").as("pk"),
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+        when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b").as("period"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("r"),
         (dec2(col("l_quantity")) * 100).cast("long").as("q"))
-      .join(t(spark, dir, "orders")
-        .select(col("o_orderkey"),
-          when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b")
-            .as("period")),
-        col("l_orderkey") === col("o_orderkey"))
-    val perPart = li.groupBy(col("pk")).agg(
+    val perPart = li.groupBy(col("brand"), col("pk")).agg(
       sum(when(col("period") === "a", col("r")).otherwise(0L)).as("r1"),
       sum(when(col("period") === "b", col("r")).otherwise(0L)).as("r2"),
       sum(when(col("period") === "a", col("q")).otherwise(0L)).as("q1"),
       sum(when(col("period") === "b", col("q")).otherwise(0L)).as("q2"))
-      .join(t(spark, dir, "part")
-        .select(col("p_partkey").as("pk"), col("p_brand").as("brand")), "pk")
     val effects = perPart.selectExpr("brand", "r1", "r2", "q1", "q2",
       "CASE WHEN q1 > 0 AND q2 > 0 THEN 1L ELSE 0L END AS is_both",
       """CASE WHEN q1 > 0 AND q2 > 0 THEN
@@ -629,6 +635,17 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val marg = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    // Pair generation stays the items⋈items self-join — a MEASURED r17
+    // decision: a sorted-basket rewrite (groupBy(ok).collect_list +
+    // posexplode + per-element slice(parts, i+2, ...) explode) looked like
+    // it should win by replacing the SMJ's two 60M-row sorts with one hash
+    // aggregate, but ran 37% SLOWER at sf10 in isolated min-of-3 A/B
+    // (47.5 s → 65.3 s): the generator allocates a subarray copy per
+    // basket element (O(b²) allocations per order across 45M orders),
+    // which loses to the fully codegen'd sort-merge join on narrow
+    // (ok, pk) longs. Whole-stage codegen over primitive columns beats
+    // allocation-heavy higher-order expressions — same lesson as the
+    // sparseTopK df diamond (Tfidf.scala).
     val pairs = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))

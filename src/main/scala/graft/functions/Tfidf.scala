@@ -80,14 +80,13 @@ object Tfidf {
     * the differential oracle).
     *
     * Scale shape: the classic inverted-index probe — the corpus side
-    * shuffles ONCE, for its own per-doc term-frequency aggregate; the
-    * query side is tiny by construction (a handful of query documents vs
-    * the corpus), so it is PINNED as the broadcast side — without the pin,
-    * Spark can plan a sort-merge join that shuffles the entire postings
-    * list on term. df / the stopword drop / the idf weight ride the query
-    * side (r17 — see the inline note on why a df WINDOW over the postings
-    * was the sf100 wall). Matches aggregate per (query, doc) pair and a
-    * per-query window takes top-k. Stopword-scale
+    * shuffles once on the term; the query side is tiny by construction
+    * (a handful of query documents vs the corpus), so it is PINNED as the
+    * broadcast side — without the pin, Spark can plan a sort-merge join
+    * that shuffles the entire postings list on term. Matches aggregate per
+    * (query, doc) pair and a per-query window takes top-k. (r17: see the
+    * inline df note — a query-side df aggregate was tried and measured
+    * slower; the plan-diamond re-execution costs more than the window.) Stopword-scale
     * terms flood the join (|q docs| × |d docs| rows per term): terms in
     * more than `maxDfFrac` of the corpus are dropped — visibly, via
     * `observe()` — which is what a real retrieval stack's stopword list
@@ -109,38 +108,40 @@ object Tfidf {
     // select evaluates its non-generator expressions ABOVE the Generate,
     // so an inline size(tokens) would re-tokenize once per exploded TOKEN
     // (a measured 3.6x on the whole query), not once per document.
-    val tf = corpus
+    // df via count().over(partitionBy(term)) ON the tf aggregate — a
+    // DELIBERATE, measured choice (r17): the tempting alternative (df as a
+    // groupBy(term) aggregate attached to the query side, killing the
+    // window's term-keyed exchange) creates a plan DIAMOND — the tf
+    // subtree feeds both df and the probe, and Spark re-executes shared
+    // subplans rather than CSE-ing them — so the whole scan+tokenize+
+    // explode+aggregate ran twice and q90/q100 measured 40-70% SLOWER at
+    // sf10 in interleaved A/B. The window re-uses the single tf execution
+    // in-plan; its term-keyed exchange lands in ≤|vocab| non-empty
+    // partitions, which is skewed only on a degenerate vocabulary (this
+    // fixture's ~40 words) and well-spread on any real corpus. At true
+    // index scale the production answer is a MATERIALIZED inverted index
+    // (build once, probe many), not per-query recomputation.
+    val ct = corpus
       .select(corpusId.as("d"), corpusToks.as("toks"))
       .withColumn("dl", size(col("toks")))
       .select(col("d"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("d"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf_d"))
-    // df per term as a GROUPED aggregate (map-side partials collapse it to
-    // one tiny (term, df) table), never a count().over(partitionBy(term))
-    // window: the window form re-exchanges the ENTIRE postings list on the
-    // term key and sorts it into |vocab| partitions — on a corpus whose
-    // vocabulary is small (this fixture: ~40 words) that is a handful of
-    // giant skewed partitions, and it was the q100/q90 wall at sf100
-    // (205× for 1000× data). df, the hot-term drop, and the idf weight all
-    // attach to the TINY query-term side: the postings never carry df, and
-    // the corpus side's only wide exchange is its own tf aggregate.
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qt = termCounts(queries, queryId, queryText)
-      .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
-    val qtW = broadcast(qt).join(df, Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
+      .crossJoin(broadcast(tot))
       .observe("graft.sparse_topk",
-        count(when(col("df") > col("n_corpus") * maxDfFrac, 1)).as("hot_terms_dropped"))
+        count(when(col("df") > col("n_corpus") * maxDfFrac, 1)).as("hot_term_rows_dropped"))
       .filter(col("df") <= col("n_corpus") * maxDfFrac)
       .withColumn("w", floor(lit(1000000L) / col("df")))
-      .select(col("term"), col("q"), col("tf_q"), col("w"))
-    val rank = Window.partitionBy(col("q"))
-      .orderBy(col("score").desc, col("d").asc)
-    broadcast(qtW).join(tf, Seq("term"))
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(n))
       .withColumn("avgdl", expr("total_tokens DIV n_corpus"))
       .withColumn("tfc", expr(
         "(10000 * 22 * tf_d * avgdl) DIV (10 * avgdl * tf_d + 3 * avgdl + 9 * dl)"))
+    val qt = termCounts(queries, queryId, queryText)
+      .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
+    val rank = Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("d").asc)
+    broadcast(qt).join(ct, Seq("term"))
       .groupBy(col("q"), col("d"))
       .agg(sum(col("tf_q") * col("w") * col("tfc")).as("score"))
       .withColumn("rnk", row_number().over(rank))

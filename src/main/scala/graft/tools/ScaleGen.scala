@@ -65,8 +65,20 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcDir> <destDir> <replicas>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcDir> <destDir> <replicas> [tables]")
     val (src, dest, k) = (args(0), args(1), args(2).toInt)
+    // Optional comma-list of tables to generate (e.g. "lineitem,orders,part"
+    // for a single-query probe at a scale where generating all ten would
+    // dominate the probe itself); default = the full star schema.
+    val want: String => Boolean = args.lift(3) match {
+      case Some(list) =>
+        val s = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = s -- graft.sources.Tables.starTables.toSet
+        require(unknown.isEmpty, s"unknown tables: $unknown")
+        s.contains _
+      case None => _ => true
+    }
     require(k >= 1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -105,11 +117,12 @@ object ScaleGen {
         "is exhausted; widen vectors or extend the family")
 
     def replicate(t: String)(tf: (DataFrame, Int) => DataFrame): Unit =
-      write((0 until k).map(i => tf(read(t), i)).reduce(_ unionByName _), t)
+      if (want(t))
+        write((0 until k).map(i => tf(read(t), i)).reduce(_ unionByName _), t)
 
     // dimension constants: fixed at every sf, copied once
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    if (want("region")) write(read("region"), "region")
+    if (want("nation")) write(read("nation"), "nation")
 
     replicate("customer")((d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * cS)))
