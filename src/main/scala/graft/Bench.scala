@@ -69,7 +69,12 @@ object Bench {
       val it = args.iterator
       val rest = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) it.next() match {
-        case "--repeats" if it.hasNext => repeats = Some(it.next().toInt.max(1))
+        // Fail fast on a trailing --repeats: falling through to the
+        // positional branch would make the flag itself the query-name
+        // filter and silently select ZERO queries.
+        case "--repeats" =>
+          require(it.hasNext, "--repeats needs a value")
+          repeats = Some(it.next().toInt.max(1))
         case a => rest += a
       }
       rest.toSeq
@@ -178,8 +183,12 @@ object Bench {
     // covers suspects AND warns: the r14 capture kept four warn-band
     // queries because only suspects earned deferred retries, leaving
     // contaminated first-pass mins in the committed artifact.
+    // Clamped to 2.0: the suspect thresholds are 2×(+1s) and 2.5×, and the
+    // deferred-retry loop below is keyed on warnFn — an override above 2.0
+    // would silently break the "warn is strictly broader than suspect"
+    // invariant and let contaminated first-pass mins commit with no retry.
     val warnFactor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARN_FACTOR", "1.8").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARN_FACTOR", "1.8").toDouble.min(2.0)
     def warnFn(name: String, best: Double): Boolean =
       benchRef.get(name).exists(r => best > warnFactor * r)
     val sweep = collection.mutable.LinkedHashMap.empty[String,

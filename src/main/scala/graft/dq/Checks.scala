@@ -123,6 +123,44 @@ object Checks {
       gaps == 0, if (gaps == 0) "continuous" else "offset seam mismatch")
   }
 
+  /** [[offsetContinuity]] with KNOWN data-loss seams: a ledger gap whose
+    * [prev_until, from) window is covered by a recorded loss
+    * (`seams`: topicName/partition/lostFrom/lostUntil — e.g.
+    * [[graft.sources.KafkaStubBroker.seamsDf]], or the real connector's
+    * WARN-log windows) is an EXPLAINED seam — the broker trimmed the data,
+    * the read continued by explicit `failOnDataLoss=false` policy, and the
+    * audit must record that rather than fail as if the pipeline dropped
+    * records. Gaps with no covering seam still FAIL. The check stays PASSED
+    * when every gap is explained, but the comment carries the explained
+    * count so the loss is never silent in the audit trail.
+    *
+    * Scale shape: seams are rare events (one per retention incident), so
+    * the join is a broadcast against the windowed ledger — no extra wide
+    * shuffle beyond [[offsetGaps]]'s own (topic, partition) window.
+    */
+  def offsetContinuityWithSeams(ledger: DataFrame, seams: DataFrame,
+                                sourceName: String): ValidationResult = {
+    val gaps = offsetGaps(ledger, col("topicName"), col("partition"),
+      col("jobRunId"), col("fromOffset"), col("untilOffset"))
+      .select(col("topicName"), col("partition"),
+        col("prev_until").as("gap_from"), col("fromOffset").as("gap_until"))
+    val s = broadcast(seams.select(col("topicName").as("s_topic"),
+      col("partition").as("s_partition"), col("lostFrom"), col("lostUntil")))
+    // semi/anti (not outer): a gap covered by SEVERAL recorded seams must
+    // count once, and the two joins keep gap multiplicity exact.
+    val cond = col("topicName") === col("s_topic") &&
+      col("partition") === col("s_partition") &&
+      col("lostFrom") <= col("gap_from") && col("lostUntil") >= col("gap_until")
+    val explained = gaps.join(s, cond, "left_semi").count()
+    val unexplained = gaps.join(s, cond, "left_anti").count()
+    ValidationResult.of(sourceName, "ARRIVAL", "offset_continuity",
+      "lag_over_ledger_with_seams", unexplained == 0,
+      if (explained == 0 && unexplained == 0) "continuous"
+      else if (unexplained == 0)
+        s"$explained seam(s) explained by recorded data loss (failOnDataLoss=false policy)"
+      else s"$unexplained UNEXPLAINED offset seam(s), $explained explained")
+  }
+
   /** Expected record volume from the ledger: sum(until - from)
     * (`KafkaDemo.sh:202-214`) vs the actual materialized count.
     */

@@ -54,9 +54,36 @@ object KafkaStubBroker {
     */
   @volatile var dataLossEvents: Vector[String] = Vector.empty
 
+  /** Structured twin of [[dataLossEvents]]: the lost window itself, typed,
+    * so the arrival audit can JOIN it against the offset ledger instead of
+    * parsing warning strings. `kind` ∈ {trimmed_head, end_beyond_latest,
+    * deleted_partition}; [lostFrom, lostUntil) is the requested-but-unread
+    * window (empty for a deleted partition probed with an empty window —
+    * the deletion itself is the seam).
+    */
+  final case class DataLossSeam(topic: String, partition: Int,
+                                lostFrom: Long, lostUntil: Long, kind: String)
+
+  @volatile var dataLossSeams: Vector[DataLossSeam] = Vector.empty
+
+  /** [[dataLossSeams]] as a DataFrame in the ledger's column vocabulary
+    * (topicName/partition/lostFrom/lostUntil/kind) — the shape
+    * [[graft.dq.Checks.offsetContinuityWithSeams]] consumes. On a real
+    * cluster the same rows would come from the connector's WARN log or the
+    * streaming-query progress events; the stub makes them queryable
+    * directly.
+    */
+  def seamsDf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    dataLossSeams
+      .map(s => (s.topic, s.partition, s.lostFrom, s.lostUntil, s.kind))
+      .toDF("topicName", "partition", "lostFrom", "lostUntil", "kind")
+  }
+
   def clear(): Unit = logs.synchronized {
     logs.clear(); lastBatchOptions = Map.empty; lastStreamOptions = Map.empty
-    dataLossEvents = Vector.empty
+    dataLossEvents = Vector.empty; dataLossSeams = Vector.empty
   }
 
   /** Create an empty partition whose earliest offset is `first` (a log head
@@ -87,33 +114,74 @@ object KafkaStubBroker {
   def partitionsOf(topics: Seq[String]): Seq[(String, Int)] =
     logs.keys.filter(k => topics.contains(k._1)).toSeq.sorted
 
+  /** Delete a topic-partition (topic deletion / partition reassignment in
+    * broker terms). A checkpointed stream that still references it hits the
+    * connector's data-loss path on its next fetch: fail when
+    * `failOnDataLoss=true`, warn-and-skip when `false`.
+    */
+  def deletePartition(topic: String, partition: Int): Unit =
+    logs.synchronized { logs.remove((topic, partition)); () }
+
+  private def recordLoss(msg: String, seams: Seq[DataLossSeam]): Unit = {
+    logs.synchronized { dataLossEvents :+= msg; dataLossSeams ++= seams }
+    System.err.println(s"WARN KafkaStubBroker: $msg")
+  }
+
   /** [from, until) slice with connector-shaped range validation.
     *
     * `failOnDataLoss=true` (the connector default): any window outside the
-    * surviving log fails the read. `false`: the connector's warn-and-continue
-    * contract — clamp to the surviving [earliest, high) window, emit the
-    * loss as a WARN plus a queryable [[dataLossEvents]] entry, and return
-    * what survives (possibly nothing).
+    * surviving log — or a topic-partition that no longer exists — fails the
+    * read. `false`: the connector's warn-and-continue contract — clamp to
+    * the surviving [earliest, high) window (or skip a deleted partition
+    * entirely), emit the loss as a WARN plus a queryable [[dataLossEvents]]
+    * entry, and return what survives (possibly nothing).
+    *
+    * The recorded message names WHICH contract was violated — a head
+    * trimmed by retention (`trimmed head`), a deleted/unknown partition
+    * (`deleted topic-partition`), or an `until` past the high-water mark
+    * (`end beyond latest`, a mis-specified caller window rather than
+    * retention loss) — so audits reading [[dataLossEvents]] don't
+    * misattribute a caller bug to broker-side retention.
     */
   def fetch(tp: (String, Int), from: Long, until: Long,
             failOnDataLoss: Boolean = true): Vector[(Long, StubRecord)] = {
-    val (first, log) = logs.getOrElse(tp,
-      throw new IllegalArgumentException(s"unknown topic-partition $tp"))
-    val high = first + log.size
-    require(from <= until, s"inverted window [$from, $until) for $tp")
-    if (failOnDataLoss)
-      require(from >= first && until <= high,
-        s"offsets [$from, $until) out of available range [$first, $high) for $tp " +
-          "(the real connector fails this read as data loss)")
-    val cf = math.min(math.max(from, first), high)
-    val cu = math.max(math.min(until, high), cf)
-    if (cf != from || cu != until) {
-      val msg = s"data loss on $tp: requested [$from, $until) but available " +
-        s"[$first, $high); reading [$cf, $cu) and continuing (failOnDataLoss=false)"
-      logs.synchronized { dataLossEvents :+= msg }
-      System.err.println(s"WARN KafkaStubBroker: $msg")
+    logs.get(tp) match {
+      case None =>
+        if (failOnDataLoss)
+          throw new IllegalArgumentException(s"unknown topic-partition $tp " +
+            "(the real connector fails this read as data loss)")
+        recordLoss(s"data loss on $tp: deleted topic-partition — requested " +
+          s"[$from, $until) but the partition no longer exists; skipping it " +
+          "and continuing (failOnDataLoss=false)",
+          Seq(DataLossSeam(tp._1, tp._2, from, until, "deleted_partition")))
+        Vector.empty
+      case Some((first, log)) =>
+        val high = first + log.size
+        require(from <= until, s"inverted window [$from, $until) for $tp")
+        if (failOnDataLoss)
+          require(from >= first && until <= high,
+            s"offsets [$from, $until) out of available range [$first, $high) for $tp " +
+              "(the real connector fails this read as data loss)")
+        val cf = math.min(math.max(from, first), high)
+        val cu = math.max(math.min(until, high), cf)
+        if (cf != from || cu != until) {
+          val causes = Seq(
+            if (from < first) Some(s"trimmed head (retention moved earliest to $first)")
+            else None,
+            if (until > high) Some(s"end beyond latest (requested until $until past " +
+              s"high-water mark $high — a mis-specified window, not retention loss)")
+            else None).flatten.mkString(" and ")
+          val seams =
+            (if (from < first) Seq(DataLossSeam(tp._1, tp._2, from, cf, "trimmed_head"))
+             else Nil) ++
+            (if (until > high) Seq(DataLossSeam(tp._1, tp._2, cu, until, "end_beyond_latest"))
+             else Nil)
+          recordLoss(s"data loss on $tp: $causes — requested [$from, $until) but " +
+            s"available [$first, $high); reading [$cf, $cu) and continuing " +
+            "(failOnDataLoss=false)", seams)
+        }
+        ((cf until cu).map(o => o -> log((o - first).toInt))).toVector
     }
-    ((cf until cu).map(o => o -> log((o - first).toInt))).toVector
   }
 
   /** The real connector's 7-column output schema, field for field. */
@@ -319,8 +387,15 @@ private final class KafkaStubMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaStubStreamOffset].offsets
     val e = end.asInstanceOf[KafkaStubStreamOffset].offsets
-    e.toSeq.sortBy(_._1).map { case (tp, until) =>
+    // Union of start and end keys: a partition DELETED mid-stream is still
+    // in the checkpointed start but absent from the new latest — iterating
+    // end alone would drop it silently, with no data-loss seam recorded.
+    // Routing it through fetch (empty window) hits the broker's
+    // deleted-partition path: throw under failOnDataLoss=true, a recorded
+    // dataLossEvents seam + empty read under false — the connector contract.
+    (s.keySet ++ e.keySet).toSeq.sorted.map { tp =>
       val from = s.getOrElse(tp, KafkaStubBroker.earliest(tp))
+      val until = e.getOrElse(tp, from)
       KafkaStubInputPartition(tp._1, tp._2,
         KafkaStubBroker.fetch(tp, from, until, failOnDataLoss))
     }.toArray

@@ -265,4 +265,84 @@ class KafkaStubSpec extends AnyFunSuite {
       assert(sopts("subscribe") == "events_raw")
     } finally q.stop()
   }
+
+  test("partition deleted mid-stream with failOnDataLoss=false: the stream continues " +
+    "and the deletion is recorded as a structured data-loss seam") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0)
+    KafkaStubBroker.createPartition("events_raw", 1)
+    (0 until 4).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"p0-m$i"))
+    (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 1, s"p1-m$i"))
+    val out = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
+      format = "graft-kafka-stub", failOnDataLoss = false,
+      startingOffsets = "earliest")
+    val q = out.writeStream.format("memory").queryName("stub_del_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stub_del_stream").count() == 7)
+      // the broker loses partition 1 (topic deletion / reassignment) while
+      // the stream's checkpointed start still references offset 3 on it
+      KafkaStubBroker.deletePartition("events_raw", 1)
+      KafkaStubBroker.publish("events_raw", 0, "p0-after")
+      q.processAllAvailable() // must not throw: warn-and-continue contract
+      val rows = spark.table("stub_del_stream").collect()
+        .map(r => (r.getAs[Int]("partition"), r.getAs[String]("value"))).toSet
+      assert(rows.contains((0, "p0-after")), rows.toString)
+      assert(rows.size == 8, rows.toString)
+      // the seam is queryable, typed, and names the deletion — not a
+      // retention trim — so the audit can attribute it correctly
+      assert(KafkaStubBroker.dataLossSeams.exists(s =>
+        s.topic == "events_raw" && s.partition == 1 && s.kind == "deleted_partition"),
+        KafkaStubBroker.dataLossSeams.toString)
+      assert(KafkaStubBroker.dataLossEvents.exists(_.contains("deleted topic-partition")),
+        KafkaStubBroker.dataLossEvents.toString)
+    } finally q.stop()
+    // ...and failOnDataLoss=true (the default) refuses the same state
+    // (checked after the stream is down — mutating the broker under a live
+    // continuous-trigger stream races its next micro-batch plan)
+    val e = intercept[Exception] {
+      KafkaStubBroker.fetch(("events_raw", 9), 0L, 1L)
+    }
+    assert(e.getMessage.contains("unknown topic-partition"), e.getMessage)
+  }
+
+  test("offsetContinuityWithSeams: a ledger gap covered by a recorded retention loss " +
+    "passes with the loss named; an uncovered gap still fails") {
+    KafkaStubBroker.clear()
+    // retention trimmed p0's head to 12; a checkpointed read from 9 clamps
+    KafkaStubBroker.createPartition("events_raw", 0, first = 12L)
+    (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"m$i"))
+    KafkaStubBroker.fetch(("events_raw", 0), 9L, 15L, failOnDataLoss = false)
+    val seam = KafkaStubBroker.dataLossSeams
+    assert(seam == Vector(
+      KafkaStubBroker.DataLossSeam("events_raw", 0, 9L, 12L, "trimmed_head")), seam.toString)
+    // the trimmed-head message is attributed to retention, not a caller bug
+    assert(KafkaStubBroker.dataLossEvents.exists(_.contains("trimmed head")),
+      KafkaStubBroker.dataLossEvents.toString)
+    import spark.implicits._
+    // ledger: run 1 ended at 9, run 2 (post-trim) starts at 12 — a gap
+    // exactly covered by the recorded seam; p1 has an uncovered gap
+    val ledger = Seq(
+      ("events_raw", 0, 1L, 5L, 9L), ("events_raw", 0, 2L, 12L, 15L),
+      ("events_raw", 1, 1L, 0L, 4L), ("events_raw", 1, 2L, 6L, 8L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    val seams = KafkaStubBroker.seamsDf(spark)
+    val mixed = graft.dq.Checks.offsetContinuityWithSeams(ledger, seams, "events_raw")
+    assert(mixed.testResult == graft.model.ValidationResult.FAILED)
+    assert(mixed.comments.contains("1 UNEXPLAINED") && mixed.comments.contains("1 explained"),
+      mixed.comments)
+    val explainedOnly = graft.dq.Checks.offsetContinuityWithSeams(
+      ledger.filter($"partition" === 0), seams, "events_raw")
+    assert(explainedOnly.testResult == graft.model.ValidationResult.PASSED)
+    assert(explainedOnly.comments.contains("explained by recorded data loss"),
+      explainedOnly.comments)
+    // an end-beyond-latest request is recorded as the caller bug it is
+    KafkaStubBroker.fetch(("events_raw", 0), 12L, 99L, failOnDataLoss = false)
+    assert(KafkaStubBroker.dataLossEvents.exists(_.contains("end beyond latest")),
+      KafkaStubBroker.dataLossEvents.toString)
+    assert(KafkaStubBroker.dataLossSeams.exists(s =>
+      s.kind == "end_beyond_latest" && s.lostFrom == 15L && s.lostUntil == 99L),
+      KafkaStubBroker.dataLossSeams.toString)
+  }
 }

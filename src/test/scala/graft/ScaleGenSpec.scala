@@ -14,6 +14,27 @@ class ScaleGenSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dimension primary keys are unique in the fixtures — the assumption " +
+    "q06's PK-aware join elimination rests on") {
+    // dimEnrich (QueriesCommerce) drops the reference query's unreferenced
+    // supplier/part LEFT OUTER legs, which is row-multiplicity-preserving
+    // ONLY while s_suppkey/p_partkey stay unique. Guard the assumption
+    // where the data lives: a future generator/fixture with duplicate dim
+    // keys must fail HERE, not silently change q06's semantics vs the
+    // reference. (ScaleGen preserves it by construction — key-shifted
+    // replicas are disjoint ranges — so checking the source fixture
+    // covers every derived scale.)
+    val dir = "/root/testdata/sf0.001"
+    Seq("supplier.parquet" -> "s_suppkey", "part.parquet" -> "p_partkey",
+      "customer.parquet" -> "c_custkey", "nation.parquet" -> "n_nationkey",
+      "region.parquet" -> "r_regionkey").foreach { case (table, pk) =>
+      val df = spark.read.parquet(s"$dir/$table")
+      val total = df.count()
+      val distinct = df.select(pk).distinct().count()
+      assert(total == distinct, s"$table.$pk must be unique: $distinct of $total")
+    }
+  }
+
   test("affine family: permutation, exact intra-replica geometry, pairwise-distinct layouts") {
     val dim = 8
     val kMax = dim * ScaleGen.coprimesTo(dim).size // 8 * |{1,3,5,7}| = 32
