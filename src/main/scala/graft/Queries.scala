@@ -537,7 +537,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q232_lag_autocorr" -> (lagAutocorr _),
     "q233_type_diversity" -> (typeDiversity _),
     "q234_journey_grammar" -> (journeyGrammar _),
-    "q235_watermark_loss" -> (watermarkLoss _))
+    "q235_watermark_loss" -> (watermarkLoss _),
+    "q236_sparse_index" -> (sparseIndexBuild _),
+    "q237_sparse_probe" -> (sparseIndexProbe _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

@@ -752,6 +752,42 @@ private[graft] trait QueriesText { this: Queries.type =>
   }
 
 
+  /** The materialized inverted index itself
+    * ([[graft.functions.Tfidf.buildIndex]], the build half of
+    * build-once/probe-many): one posting per (document, term) with document
+    * frequency, integer idf weight `w` and integer-scaled BM25
+    * tf-saturation `tfc` precomputed, stopword-frac terms already dropped —
+    * a probe needs only `sum(tf_q·w·tfc)` over (term, d, w, tfc). The df
+    * window and corpus-stats broadcasts run HERE, once, instead of inside
+    * every retrieval query.
+    */
+  def sparseIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.functions.Tfidf.buildIndex(docs, col("doc_id"), col("text"),
+        maxDfFrac = 0.78)
+      .orderBy(col("term"), col("d"))
+  }
+
+
+  /** q90's exact retrieval answered from the MATERIALIZED index (the probe
+    * half of build-once/probe-many,
+    * [[graft.functions.Tfidf.sparseTopKIndexed]] over
+    * [[graft.functions.Tfidf.cachedIndex]]): the postings parquet is built
+    * on first touch and fingerprint-keyed to the source files, so a warm
+    * probe's plan is a 4-column columnar scan + broadcast term join — no
+    * corpus tokenization, no explode, no df-window exchange. Results are
+    * hash-identical to q90 by construction (same oracle).
+    */
+  def sparseIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val idx = graft.functions.Tfidf.cachedIndex(docs, col("doc_id"),
+      col("text"), maxDfFrac = 0.78, sourceDir = s"$dir/documents.parquet")
+    graft.functions.Tfidf.sparseTopKIndexed(idx,
+        docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), k = 10)
+      .orderBy(col("q"), col("rnk"))
+  }
+
+
   /** Crawl-frontier host authority ([[graft.functions.Graph.pageRankInt]]):
     * a host-level link graph derived deterministically from doc ids (the
     * q94 pattern — site `d mod 10` links to site `(d div 10) mod 10`,
@@ -2427,6 +2463,31 @@ private[graft] trait QueriesText { this: Queries.type =>
       .orderBy(col("k"))
   }
 
+  /** Shared by q90 (inline recompute) and q237 (materialized-index probe):
+    * the two run DIFFERENT plans over the same definition and must stay
+    * hash-identical under the differential gate.
+    */
+  private lazy val SparseRetrievalSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
+       |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n_corpus,
+       |              (SELECT sum(tf_d) FROM ct) AS total_tokens),
+       |dld AS (SELECT *, sum(tf_d) OVER (PARTITION BY d) AS dl,
+       |               count(*) OVER (PARTITION BY term) AS df FROM ct),
+       |wt AS (SELECT d, term, tf_d, dl,
+       |         CAST(floor(1000000 / df) AS BIGINT) AS w,
+       |         (10000 * 22 * tf_d * (total_tokens // n_corpus)) //
+       |           (10 * (total_tokens // n_corpus) * tf_d
+       |            + 3 * (total_tokens // n_corpus) + 9 * dl) AS tfc
+       |       FROM dld, st
+       |       WHERE df <= n_corpus * 0.78),
+       |qt AS (SELECT d AS q, term, tf_d AS tf_q FROM ct WHERE d < 5),
+       |s AS (SELECT q, d, CAST(sum(tf_q * w * tfc) AS BIGINT) AS score
+       |      FROM qt JOIN wt USING (term) GROUP BY 1, 2),
+       |rk AS (SELECT q, d, score,
+       |         row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rnk FROM s)
+       |SELECT q, d, score, rnk FROM rk WHERE rnk <= 10 ORDER BY q, rnk""".stripMargin
+
   protected lazy val textOracle: Map[String, String] = Map(
     "q214_vocab_growth" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS tok FROM documents),
@@ -2827,26 +2888,26 @@ private[graft] trait QueriesText { this: Queries.type =>
         |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |       CAST(sum(total_chars) AS BIGINT) AS total_chars
         |FROM d GROUP BY 1, 2 ORDER BY lang_pub, source_pub""".stripMargin,
-    "q90_sparse_retrieval" ->
+    "q90_sparse_retrieval" -> SparseRetrievalSql,
+    // The probe answers q90's EXACT retrieval from the materialized index,
+    // so it shares q90's oracle verbatim: same rows, different plan — the
+    // differential gate proves build-once/probe-many loses nothing.
+    "q237_sparse_probe" -> SparseRetrievalSql,
+    "q236_sparse_index" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
          |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
          |st AS (SELECT (SELECT count(*) FROM documents) AS n_corpus,
          |              (SELECT sum(tf_d) FROM ct) AS total_tokens),
          |dld AS (SELECT *, sum(tf_d) OVER (PARTITION BY d) AS dl,
-         |               count(*) OVER (PARTITION BY term) AS df FROM ct),
-         |wt AS (SELECT d, term, tf_d, dl,
-         |         CAST(floor(1000000 / df) AS BIGINT) AS w,
-         |         (10000 * 22 * tf_d * (total_tokens // n_corpus)) //
-         |           (10 * (total_tokens // n_corpus) * tf_d
-         |            + 3 * (total_tokens // n_corpus) + 9 * dl) AS tfc
-         |       FROM dld, st
-         |       WHERE df <= n_corpus * 0.78),
-         |qt AS (SELECT d AS q, term, tf_d AS tf_q FROM ct WHERE d < 5),
-         |s AS (SELECT q, d, CAST(sum(tf_q * w * tfc) AS BIGINT) AS score
-         |      FROM qt JOIN wt USING (term) GROUP BY 1, 2),
-         |rk AS (SELECT q, d, score,
-         |         row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rnk FROM s)
-         |SELECT q, d, score, rnk FROM rk WHERE rnk <= 10 ORDER BY q, rnk""".stripMargin,
+         |               count(*) OVER (PARTITION BY term) AS df FROM ct)
+         |SELECT term, d, CAST(dl AS BIGINT) AS dl, tf_d, df,
+         |       CAST(floor(1000000 / df) AS BIGINT) AS w,
+         |       CAST((10000 * 22 * tf_d * (total_tokens // n_corpus)) //
+         |         (10 * (total_tokens // n_corpus) * tf_d
+         |          + 3 * (total_tokens // n_corpus) + 9 * dl) AS BIGINT) AS tfc
+         |FROM dld, st
+         |WHERE df <= n_corpus * 0.78
+         |ORDER BY term, d""".stripMargin,
     "q93_token_budget_mix" ->
       // budget > 0 BEFORE the window mirrors the Spark-side scan-local
       // prefilter: zero-budget strata are unconditionally empty (even a

@@ -100,7 +100,27 @@ object Tfidf {
     */
   def sparseTopK(corpus: DataFrame, corpusId: Column, corpusText: Column,
                  queries: DataFrame, queryId: Column, queryText: Column,
-                 k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+                 k: Int, maxDfFrac: Double = 0.5): DataFrame =
+    sparseTopKIndexed(buildIndex(corpus, corpusId, corpusText, maxDfFrac),
+      queries, queryId, queryText, k)
+
+  /** The inverted index [[sparseTopK]] probes: one posting row
+    * `(term, d, dl, tf_d, df, w, tfc)` per (document, term) — `w` the
+    * integer idf weight and `tfc` the integer-scaled BM25 tf-saturation
+    * (see [[sparseTopK]] for the exact rationals), so a probe needs ONLY
+    * `sum(tf_q · w · tfc)` over matching terms: no corpus re-tokenization,
+    * no df window, no stats scalars at probe time.
+    *
+    * This is the build half of build-once/probe-many. Inline, the plan is
+    * identical to what [[sparseTopK]] always ran; MATERIALIZED (via
+    * [[writeIndex]]), every subsequent probe replaces the full
+    * scan→tokenize→explode→aggregate→window pass over the corpus with a
+    * columnar scan of exactly the 4 probe columns — the same
+    * materialize-once-validate-downstream shape as the reference's conform
+    * layer (`Kafka_ArrivalToConform.sh:436-513`).
+    */
+  def buildIndex(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                 maxDfFrac: Double = 0.5): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
     val corpusToks = Text.tokens(Text.normalized(corpusText))
     val tot = corpus.agg(sum(size(corpusToks)).as("total_tokens"))
@@ -119,9 +139,8 @@ object Tfidf {
     // in-plan; its term-keyed exchange lands in ≤|vocab| non-empty
     // partitions, which is skewed only on a degenerate vocabulary (this
     // fixture's ~40 words) and well-spread on any real corpus. At true
-    // index scale the production answer is a MATERIALIZED inverted index
-    // (build once, probe many), not per-query recomputation.
-    val ct = corpus
+    // index scale the BUILD pays this once and probes never see it.
+    corpus
       .select(corpusId.as("d"), corpusToks.as("toks"))
       .withColumn("dl", size(col("toks")))
       .select(col("d"), col("dl"), explode(col("toks")).as("term"))
@@ -137,16 +156,86 @@ object Tfidf {
       .withColumn("avgdl", expr("total_tokens DIV n_corpus"))
       .withColumn("tfc", expr(
         "(10000 * 22 * tf_d * avgdl) DIV (10 * avgdl * tf_d + 3 * avgdl + 9 * dl)"))
+      .select(col("term"), col("d"), col("dl").cast("long").as("dl"),
+        col("tf_d"), col("df"), col("w"), col("tfc"))
+  }
+
+  /** Probe path of build-once/probe-many: score `queries` against an
+    * existing [[buildIndex]] postings table (in-plan or read back from
+    * [[writeIndex]]'s layout).
+    *
+    * Scale shape: the query side is tiny by construction and PINNED as the
+    * broadcast side — without the pin, Spark can plan a sort-merge join
+    * that shuffles the entire postings list on term. After the broadcast
+    * join, the only shuffles are on (q, d) and q — both bounded by
+    * |queries| × candidate matches, never by corpus size. Against a
+    * materialized index the probe reads only (term, d, w, tfc): column
+    * pruning reaches the parquet scan, and stopword filtering is already
+    * baked into the postings.
+    */
+  def sparseTopKIndexed(index: DataFrame,
+                        queries: DataFrame, queryId: Column, queryText: Column,
+                        k: Int): DataFrame = {
     val qt = termCounts(queries, queryId, queryText)
       .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
     val rank = Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("d").asc)
-    broadcast(qt).join(ct, Seq("term"))
+    broadcast(qt).join(index, Seq("term"))
       .groupBy(col("q"), col("d"))
       .agg(sum(col("tf_q") * col("w") * col("tfc")).as("score"))
       .withColumn("rnk", row_number().over(rank))
       .filter(col("rnk") <= k)
       .select(col("q"), col("d"), col("score"), col("rnk"))
+  }
+
+  /** Persist a [[buildIndex]] postings table: repartitioned on term (each
+    * term's postings list is contiguous — the inverted-index layout) and
+    * sorted by (term, d) within partitions for run-length-friendly
+    * encoding and parquet min/max term pruning on selective probes. On a
+    * real warehouse the same rows would go through
+    * [[graft.sources.Bucketing.writeBucketed]] (bucketBy term) so a
+    * fact-side SMJ probe needs no exchange; plain parquet is the portable
+    * layout and is all the BROADCAST probe path needs (the probe never
+    * shuffles the postings).
+    */
+  def writeIndex(postings: DataFrame, path: String): Unit =
+    postings
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("d"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Build-once/probe-many for catalog queries: return the materialized
+    * postings for (`sourceDir`'s documents, `maxDfFrac`), building and
+    * persisting them under the JVM temp dir on first use. The cache key is
+    * a FINGERPRINT of the source files (relative path, length, mtime), so
+    * a regenerated corpus at the same path can never serve a stale index —
+    * it hashes to a different directory and rebuilds. Results are
+    * therefore identical whether the cache is cold (build + write + read
+    * back) or warm (read only); only the time differs, which is exactly
+    * the build-once/probe-many contract — in a warehouse this directory is
+    * the conform-layer index table, maintained by ingest, and every
+    * retrieval query is a warm probe.
+    */
+  def cachedIndex(docs: DataFrame, idCol: Column, textCol: Column,
+                  maxDfFrac: Double, sourceDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = {
+      val root = new java.io.File(sourceDir)
+      def ls(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(ls)
+        else Seq(f)
+      val sig = ls(root)
+        .map(f => s"${f.getPath.stripPrefix(root.getPath)}:${f.length}:${f.lastModified}")
+        .mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val path = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_sparse_index",
+      s"${fp}_${math.round(maxDfFrac * 1000)}").getPath
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), path)
+    spark.read.parquet(path)
   }
 
   /** The corpus's `vocabSize` most frequent terms (ties broken by term) —

@@ -58,4 +58,45 @@ class TfidfSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getAs[Int]("rnk")).toSet == Set(1, 2))
   }
+
+  test("probing the materialized index returns exactly the recompute answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val path = s"$dir/postings"
+    Tfidf.writeIndex(
+      Tfidf.buildIndex(corpus, col("doc_id"), col("text"), maxDfFrac = 1.0), path)
+    val q = corpus.filter(col("doc_id") < 3)
+    val fromIndex = Tfidf.sparseTopKIndexed(spark.read.parquet(path),
+      q, col("doc_id"), col("text"), k = 10)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"),
+        r.getAs[Long]("score"), r.getAs[Int]("rnk"))).toSet
+    val recomputed = Tfidf.sparseTopK(corpus, col("doc_id"), col("text"),
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"),
+        r.getAs[Long]("score"), r.getAs[Int]("rnk"))).toSet
+    assert(fromIndex == recomputed && fromIndex.nonEmpty, s"$fromIndex vs $recomputed")
+  }
+
+  test("warm index probe plan: no tokenize/explode, no corpus-keyed window " +
+    "exchange — the scan+broadcast-join shape build-once/probe-many buys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_plan").toString
+    val path = s"$dir/postings"
+    Tfidf.writeIndex(
+      Tfidf.buildIndex(corpus, col("doc_id"), col("text"), maxDfFrac = 1.0), path)
+    val probe = Tfidf.sparseTopKIndexed(spark.read.parquet(path),
+      corpus.filter(col("doc_id") === 1), col("doc_id"), col("text"), k = 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the corpus-side work buildIndex paid must be GONE from the probe:
+    // no Generate (tokenize+explode the corpus; the tiny query side is
+    // collected through termCounts but rides the broadcast), and no
+    // term-partitioned window (the df computation)
+    assert(!plan.contains("windowspecdefinition(term"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning(term"), plan.take(2000))
+    // column pruning reaches the postings scan: the probe needs only
+    // (term, d, w, tfc) of the 7 persisted columns
+    val scan = plan.linesIterator.find(l => l.contains("FileScan parquet") &&
+      l.contains("postings")).getOrElse(fail(s"no postings scan in:\n$plan"))
+    assert(scan.contains("ReadSchema") &&
+      !scan.contains("tf_d") && !scan.contains("df") && !scan.contains("dl"),
+      scan)
+  }
 }
