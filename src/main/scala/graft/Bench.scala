@@ -7,6 +7,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Box-drift signature, encoded from the r17 bisect that exonerated the
+    * code for a 31% total slowdown: when the BOX slows between rounds, the
+    * per-query best/floor ratios move UNIFORMLY (r17: median 1.32×, zero
+    * suspects, flat distribution — every query a bit slow); when a QUERY
+    * regresses, its ratio spikes while the rest of the catalog sits near
+    * 1.0. Suspected drift =
+    *  - a statistically meaningful catalog (≥ 200 floored queries),
+    *  - zero suspects (no individual query over the 2×/2.5× gate),
+    *  - median ratio > 1.25 (the whole catalog is slow), and
+    *  - broad-based: the 25th percentile is itself > 1.1 (a handful of
+    *    regressed queries cannot drag p25 — only a uniform shift can).
+    * When true, the artifact says "re-baseline the floors" (README floor
+    * protocol) instead of presenting a wall of per-query warns as if 200
+    * queries regressed at once.
+    */
+  private[graft] def boxDriftSuspected(ratios: Seq[Double], nSuspect: Int): Boolean = {
+    if (ratios.size < 200 || nSuspect > 0) false
+    else {
+      val s = ratios.sorted
+      val median = s(s.size / 2)
+      val p25 = s(s.size / 4)
+      median > 1.25 && p25 > 1.1
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -299,6 +324,13 @@ object Bench {
     val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val warnJson = warned.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Uniform-slowdown detector (see boxDriftSuspected): true means "the
+    // box, not the code — re-baseline floors", the diagnosis r17 had to
+    // reach manually through an interleaved-binary bisect.
+    val boxDrift = boxDriftSuspected(
+      results.collect { case (k, best, None, _, _) if benchRef.contains(k) =>
+        best / benchRef(k) },
+      results.count(_._5))
     // Per-query [min, median, max] over the SUCCESSFUL passes — the spread
     // evidence the floor protocol reads (a tight spread supports a tighter
     // warn band; a wide one means the box was contended during the run).
@@ -309,7 +341,7 @@ object Bench {
       "\"" + k + "\":[" + r3(xs.min) + "," + r3(med) + "," + r3(xs.max) + "]"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"queries":$qsFull,"runs":$raw,"run_loadavg":$rawLoad,"stats":$statsJson,"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
+      s"""{"queries":$qsFull,"runs":$raw,"run_loadavg":$rawLoad,"stats":$statsJson,"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"box_drift_suspected":$boxDrift,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","value":${r3(total)}}"""
     // Floor regeneration: per-query MIN in BENCH_REF.json format (queries
     // with zero successful passes are omitted — an error must never mint a
     // floor). Written only when explicitly requested.
@@ -333,7 +365,7 @@ object Bench {
     // judge reads the whole thing — and stdout carries ONLY totals +
     // errors + suspects (~300 chars, parseable whole in any tail window).
     val summaryJson =
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"loadavg":[$loadStart,$loadEnd],"queries":$qsFull,"detail":"$detailPath"}"""
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"errors":$errsFull,"suspect":$suspect,"warn":$warnJson,"box_drift_suspected":$boxDrift,"loadavg":[$loadStart,$loadEnd],"queries":$qsFull,"detail":"$detailPath"}"""
     val summaryPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse {
         val repoRoot = scala.util.Try(new java.io.File(
@@ -367,7 +399,7 @@ object Bench {
     val warnShort = warned.take(20).map("\"" + _.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${erred.size},"errors":$errsShort,"n_suspect":$nSuspect,"suspect":$suspectShort,"n_warn":${warned.size},"warn":$warnShort,"loadavg":[$loadStart,$loadEnd],"summary":$summaryField,"detail":"$detailPath"}""")
+      s"""{"metric":"total","unit":"sec","value":${r3(total)},"value_q49":${r3(r01Set)},"value_q76":${r3(r06Set)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${erred.size},"errors":$errsShort,"n_suspect":$nSuspect,"suspect":$suspectShort,"n_warn":${warned.size},"warn":$warnShort,"box_drift_suspected":$boxDrift,"loadavg":[$loadStart,$loadEnd],"summary":$summaryField,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

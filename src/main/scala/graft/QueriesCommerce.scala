@@ -574,11 +574,23 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * doesn't provide. The floor stands: provision this operator's stage
     * at ≥1 GB/core.
     */
-  def varianceBridge(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+  def varianceBridge(spark: SparkSession, dir: String): DataFrame =
+    varianceBridgeFrom(t(spark, dir, "lineitem"), t(spark, dir, "orders"),
+      t(spark, dir, "part"))
+
+  /** [[varianceBridge]] parameterized over its input frames, so the same
+    * logical query can run against raw parquet (the bench contract) or a
+    * BUCKETED-by-orderkey lineitem/orders layout
+    * (tools/BucketedFactProbe.scala) — bucketing both fact sides on the
+    * join key removes the orderkey exchange+sort entirely, which is the
+    * allocation behind the measured 1 GB/core raw-parquet floor above.
+    */
+  def varianceBridgeFrom(lineitem: DataFrame, orders: DataFrame,
+                         part: DataFrame): DataFrame = {
+    val li = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
         when(col("o_orderdate") < lit("1998-01-01"), "a").otherwise("b").as("period"),

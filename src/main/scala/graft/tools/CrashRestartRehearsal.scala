@@ -115,10 +115,16 @@ object CrashRestartRehearsal {
     val childJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/child_result.json")), "UTF-8").trim
     val sourceName = if (source == "stub") "graft-kafka-stub" else "file"
+    // Stub mode's batch boundaries exist ONLY because maxOffsetsPerTrigger
+    // (ReadMaxRows) is splitting the AvailableNow drain — so its tear kill
+    // lands mid-rate-limit by construction, and recovery must re-plan the
+    // remaining prorated batches from the checkpointed offsets against the
+    // pinned end bound (the classic connector recovery bug surface).
     s"""{"chain":"arrival(tear mid-batch) -> restart -> arrival(kill at conform seam) -> restart -> conform + audits",
        |"source":"$sourceName",
        |"sf_dir":"$sfDir","root":"$root",
        |"kill_points":[{"mode":"tear","batch":$KillBatch,"exit":$exitTear,"wall_sec":${d1(wTear)},
+       |"rate_limited":${source == "stub"},
        |"ledger_runs_after":${ledgerRunsAfterTear.size},"torn_data_run_present":true},
        |{"mode":"seam","exit":$exitSeam,"wall_sec":${d1(wSeam)},
        |"ledger_runs_after":${ledgerRunsAfterSeam.size},"conform_absent":true}],

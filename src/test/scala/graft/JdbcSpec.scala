@@ -74,6 +74,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(part.select(sum(col("score"))).head().getDouble(0) == 38.75)
   }
 
+  test("partitioned fact read: every task issues its own range-striped query " +
+    "with the predicate pushed into it — the DB filters inside each stripe") {
+    sampleWritten
+    val part = Jdbc.read(spark, dbUrl, "customer_stg",
+        partitioning = Some(("id", 1L, 5L, 4)))
+      .filter(col("score") > 5.0)
+    val plan = part.queryExecution.executedPlan.toString
+    // the scan itself is the 4-way striped JDBCRelation, not a re-shuffle
+    assert(plan.contains("JDBCRelation") && plan.contains("numPartitions=4"), plan)
+    // the filter is in PushedFilters on the PARTITIONED scan: Spark appends
+    // it to each stripe's generated WHERE, so Derby evaluates it per stripe
+    assert(plan.contains("PushedFilters:") &&
+      "GreaterThan\\((score|SCORE),5.0\\)".r.findFirstIn(plan).isDefined, plan)
+    // per-stripe proof the striping + in-DB filter EXECUTED: stride 1 over
+    // [1, 5) puts one row in each of stripes 0-2; stripe 3 (id >= 4) holds
+    // only dave (score 1.0), filtered inside the database — 0 rows arrive
+    val counts = part.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size)).collect().toMap
+    assert(counts == Map(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 0), counts.toString)
+  }
+
   test("StageRunner staging job against Derby: audit rows identical to the " +
     "parquet path") {
     sampleWritten
