@@ -568,11 +568,15 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * which any shape of this query shares; explain also showed part
     * already broadcasts in this shape well past sf10, so the feared
     * "second fat sort" never existed, and the rewrite measured 58% slower
-    * at sf10 (isolated min-of-3: 6.26 s vs 9.92 s). Bucketing both sides
-    * (sources/Bucketing.scala) would remove the SMJ exchange but requires
-    * pre-bucketed table layout, which the raw-parquet bench contract
-    * doesn't provide. The floor stands: provision this operator's stage
-    * at ≥1 GB/core.
+    * at sf10 (isolated min-of-3: 6.26 s vs 9.92 s). The floor is therefore
+    * a RAW-LAYOUT floor, not an operator floor — MEASURED r18
+    * (tools/BucketedFactProbe, bench_out/r18_q174_bucketed_probe.json):
+    * with lineitem AND orders bucketed+sorted on orderkey (128 buckets,
+    * one-time ingest-side layout), the SMJ reads both sides in place and
+    * the identical query CLEARS the 0.25 GB/core probe in ~81 s (vs OOM
+    * raw; vs 70.5 s raw at 4× the memory). Provisioning guidance: ≥1
+    * GB/core on raw parquet, or bucket the two fact tables on orderkey
+    * and run at commodity 0.25 GB/core.
     */
   def varianceBridge(spark: SparkSession, dir: String): DataFrame =
     varianceBridgeFrom(t(spark, dir, "lineitem"), t(spark, dir, "orders"),
