@@ -539,7 +539,8 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q234_journey_grammar" -> (journeyGrammar _),
     "q235_watermark_loss" -> (watermarkLoss _),
     "q236_sparse_index" -> (sparseIndexBuild _),
-    "q237_sparse_probe" -> (sparseIndexProbe _))
+    "q237_sparse_probe" -> (sparseIndexProbe _),
+    "q238_index_delta" -> (sparseIndexDelta _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->

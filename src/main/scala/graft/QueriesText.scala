@@ -788,6 +788,32 @@ private[graft] trait QueriesText { this: Queries.type =>
   }
 
 
+  /** Incremental-index retrieval ([[graft.functions.Tfidf.rawPostings]] /
+    * [[graft.functions.Tfidf.sparseTopKIncremental]]): the corpus arrives
+    * as TWO disjoint ingest batches (even / odd doc ids), postings stay
+    * raw and statistics additive, and the probe derives the integer BM25
+    * weights from the SUMMED stats at probe time. Must reproduce q90's
+    * monolithic SQL byte-for-byte — the differential proof that appending
+    * a batch never stales the index (df, N, avgdl and the stopword cap all
+    * reflect the grown corpus exactly).
+    */
+  def sparseIndexDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Tfidf
+    val docs = t(spark, dir, "documents")
+    val batchA = docs.filter(col("doc_id") % 2 === 0)
+    val batchB = docs.filter(col("doc_id") % 2 =!= 0)
+    val postings = Tfidf.rawPostings(batchA, col("doc_id"), col("text"))
+      .unionByName(Tfidf.rawPostings(batchB, col("doc_id"), col("text")))
+    val (tsA, csA) = Tfidf.batchStats(batchA, col("doc_id"), col("text"))
+    val (tsB, csB) = Tfidf.batchStats(batchB, col("doc_id"), col("text"))
+    Tfidf.sparseTopKIncremental(postings, tsA.unionByName(tsB),
+        csA.unionByName(csB),
+        docs.filter(col("doc_id") < 5), col("doc_id"), col("text"),
+        k = 10, maxDfFrac = 0.78)
+      .orderBy(col("q"), col("rnk"))
+  }
+
+
   /** Crawl-frontier host authority ([[graft.functions.Graph.pageRankInt]]):
     * a host-level link graph derived deterministically from doc ids (the
     * q94 pattern — site `d mod 10` links to site `(d div 10) mod 10`,
@@ -2893,6 +2919,10 @@ private[graft] trait QueriesText { this: Queries.type =>
     // so it shares q90's oracle verbatim: same rows, different plan — the
     // differential gate proves build-once/probe-many loses nothing.
     "q237_sparse_probe" -> SparseRetrievalSql,
+    // The delta-built incremental index answers the SAME retrieval: its
+    // whole point is that two disjoint ingest batches + additive stats
+    // reproduce the monolithic computation exactly.
+    "q238_index_delta" -> SparseRetrievalSql,
     "q236_sparse_index" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
          |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),

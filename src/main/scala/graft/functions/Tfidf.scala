@@ -204,6 +204,126 @@ object Tfidf {
       .sortWithinPartitions(col("term"), col("d"))
       .write.mode("overwrite").parquet(path)
 
+  // -------------------------------------------------------------------
+  // Incremental (append-only) index — the ingest-time answer to "the
+  // corpus grows after the build".
+  //
+  // The [[buildIndex]] postings BAKE the global statistics into every row
+  // (df, and w/tfc derived from df + corpus scalars): correct and fastest
+  // for a frozen corpus, but appending documents would stale every
+  // existing posting's weight. The incremental layout keeps postings RAW
+  // and statistics ADDITIVE:
+  //
+  //   postings    (term, d, tf_d, dl)   — per-batch, append-only
+  //   term_stats  (term, df)            — per-batch rows; true df = SUM
+  //   corpus_stats(n_docs, total_tokens)— per-batch row;  true N = SUM
+  //
+  // Because ingest batches carry DISJOINT document ids, document
+  // frequencies and corpus scalars are exactly additive, so a probe that
+  // sums the stats and derives w/tfc inline (the same integer rationals as
+  // [[sparseTopK]]) returns the BYTE-IDENTICAL answer a monolithic rebuild
+  // would — proven under the differential oracle by q238, which builds the
+  // index in two batches and must reproduce q90's SQL verbatim. Nothing is
+  // ever rewritten: an append is three small parquet appends, and the
+  // stopword cap moves to probe time (a term can cross maxDfFrac as the
+  // corpus grows and starts being dropped — with baked postings it would
+  // be frozen forever at its build-time df).
+  // -------------------------------------------------------------------
+
+  /** Raw per-batch postings: (term, d, tf_d, dl). */
+  def rawPostings(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = Text.tokens(Text.normalized(textCol))
+    docs
+      .select(idCol.as("d"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("d"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("d"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf_d"))
+      .select(col("term"), col("d"), col("tf_d"), col("dl"))
+  }
+
+  /** Per-batch additive statistics for `docs`: (term→df rows, 1-row corpus
+    * scalars). df counts the batch's documents per term; the corpus row
+    * counts ALL batch documents (token-less ones included — they carry no
+    * posting but still belong to N, exactly as [[sparseTopK]]'s
+    * `n_corpus` counts them).
+    */
+  def batchStats(docs: DataFrame, idCol: Column, textCol: Column)
+      : (DataFrame, DataFrame) = {
+    val toks = Text.tokens(Text.normalized(textCol))
+    val term = docs
+      .select(idCol.as("d"), explode(Text.tokens(Text.normalized(textCol))).as("term"))
+      .groupBy(col("term")).agg(countDistinct(col("d")).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(toks)), lit(0L)).cast("long").as("total_tokens"))
+    (term, corpus)
+  }
+
+  /** Append one ingest batch to an append-only index directory (layout:
+    * `path/postings`, `path/term_stats`, `path/corpus_stats` — all parquet,
+    * all append mode, nothing rewritten). Batches MUST carry document ids
+    * disjoint from every earlier batch (the ingest contract that makes the
+    * stats additive); the probe never needs to know the batch count.
+    */
+  def appendToIndex(docs: DataFrame, idCol: Column, textCol: Column,
+                    path: String): Unit = {
+    val (termStats, corpusStats) = batchStats(docs, idCol, textCol)
+    rawPostings(docs, idCol, textCol)
+      .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
+      .write.mode("append").parquet(s"$path/postings")
+    termStats.coalesce(1).write.mode("append").parquet(s"$path/term_stats")
+    corpusStats.coalesce(1).write.mode("append").parquet(s"$path/corpus_stats")
+  }
+
+  /** Probe an incremental index (as DataFrames — read them from an
+    * [[appendToIndex]] directory, or pass per-batch unions in-plan): sums
+    * the additive stats, derives the integer BM25 weights inline with the
+    * exact [[sparseTopK]] rationals, applies the stopword cap at PROBE
+    * time against the current corpus size, and returns the identical
+    * (q, d, score, rnk) contract.
+    *
+    * Scale shape: term_stats aggregates to ≤|vocab| rows and broadcasts;
+    * corpus_stats is one row per batch; the postings side shuffles on
+    * nothing — broadcast term join, then the (q, d) aggregate and per-q
+    * window are bounded by |queries| × matches.
+    */
+  def sparseTopKIncremental(postings: DataFrame, termStats: DataFrame,
+                            corpusStats: DataFrame,
+                            queries: DataFrame, queryId: Column, queryText: Column,
+                            k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    val stats = corpusStats.agg(
+      sum(col("n_docs")).cast("long").as("n_corpus"),
+      sum(col("total_tokens")).cast("long").as("total_tokens"))
+    val df = termStats.groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    val qt = termCounts(queries, queryId, queryText)
+      .withColumnRenamed("doc_id", "q").withColumnRenamed("tf", "tf_q")
+    val rank = Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("d").asc)
+    broadcast(qt).join(postings, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= col("n_corpus") * maxDfFrac)
+      .withColumn("w", floor(lit(1000000L) / col("df")))
+      .withColumn("avgdl", expr("total_tokens DIV n_corpus"))
+      .withColumn("tfc", expr(
+        "(10000 * 22 * tf_d * avgdl) DIV (10 * avgdl * tf_d + 3 * avgdl + 9 * dl)"))
+      .groupBy(col("q"), col("d"))
+      .agg(sum(col("tf_q") * col("w") * col("tfc")).as("score"))
+      .withColumn("rnk", row_number().over(rank))
+      .filter(col("rnk") <= k)
+      .select(col("q"), col("d"), col("score"), col("rnk"))
+  }
+
+  /** [[sparseTopKIncremental]] over an [[appendToIndex]] directory. */
+  def sparseTopKIncremental(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            queries: DataFrame, queryId: Column, queryText: Column,
+                            k: Int, maxDfFrac: Double): DataFrame =
+    sparseTopKIncremental(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/term_stats"),
+      spark.read.parquet(s"$path/corpus_stats"),
+      queries, queryId, queryText, k, maxDfFrac)
+
   /** Build-once/probe-many for catalog queries: return the materialized
     * postings for (`sourceDir`'s documents, `maxDfFrac`), building and
     * persisting them under the JVM temp dir on first use. The cache key is

@@ -76,6 +76,40 @@ class TfidfSpec extends AnyFunSuite {
     assert(fromIndex == recomputed && fromIndex.nonEmpty, s"$fromIndex vs $recomputed")
   }
 
+  test("incremental index: two appended batches answer exactly like a " +
+    "monolithic recompute, and the stopword cap tracks the GROWN corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_inc").toString
+    val batchA = corpus.filter(col("doc_id") <= 2) // apple zebra / apple cherry
+    val batchB = corpus.filter(col("doc_id") > 2)
+    Tfidf.appendToIndex(batchA, col("doc_id"), col("text"), dir)
+    Tfidf.appendToIndex(batchB, col("doc_id"), col("text"), dir)
+    val q = corpus.filter(col("doc_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"),
+        r.getAs[Long]("score"), r.getAs[Int]("rnk"))).toSet
+    // full-frac: identical to the monolithic recompute over all 4 docs
+    val incremental = rows(Tfidf.sparseTopKIncremental(spark, dir,
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0))
+    val monolithic = rows(Tfidf.sparseTopK(corpus, col("doc_id"), col("text"),
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0))
+    assert(incremental == monolithic && incremental.nonEmpty)
+    // the cap is evaluated at PROBE time against the summed stats: at
+    // maxDfFrac=0.5 apple (df 2+1=3 of N=4) and cherry (df 3) are dropped,
+    // zebra (1) and banana (2) survive — exactly sparseTopK's behavior on
+    // the full corpus, which a BAKED batch-A index (apple df 2 of N 2,
+    // kept at 1.0 but dropped at 0.5... frozen either way) could not track
+    val capped = rows(Tfidf.sparseTopKIncremental(spark, dir,
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 0.5))
+    val cappedMono = rows(Tfidf.sparseTopK(corpus, col("doc_id"), col("text"),
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 0.5))
+    assert(capped == cappedMono && capped == Set((1L, 1L, 1000000L * 10000L, 1)))
+    // append-only on disk: three parquet legs, two batch rows of corpus
+    // stats, nothing rewritten
+    val cs = spark.read.parquet(s"$dir/corpus_stats")
+    assert(cs.count() == 2)
+    assert(cs.agg(sum(col("n_docs"))).head().getLong(0) == 4L)
+  }
+
   test("warm index probe plan: no tokenize/explode, no corpus-keyed window " +
     "exchange — the scan+broadcast-join shape build-once/probe-many buys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_plan").toString
