@@ -339,21 +339,29 @@ object Tfidf {
   def cachedIndex(docs: DataFrame, idCol: Column, textCol: Column,
                   maxDfFrac: Double, sourceDir: String): DataFrame = {
     val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // Hadoop FS, not java.io.File: the source (and the cache) may live on
+    // any scheme a cluster mounts (hdfs://, s3a://, file:) — a local-only
+    // walk would silently fingerprint nothing there.
+    val srcPath = new org.apache.hadoop.fs.Path(sourceDir)
+    val srcFs = srcPath.getFileSystem(hconf)
     val fp = {
-      val root = new java.io.File(sourceDir)
-      def ls(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(ls)
-        else Seq(f)
-      val sig = ls(root)
-        .map(f => s"${f.getPath.stripPrefix(root.getPath)}:${f.length}:${f.lastModified}")
+      def ls(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        srcFs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+          .flatMap(s => if (s.isDirectory) ls(s.getPath) else Seq(s))
+      val root = srcPath.toUri.getPath
+      val sig = ls(srcPath)
+        .map(s => s"${s.getPath.toUri.getPath.stripPrefix(root)}:${s.getLen}:${s.getModificationTime}")
         .mkString("\n")
       java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    val path = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_sparse_index",
-      s"${fp}_${math.round(maxDfFrac * 1000)}").getPath
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val cacheRoot = spark.conf.getOption("spark.graft.index.cache.dir")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_sparse_index")
+    val path = s"$cacheRoot/${fp}_${math.round(maxDfFrac * 1000)}"
+    val cachePath = new org.apache.hadoop.fs.Path(path)
+    val cacheFs = cachePath.getFileSystem(hconf)
+    if (!cacheFs.exists(new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS")))
       writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), path)
     spark.read.parquet(path)
   }
