@@ -210,10 +210,19 @@ object Bench {
     // contaminated first-pass mins in the committed artifact.
     // Clamped to 2.0: the suspect thresholds are 2×(+1s) and 2.5×, and the
     // deferred-retry loop below is keyed on warnFn — an override above 2.0
-    // would silently break the "warn is strictly broader than suspect"
-    // invariant and let contaminated first-pass mins commit with no retry.
-    val warnFactor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARN_FACTOR", "1.8").toDouble.min(2.0)
+    // would break the "warn is strictly broader than suspect" invariant
+    // and let contaminated first-pass mins commit with no retry. The clamp
+    // is LOUD (stderr), not silent: an operator who set 3.0 must see that
+    // their override was discarded, not wonder why warns still fire at 2×.
+    val warnFactor = {
+      val requested =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_WARN_FACTOR", "1.8").toDouble
+      if (requested > 2.0)
+        System.err.println(s"WARN Bench: SPARK_GRAFT_BENCH_WARN_FACTOR=$requested " +
+          "clamped to 2.0 — the warn band must stay broader than the 2x/2.5x " +
+          "suspect gates so deferred retries cover suspects")
+      requested.min(2.0)
+    }
     def warnFn(name: String, best: Double): Boolean =
       benchRef.get(name).exists(r => best > warnFactor * r)
     val sweep = collection.mutable.LinkedHashMap.empty[String,

@@ -780,8 +780,16 @@ private[graft] trait QueriesText { this: Queries.type =>
     */
   def sparseIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val idx = graft.functions.Tfidf.cachedIndex(docs, col("doc_id"),
-      col("text"), maxDfFrac = 0.78, sourceDir = s"$dir/documents.parquet")
+    // File-backed layer: fingerprint-cached materialized index. JDBC
+    // layer (no source files to fingerprint): build in-plan — same
+    // answer, no cache; the probe path stays functional on every layer
+    // location Tables.load supports.
+    val idx = graft.sources.Tables.parquetLocation(dir, "documents") match {
+      case Some(src) => graft.functions.Tfidf.cachedIndex(docs, col("doc_id"),
+        col("text"), maxDfFrac = 0.78, sourceDir = src)
+      case None => graft.functions.Tfidf.buildIndex(docs, col("doc_id"),
+        col("text"), maxDfFrac = 0.78)
+    }
     graft.functions.Tfidf.sparseTopKIndexed(idx,
         docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), k = 10)
       .orderBy(col("q"), col("rnk"))

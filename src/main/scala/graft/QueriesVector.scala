@@ -217,9 +217,16 @@ private[graft] trait QueriesVector { this: Queries.type =>
     // probe-many, fingerprint-cached) instead of recomputing q90's full
     // tokenize→explode→df-window pass — at sf100 that recomputation made
     // this query a p90 tail outlier; the warm probe is a 4-column scan.
-    val sparse = graft.functions.Tfidf.sparseTopKIndexed(
-        graft.functions.Tfidf.cachedIndex(docs, col("doc_id"), col("text"),
-          maxDfFrac = 0.78, sourceDir = s"$dir/documents.parquet"),
+    // On a JDBC-backed layer (no source files to fingerprint) the index
+    // builds in-plan — same answer, keeping Tables.load's contract that
+    // every builder runs against either storage.
+    val idx = graft.sources.Tables.parquetLocation(dir, "documents") match {
+      case Some(src) => graft.functions.Tfidf.cachedIndex(docs, col("doc_id"),
+        col("text"), maxDfFrac = 0.78, sourceDir = src)
+      case None => graft.functions.Tfidf.buildIndex(docs, col("doc_id"),
+        col("text"), maxDfFrac = 0.78)
+    }
+    val sparse = graft.functions.Tfidf.sparseTopKIndexed(idx,
         docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), k = 10)
       .select(col("q").as("query"), col("d").as("item"), col("rnk").as("rank"))
     val dense = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),

@@ -134,9 +134,16 @@ object Checks {
     * when every gap is explained, but the comment carries the explained
     * count so the loss is never silent in the audit trail.
     *
+    * Only BROKER-SIDE losses can explain a gap: when `seams` carries a
+    * `kind` column, `end_beyond_latest` rows (the stub's marker for a
+    * mis-specified caller window — no broker records were lost) are
+    * excluded before the join, so a caller-bug seam can never launder a
+    * genuine pipeline gap into a PASS.
+    *
     * Scale shape: seams are rare events (one per retention incident), so
-    * the join is a broadcast against the windowed ledger — no extra wide
-    * shuffle beyond [[offsetGaps]]'s own (topic, partition) window.
+    * the join is a broadcast against the windowed ledger, and the ledger
+    * is windowed ONCE — covered count from one semi join, unexplained as
+    * total − covered (a gap matched by several seams still counts once).
     */
   def offsetContinuityWithSeams(ledger: DataFrame, seams: DataFrame,
                                 sourceName: String): ValidationResult = {
@@ -144,15 +151,18 @@ object Checks {
       col("jobRunId"), col("fromOffset"), col("untilOffset"))
       .select(col("topicName"), col("partition"),
         col("prev_until").as("gap_from"), col("fromOffset").as("gap_until"))
-    val s = broadcast(seams.select(col("topicName").as("s_topic"),
+    val brokerSide =
+      if (seams.columns.contains("kind"))
+        seams.filter(col("kind") =!= "end_beyond_latest")
+      else seams
+    val s = broadcast(brokerSide.select(col("topicName").as("s_topic"),
       col("partition").as("s_partition"), col("lostFrom"), col("lostUntil")))
-    // semi/anti (not outer): a gap covered by SEVERAL recorded seams must
-    // count once, and the two joins keep gap multiplicity exact.
     val cond = col("topicName") === col("s_topic") &&
       col("partition") === col("s_partition") &&
       col("lostFrom") <= col("gap_from") && col("lostUntil") >= col("gap_until")
+    val total = gaps.count()
     val explained = gaps.join(s, cond, "left_semi").count()
-    val unexplained = gaps.join(s, cond, "left_anti").count()
+    val unexplained = total - explained
     ValidationResult.of(sourceName, "ARRIVAL", "offset_continuity",
       "lag_over_ledger_with_seams", unexplained == 0,
       if (explained == 0 && unexplained == 0) "continuous"

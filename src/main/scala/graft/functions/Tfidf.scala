@@ -358,11 +358,31 @@ object Tfidf {
     }
     val cacheRoot = spark.conf.getOption("spark.graft.index.cache.dir")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_sparse_index")
-    val path = s"$cacheRoot/${fp}_${math.round(maxDfFrac * 1000)}"
+    // Key = <source-path hash>_<content fingerprint>_<frac>: the path hash
+    // identifies WHICH corpus the entry serves, the content fingerprint
+    // its version. On rebuild, prior versions of the SAME corpus are
+    // purged (they can never be read again — their fingerprint is gone),
+    // while entries for other corpora (other path hashes) are untouched;
+    // without this, every regeneration leaked a multi-GB postings dir
+    // into the cache root forever.
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val frac = math.round(maxDfFrac * 1000)
+    val path = s"$cacheRoot/${pathKey}_${fp}_$frac"
     val cachePath = new org.apache.hadoop.fs.Path(path)
     val cacheFs = cachePath.getFileSystem(hconf)
-    if (!cacheFs.exists(new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS")))
+    if (!cacheFs.exists(new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS"))) {
+      val rootPath = new org.apache.hadoop.fs.Path(cacheRoot)
+      if (cacheFs.exists(rootPath))
+        cacheFs.listStatus(rootPath)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith(s"${pathKey}_") && n.endsWith(s"_$frac") &&
+              n != cachePath.getName
+          }
+          .foreach(s => cacheFs.delete(s.getPath, true))
       writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), path)
+    }
     spark.read.parquet(path)
   }
 

@@ -155,9 +155,24 @@ object KafkaStubBroker {
           "and continuing (failOnDataLoss=false)",
           Seq(DataLossSeam(tp._1, tp._2, from, until, "deleted_partition")))
         Vector.empty
+      case Some((first, log)) if from > until =>
+        // Offsets moved backwards: a checkpointed start past the current
+        // end (topic deleted+recreated, or an AvailableNow bound pinned
+        // below a stale checkpoint). The real connector clamps the fetch
+        // to EMPTY and logs data loss under failOnDataLoss=false
+        // (KafkaSourceRDD's fromOffset > untilOffset warn path); true
+        // fails the read.
+        if (failOnDataLoss)
+          throw new IllegalArgumentException(
+            s"inverted window [$from, $until) for $tp " +
+              "(offsets moved backwards — the real connector fails this read as data loss)")
+        recordLoss(s"data loss on $tp: start beyond end — requested [$from, $until) " +
+          "(offsets moved backwards: topic recreated, or the end bound sits below " +
+          "a checkpointed start); reading nothing and continuing (failOnDataLoss=false)",
+          Seq(DataLossSeam(tp._1, tp._2, until, from, "start_beyond_end")))
+        Vector.empty
       case Some((first, log)) =>
         val high = first + log.size
-        require(from <= until, s"inverted window [$from, $until) for $tp")
         if (failOnDataLoss)
           require(from >= first && until <= high,
             s"offsets [$from, $until) out of available range [$first, $high) for $tp " +

@@ -37,6 +37,17 @@ object Tables {
     if (name == "events") normalizeEventTime(df) else df
   }
 
+  /** The filesystem location of `name` under layer `dir`, or None when the
+    * layer is not file-backed (a `jdbc:` URL): callers that fingerprint or
+    * cache against SOURCE FILES (e.g.
+    * [[graft.functions.Tfidf.cachedIndex]]) route on this instead of
+    * assuming the `$dir/$name.parquet` layout — keeping the layout
+    * knowledge here, with [[load]], and keeping every query builder
+    * functional against a JDBC-backed layer.
+    */
+  def parquetLocation(dir: String, name: String): Option[String] =
+    if (Jdbc.isJdbcLocation(dir)) None else Some(s"$dir/$name.parquet")
+
   /** events.ts arrives as epoch-nano INT64 (legacy TIMESTAMP(NANOS) files
     * read under `spark.sql.legacy.parquet.nanosAsLong`) or as
     * TIMESTAMP_NTZ / TIMESTAMP (micro-precision files). Normalize to

@@ -31,6 +31,10 @@ import org.apache.spark.sql.SparkSession
 object BucketedFactProbe {
 
   def main(args: Array[String]): Unit = {
+    // Validate BEFORE building a SparkSession: a typo'd mode must die with
+    // the usage line immediately, not with a MatchError after 10s of init.
+    require(args.length >= 4 && Set("layout", "probe").contains(args(0)),
+      "usage: BucketedFactProbe layout|probe <srcDir> <warehouse> <buckets> [outJson]")
     val mode = args(0)
     val srcDir = args(1)
     val warehouse = args(2)

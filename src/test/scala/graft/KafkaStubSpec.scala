@@ -344,5 +344,35 @@ class KafkaStubSpec extends AnyFunSuite {
     assert(KafkaStubBroker.dataLossSeams.exists(s =>
       s.kind == "end_beyond_latest" && s.lostFrom == 15L && s.lostUntil == 99L),
       KafkaStubBroker.dataLossSeams.toString)
+    // ...and that caller-bug seam can NEVER explain a ledger gap: this gap
+    // [15, 50) is numerically covered by the [15, 99) end_beyond_latest
+    // window, but no broker records were lost there — the check must
+    // exclude non-broker-side kinds and stay FAILED
+    val ledgerBug = Seq(
+      ("events_raw", 0, 1L, 12L, 15L), ("events_raw", 0, 2L, 50L, 60L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    val laundered = graft.dq.Checks.offsetContinuityWithSeams(
+      ledgerBug, KafkaStubBroker.seamsDf(spark), "events_raw")
+    assert(laundered.testResult == graft.model.ValidationResult.FAILED,
+      laundered.comments)
+  }
+
+  test("offsets moved backwards (start beyond end): failOnDataLoss=false reads " +
+    "nothing and records the seam; true fails the read — the connector's clamp") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0)
+    (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"m$i"))
+    // a checkpointed start of 20 against a recreated topic whose end is 3
+    val got = KafkaStubBroker.fetch(("events_raw", 0), 20L, 3L, failOnDataLoss = false)
+    assert(got.isEmpty)
+    assert(KafkaStubBroker.dataLossSeams.exists(s =>
+      s.kind == "start_beyond_end" && s.lostFrom == 3L && s.lostUntil == 20L),
+      KafkaStubBroker.dataLossSeams.toString)
+    assert(KafkaStubBroker.dataLossEvents.exists(_.contains("offsets moved backwards")),
+      KafkaStubBroker.dataLossEvents.toString)
+    val e = intercept[IllegalArgumentException] {
+      KafkaStubBroker.fetch(("events_raw", 0), 20L, 3L)
+    }
+    assert(e.getMessage.contains("inverted window"), e.getMessage)
   }
 }

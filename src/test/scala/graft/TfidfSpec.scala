@@ -76,6 +76,35 @@ class TfidfSpec extends AnyFunSuite {
     assert(fromIndex == recomputed && fromIndex.nonEmpty, s"$fromIndex vs $recomputed")
   }
 
+  test("cachedIndex rebuilds when the source changes and PURGES the stale " +
+    "version — same-corpus entries never accumulate, other corpora untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_cache").toString
+    val src = s"$root/corpus.parquet"
+    val cacheRoot = s"$root/cache"
+    spark.conf.set("spark.graft.index.cache.dir", cacheRoot)
+    try {
+      corpus.write.parquet(src)
+      def probe(): Set[(Long, Long)] = Tfidf.sparseTopKIndexed(
+        Tfidf.cachedIndex(spark.read.parquet(src), col("doc_id"), col("text"),
+          maxDfFrac = 1.0, sourceDir = src),
+        corpus.filter(col("doc_id") === 1), col("doc_id"), col("text"), k = 10)
+        .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"))).toSet
+      val first = probe()
+      assert(first.nonEmpty)
+      def cacheDirs: Set[String] =
+        new java.io.File(cacheRoot).listFiles().map(_.getName).toSet
+      val v1 = cacheDirs
+      assert(v1.size == 1)
+      // regenerate the corpus at the same path: doc 2 gone
+      corpus.filter(col("doc_id") =!= 2).write.mode("overwrite").parquet(src)
+      val second = probe()
+      val v2 = cacheDirs
+      // rebuilt (fingerprint moved), stale version purged, answer current
+      assert(v2.size == 1 && v2 != v1, s"$v1 -> $v2")
+      assert(!second.contains((1L, 2L)) && second != first, second.toString)
+    } finally spark.conf.unset("spark.graft.index.cache.dir")
+  }
+
   test("incremental index: two appended batches answer exactly like a " +
     "monolithic recompute, and the stopword cap tracks the GROWN corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_inc").toString
