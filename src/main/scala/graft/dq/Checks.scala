@@ -135,15 +135,26 @@ object Checks {
     * count so the loss is never silent in the audit trail.
     *
     * Only BROKER-SIDE losses can explain a gap: when `seams` carries a
-    * `kind` column, `end_beyond_latest` rows (the stub's marker for a
-    * mis-specified caller window — no broker records were lost) are
-    * excluded before the join, so a caller-bug seam can never launder a
-    * genuine pipeline gap into a PASS.
+    * `kind` column, the caller-side kinds
+    * ([[graft.sources.KafkaStubBroker.DataLossSeam.callerSideKinds]]:
+    * `end_beyond_latest` — an `until` past the high-water mark — and
+    * `start_beyond_end` — a start past the current end, which is either a
+    * caller bug or a recreated topic and is classified conservatively as
+    * the former) are excluded before the join, so a mis-specified window
+    * can never launder a genuine pipeline gap into a PASS.
+    *
+    * Surviving seams are COALESCED per (topic, partition) — overlapping or
+    * back-to-back loss windows (e.g. two clamped fetches between the same
+    * pair of ledger runs, each recording part of one retention trim) merge
+    * into one interval — so a gap jointly covered by several recorded
+    * losses is still explained; without the merge, coverage demanded a
+    * single seam spanning the whole gap, a conservative false FAIL.
     *
     * Scale shape: seams are rare events (one per retention incident), so
-    * the join is a broadcast against the windowed ledger, and the ledger
-    * is windowed ONCE — covered count from one semi join, unexplained as
-    * total − covered (a gap matched by several seams still counts once).
+    * the coalescing window and the broadcast against the windowed ledger
+    * both run over kilobytes; the ledger is windowed ONCE — covered count
+    * from one semi join, unexplained as total − covered (a gap matched by
+    * several merged seams still counts once).
     */
   def offsetContinuityWithSeams(ledger: DataFrame, seams: DataFrame,
                                 sourceName: String): ValidationResult = {
@@ -151,12 +162,31 @@ object Checks {
       col("jobRunId"), col("fromOffset"), col("untilOffset"))
       .select(col("topicName"), col("partition"),
         col("prev_until").as("gap_from"), col("fromOffset").as("gap_until"))
+    val callerSide = graft.sources.KafkaStubBroker.DataLossSeam.callerSideKinds
     val brokerSide =
       if (seams.columns.contains("kind"))
-        seams.filter(col("kind") =!= "end_beyond_latest")
+        seams.filter(!col("kind").isin(callerSide.toSeq: _*))
       else seams
-    val s = broadcast(brokerSide.select(col("topicName").as("s_topic"),
-      col("partition").as("s_partition"), col("lostFrom"), col("lostUntil")))
+    // Interval-coalesce per (topic, partition): a seam whose lostFrom is
+    // ≤ the running max lostUntil of its predecessors continues the
+    // current merged interval; a strictly-greater lostFrom starts a new one.
+    val sw = Window.partitionBy(col("s_topic"), col("s_partition"))
+      .orderBy(col("lostFrom"))
+    val merged = brokerSide
+      .select(col("topicName").as("s_topic"), col("partition").as("s_partition"),
+        col("lostFrom"), col("lostUntil"))
+      .withColumn("prev_max_until",
+        max(col("lostUntil")).over(sw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("starts_new",
+        when(col("prev_max_until").isNull ||
+          col("lostFrom") > col("prev_max_until"), 1).otherwise(0))
+      .withColumn("ivl",
+        sum(col("starts_new")).over(sw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("s_topic"), col("s_partition"), col("ivl"))
+      .agg(min(col("lostFrom")).as("lostFrom"),
+        max(col("lostUntil")).as("lostUntil"))
+    val s = broadcast(merged.select(col("s_topic"),
+      col("s_partition"), col("lostFrom"), col("lostUntil")))
     val cond = col("topicName") === col("s_topic") &&
       col("partition") === col("s_partition") &&
       col("lostFrom") <= col("gap_from") && col("lostUntil") >= col("gap_until")
@@ -173,6 +203,13 @@ object Checks {
 
   /** Expected record volume from the ledger: sum(until - from)
     * (`KafkaDemo.sh:202-214`) vs the actual materialized count.
+    *
+    * CONTIGUOUS-OFFSET CONTRACT: this arithmetic assumes every offset in
+    * [from, until) was a delivered record. On a transactional topic read
+    * with `read_committed` (or a compacted topic) offsets are
+    * non-contiguous — commit/abort control batches and compacted-away
+    * records occupy offsets but deliver nothing — so this check would
+    * report FALSE data loss. Use [[offsetCountMatchWithControl]] there.
     */
   def offsetCountMatch(ledger: DataFrame, actual: Long, sourceName: String): ValidationResult = {
     val expected = ledger
@@ -180,6 +217,38 @@ object Checks {
       .head().getLong(0)
     ValidationResult.of(sourceName, "ARRIVAL", "offset_count", "sum_until_minus_from",
       expected == actual, s"expected=$expected actual=$actual")
+  }
+
+  /** [[offsetCountMatch]] for TRANSACTIONAL/COMPACTED topics: the expected
+    * count is the ledger's offset deltas MINUS the non-record offsets
+    * (txn control batches, compacted-away records) that fall inside some
+    * ledger window — `controlOffsets` rows
+    * (topicName/partition/offset, e.g.
+    * [[graft.sources.KafkaStubBroker.controlOffsetsDf]]) outside every
+    * window are ignored, since no read ever covered them.
+    *
+    * Scale shape: the ledger is small (one row per batch × partition), so
+    * it broadcasts; control offsets can be numerous (one marker per
+    * transaction) and stay distributed — the semi join never shuffles
+    * them, and only a count crosses to the driver.
+    */
+  def offsetCountMatchWithControl(ledger: DataFrame, controlOffsets: DataFrame,
+                                  actual: Long, sourceName: String): ValidationResult = {
+    val raw = ledger
+      .agg(coalesce(sum(col("untilOffset") - col("fromOffset")), lit(0L)))
+      .head().getLong(0)
+    val l = broadcast(ledger.select(col("topicName").as("l_topic"),
+      col("partition").as("l_partition"),
+      col("fromOffset").as("l_from"), col("untilOffset").as("l_until")))
+    val covered = controlOffsets.join(l,
+      col("topicName") === col("l_topic") &&
+        col("partition") === col("l_partition") &&
+        col("offset") >= col("l_from") && col("offset") < col("l_until"),
+      "left_semi").count()
+    val expected = raw - covered
+    ValidationResult.of(sourceName, "ARRIVAL", "offset_count",
+      "sum_until_minus_from_minus_control", expected == actual,
+      s"expected=$expected (raw=$raw control=$covered) actual=$actual")
   }
 
   /** Batch-duration expectation as an audit row — the reference's

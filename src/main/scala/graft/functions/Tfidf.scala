@@ -372,16 +372,33 @@ object Tfidf {
     val cachePath = new org.apache.hadoop.fs.Path(path)
     val cacheFs = cachePath.getFileSystem(hconf)
     if (!cacheFs.exists(new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS"))) {
+      // Write-to-temp-then-rename: the new version becomes visible only as
+      // a complete directory (crash mid-write leaves a .tmp_ orphan that
+      // the post-publish purge collects, never a half-built cache entry),
+      // and a concurrent builder racing to the same fingerprint loses the
+      // rename and discards its temp — both sessions then read one winner.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), tmp.toString)
+      if (!cacheFs.rename(tmp, cachePath))
+        scala.util.Try(cacheFs.delete(tmp, true))
+    }
+    // Purge prior versions of the SAME corpus+frac only AFTER the current
+    // version's _SUCCESS exists (a crash can no longer strand the cache
+    // with NO readable version), plus any orphaned temp dirs. Deletes are
+    // best-effort: a concurrent session still holding the old version open
+    // may make its directory undeletable mid-read — tolerated, the next
+    // rebuild retries the purge.
+    locally {
       val rootPath = new org.apache.hadoop.fs.Path(cacheRoot)
       if (cacheFs.exists(rootPath))
         cacheFs.listStatus(rootPath)
           .filter { s =>
             val n = s.getPath.getName
-            n.startsWith(s"${pathKey}_") && n.endsWith(s"_$frac") &&
-              n != cachePath.getName
+            n.startsWith(s"${pathKey}_") && n != cachePath.getName &&
+              (n.endsWith(s"_$frac") || n.contains(s"_$frac.tmp_"))
           }
-          .foreach(s => cacheFs.delete(s.getPath, true))
-      writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), path)
+          .foreach(s => scala.util.Try(cacheFs.delete(s.getPath, true)))
     }
     spark.read.parquet(path)
   }

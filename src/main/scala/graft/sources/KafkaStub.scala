@@ -35,7 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the BATCH_DURATION expectations that tune the trigger cap).
   */
 object KafkaStubBroker {
-  final case class StubRecord(key: Array[Byte], value: Array[Byte], tsMs: Long)
+  /** `control=true` models a transaction marker (commit/abort control
+    * batch): it OCCUPIES its offset — the high-water mark and every
+    * clamp/seam computation count it — but is never delivered to a read,
+    * exactly like the real consumer under `isolation.level=read_committed`.
+    * Compaction leaves the same shape (surviving offsets non-contiguous),
+    * so one flag covers both sources of offset gaps.
+    */
+  final case class StubRecord(key: Array[Byte], value: Array[Byte], tsMs: Long,
+                              control: Boolean = false)
 
   // (topic, partition) -> (earliestOffset, log). Offsets are
   // earliestOffset + index; the high-water mark is earliest + log.size.
@@ -56,13 +64,40 @@ object KafkaStubBroker {
 
   /** Structured twin of [[dataLossEvents]]: the lost window itself, typed,
     * so the arrival audit can JOIN it against the offset ledger instead of
-    * parsing warning strings. `kind` ∈ {trimmed_head, end_beyond_latest,
-    * deleted_partition}; [lostFrom, lostUntil) is the requested-but-unread
-    * window (empty for a deleted partition probed with an empty window —
-    * the deletion itself is the seam).
+    * parsing warning strings. `kind` is one of the named constants on the
+    * [[DataLossSeam]] companion — {trimmed_head, end_beyond_latest,
+    * start_beyond_end, deleted_partition} — shared with
+    * [[graft.dq.Checks.offsetContinuityWithSeams]] so the emitting and
+    * consuming sides can never drift on the vocabulary; [lostFrom,
+    * lostUntil) is the requested-but-unread window (empty for a deleted
+    * partition probed with an empty window — the deletion itself is the
+    * seam).
     */
   final case class DataLossSeam(topic: String, partition: Int,
                                 lostFrom: Long, lostUntil: Long, kind: String)
+
+  /** The seam-kind vocabulary, split by WHO lost the data — the split
+    * [[graft.dq.Checks.offsetContinuityWithSeams]] keys its gap-coverage
+    * filter on. Broker-side kinds describe records the broker really
+    * dropped (retention trim, topic/partition deletion) and may explain a
+    * ledger gap; caller-side kinds describe a mis-specified read window
+    * (`until` past the high-water mark, or a start past the end — the
+    * latter also covers topic-recreated, which the stub cannot
+    * distinguish from a caller bug at record time, so it is classified
+    * conservatively: a recreated topic's gap stays an audit FAIL rather
+    * than being laundered into a PASS).
+    */
+  object DataLossSeam {
+    val TrimmedHead = "trimmed_head"
+    val EndBeyondLatest = "end_beyond_latest"
+    val StartBeyondEnd = "start_beyond_end"
+    val DeletedPartition = "deleted_partition"
+    // Txn control batches ([[publishControl]]) are deliberately NOT a seam
+    // kind: no records were lost and no ledger gap appears — only the
+    // count contract changes, handled by Checks.offsetCountMatchWithControl.
+    val brokerSideKinds: Set[String] = Set(TrimmedHead, DeletedPartition)
+    val callerSideKinds: Set[String] = Set(EndBeyondLatest, StartBeyondEnd)
+  }
 
   @volatile var dataLossSeams: Vector[DataLossSeam] = Vector.empty
 
@@ -106,6 +141,45 @@ object KafkaStubBroker {
       logs((topic, partition)) = (first, log :+ rec)
       first + log.size
     }
+
+  /** Append one TRANSACTION CONTROL MARKER (commit/abort control batch —
+    * the broker-internal record a transactional producer's commit writes).
+    * It consumes one offset but no read ever returns it: after this call
+    * the partition's offsets are NON-CONTIGUOUS from a consumer's view,
+    * which is precisely the real `read_committed` shape that breaks the
+    * reference's `sum(until_offset − from_offset)` count contract
+    * (`KafkaDemo.sh:202-214` assumes every offset is a record). Audits on
+    * transactional topics must use
+    * [[graft.dq.Checks.offsetCountMatchWithControl]] with
+    * [[controlOffsetsDf]] instead of the raw arithmetic.
+    */
+  def publishControl(topic: String, partition: Int, tsMs: Long = 0L): Long =
+    logs.synchronized {
+      val (first, log) = logs.getOrElse((topic, partition), (0L, Vector.empty))
+      logs((topic, partition)) =
+        (first, log :+ StubRecord(null, null, tsMs, control = true))
+      first + log.size
+    }
+
+  /** Every control-marker offset still in the log, queryable in the
+    * ledger's column vocabulary — the broker-side metadata an audit joins
+    * against its offset ledger to correct `sum(until − from)` on
+    * transactional topics. (A real deployment gets the same information
+    * from consumer-side bookkeeping — e.g. per-batch `numInputRows` in the
+    * streaming progress — or from reading the topic with
+    * `read_uncommitted` admin tooling; the stub makes it a table.)
+    */
+  def controlOffsetsDf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    logs.synchronized {
+      logs.toSeq.flatMap { case ((t, p), (first, log)) =>
+        log.zipWithIndex.collect {
+          case (r, i) if r.control => (t, p, first + i)
+        }
+      }
+    }.toDF("topicName", "partition", "offset")
+  }
 
   def earliest(tp: (String, Int)): Long = logs.get(tp).map(_._1).getOrElse(0L)
   def latest(tp: (String, Int)): Long =
@@ -153,7 +227,7 @@ object KafkaStubBroker {
         recordLoss(s"data loss on $tp: deleted topic-partition — requested " +
           s"[$from, $until) but the partition no longer exists; skipping it " +
           "and continuing (failOnDataLoss=false)",
-          Seq(DataLossSeam(tp._1, tp._2, from, until, "deleted_partition")))
+          Seq(DataLossSeam(tp._1, tp._2, from, until, DataLossSeam.DeletedPartition)))
         Vector.empty
       case Some((first, log)) if from > until =>
         // Offsets moved backwards: a checkpointed start past the current
@@ -169,7 +243,7 @@ object KafkaStubBroker {
         recordLoss(s"data loss on $tp: start beyond end — requested [$from, $until) " +
           "(offsets moved backwards: topic recreated, or the end bound sits below " +
           "a checkpointed start); reading nothing and continuing (failOnDataLoss=false)",
-          Seq(DataLossSeam(tp._1, tp._2, until, from, "start_beyond_end")))
+          Seq(DataLossSeam(tp._1, tp._2, until, from, DataLossSeam.StartBeyondEnd)))
         Vector.empty
       case Some((first, log)) =>
         val high = first + log.size
@@ -187,15 +261,20 @@ object KafkaStubBroker {
               s"high-water mark $high — a mis-specified window, not retention loss)")
             else None).flatten.mkString(" and ")
           val seams =
-            (if (from < first) Seq(DataLossSeam(tp._1, tp._2, from, cf, "trimmed_head"))
+            (if (from < first) Seq(DataLossSeam(tp._1, tp._2, from, cf, DataLossSeam.TrimmedHead))
              else Nil) ++
-            (if (until > high) Seq(DataLossSeam(tp._1, tp._2, cu, until, "end_beyond_latest"))
+            (if (until > high) Seq(DataLossSeam(tp._1, tp._2, cu, until, DataLossSeam.EndBeyondLatest))
              else Nil)
           recordLoss(s"data loss on $tp: $causes — requested [$from, $until) but " +
             s"available [$first, $high); reading [$cf, $cu) and continuing " +
             "(failOnDataLoss=false)", seams)
         }
-        ((cf until cu).map(o => o -> log((o - first).toInt))).toVector
+        // Control markers occupy offsets (clamping above counted them) but
+        // are never delivered — the read_committed consumer contract. The
+        // returned offsets are therefore non-contiguous on transactional
+        // topics, and fewer rows than (cu − cf) is NORMAL, not data loss.
+        ((cf until cu).map(o => o -> log((o - first).toInt)))
+          .filterNot(_._2.control).toVector
     }
   }
 

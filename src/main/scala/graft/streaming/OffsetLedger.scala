@@ -30,6 +30,12 @@ final class OffsetLedgerListener extends StreamingQueryListener {
     event.progress.sources.foreach { s =>
       // Kafka source offsets are JSON {topic: {partition: offset}}. For
       // non-Kafka sources (files, memory) start/end are opaque — skipped.
+      // A query's FIRST-EVER batch reports startOffset=null (there are no
+      // committed offsets yet — true of the real connector too), so its
+      // window is skipped: this listener ledger is complete from batch 1
+      // / any restart onward. An audit that must cover batch 0 uses the
+      // sink-side ledger ([[ArrivalJob.writeLedger]]), which derives
+      // windows from the delivered records themselves.
       for {
         start <- Option(s.startOffset)
         end <- Option(s.endOffset)

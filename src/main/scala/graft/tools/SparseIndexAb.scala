@@ -64,7 +64,15 @@ object SparseIndexAb {
     // identical answers — the A/B is meaningless if the legs diverge
     val a = recompute().collect().map(_.toSeq).toSet
     val b = probe().collect().map(_.toSeq).toSet
-    require(a == b && a.nonEmpty, s"probe/recompute diverged: ${a.size} vs ${b.size}")
+    // On divergence, show WHAT differs, not just sizes — the two legs
+    // typically return the same row count with different contents, so a
+    // size-only message would read "10 vs 10" and explain nothing.
+    require(a == b && a.nonEmpty, {
+      val onlyRecompute = (a diff b).take(5).mkString("; ")
+      val onlyProbe = (b diff a).take(5).mkString("; ")
+      s"probe/recompute diverged (${a.size} vs ${b.size} rows): " +
+        s"recompute-only sample=[$onlyRecompute] probe-only sample=[$onlyProbe]"
+    })
 
     // the plan invariant the probe path exists for: no term-keyed exchange,
     // no df window, in the PROBE plan

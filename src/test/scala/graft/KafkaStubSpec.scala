@@ -375,4 +375,164 @@ class KafkaStubSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("inverted window"), e.getMessage)
   }
+
+  test("a start_beyond_end seam can never explain a ledger gap (caller-side " +
+    "kinds are excluded from coverage, conservatively including topic-recreate)") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0)
+    (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"m$i"))
+    // recreated topic / stale checkpoint: start 20 vs end 3 → [3, 20) seam
+    KafkaStubBroker.fetch(("events_raw", 0), 20L, 3L, failOnDataLoss = false)
+    import spark.implicits._
+    // a ledger gap [5, 12) sits numerically INSIDE the [3, 20) seam window
+    val ledger = Seq(
+      ("events_raw", 0, 1L, 0L, 5L), ("events_raw", 0, 2L, 12L, 15L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    val res = graft.dq.Checks.offsetContinuityWithSeams(
+      ledger, KafkaStubBroker.seamsDf(spark), "events_raw")
+    assert(res.testResult == graft.model.ValidationResult.FAILED, res.comments)
+    assert(res.comments.contains("UNEXPLAINED"), res.comments)
+  }
+
+  test("two adjacent recorded losses that JOINTLY cover one ledger gap " +
+    "explain it (seams are interval-coalesced before the coverage join)") {
+    KafkaStubBroker.clear()
+    // retention trimmed the head to 10; two separate clamped fetches each
+    // record part of the same trim: [2, 6)→seam [2, 6)... actually each
+    // fetch clamps to the surviving head, so drive the seams directly via
+    // two fetches over disjoint-but-adjacent lost windows
+    KafkaStubBroker.createPartition("events_raw", 0, first = 10L)
+    (0 until 5).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"m$i"))
+    import spark.implicits._
+    // two recorded broker-side losses, back to back: [2, 6) and [6, 10) —
+    // the shape two clamped fetches between the same pair of ledger runs
+    // leave behind (each fetch's requested window started lower)
+    val seams = Seq(
+      ("events_raw", 0, 2L, 6L, "trimmed_head"),
+      ("events_raw", 0, 6L, 10L, "trimmed_head"))
+      .toDF("topicName", "partition", "lostFrom", "lostUntil", "kind")
+    // one ledger gap [2, 10): no SINGLE seam covers it, their union does
+    val ledger = Seq(
+      ("events_raw", 0, 1L, 0L, 2L), ("events_raw", 0, 2L, 10L, 15L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    val res = graft.dq.Checks.offsetContinuityWithSeams(ledger, seams, "events_raw")
+    assert(res.testResult == graft.model.ValidationResult.PASSED, res.comments)
+    assert(res.comments.contains("explained by recorded data loss"), res.comments)
+    // ...but two seams with a HOLE between them ([2, 5) + [6, 10)) must
+    // not merge across the hole: offset 5 is genuinely unaccounted for
+    val holed = Seq(
+      ("events_raw", 0, 2L, 5L, "trimmed_head"),
+      ("events_raw", 0, 6L, 10L, "trimmed_head"))
+      .toDF("topicName", "partition", "lostFrom", "lostUntil", "kind")
+    val holeRes = graft.dq.Checks.offsetContinuityWithSeams(ledger, holed, "events_raw")
+    assert(holeRes.testResult == graft.model.ValidationResult.FAILED, holeRes.comments)
+  }
+
+  test("transactional topic: control batches occupy offsets but are never " +
+    "delivered; count accounting corrects sum(until-from) by the control " +
+    "offsets inside ledger windows") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0)
+    // a transactional producer: 3 records, commit marker, 2 records,
+    // commit marker → offsets 0,1,2 data; 3 control; 4,5 data; 6 control
+    (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"a$i"))
+    KafkaStubBroker.publishControl("events_raw", 0)
+    (0 until 2).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"b$i"))
+    KafkaStubBroker.publishControl("events_raw", 0)
+    assert(KafkaStubBroker.latest(("events_raw", 0)) == 7L,
+      "control markers must advance the high-water mark")
+    // the read delivers ONLY the data records, with their original
+    // (non-contiguous) offsets — the read_committed consumer contract
+    val df = KafkaSource.readBatch(spark, "stub:9092",
+      Seq(OffsetRange("events_raw", 0, 1L, 0L, 7L)), format = "graft-kafka-stub")
+    val offs = df.collect().map(_.getAs[Long]("offset")).sorted.toSeq
+    assert(offs == Seq(0L, 1L, 2L, 4L, 5L), s"got $offs")
+    // no data-loss seam: nothing was lost, offsets were just not records
+    assert(KafkaStubBroker.dataLossSeams.isEmpty,
+      KafkaStubBroker.dataLossSeams.toString)
+    import spark.implicits._
+    val ledger = Seq(("events_raw", 0, 1L, 0L, 7L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    // the reference's raw arithmetic (KafkaDemo.sh:202-214) would report
+    // FALSE data loss here: 7 expected, 5 read
+    val naive = graft.dq.Checks.offsetCountMatch(ledger, 5L, "events_raw")
+    assert(naive.testResult == graft.model.ValidationResult.FAILED)
+    // the txn-aware check subtracts the control offsets the window covers
+    val ctl = KafkaStubBroker.controlOffsetsDf(spark)
+    assert(ctl.collect().map(r => r.getAs[Long]("offset")).sorted.toSeq == Seq(3L, 6L))
+    val txn = graft.dq.Checks.offsetCountMatchWithControl(ledger, ctl, 5L, "events_raw")
+    assert(txn.testResult == graft.model.ValidationResult.PASSED, txn.comments)
+    assert(txn.comments.contains("control=2"), txn.comments)
+    // a control offset OUTSIDE every ledger window is ignored: a second
+    // txn lands after the audited window closes
+    (0 until 1).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"c$i"))
+    KafkaStubBroker.publishControl("events_raw", 0)
+    val txn2 = graft.dq.Checks.offsetCountMatchWithControl(
+      ledger, KafkaStubBroker.controlOffsetsDf(spark), 5L, "events_raw")
+    assert(txn2.testResult == graft.model.ValidationResult.PASSED, txn2.comments)
+    // and offset continuity over consecutive runs stays green: control
+    // batches do not create ledger gaps (until == next from regardless)
+    val ledger2 = Seq(
+      ("events_raw", 0, 1L, 0L, 7L), ("events_raw", 0, 2L, 7L, 9L))
+      .toDF("topicName", "partition", "jobRunId", "fromOffset", "untilOffset")
+    assert(graft.dq.Checks.offsetContinuity(ledger2, "events_raw").testResult ==
+      graft.model.ValidationResult.PASSED)
+  }
+
+  test("transactional topic through the STREAMING path: the ledger windows " +
+    "span control offsets, and the txn-aware count check reconciles") {
+    KafkaStubBroker.clear()
+    KafkaStubBroker.createPartition("events_raw", 0)
+    // txn 1: data offsets 0-3, commit marker at 4
+    (0 until 4).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"a$i"))
+    KafkaStubBroker.publishControl("events_raw", 0)
+    val listener = new graft.streaming.OffsetLedgerListener
+    spark.streams.addListener(listener)
+    val out = java.nio.file.Files.createTempDirectory("graft_txn_stream").toString
+    def runOnce(): Unit = {
+      val q = KafkaSource.readStream(spark, "stub:9092", Seq("events_raw"),
+          startingOffsets = "earliest", format = "graft-kafka-stub")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    try {
+      // run 1 drains txn 1 and commits the checkpoint at offset 5. Its
+      // progress reports startOffset=null (batch 0 has no committed
+      // offsets — the real connector does the same), so the LISTENER
+      // ledger starts at run 2; see OffsetLedgerListener's scaladoc.
+      runOnce()
+      // txn 2 lands: data offsets 5-7, commit marker at 8
+      (0 until 3).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"b$i"))
+      KafkaStubBroker.publishControl("events_raw", 0)
+      // run 2 resumes from the checkpoint: startOffset={"0":5} is reported,
+      // and the ledger row [5, 9) SPANS the trailing control marker
+      runOnce()
+      // listener events are delivered asynchronously — wait (bounded)
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.snapshot(spark).count() == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val ledger = listener.snapshot(spark).toDF()
+      assert(ledger.count() == 1L, ledger.collect().mkString(","))
+      val win = ledger.head()
+      assert(win.getAs[Long]("fromOffset") == 5L &&
+        win.getAs[Long]("untilOffset") == 9L, win.toString)
+      // run 2 delivered the 3 data records of txn 2 (offsets 5, 6, 7)
+      import spark.implicits._
+      val actual = spark.read.parquet(s"$out/data")
+        .filter($"offset" >= 5L).count()
+      assert(actual == 3L, s"3 data records in run 2's window, got $actual")
+      // raw arithmetic over the [5, 9) window overcounts by the marker...
+      assert(graft.dq.Checks.offsetCountMatch(ledger, actual, "events_raw")
+        .testResult == graft.model.ValidationResult.FAILED)
+      // ...the txn-aware check reconciles exactly (control offset 8 is in
+      // the window; offset 4 — run 1's marker — is outside it and ignored)
+      val txn = graft.dq.Checks.offsetCountMatchWithControl(
+        ledger, KafkaStubBroker.controlOffsetsDf(spark), actual, "events_raw")
+      assert(txn.testResult == graft.model.ValidationResult.PASSED, txn.comments)
+      assert(txn.comments.contains("control=1"), txn.comments)
+    } finally spark.streams.removeListener(listener)
+  }
 }
