@@ -64,6 +64,41 @@ object Queries extends QueriesCommerce with QueriesEvents
   }
 
 
+  /** An ORACLE-DIALECT stored text, kept verbatim in the form the
+    * reference's TESTING_QUERIES CLOBs use (`incremental.sh:63-67`,
+    * `KafkaScript_ConformToStaging.sh`): `dbms_lob.substr` /
+    * `dbms_lob.getlength` (the CLOB extraction idiom, note Oracle's
+    * (lob, AMOUNT, OFFSET) argument order), `NVL`, `TO_DATE` with an
+    * Oracle format mask, a `sysdate` comparison (tautological, so the
+    * result stays deterministic), `MINUS` against an empty leg, and the
+    * classic `SELECT * FROM (… ORDER BY …) WHERE ROWNUM <= k` top-k
+    * pagination wrapper. [[oracleDialectStored]] executes it through
+    * [[graft.pipeline.OracleDialect.toSparkSql]] — the drop-in migration
+    * path for the reference's stored queries — and must hash-match the
+    * ANSI twin the oracle runs.
+    */
+  val OracleDialectSql: String =
+    """SELECT * FROM (
+      |  SELECT dbms_lob.substr(c_mktsegment, 4, 1) AS seg4,
+      |         COUNT(*) AS n_custs,
+      |         NVL(MAX(dbms_lob.getlength(c_name)), 0) AS max_comment_len
+      |  FROM customer
+      |  WHERE c_custkey >= 0
+      |    AND TO_DATE('1995-06-01 12:30:45','YYYY-MM-DD HH24:MI:SS') < sysdate
+      |  GROUP BY dbms_lob.substr(c_mktsegment, 4, 1)
+      |  MINUS
+      |  SELECT dbms_lob.substr(c_mktsegment, 4, 1), COUNT(*),
+      |         NVL(MAX(dbms_lob.getlength(c_name)), 0)
+      |  FROM customer WHERE c_custkey < 0
+      |  GROUP BY dbms_lob.substr(c_mktsegment, 4, 1)
+      |  ORDER BY seg4
+      |) WHERE ROWNUM <= 3""".stripMargin
+
+  def oracleDialectStored(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(graft.pipeline.OracleDialect.toSparkSql(OracleDialectSql))
+  }
+
   /** The full `query.txt:1` shape in one statement: multi-way join chain +
     * LEFT JOIN to an aggregating subquery (the Z join) + uncorrelated scalar
     * subquery in a predicate + CASE-unpivot aggregation. Executed through
@@ -540,7 +575,9 @@ object Queries extends QueriesCommerce with QueriesEvents
     "q235_watermark_loss" -> (watermarkLoss _),
     "q236_sparse_index" -> (sparseIndexBuild _),
     "q237_sparse_probe" -> (sparseIndexProbe _),
-    "q238_index_delta" -> (sparseIndexDelta _))
+    "q238_index_delta" -> (sparseIndexDelta _),
+    "q239_index_compact" -> (sparseIndexCompact _),
+    "q240_oracle_dialect" -> (oracleDialectStored _))
 
   private lazy val coreOracle: Map[String, String] = Map(
     "q08_scalar_subquery" ->
@@ -551,6 +588,12 @@ object Queries extends QueriesCommerce with QueriesEvents
         |WHERE o_totalprice BETWEEN 100000.0 AND 110000.0 ORDER BY o_orderkey""".stripMargin,
     "q33_flagship_dim" -> FlagshipSql,
     "q50_flagship_full" -> FlagshipFullSql,
+    "q240_oracle_dialect" ->
+      """SELECT substring(c_mktsegment, 1, 4) AS seg4,
+        |       count(*) AS n_custs,
+        |       coalesce(max(length(c_name)), 0) AS max_comment_len
+        |FROM customer
+        |GROUP BY 1 ORDER BY seg4 LIMIT 3""".stripMargin,
     // q42's decode invariants must all hold, so every counter equals the
     // per-kind item count, which replays from the id arithmetic.
     "q42_media_features" ->

@@ -570,13 +570,24 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * "second fat sort" never existed, and the rewrite measured 58% slower
     * at sf10 (isolated min-of-3: 6.26 s vs 9.92 s). The floor is therefore
     * a RAW-LAYOUT floor, not an operator floor — MEASURED r18
-    * (tools/BucketedFactProbe, bench_out/r18_q174_bucketed_probe.json):
-    * with lineitem AND orders bucketed+sorted on orderkey (128 buckets,
-    * one-time ingest-side layout), the SMJ reads both sides in place and
-    * the identical query CLEARS the 0.25 GB/core probe in ~81 s (vs OOM
-    * raw; vs 70.5 s raw at 4× the memory). Provisioning guidance: ≥1
-    * GB/core on raw parquet, or bucket the two fact tables on orderkey
-    * and run at commodity 0.25 GB/core.
+    * (bench_out/r18_q174_bucketed_probe.json): with lineitem AND orders
+    * bucketed+sorted on orderkey (128 buckets, one-time ingest-side
+    * layout), the orderkey exchange disappears and the identical query
+    * CLEARS the 0.25 GB/core probe in ~81 s (vs OOM raw; vs 70.5 s raw at
+    * 4× the memory).
+    *
+    * r19 promoted that layout to a first-class engine path
+    * ([[graft.sources.Bucketing]] declared layouts, routed transparently
+    * by Tables.load) and found r18's residual cost: with MULTIPLE files
+    * per bucket the reader keeps a per-bucket Sort (and at 8 g that sort
+    * is itself OOM-prone — reproduced); with ONE file per bucket
+    * (writeLayout's enforced invariant) plus
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` the SMJ
+    * streams both sides with NO exchange and NO sort —
+    * bench_out/r19_q174_bucketed_floor.json: 54.1 s min-of-3 at
+    * 0.25 GB/core, 33% under the r18 probe and 23% under the raw run at
+    * 4× the memory. Provisioning guidance: ≥1 GB/core on raw parquet, or
+    * declare the bucketed layout and run at commodity 0.25 GB/core.
     */
   def varianceBridge(spark: SparkSession, dir: String): DataFrame =
     varianceBridgeFrom(t(spark, dir, "lineitem"), t(spark, dir, "orders"),

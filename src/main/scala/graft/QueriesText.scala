@@ -821,6 +821,40 @@ private[graft] trait QueriesText { this: Queries.type =>
       .orderBy(col("q"), col("rnk"))
   }
 
+  /** The full incremental-index LIFECYCLE on disk ([[graft.functions
+    * .Tfidf.appendToIndex]] ×2 → [[graft.functions.Tfidf.compactIndex]] →
+    * probe): two disjoint ingest batches append raw postings + additive
+    * stats, compaction merges them into the term-partitioned sorted
+    * layout (one row per term in term_stats, one corpus row, contiguous
+    * per-term posting runs), and the probe over the COMPACTED directory
+    * must still reproduce q90's monolithic SQL byte-for-byte — the
+    * differential proof that compaction is a pure layout rewrite. q238
+    * proves append ≡ monolithic in-plan; this proves append→compact ≡
+    * monolithic through the on-disk path an always-appending ingest needs
+    * (without compaction, 10k batches = 10k file sets per probe scan).
+    * The index directory is rebuilt per run (delete → append → compact)
+    * so the query is self-contained and deterministic.
+    */
+  def sparseIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Tfidf
+    val docs = t(spark, dir, "documents")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_compact_idx_$key"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Tfidf.appendToIndex(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), path)
+    Tfidf.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0),
+      col("doc_id"), col("text"), path)
+    Tfidf.compactIndex(spark, path)
+    Tfidf.sparseTopKIncremental(spark, path,
+        docs.filter(col("doc_id") < 5), col("doc_id"), col("text"),
+        k = 10, maxDfFrac = 0.78)
+      .orderBy(col("q"), col("rnk"))
+  }
+
 
   /** Crawl-frontier host authority ([[graft.functions.Graph.pageRankInt]]):
     * a host-level link graph derived deterministically from doc ids (the
@@ -2931,6 +2965,7 @@ private[graft] trait QueriesText { this: Queries.type =>
     // whole point is that two disjoint ingest batches + additive stats
     // reproduce the monolithic computation exactly.
     "q238_index_delta" -> SparseRetrievalSql,
+    "q239_index_compact" -> SparseRetrievalSql,
     "q236_sparse_index" ->
       s"""WITH toks AS (SELECT doc_id, unnest($DNTOKS) AS term FROM documents),
          |ct AS (SELECT doc_id AS d, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),

@@ -314,6 +314,68 @@ object Tfidf {
       .select(col("q"), col("d"), col("score"), col("rnk"))
   }
 
+  /** Compact an [[appendToIndex]] directory in place: merge the
+    * accumulated per-batch files into the term-partitioned, (term, d)-
+    * sorted layout of [[writeIndex]] — postings rewritten into contiguous
+    * per-term runs (run-length-friendly encoding, parquet min/max term
+    * pruning restored), term_stats collapsed to ONE row per term,
+    * corpus_stats to ONE row total. The layout contract is unchanged:
+    * [[sparseTopKIncremental]] probes it identically (the stats stay a
+    * sum — of one row now), and later [[appendToIndex]] batches keep
+    * appending; compaction is a pure equivalence-preserving rewrite, so a
+    * post-compaction probe reproduces the monolithic answer byte-for-byte
+    * (q239's differential gate, the same oracle as q90/q238).
+    *
+    * Without it, an always-appending ingest accumulates one file set per
+    * batch forever — at 10k batches the probe's postings scan pays 10k
+    * file opens and loses term locality entirely; the warehouse move is
+    * periodic compaction exactly like a log-structured store's.
+    *
+    * Crash posture: the new layout is fully written (with _SUCCESS) under
+    * `.compact_tmp` before any swap; each table then swaps via two
+    * renames (live → tmp/<t>.old, tmp/<t> → live). A crash between the
+    * renames of DIFFERENT tables leaves a mixed generation — harmless,
+    * since compaction changes no logical content (any mix of
+    * compacted/raw tables sums to the same stats). A crash between the
+    * two renames of ONE table leaves that table missing with its
+    * `.old` retired copy intact — the recovery sweep at the next
+    * compactIndex start renames it back, so re-running converges.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsys = root.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    // Recovery sweep: restore any table a crashed previous compaction
+    // left retired-but-unreplaced before rebuilding from the live set.
+    Seq("postings", "term_stats", "corpus_stats").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(root, t)
+      val old = new org.apache.hadoop.fs.Path(tmp, s"$t.old")
+      if (!fsys.exists(live) && fsys.exists(old)) {
+        require(fsys.rename(old, live), s"compactIndex: cannot restore $live")
+      }
+    }
+    fsys.delete(tmp, true)
+    spark.read.parquet(s"$path/postings")
+      .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    spark.read.parquet(s"$path/term_stats")
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/term_stats")
+    spark.read.parquet(s"$path/corpus_stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_tokens")).cast("long").as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus_stats")
+    Seq("postings", "term_stats", "corpus_stats").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(root, t)
+      val next = new org.apache.hadoop.fs.Path(tmp, t)
+      val old = new org.apache.hadoop.fs.Path(tmp, s"$t.old")
+      require(fsys.rename(live, old), s"compactIndex: cannot retire $live")
+      require(fsys.rename(next, live), s"compactIndex: cannot publish $next")
+    }
+    fsys.delete(tmp, true)
+  }
+
   /** [[sparseTopKIncremental]] over an [[appendToIndex]] directory. */
   def sparseTopKIncremental(spark: org.apache.spark.sql.SparkSession,
                             path: String,

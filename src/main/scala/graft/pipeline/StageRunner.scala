@@ -52,14 +52,18 @@ object StageRunner {
 
     val params = Map[String, Any](
       "min_run_id" -> wm.minRunId, "max_run_id" -> wm.maxRunId)
-    val source = spark.sql(job.sourceQuery, params)
-    val target = spark.sql(job.targetQuery, params)
+    // Stored texts may be Oracle-dialect verbatim (the reference's CLOBs);
+    // the shim rewrites the non-Spark residue (dbms_lob.*, SYSDATE,
+    // TO_DATE formats, trailing ROWNUM) and passes Spark-dialect text
+    // through untouched — migration is drop-in either way.
+    val source = spark.sql(OracleDialect.toSparkSql(job.sourceQuery), params)
+    val target = spark.sql(OracleDialect.toSparkSql(job.targetQuery), params)
 
     val standard = Checks.standardStageChecks(spark, source, target,
       job.jobName, job.stage).collect().toSeq
 
     val nullExtra = job.nullQuery.map { nq =>
-      val offenders = spark.sql(nq, params).limit(1).count()
+      val offenders = spark.sql(OracleDialect.toSparkSql(nq), params).limit(1).count()
       ValidationResult.of(job.jobName, job.stage, "stored_null_query",
         "null_query_probe", offenders == 0,
         if (offenders == 0) "no null offenders" else "stored null query returned rows")

@@ -2,20 +2,165 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Bucketed-table helpers for shuffle-free co-located joins.
+/** Bucketed-table layouts for shuffle-free co-located fact⋈fact joins.
   *
   * The recurring fact⋈fact joins of the warehouse layers (staging↔3NF
-  * reconciliation runs on every load) shuffle both sides on every execution
-  * unless the tables are bucketed on the join key; writing both sides with
-  * the same bucket count and key lets Spark's FileSourceStrategy plan a
-  * sort-merge join with NO Exchange — at 100 TB that's the difference
-  * between re-shuffling the fact table per validation run and reading it
-  * in place.
+  * reconciliation runs on every load, `fact_dim_merging.sh:181-250`'s
+  * fact/dim merge layer) shuffle both sides on every execution unless the
+  * tables are bucketed on the join key; writing both sides with the same
+  * bucket count and key lets Spark's FileSourceStrategy plan a sort-merge
+  * join with NO Exchange — at 100 TB that's the difference between
+  * re-shuffling the fact table per validation run and reading it in place.
+  * Measured at sf100 (bench_out/r18_q174_bucketed_probe.json): the
+  * 600M⋈150M orderkey SMJ OOMs on raw parquet at 0.25 GB/core and clears
+  * in ~81 s over this layout at the same heap, because the exchange+sort
+  * (the allocation wall) is gone.
   *
-  * (Requires a metastore-backed table, hence `saveAsTable`; plain
-  * `.parquet()` paths cannot carry bucket metadata.)
+  * == The declared layout ==
+  *
+  * A scale-factor directory `dir` may carry a bucketed sibling
+  * `${dir}_bucketed/<table>/` holding the bucketed parquet files plus a
+  * `_bucket_spec.json` sidecar (`{"bucketCol":…,"sortCol":…,"buckets":N}`).
+  * [[writeLayout]] produces it (the one-time, ingest-provisioned step);
+  * [[resolve]] routes a read to it by re-declaring the files as an
+  * EXTERNAL clustered table in the session catalog — Spark only trusts
+  * bucket metadata from a catalog table, the files alone (bucket ids in
+  * their names) are not enough. [[Tables.load]] calls [[resolve]] first,
+  * so EVERY catalog query picks up the exchange-free plan with no query
+  * changes the moment the layout exists. Set
+  * `spark.graft.bucketed.disabled=true` (session conf) to force the raw
+  * path — the A/B knob the probe artifacts are measured with.
+  *
+  * (Requires a metastore-backed table, hence `saveAsTable`/`CREATE TABLE`;
+  * plain `.parquet()` paths cannot carry bucket metadata.)
   */
 object Bucketing {
+
+  /** The bucketed sibling of a scale-factor directory. */
+  def layoutDir(dir: String): String = s"${dir.stripSuffix("/")}_bucketed"
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One-time ingest-side layout step: write `$srcDir/$name.parquet`
+    * bucketed+sorted on `bucketCol` under `layoutDir(srcDir)/$name`, with
+    * the `_bucket_spec.json` sidecar [[resolve]] routes on. Run it at
+    * ingest provisioning (generous heap — the write IS the one
+    * shuffle+sort the layout exists to amortize); every later read is
+    * exchange-free AND sort-free.
+    *
+    * ONE FILE PER BUCKET is load-bearing: Spark trusts a bucketed table's
+    * SORTED BY only when each bucket holds a single file — with multiple
+    * writer tasks per bucket the reader keeps a per-task Sort of the
+    * whole bucket, which at sf100 re-creates exactly the allocation wall
+    * the layout exists to remove (measured r19: the multi-file layout's
+    * probe OOMs at 0.25 GB/core inside `Sort → SMJ` where the single-file
+    * layout streams). The `repartition(numBuckets, key)` below aligns
+    * with the bucket-id hash (both are pmod(murmur3, n)), so each task
+    * holds exactly one bucket and writes exactly one file.
+    */
+  def writeLayout(spark: SparkSession, srcDir: String, name: String,
+                  bucketCol: String, numBuckets: Int,
+                  sortCol: Option[String] = None): String = {
+    val loc = s"${layoutDir(srcDir)}/$name"
+    val tmpTable = s"graft_layout_tmp_$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    fs(spark, locPath).delete(locPath, true)
+    // saveAsTable with an explicit path = EXTERNAL table: dropping the
+    // scratch catalog entry below keeps the files, which (plus the
+    // sidecar) ARE the durable layout — catalogs are per-session here.
+    var w = spark.read.parquet(s"$srcDir/$name.parquet")
+      .repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .option("path", loc)
+    sortCol.foreach(c => w = w.sortBy(c))
+    w.format("parquet").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $tmpTable")
+    // the single-file-per-bucket invariant the read-side sort-drop needs
+    // (an EMPTY bucket writes no file — fine; a bucket with TWO files
+    // would silently re-introduce the read-side sort)
+    val bucketIds = fs(spark, locPath).listStatus(locPath)
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+      .map(n => n.substring(n.lastIndexOf('_')))
+    require(bucketIds.length == bucketIds.distinct.length,
+      s"bucketed layout must hold at most one file per bucket at $loc; " +
+        s"duplicate bucket ids: ${bucketIds.diff(bucketIds.distinct).take(5).mkString(",")}")
+    writeSpec(spark, loc, bucketCol, numBuckets, sortCol)
+    loc
+  }
+
+  /** Write just the sidecar — used by [[writeLayout]] and to ADOPT an
+    * existing bucketed directory (files already written with the right
+    * bucket ids, e.g. by a previous tool run) into the declared layout.
+    */
+  def writeSpec(spark: SparkSession, loc: String, bucketCol: String,
+                numBuckets: Int, sortCol: Option[String]): Unit = {
+    val json = s"""{"bucketCol":"$bucketCol","buckets":$numBuckets""" +
+      sortCol.map(c => s""","sortCol":"$c"""").getOrElse("") + "}"
+    val p = new org.apache.hadoop.fs.Path(loc, "_bucket_spec.json")
+    val out = fs(spark, p).create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Route a table read to its declared bucketed layout, if one exists:
+    * Some(bucketed DataFrame) when `${dir}_bucketed/$name/_bucket_spec
+    * .json` + `_SUCCESS` are present (and routing isn't disabled), None →
+    * caller falls back to raw parquet. The catalog declaration is
+    * idempotent per (location, schema) — the table name carries a
+    * location hash, so two scale dirs never collide and a re-resolve
+    * reuses the session's existing entry.
+    */
+  def resolve(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    if (spark.conf.getOption("spark.graft.bucketed.disabled").contains("true") ||
+        sys.env.get("SPARK_GRAFT_NO_BUCKETED").contains("1")) return None
+    val loc = s"${layoutDir(dir)}/$name"
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val f = fs(spark, locPath)
+    val specPath = new org.apache.hadoop.fs.Path(locPath, "_bucket_spec.json")
+    if (!f.exists(specPath) ||
+        !f.exists(new org.apache.hadoop.fs.Path(locPath, "_SUCCESS"))) return None
+    val spec = {
+      val in = f.open(specPath)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(buf.toByteArray, "UTF-8"))
+    }
+    val bucketCol = spec.get("bucketCol").asText()
+    val buckets = spec.get("buckets").asInt()
+    val sortCol = Option(spec.get("sortCol")).map(_.asText())
+    // Spark ≥3.0 ignores a bucketed table's SORTED BY at read time unless
+    // this (misleadingly-named) flag is on; with it, a scan whose buckets
+    // each hold ONE file — writeLayout's enforced invariant — reports
+    // sorted output and the downstream SMJ drops its per-bucket Sort.
+    // Without it the reader re-sorts every bucket in-task, which at sf100
+    // is exactly the allocation wall the layout exists to remove
+    // (measured r19: OOM at 0.25 GB/core with the flag off, streams with
+    // it on). Set lazily here so only sessions that actually route to a
+    // bucketed layout pay the one-file-per-bucket listing check.
+    if (sortCol.isDefined)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val tbl = {
+      // the name keys on location AND spec: a layout regenerated with a
+      // different bucket count/key gets a fresh catalog entry instead of
+      // silently reusing stale bucket metadata from a persisted metastore
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$loc|$bucketCol|$buckets|${sortCol.getOrElse("")}"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+      s"graft_b_${h}_$name"
+    }
+    if (!spark.catalog.tableExists(tbl)) {
+      val ddl = spark.read.parquet(loc).schema.toDDL
+      val sorted = sortCol.map(c => s"SORTED BY ($c)").getOrElse("")
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $tbl ($ddl) USING parquet
+        CLUSTERED BY ($bucketCol) $sorted INTO $buckets BUCKETS
+        LOCATION '$loc'""")
+    }
+    Some(spark.table(tbl))
+  }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sortCol: Option[String] = None): Unit = {

@@ -29,11 +29,23 @@ object Tables {
     * [[normalizeEventTime]]) so both the DataFrame and the SQL-view
     * surface expose one event-time convention regardless of how the
     * files/columns encode timestamps.
+    *
+    * When the layer carries a DECLARED BUCKETED LAYOUT for the table
+    * (`${dir}_bucketed/$name/_bucket_spec.json` — [[Bucketing]]), the
+    * read routes there: same rows, same schema, but joins/aggregates on
+    * the bucket key plan with NO exchange, so every fact⋈fact query in
+    * the catalog picks up the co-located layout without query changes
+    * (the warehouse move that turns q174's measured 1 GB/core raw-parquet
+    * sort-merge floor into an in-place 0.25 GB/core read). Routing is
+    * transparent to correctness by construction — the layout is a
+    * row-identical rewrite of the raw table — and disabled via
+    * `spark.graft.bucketed.disabled=true` for raw-leg A/B runs.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (Jdbc.isJdbcLocation(dir)) Jdbc.read(spark, dir, name)
-      else spark.read.parquet(s"$dir/$name.parquet")
+      else Bucketing.resolve(spark, dir, name)
+        .getOrElse(spark.read.parquet(s"$dir/$name.parquet"))
     if (name == "events") normalizeEventTime(df) else df
   }
 

@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Bucketed-layout answer to q174's raw-parquet memory floor (r18, verdict
-  * task 3): the 600M⋈150M orderkey sort-merge at sf100 needs ≥1 GB/core on
+/** Memory-floor probe for the DECLARED bucketed fact layout
+  * ([[graft.sources.Bucketing]]) — the answer to q174's raw-parquet memory
+  * floor: the 600M⋈150M orderkey sort-merge at sf100 needs ≥1 GB/core on
   * raw parquet because BOTH fact sides exchange+sort on the fly
   * (QueriesCommerce.varianceBridge's Scaladoc records the measured floor
   * and the failed r17 plan fixes). Bucketing lineitem AND orders by
@@ -12,33 +13,43 @@ import org.apache.spark.sql.SparkSession
   * the probe's SMJ reads both sides in place: no exchange, no sort, no
   * allocation wall.
   *
+  * Since r19 the layout is a first-class engine path: `layout` writes it
+  * via [[graft.sources.Bucketing.writeLayout]] under
+  * `${srcDir}_bucketed/`, and EVERY catalog query routes to it through
+  * [[graft.sources.Tables.load]] automatically — the probe runs the
+  * UNCHANGED q174 builder against `srcDir` and the routing does the rest.
+  * The same measurement is therefore Bench-regenerable:
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_BENCH_REF=/dev/null \
+  *     tools/run_bench_raw.sh graft.Bench q174_variance_bridge --repeats 3
+  * }}}
+  * measures the routed leg at the 8 g / 32-core = 0.25 GB/core heap that
+  * OOMs the raw layout (SPARK_GRAFT_NO_BUCKETED=1 forces the raw leg).
+  * This main remains for the plan-pinned, artifact-writing form of that
+  * run.
+  *
   * Two modes, two JVMs, mirroring ingest-vs-query provisioning:
   *
-  *  - `layout <srcDir> <warehouse> <buckets>` (generous heap — ingest):
-  *    writes `lineitem_b`/`orders_b` with `bucketBy(buckets, orderkey)` +
-  *    `sortBy(orderkey)` under `warehouse`.
-  *  - `probe <srcDir> <warehouse> <buckets> <outJson>` (run it at the 8 g /
-  *    32-core = 0.25 GB/core heap that OOMs the raw layout): re-declares
-  *    the bucketed tables as EXTERNAL (`CREATE TABLE ... CLUSTERED BY ...
-  *    LOCATION ...` — bucket metadata lives in the catalog, the files
-  *    already carry bucket-id names), runs the IDENTICAL
-  *    varianceBridgeFrom logical query over them, asserts the orderkey
-  *    exchange is GONE from the physical plan, and records wall + result
-  *    row count. Equality of the bucketed-leg results with the raw-parquet
-  *    leg is asserted per-value in RunControlBucketingSpec at small sf
-  *    (same builder, so the oracle hash is unchanged by construction).
+  *  - `layout <srcDir> <buckets>` (generous heap — ingest): declares the
+  *    bucketed layout for lineitem and orders on their orderkeys.
+  *  - `probe <srcDir> <outJson> [repeats]` (run at 8 g): runs the
+  *    IDENTICAL varianceBridge logical query via the routed loader,
+  *    asserts the orderkey exchange is GONE and both fact scans read the
+  *    `_bucketed` layout, and records min-of-N wall + result rows.
+  *    Equality of the bucketed-leg results with the raw-parquet leg is
+  *    asserted per-value in RunControlBucketingSpec at small sf (same
+  *    builder, so the oracle hash is unchanged by construction).
   */
 object BucketedFactProbe {
 
   def main(args: Array[String]): Unit = {
     // Validate BEFORE building a SparkSession: a typo'd mode must die with
     // the usage line immediately, not with a MatchError after 10s of init.
-    require(args.length >= 4 && Set("layout", "probe").contains(args(0)),
-      "usage: BucketedFactProbe layout|probe <srcDir> <warehouse> <buckets> [outJson]")
+    require(args.length >= 2 && Set("layout", "probe").contains(args(0)),
+      "usage: BucketedFactProbe layout <srcDir> <buckets> | " +
+        "probe <srcDir> <outJson> [repeats]")
     val mode = args(0)
     val srcDir = args(1)
-    val warehouse = args(2)
-    val buckets = args(3).toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -46,56 +57,65 @@ object BucketedFactProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     mode match {
       case "layout" =>
-        graft.sources.Bucketing.writeBucketed(
-          spark.read.parquet(s"$srcDir/lineitem.parquet"),
-          "lineitem_b", "l_orderkey", buckets, sortCol = Some("l_orderkey"))
-        graft.sources.Bucketing.writeBucketed(
-          spark.read.parquet(s"$srcDir/orders.parquet"),
-          "orders_b", "o_orderkey", buckets, sortCol = Some("o_orderkey"))
-        println(s"""{"layout":"done","buckets":$buckets,"warehouse":"$warehouse"}""")
+        val buckets = args(2).toInt
+        graft.sources.Bucketing.writeLayout(spark, srcDir, "lineitem",
+          "l_orderkey", buckets, sortCol = Some("l_orderkey"))
+        graft.sources.Bucketing.writeLayout(spark, srcDir, "orders",
+          "o_orderkey", buckets, sortCol = Some("o_orderkey"))
+        println(s"""{"layout":"done","buckets":$buckets,""" +
+          s""""dir":"${graft.sources.Bucketing.layoutDir(srcDir)}"}""")
 
       case "probe" =>
-        val outJson = args.lift(4).getOrElse("bench_out/r18_q174_bucketed_probe.json")
-        // Re-declare the layout-step tables in this session's catalog: the
-        // bucket SPEC is catalog metadata; the bucket ids are in the file
-        // names the layout write produced.
-        def declare(name: String, key: String): Unit = {
-          val loc = s"$warehouse/$name"
-          val ddl = spark.read.parquet(loc).schema.toDDL
-          spark.sql(s"""CREATE TABLE $name ($ddl) USING parquet
-            CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-            LOCATION '$loc'""")
-        }
-        declare("lineitem_b", "l_orderkey")
-        declare("orders_b", "o_orderkey")
-        val q = graft.Queries.varianceBridgeFrom(
-          spark.table("lineitem_b"), spark.table("orders_b"),
-          spark.read.parquet(s"$srcDir/part.parquet"))
+        val outJson = args.lift(2).getOrElse("bench_out/r19_q174_bucketed_floor.json")
+        val repeats = args.lift(3).map(_.toInt).getOrElse(2).max(1)
+        // The UNCHANGED catalog builder — Tables.load routes both fact
+        // scans to the declared layout; no probe-local table declarations.
+        def q = graft.Queries.varianceBridge(spark, srcDir)
         val plan = q.queryExecution.executedPlan.toString
         val orderkeyExchangeGone =
           !plan.contains("hashpartitioning(l_orderkey") &&
             !plan.contains("hashpartitioning(o_orderkey")
         require(orderkeyExchangeGone,
-          "bucketed probe still exchanges on orderkey:\n" + plan.take(3000))
-        val t0 = System.nanoTime()
-        val rows = q.count()
-        val wall = (System.nanoTime() - t0) / 1e9
+          "routed probe still exchanges on orderkey:\n" + plan.take(3000))
+        // sort-free too: with one file per bucket the SMJ streams both
+        // sides in place — a re-introduced per-bucket Sort IS the
+        // allocation wall this layout removes (r19: the multi-file layout
+        // OOM'd here at 0.25 GB/core)
+        val orderkeySortGone =
+          !plan.contains("Sort [l_orderkey") && !plan.contains("Sort [o_orderkey")
+        require(orderkeySortGone,
+          "routed probe still sorts on orderkey (multi-file buckets? " +
+            "re-run the layout step):\n" + plan.take(3000))
+        require(plan.contains("_bucketed/lineitem") &&
+          plan.contains("_bucketed/orders"),
+          "probe requires the declared layout (run `layout` first):\n" +
+            plan.take(1500))
+        if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+          println("PROBE PLAN:\n" + plan)
+        val passes = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          val rows = q.count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
         def r1(v: Double): String =
           String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         val heap = Runtime.getRuntime.maxMemory() / (1L << 30)
         val json =
-          s"""{"probe":"q174_variance_bridge over bucketed lineitem/orders",
-             |"sf_dir":"$srcDir","buckets":$buckets,"heap_gib":$heap,
+          s"""{"probe":"q174_variance_bridge via Tables.load bucketed routing",
+             |"sf_dir":"$srcDir","heap_gib":$heap,
              |"shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",
              |"orderkey_exchange_gone":$orderkeyExchangeGone,
-             |"result_rows":$rows,"wall_sec":${r1(wall)},"completed":true}"""
+             |"bucketed_scans":true,
+             |"passes_sec":[${passes.map(p => r1(p._1)).mkString(",")}],
+             |"floor_sec":${r1(passes.map(_._1).min)},
+             |"result_rows":${passes.head._2},"completed":true,
+             |"regenerate":"tools/run_bench_raw.sh graft.tools.BucketedFactProbe probe $srcDir <out> ${repeats}"}"""
             .stripMargin.replaceAll("\n", "")
         java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
           (json + "\n").getBytes("UTF-8"))

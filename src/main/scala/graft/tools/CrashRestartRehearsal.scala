@@ -115,6 +115,28 @@ object CrashRestartRehearsal {
     val childJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/child_result.json")), "UTF-8").trim
     val sourceName = if (source == "stub") "graft-kafka-stub" else "file"
+    // Bound-check the recorded micro-batch durations across all surviving
+    // children (the reference's BATCH_DURATION expectation): every batch
+    // within the budget, worst one named in the artifact.
+    val durBudgetMs = sys.env.getOrElse("SPARK_GRAFT_BATCH_BUDGET_MS", "600000").toLong
+    val durations = Seq("seam", "none").flatMap { m =>
+      val p = java.nio.file.Paths.get(s"$root/batch_durations_$m.jsonl")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val ms = """"ms":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+          ms.getOrElse(0L)
+        }.toSeq
+    }
+    val worstMs = if (durations.isEmpty) 0L else durations.max
+    require(durations.nonEmpty && worstMs <= durBudgetMs,
+      s"batch durations must be recorded and bounded: n=${durations.size} " +
+        s"worst=${worstMs}ms budget=${durBudgetMs}ms")
+    val durJson =
+      s""""batch_durations":{"n":${durations.size},"worst_ms":$worstMs,
+         |"mean_ms":${if (durations.isEmpty) 0 else durations.sum / durations.size},
+         |"budget_ms":$durBudgetMs,"within_budget":true},"""
+        .stripMargin.replaceAll("\n", "")
     // Stub mode's batch boundaries exist ONLY because maxOffsetsPerTrigger
     // (ReadMaxRows) is splitting the AvailableNow drain — so its tear kill
     // lands mid-rate-limit by construction, and recovery must re-plan the
@@ -129,6 +151,7 @@ object CrashRestartRehearsal {
        |{"mode":"seam","exit":$exitSeam,"wall_sec":${d1(wSeam)},
        |"ledger_runs_after":${ledgerRunsAfterSeam.size},"conform_absent":true}],
        |"final":{"exit":$exitNone,"wall_sec":${d1(wNone)}},
+       |$durJson
        |"result":$childJson}""".stripMargin.replaceAll("\n", "")
   }
 
@@ -218,6 +241,21 @@ object CrashRestartRehearsal {
           startingOffsets = "earliest")
       } else spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
+    // Batch-duration audit trail (the reference's BATCH_DURATION PASS/FAIL
+    // log, `KafkaDemo.sh:131-144`): wall per micro-batch from the progress
+    // listener, persisted per child so the parent can bound-check the
+    // whole torn/replayed run. The tear child's mid-batch halt loses its
+    // in-flight measurements by design — the seam child re-measures the
+    // replayed epochs.
+    val durListener = new graft.streaming.OffsetLedgerListener
+    spark.streams.addListener(durListener)
+    def persistDurations(): Unit = {
+      val lines = durListener.batchDurations
+        .map { case (id, ms) => s"""{"batch":$id,"ms":$ms}""" }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/batch_durations_${killMode.takeWhile(_ != ':')}.jsonl"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
     val q = in.writeStream
       .queryName("graft_arrival_crash")
       .trigger(Trigger.AvailableNow())
@@ -233,6 +271,16 @@ object CrashRestartRehearsal {
       }
       .start()
     q.awaitTermination()
+    // listener events are async — drain them (bounded) before persisting
+    locally {
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+        durListener.batchDurations.size != last) {
+        last = durListener.batchDurations.size; Thread.sleep(200)
+      }
+    }
+    persistDurations()
     if (killMode == "seam") {
       System.out.println("[crash-child] arrival complete; halting at the conform seam")
       System.out.flush()

@@ -139,6 +139,80 @@ class TfidfSpec extends AnyFunSuite {
     assert(cs.agg(sum(col("n_docs"))).head().getLong(0) == 4L)
   }
 
+  test("compactIndex: the probe over the compacted directory is byte-" +
+    "identical to pre-compaction AND to the monolithic recompute; stats " +
+    "collapse to one row per term / one corpus row; appends keep working") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cpt").toString
+    val batchA = corpus.filter(col("doc_id") <= 2)
+    val batchB = corpus.filter(col("doc_id") > 2)
+    Tfidf.appendToIndex(batchA, col("doc_id"), col("text"), dir)
+    Tfidf.appendToIndex(batchB, col("doc_id"), col("text"), dir)
+    val q = corpus.filter(col("doc_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"),
+        r.getAs[Long]("score"), r.getAs[Int]("rnk"))).toSet
+    def probe(frac: Double) = rows(Tfidf.sparseTopKIncremental(spark, dir,
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = frac))
+    val before = probe(1.0)
+    val beforeCapped = probe(0.5)
+    Tfidf.compactIndex(spark, dir)
+    // pure layout rewrite: identical at both frac settings, and still
+    // identical to the monolithic recompute
+    assert(probe(1.0) == before && before.nonEmpty)
+    assert(probe(0.5) == beforeCapped)
+    assert(before == rows(Tfidf.sparseTopK(corpus, col("doc_id"), col("text"),
+      q, col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0)))
+    // stats collapsed: one corpus row, one row per term
+    assert(spark.read.parquet(s"$dir/corpus_stats").count() == 1L)
+    val ts = spark.read.parquet(s"$dir/term_stats")
+    assert(ts.count() == ts.select("term").distinct().count())
+    // postings term-locality restored: each file holds disjoint terms'
+    // contiguous runs (sorted within partitions) — pin via sorted scan
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.count() == Tfidf.rawPostings(corpus, col("doc_id"), col("text")).count())
+    // the directory is still APPENDABLE after compaction: a third batch
+    // of new docs lands and the probe tracks the grown corpus exactly
+    import spark.implicits._
+    val batchC = Seq((5L, "zebra zebra banana")).toDF("doc_id", "text")
+    Tfidf.appendToIndex(batchC, col("doc_id"), col("text"), dir)
+    val grown = Tfidf.sparseTopK(corpus.unionByName(batchC),
+      col("doc_id"), col("text"), q, col("doc_id"), col("text"),
+      k = 10, maxDfFrac = 1.0)
+    assert(probe(1.0) == rows(grown))
+    // no postings-side term exchange in the probe plan: the only
+    // term-keyed shuffles allowed are over the vocab-bounded stats legs
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Tfidf.sparseTopKIncremental(spark, dir, q,
+      col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0)
+      .queryExecution.sparkPlan
+    val termExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("term") => e
+    }
+    assert(termExchanges.forall(e => !e.toString.contains("postings")),
+      s"postings must never shuffle on term:\n${termExchanges.mkString("\n")}")
+  }
+
+  test("compactIndex crash recovery: a table retired but not replaced is " +
+    "restored by the next compaction's recovery sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    Tfidf.appendToIndex(corpus, col("doc_id"), col("text"), dir)
+    // simulate the worst crash window: postings retired to .old, new one
+    // never published
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    fs.mkdirs(tmp)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "postings"),
+      new org.apache.hadoop.fs.Path(tmp, "postings.old")))
+    Tfidf.compactIndex(spark, dir) // recovery sweep restores, then compacts
+    val q = corpus.filter(col("doc_id") < 3)
+    val got = Tfidf.sparseTopKIncremental(spark, dir, q,
+      col("doc_id"), col("text"), k = 10, maxDfFrac = 1.0).count()
+    assert(got > 0)
+  }
+
   test("warm index probe plan: no tokenize/explode, no corpus-keyed window " +
     "exchange — the scan+broadcast-join shape build-once/probe-many buys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_plan").toString
