@@ -452,8 +452,14 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     */
   def joinStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.dq.Checks.fkProfile
-    val li = t(spark, dir, "lineitem")
-    val o = t(spark, dir, "orders")
+    // This audit PROFILES THE RAW LAYER — full-table aggregates across
+    // MANY keys (orderkey, partkey, suppkey, custkey) — so it reads the
+    // raw files explicitly: a declared bucketed layout is sorted on ONE
+    // key and scatters the others, which measured 7× slower for the
+    // non-bucket-key aggregate legs at sf100
+    // (bench_out/r19_bucket_scan_probe.json, Tables.loadRaw's scaladoc).
+    val li = Tables.loadRaw(spark, dir, "lineitem")
+    val o = Tables.loadRaw(spark, dir, "orders")
     val edges = Seq(
       fkProfile(li, col("l_orderkey"), o, col("o_orderkey"),
         "lineitem.l_orderkey->orders"),

@@ -136,7 +136,7 @@ object Checks {
     *
     * Only BROKER-SIDE losses can explain a gap: when `seams` carries a
     * `kind` column, the caller-side kinds
-    * ([[graft.sources.KafkaStubBroker.DataLossSeam.callerSideKinds]]:
+    * ([[graft.model.SeamKinds.callerSideKinds]]:
     * `end_beyond_latest` — an `until` past the high-water mark — and
     * `start_beyond_end` — a start past the current end, which is either a
     * caller bug or a recreated topic and is classified conservatively as
@@ -162,7 +162,7 @@ object Checks {
       col("jobRunId"), col("fromOffset"), col("untilOffset"))
       .select(col("topicName"), col("partition"),
         col("prev_until").as("gap_from"), col("fromOffset").as("gap_until"))
-    val callerSide = graft.sources.KafkaStubBroker.DataLossSeam.callerSideKinds
+    val callerSide = graft.model.SeamKinds.callerSideKinds
     val brokerSide =
       if (seams.columns.contains("kind"))
         seams.filter(!col("kind").isin(callerSide.toSeq: _*))
@@ -351,24 +351,35 @@ object Checks {
     */
   def fkProfile(fact: DataFrame, key: Column, dim: DataFrame, dimKey: Column,
                 edge: String): DataFrame = {
-    // perKey feeds three consumers, but all three reuse the SAME
-    // aggregate exchange at runtime — a materialization seam here
-    // measured slower (1.1 -> 1.8s across q149's five edges), so the
-    // reuse path stands.
+    // SINGLE-CONSUMER SHAPE (r19): stats, orphan_rows and
+    // unmatched_dim_keys all derive from ONE full-outer join of the
+    // per-key counts against the per-dim-key counts, so the expensive
+    // perKey subtree (a full fact scan + aggregate) executes exactly once
+    // BY CONSTRUCTION. The previous shape fed perKey to three consumers
+    // and relied on runtime ReusedExchange to dedupe the work — which
+    // silently broke when the fact arrived BUCKETED on the key
+    // (sources/Bucketing routing): the aggregate needs no exchange there,
+    // so there was no exchange to reuse and the 600M-row scan+aggregate
+    // ran three times (q149 sf100 routed: 162 s vs 91 s raw, measured
+    // r19). Single-consumer, the routed leg reads the fact in place once.
     val perKey = fact.select(key.as("k")).filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // dim side pre-aggregated to (dk, dn) so duplicate dim keys can never
+    // fan out perKey rows in the join (unmatched_dim_keys counts dim ROWS,
+    // as before — a NULL dim key groups on its own, never equi-joins, and
+    // so stays counted as unmatched, matching the old anti-join exactly)
+    val dimKeys = dim.select(dimKey.as("dk"))
+      .groupBy(col("dk")).agg(count(lit(1)).as("dn"))
     // Degenerate edge (empty fact / all-NULL keys): coalesce the NULL
     // sum/max to 0 so the audit row keeps its all-integer contract.
-    val stats = perKey.agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
-      count(lit(1)).as("n_keys"),
-      coalesce(max(col("c")), lit(0L)).as("max_freq"))
-    val orphans = perKey
-      .join(dim.select(dimKey.as("dk")), col("k") === col("dk"), "left_anti")
-      .agg(coalesce(sum(col("c")), lit(0L)).as("orphan_rows"))
-    val unmatched = dim.select(dimKey.as("dk"))
-      .join(perKey.select(col("k")), col("dk") === col("k"), "left_anti")
-      .agg(count(lit(1)).as("unmatched_dim_keys"))
-    stats.crossJoin(orphans).crossJoin(unmatched)
+    perKey
+      .join(dimKeys, col("k") === col("dk"), "full_outer")
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        count(col("k")).as("n_keys"),
+        coalesce(max(col("c")), lit(0L)).as("max_freq"),
+        coalesce(sum(when(col("dk").isNull, col("c"))), lit(0L)).as("orphan_rows"),
+        coalesce(sum(when(col("k").isNull, col("dn"))), lit(0L)).as("unmatched_dim_keys"))
       .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"), col("max_freq"),
         expr("CASE WHEN n_keys = 0 THEN 0L ELSE " +
           "(max_freq * 1000000L) DIV greatest(n_rows DIV n_keys, 1L) END")

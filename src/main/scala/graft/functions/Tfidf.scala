@@ -433,32 +433,50 @@ object Tfidf {
     val path = s"$cacheRoot/${pathKey}_${fp}_$frac"
     val cachePath = new org.apache.hadoop.fs.Path(path)
     val cacheFs = cachePath.getFileSystem(hconf)
-    if (!cacheFs.exists(new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS"))) {
+    val successMarker = new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS")
+    if (!cacheFs.exists(successMarker)) {
       // Write-to-temp-then-rename: the new version becomes visible only as
       // a complete directory (crash mid-write leaves a .tmp_ orphan that
       // the post-publish purge collects, never a half-built cache entry),
       // and a concurrent builder racing to the same fingerprint loses the
-      // rename and discards its temp — both sessions then read one winner.
+      // publish and discards its temp — both sessions then read one winner.
       val tmp = new org.apache.hadoop.fs.Path(
         s"$path.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       writeIndex(buildIndex(docs, idCol, textCol, maxDfFrac), tmp.toString)
-      if (!cacheFs.rename(tmp, cachePath))
+      // re-check: a concurrent builder may have published while we built
+      if (cacheFs.exists(successMarker) || !cacheFs.rename(tmp, cachePath))
         scala.util.Try(cacheFs.delete(tmp, true))
+      // Hadoop's LOCAL-FS rename of a dir onto an existing non-empty dir
+      // can degrade to copy-INTO (FileUtil.copy places tmp as a
+      // SUBDIRECTORY of the live entry, named *.tmp_* — not dot-prefixed,
+      // so a parquet reader would recurse into it and double-count every
+      // posting). Sweep any such nested dirs out before anyone reads.
+      if (cacheFs.exists(cachePath))
+        cacheFs.listStatus(cachePath)
+          .filter(s => s.isDirectory && s.getPath.getName.contains(".tmp_"))
+          .foreach(s => scala.util.Try(cacheFs.delete(s.getPath, true)))
     }
     // Purge prior versions of the SAME corpus+frac only AFTER the current
     // version's _SUCCESS exists (a crash can no longer strand the cache
-    // with NO readable version), plus any orphaned temp dirs. Deletes are
+    // with NO readable version). Orphaned temp dirs are purged only when
+    // OLDER than an hour — a younger one may be a CONCURRENT session's
+    // in-flight build, which a purge would fail mid-write. Deletes are
     // best-effort: a concurrent session still holding the old version open
     // may make its directory undeletable mid-read — tolerated, the next
     // rebuild retries the purge.
     locally {
       val rootPath = new org.apache.hadoop.fs.Path(cacheRoot)
+      val tmpAgeFloorMs = 60L * 60 * 1000
+      val now = System.currentTimeMillis()
       if (cacheFs.exists(rootPath))
         cacheFs.listStatus(rootPath)
           .filter { s =>
             val n = s.getPath.getName
-            n.startsWith(s"${pathKey}_") && n != cachePath.getName &&
-              (n.endsWith(s"_$frac") || n.contains(s"_$frac.tmp_"))
+            n.startsWith(s"${pathKey}_") && n != cachePath.getName && {
+              if (n.endsWith(s"_$frac")) true
+              else n.contains(s"_$frac.tmp_") &&
+                now - s.getModificationTime > tmpAgeFloorMs
+            }
           }
           .foreach(s => scala.util.Try(cacheFs.delete(s.getPath, true)))
     }

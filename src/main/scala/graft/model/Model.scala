@@ -104,3 +104,25 @@ final case class StageJob(
     sourceQuery: String,
     targetQuery: String,
     nullQuery: Option[String])
+
+/** The data-loss seam-kind vocabulary shared by the connectors that EMIT
+  * seams (the stub broker today; a real connector's WARN-log parser on a
+  * cluster) and the audits that CONSUME them
+  * ([[graft.dq.Checks.offsetContinuityWithSeams]]) — in the model layer
+  * so the production check never depends on a test double for its
+  * contract. Broker-side kinds describe records the broker really dropped
+  * and may explain a ledger gap; caller-side kinds describe a
+  * mis-specified read window (`until` past the high-water mark, or a
+  * start past the end — the latter also covers topic-recreated, which an
+  * emitter cannot distinguish from a caller bug at record time, so it is
+  * classified conservatively: a recreated topic's gap stays an audit FAIL
+  * rather than being laundered into a PASS).
+  */
+object SeamKinds {
+  val TrimmedHead = "trimmed_head"
+  val EndBeyondLatest = "end_beyond_latest"
+  val StartBeyondEnd = "start_beyond_end"
+  val DeletedPartition = "deleted_partition"
+  val brokerSideKinds: Set[String] = Set(TrimmedHead, DeletedPartition)
+  val callerSideKinds: Set[String] = Set(EndBeyondLatest, StartBeyondEnd)
+}

@@ -34,16 +34,29 @@ package graft.pipeline
   *
   * The rewrites are textual but QUOTE-AWARE (string literals are never
   * touched) and paren-balanced (nested calls inside `dbms_lob.substr`
-  * arguments split correctly). Spark-dialect text passes through
-  * unchanged — every rewrite keys on tokens Spark cannot parse anyway —
-  * so the shim is safe to apply unconditionally.
+  * arguments split correctly). Typical Spark-dialect text passes through
+  * unchanged; the pathological cases a textual shim cannot distinguish —
+  * a Spark query whose COLUMNS are literally named `sysdate`/`rownum` —
+  * are handled one level up: [[StageRunner.runJob]] dispatches
+  * TRY-SPARK-FIRST, so the shim only ever sees texts Spark itself
+  * rejected, and valid Spark SQL is never rewritten out from under its
+  * author.
   */
 object OracleDialect {
 
   def toSparkSql(sql: String): String = {
-    require(!sql.contains("(+)"),
-      "Oracle (+) outer-join syntax is not translatable textually — " +
-        "rewrite the stored query with ANSI LEFT/RIGHT OUTER JOIN")
+    // quote-aware: a '(+)' INSIDE a string literal (e.g. a regex argument)
+    // is data, not the Oracle join marker
+    locally {
+      val mask = literalMask(sql)
+      var idx = sql.indexOf("(+)")
+      while (idx >= 0) {
+        require(mask(idx),
+          "Oracle (+) outer-join syntax is not translatable textually — " +
+            "rewrite the stored query with ANSI LEFT/RIGHT OUTER JOIN")
+        idx = sql.indexOf("(+)", idx + 1)
+      }
+    }
     var s = sql
     s = rewriteDbmsLob(s)
     s = rewriteToDate(s)
@@ -184,8 +197,11 @@ object OracleDialect {
     */
   private def looksOracleFormat(fmt: String): Boolean =
     fmt == fmt.toUpperCase(java.util.Locale.ROOT) &&
-      Seq("YYYY", "RRRR", "HH24", "HH12", "MI", "MON", "DD")
-        .exists(fmt.contains)
+      // Oracle-DISTINCTIVE tokens only: 'DD' alone is excluded because it
+      // is also a valid java.time pattern (day-of-year) — an all-caps
+      // Spark to_date(x, 'DD') must pass through, not be silently turned
+      // into day-of-month
+      Seq("YYYY", "RRRR", "HH24", "HH12", "MI", "MON").exists(fmt.contains)
 
   private def rewriteToDate(s0: String): String =
     rewriteCalls(s0, "to_date") { args =>

@@ -52,18 +52,30 @@ object StageRunner {
 
     val params = Map[String, Any](
       "min_run_id" -> wm.minRunId, "max_run_id" -> wm.maxRunId)
-    // Stored texts may be Oracle-dialect verbatim (the reference's CLOBs);
-    // the shim rewrites the non-Spark residue (dbms_lob.*, SYSDATE,
-    // TO_DATE formats, trailing ROWNUM) and passes Spark-dialect text
-    // through untouched — migration is drop-in either way.
-    val source = spark.sql(OracleDialect.toSparkSql(job.sourceQuery), params)
-    val target = spark.sql(OracleDialect.toSparkSql(job.targetQuery), params)
+    // Stored texts may be Oracle-dialect verbatim (the reference's CLOBs).
+    // Dialect dispatch is TRY-SPARK-FIRST: a text Spark parses and
+    // analyzes runs untouched — so a Spark query whose columns happen to
+    // be named `sysdate`/`rownum` is never rewritten out from under it —
+    // and only a text Spark REJECTS goes through the Oracle shim
+    // (dbms_lob.*, SYSDATE, TO_DATE masks, trailing ROWNUM). Migration is
+    // drop-in either way, and never lossy for valid Spark SQL.
+    def runStored(q: String): DataFrame =
+      try spark.sql(q, params)
+      catch {
+        case e @ (_: org.apache.spark.sql.catalyst.parser.ParseException |
+                  _: org.apache.spark.sql.AnalysisException) =>
+          val rewritten = OracleDialect.toSparkSql(q)
+          if (rewritten == q) throw e // shim had nothing to offer
+          spark.sql(rewritten, params)
+      }
+    val source = runStored(job.sourceQuery)
+    val target = runStored(job.targetQuery)
 
     val standard = Checks.standardStageChecks(spark, source, target,
       job.jobName, job.stage).collect().toSeq
 
     val nullExtra = job.nullQuery.map { nq =>
-      val offenders = spark.sql(OracleDialect.toSparkSql(nq), params).limit(1).count()
+      val offenders = runStored(nq).limit(1).count()
       ValidationResult.of(job.jobName, job.stage, "stored_null_query",
         "null_query_probe", offenders == 0,
         if (offenders == 0) "no null offenders" else "stored null query returned rows")

@@ -11,25 +11,49 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * bucket count and key lets Spark's FileSourceStrategy plan a sort-merge
   * join with NO Exchange — at 100 TB that's the difference between
   * re-shuffling the fact table per validation run and reading it in place.
-  * Measured at sf100 (bench_out/r18_q174_bucketed_probe.json): the
-  * 600M⋈150M orderkey SMJ OOMs on raw parquet at 0.25 GB/core and clears
-  * in ~81 s over this layout at the same heap, because the exchange+sort
-  * (the allocation wall) is gone.
+  * Measured at sf100 (bench_out/r19_q174_bucketed_floor.json): the
+  * 600M⋈150M orderkey SMJ OOMs on raw parquet at 0.25 GB/core and runs
+  * 54.1 s min-of-3 over this layout at the same heap, because the
+  * exchange AND the per-bucket sort (the allocation walls) are gone.
   *
   * == The declared layout ==
   *
   * A scale-factor directory `dir` may carry a bucketed sibling
   * `${dir}_bucketed/<table>/` holding the bucketed parquet files plus a
-  * `_bucket_spec.json` sidecar (`{"bucketCol":…,"sortCol":…,"buckets":N}`).
-  * [[writeLayout]] produces it (the one-time, ingest-provisioned step);
-  * [[resolve]] routes a read to it by re-declaring the files as an
-  * EXTERNAL clustered table in the session catalog — Spark only trusts
-  * bucket metadata from a catalog table, the files alone (bucket ids in
-  * their names) are not enough. [[Tables.load]] calls [[resolve]] first,
-  * so EVERY catalog query picks up the exchange-free plan with no query
-  * changes the moment the layout exists. Set
-  * `spark.graft.bucketed.disabled=true` (session conf) to force the raw
-  * path — the A/B knob the probe artifacts are measured with.
+  * `_bucket_spec.json` sidecar (bucketCol/sortCol/buckets + a FINGERPRINT
+  * of the raw source files). [[writeLayout]] produces it (the one-time,
+  * ingest-provisioned step); [[resolve]] routes a read to it by
+  * re-declaring the files as an EXTERNAL clustered table in the session
+  * catalog — Spark only trusts bucket metadata from a catalog table, the
+  * files alone (bucket ids in their names) are not enough. [[Tables.load]]
+  * calls [[resolve]] first, so EVERY catalog query picks up the
+  * exchange-free plan with no query changes the moment the layout exists.
+  * Set `spark.graft.bucketed.disabled=true` (session conf) or
+  * `SPARK_GRAFT_NO_BUCKETED=1` to force the raw path — the A/B knob the
+  * probe artifacts are measured with.
+  *
+  * == When to declare one (measured trade-off) ==
+  *
+  * The layout wins where the plan joins or aggregates ON the bucket key
+  * (q174 2.5×, q200 2.0×, q183 1.5× at sf10; q174 OOM→54 s at sf100) and
+  * LOSES where a full-table aggregate runs on a NON-bucket key: sorting
+  * by the bucket key scatters every other key, and the partial aggregate
+  * loses the locality the raw generation order gave it — measured 7× at
+  * sf100 for `groupBy(l_partkey)` over orderkey-bucketed lineitem
+  * (bench_out/r19_bucket_scan_probe.json; neither the sorted-scan flag
+  * nor autoBucketedScan changes it — the cost is in the FILES, not the
+  * scan mode). Declare layouts for join-dominated facts; audits that
+  * profile the raw layer across many keys read it explicitly via
+  * [[Tables.loadRaw]] (q149).
+  *
+  * Routing is transparent to correctness because [[resolve]] VERIFIES the
+  * sidecar's source fingerprint against the raw table's current files
+  * (relative path, length, mtime — the [[graft.functions.Tfidf.cachedIndex]]
+  * staleness contract): a regenerated raw table silently falls back to the
+  * raw read (with a stderr warning) instead of serving the stale layout.
+  * The decision is memoized per (dir, table) for the JVM's lifetime —
+  * object-store deployments pay the listing once, not per query —
+  * and invalidated by [[writeLayout]]/[[adoptLayout]].
   *
   * (Requires a metastore-backed table, hence `saveAsTable`/`CREATE TABLE`;
   * plain `.parquet()` paths cannot carry bucket metadata.)
@@ -41,6 +65,24 @@ object Bucketing {
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint of every file under `path` (relative path, length,
+    * mtime) — the same staleness contract as Tfidf.cachedIndex: content
+    * regenerated at the same path hashes differently.
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, p)
+    def ls(q: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(q).toSeq.sortBy(_.getPath.getName)
+        .flatMap(s => if (s.isDirectory) ls(s.getPath) else Seq(s))
+    val root = p.toUri.getPath
+    val sig = ls(p)
+      .map(s => s"${s.getPath.toUri.getPath.stripPrefix(root)}:${s.getLen}:${s.getModificationTime}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** One-time ingest-side layout step: write `$srcDir/$name.parquet`
     * bucketed+sorted on `bucketCol` under `layoutDir(srcDir)/$name`, with
@@ -87,34 +129,118 @@ object Bucketing {
     require(bucketIds.length == bucketIds.distinct.length,
       s"bucketed layout must hold at most one file per bucket at $loc; " +
         s"duplicate bucket ids: ${bucketIds.diff(bucketIds.distinct).take(5).mkString(",")}")
-    writeSpec(spark, loc, bucketCol, numBuckets, sortCol)
+    writeSpec(spark, loc, bucketCol, numBuckets, sortCol,
+      fingerprint(spark, s"$srcDir/$name.parquet"))
+    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol)
     loc
   }
 
-  /** Write just the sidecar — used by [[writeLayout]] and to ADOPT an
-    * existing bucketed directory (files already written with the right
-    * bucket ids, e.g. by a previous tool run) into the declared layout.
+  /** ADOPT an existing bucketed directory (files already written with the
+    * right bucket ids and one file per bucket — e.g. by a previous tool
+    * run) into the declared layout: validates the one-file-per-bucket
+    * invariant and writes the sidecar stamped with the CURRENT raw
+    * source's fingerprint.
     */
-  def writeSpec(spark: SparkSession, loc: String, bucketCol: String,
-                numBuckets: Int, sortCol: Option[String]): Unit = {
+  def adoptLayout(spark: SparkSession, srcDir: String, name: String,
+                  bucketCol: String, numBuckets: Int,
+                  sortCol: Option[String] = None): String = {
+    val loc = s"${layoutDir(srcDir)}/$name"
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val bucketIds = fs(spark, locPath).listStatus(locPath)
+      .map(_.getPath.getName).filter(_.startsWith("part-"))
+      .map(n => n.substring(n.lastIndexOf('_')))
+    require(bucketIds.nonEmpty && bucketIds.length == bucketIds.distinct.length,
+      s"adoptLayout requires one file per bucket at $loc")
+    writeSpec(spark, loc, bucketCol, numBuckets, sortCol,
+      fingerprint(spark, s"$srcDir/$name.parquet"))
+    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol)
+    loc
+  }
+
+  private def writeSpec(spark: SparkSession, loc: String, bucketCol: String,
+                        numBuckets: Int, sortCol: Option[String],
+                        srcFingerprint: String): Unit = {
     val json = s"""{"bucketCol":"$bucketCol","buckets":$numBuckets""" +
-      sortCol.map(c => s""","sortCol":"$c"""").getOrElse("") + "}"
+      sortCol.map(c => s""","sortCol":"$c"""").getOrElse("") +
+      s""","srcFingerprint":"$srcFingerprint"}"""
     val p = new org.apache.hadoop.fs.Path(loc, "_bucket_spec.json")
     val out = fs(spark, p).create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Route a table read to its declared bucketed layout, if one exists:
-    * Some(bucketed DataFrame) when `${dir}_bucketed/$name/_bucket_spec
-    * .json` + `_SUCCESS` are present (and routing isn't disabled), None →
-    * caller falls back to raw parquet. The catalog declaration is
-    * idempotent per (location, schema) — the table name carries a
-    * location hash, so two scale dirs never collide and a re-resolve
-    * reuses the session's existing entry.
+  /** Catalog table name for a declared layout: keyed on location AND spec,
+    * so a layout regenerated with a different bucket count/key gets a
+    * fresh entry instead of silently reusing stale bucket metadata from a
+    * persisted metastore.
+    */
+  private def tableName(loc: String, bucketCol: String, buckets: Int,
+                        sortCol: Option[String], name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$loc|$bucketCol|$buckets|${sortCol.getOrElse("")}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    s"graft_b_${h}_$name"
+  }
+
+  /** Drop the session catalog entry and the memoized route for a layout —
+    * called after a rewrite so no query keeps reading a stale/dangling
+    * cached FileIndex of the old files.
+    */
+  private def invalidate(spark: SparkSession, srcDir: String, name: String,
+                         bucketCol: String, buckets: Int,
+                         sortCol: Option[String]): Unit = {
+    val loc = s"${layoutDir(srcDir)}/$name"
+    spark.sql(s"DROP TABLE IF EXISTS " +
+      tableName(loc, bucketCol, buckets, sortCol, name))
+    routes.remove((srcDir.stripSuffix("/"), name)); ()
+  }
+
+  // Memoized routing decisions: (raw dir, table) → Some(catalog table) /
+  // None (no layout, or stale). One listing+fingerprint per JVM per table,
+  // not per query; writeLayout/adoptLayout invalidate their key. An
+  // OUT-OF-BAND raw regeneration mid-JVM is therefore not re-checked until
+  // the layout is re-declared — the same freshness window as Spark's own
+  // cached file listings.
+  private val routes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[String]]
+
+  /** Test hook: drop a memoized route, simulating a fresh session after an
+    * out-of-band raw regeneration (production invalidates via
+    * [[writeLayout]]/[[adoptLayout]]).
+    */
+  private[graft] def invalidateForTest(dir: String, name: String): Unit = {
+    routes.remove((dir.stripSuffix("/"), name)); ()
+  }
+
+  /** Route a table read to its declared bucketed layout, if a FRESH one
+    * exists: Some(bucketed DataFrame) when the sidecar + _SUCCESS are
+    * present and the sidecar's source fingerprint still matches the raw
+    * table; None → caller falls back to raw parquet (always-correct
+    * fallback — a stale layout warns and falls back rather than serving
+    * old rows).
     */
   def resolve(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
     if (spark.conf.getOption("spark.graft.bucketed.disabled").contains("true") ||
         sys.env.get("SPARK_GRAFT_NO_BUCKETED").contains("1")) return None
+    routes.getOrElseUpdate((dir.stripSuffix("/"), name),
+      resolveUncached(spark, dir, name)) match {
+      case Some(tbl) =>
+        // Spark ≥3.0 ignores a bucketed table's SORTED BY at read time
+        // unless this (misleadingly-named) flag is on; with it, a scan
+        // whose buckets each hold ONE file — writeLayout's enforced
+        // invariant — reports sorted output and the downstream SMJ drops
+        // its per-bucket Sort. Without it the reader re-sorts every
+        // bucket in-task, which at sf100 is exactly the allocation wall
+        // the layout exists to remove (measured r19: OOM at 0.25 GB/core
+        // with the flag off, streams with it on). Re-assert per call:
+        // conf is session state and the memo may outlive a session.
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        Some(spark.table(tbl))
+      case None => None
+    }
+  }
+
+  private def resolveUncached(spark: SparkSession, dir: String,
+                              name: String): Option[String] = {
     val loc = s"${layoutDir(dir)}/$name"
     val locPath = new org.apache.hadoop.fs.Path(loc)
     val f = fs(spark, locPath)
@@ -132,26 +258,21 @@ object Bucketing {
     val bucketCol = spec.get("bucketCol").asText()
     val buckets = spec.get("buckets").asInt()
     val sortCol = Option(spec.get("sortCol")).map(_.asText())
-    // Spark ≥3.0 ignores a bucketed table's SORTED BY at read time unless
-    // this (misleadingly-named) flag is on; with it, a scan whose buckets
-    // each hold ONE file — writeLayout's enforced invariant — reports
-    // sorted output and the downstream SMJ drops its per-bucket Sort.
-    // Without it the reader re-sorts every bucket in-task, which at sf100
-    // is exactly the allocation wall the layout exists to remove
-    // (measured r19: OOM at 0.25 GB/core with the flag off, streams with
-    // it on). Set lazily here so only sessions that actually route to a
-    // bucketed layout pay the one-file-per-bucket listing check.
-    if (sortCol.isDefined)
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val tbl = {
-      // the name keys on location AND spec: a layout regenerated with a
-      // different bucket count/key gets a fresh catalog entry instead of
-      // silently reusing stale bucket metadata from a persisted metastore
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$loc|$bucketCol|$buckets|${sortCol.getOrElse("")}"
-          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-      s"graft_b_${h}_$name"
+    // Staleness guard: the layout serves ONLY the raw files it was built
+    // from. No fingerprint in the sidecar (pre-r19 layout) or a mismatch
+    // (raw table regenerated since) → warn + raw fallback; re-run
+    // writeLayout/adoptLayout to re-declare.
+    val declared = Option(spec.get("srcFingerprint")).map(_.asText())
+    val current = scala.util.Try(
+      fingerprint(spark, s"$dir/$name.parquet")).toOption
+    if (declared.isEmpty || current.isEmpty || declared != current) {
+      System.err.println(s"WARN Bucketing: declared layout at $loc is " +
+        s"STALE or unstamped vs $dir/$name.parquet " +
+        s"(declared=${declared.getOrElse("-")} current=${current.getOrElse("-")}); " +
+        "falling back to the raw read — re-run writeLayout/adoptLayout")
+      return None
     }
+    val tbl = tableName(loc, bucketCol, buckets, sortCol, name)
     if (!spark.catalog.tableExists(tbl)) {
       val ddl = spark.read.parquet(loc).schema.toDDL
       val sorted = sortCol.map(c => s"SORTED BY ($c)").getOrElse("")
@@ -159,7 +280,7 @@ object Bucketing {
         CLUSTERED BY ($bucketCol) $sorted INTO $buckets BUCKETS
         LOCATION '$loc'""")
     }
-    Some(spark.table(tbl))
+    Some(tbl)
   }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

@@ -76,27 +76,21 @@ object KafkaStubBroker {
   final case class DataLossSeam(topic: String, partition: Int,
                                 lostFrom: Long, lostUntil: Long, kind: String)
 
-  /** The seam-kind vocabulary, split by WHO lost the data — the split
-    * [[graft.dq.Checks.offsetContinuityWithSeams]] keys its gap-coverage
-    * filter on. Broker-side kinds describe records the broker really
-    * dropped (retention trim, topic/partition deletion) and may explain a
-    * ledger gap; caller-side kinds describe a mis-specified read window
-    * (`until` past the high-water mark, or a start past the end — the
-    * latter also covers topic-recreated, which the stub cannot
-    * distinguish from a caller bug at record time, so it is classified
-    * conservatively: a recreated topic's gap stays an audit FAIL rather
-    * than being laundered into a PASS).
+  /** The seam-kind vocabulary — aliases of [[graft.model.SeamKinds]], the
+    * model-layer contract both the emitting connectors and the consuming
+    * audits ([[graft.dq.Checks.offsetContinuityWithSeams]]) depend on
+    * (the check must never depend on this test double for its contract).
+    * Txn control batches ([[publishControl]]) are deliberately NOT a seam
+    * kind: no records were lost and no ledger gap appears — only the
+    * count contract changes, handled by Checks.offsetCountMatchWithControl.
     */
   object DataLossSeam {
-    val TrimmedHead = "trimmed_head"
-    val EndBeyondLatest = "end_beyond_latest"
-    val StartBeyondEnd = "start_beyond_end"
-    val DeletedPartition = "deleted_partition"
-    // Txn control batches ([[publishControl]]) are deliberately NOT a seam
-    // kind: no records were lost and no ledger gap appears — only the
-    // count contract changes, handled by Checks.offsetCountMatchWithControl.
-    val brokerSideKinds: Set[String] = Set(TrimmedHead, DeletedPartition)
-    val callerSideKinds: Set[String] = Set(EndBeyondLatest, StartBeyondEnd)
+    val TrimmedHead: String = graft.model.SeamKinds.TrimmedHead
+    val EndBeyondLatest: String = graft.model.SeamKinds.EndBeyondLatest
+    val StartBeyondEnd: String = graft.model.SeamKinds.StartBeyondEnd
+    val DeletedPartition: String = graft.model.SeamKinds.DeletedPartition
+    val brokerSideKinds: Set[String] = graft.model.SeamKinds.brokerSideKinds
+    val callerSideKinds: Set[String] = graft.model.SeamKinds.callerSideKinds
   }
 
   @volatile var dataLossSeams: Vector[DataLossSeam] = Vector.empty

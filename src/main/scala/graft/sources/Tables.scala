@@ -49,6 +49,26 @@ object Tables {
     if (name == "events") normalizeEventTime(df) else df
   }
 
+  /** [[load]] WITHOUT bucketed-layout routing: always the raw files.
+    *
+    * For callers whose access pattern the bucket-key sort actively hurts:
+    * a layout sorted on the bucket key SCATTERS every other key, and a
+    * full-table aggregate on a non-bucket key over the re-sorted files
+    * measured up to 7× slower at sf100 (the partial aggregate loses key
+    * locality — bench_out/r19_bucket_scan_probe.json). Audits that
+    * profile the raw layer across MANY keys (fkProfile's
+    * orderkey/partkey/suppkey sweep, q149) read it explicitly; queries
+    * dominated by joins/aggregates ON the bucket key take [[load]]'s
+    * routed layout (q174 2.5×, q200 2.0×, q183 1.5× at sf10 —
+    * bench_out/r19_sf10_bucketed_ab.json).
+    */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (Jdbc.isJdbcLocation(dir)) Jdbc.read(spark, dir, name)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTime(df) else df
+  }
+
   /** The filesystem location of `name` under layer `dir`, or None when the
     * layer is not file-backed (a `jdbc:` URL): callers that fingerprint or
     * cache against SOURCE FILES (e.g.

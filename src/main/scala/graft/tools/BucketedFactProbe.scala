@@ -45,9 +45,9 @@ object BucketedFactProbe {
   def main(args: Array[String]): Unit = {
     // Validate BEFORE building a SparkSession: a typo'd mode must die with
     // the usage line immediately, not with a MatchError after 10s of init.
-    require(args.length >= 2 && Set("layout", "probe").contains(args(0)),
+    require(args.length >= 2 && Set("layout", "adopt", "probe").contains(args(0)),
       "usage: BucketedFactProbe layout <srcDir> <buckets> | " +
-        "probe <srcDir> <outJson> [repeats]")
+        "adopt <srcDir> <buckets> | probe <srcDir> <outJson> [repeats]")
     val mode = args(0)
     val srcDir = args(1)
     val spark = SparkSession.builder()
@@ -69,6 +69,19 @@ object BucketedFactProbe {
         graft.sources.Bucketing.writeLayout(spark, srcDir, "orders",
           "o_orderkey", buckets, sortCol = Some("o_orderkey"))
         println(s"""{"layout":"done","buckets":$buckets,""" +
+          s""""dir":"${graft.sources.Bucketing.layoutDir(srcDir)}"}""")
+
+      case "adopt" =>
+        // Re-stamp an EXISTING bucketed directory (one file per bucket)
+        // with the current raw source's fingerprint — e.g. after the raw
+        // table was verified unchanged, or for a pre-r19 layout whose
+        // sidecar predates the staleness guard.
+        val buckets = args(2).toInt
+        graft.sources.Bucketing.adoptLayout(spark, srcDir, "lineitem",
+          "l_orderkey", buckets, sortCol = Some("l_orderkey"))
+        graft.sources.Bucketing.adoptLayout(spark, srcDir, "orders",
+          "o_orderkey", buckets, sortCol = Some("o_orderkey"))
+        println(s"""{"adopt":"done","buckets":$buckets,""" +
           s""""dir":"${graft.sources.Bucketing.layoutDir(srcDir)}"}""")
 
       case "probe" =>

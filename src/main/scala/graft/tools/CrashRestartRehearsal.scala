@@ -124,8 +124,11 @@ object CrashRestartRehearsal {
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .linesIterator.filter(_.nonEmpty).map { l =>
-          val ms = """"ms":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
-          ms.getOrElse(0L)
+          // fail LOUDLY on format drift: an unparseable line mapped to 0ms
+          // would let the budget bound pass vacuously
+          """"ms":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"unparseable batch-duration line in $p: $l"))
         }.toSeq
     }
     val worstMs = if (durations.isEmpty) 0L else durations.max

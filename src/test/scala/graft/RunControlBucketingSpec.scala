@@ -119,6 +119,70 @@ class RunControlBucketingSpec extends AnyFunSuite {
     assert(got == raw.collect().map(_.toSeq).toSeq && got.nonEmpty)
   }
 
+  test("a REGENERATED raw table makes its declared layout stale: resolve " +
+    "falls back to the raw read (never serves old rows) until re-declared") {
+    val src = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_blayer_stale").toString
+    spark.read.parquet(s"$src/orders.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Bucketing.writeLayout(spark, tmp, "orders", "o_orderkey",
+      numBuckets = 4, sortCol = Some("o_orderkey"))
+    val n0 = graft.sources.Tables.load(spark, tmp, "orders").count()
+    assert(Bucketing.resolve(spark, tmp, "orders").isDefined)
+    // regenerate the raw table with FEWER rows at the same path
+    val half = spark.read.parquet(s"$src/orders.parquet")
+      .filter($"o_orderkey" % 2 === 0)
+    val halfCount = half.count()
+    half.write.mode("overwrite").parquet(s"$tmp/orders.parquet.new")
+    // (write to a sibling then swap, so the read above doesn't race)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet"), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet.new"),
+      new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet"))
+    // the memoized route must not outlive the regeneration in this test:
+    // re-declaring (adopt/writeLayout) is the production path, and it
+    // invalidates; here we simulate "another session discovers staleness"
+    // by adopting with a DIFFERENT spec first? No — adoptLayout would
+    // re-stamp. Instead writeLayout's invalidate is exercised by
+    // re-declaring below; the fingerprint guard itself is exercised by a
+    // fresh resolve after invalidation:
+    Bucketing.writeLayout(spark, tmp, "orders", "o_orderkey",
+      numBuckets = 4, sortCol = Some("o_orderkey")) // re-declare = fresh
+    assert(graft.sources.Tables.load(spark, tmp, "orders").count() == halfCount)
+    // now regenerate AGAIN without re-declaring: the layout is stale and
+    // resolve must fall back to raw rather than serve the layout's rows
+    spark.read.parquet(s"$src/orders.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet.new2")
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet"), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet.new2"),
+      new org.apache.hadoop.fs.Path(s"$tmp/orders.parquet"))
+    Bucketing.invalidateForTest(tmp, "orders") // drop the memoized route
+    assert(Bucketing.resolve(spark, tmp, "orders").isEmpty,
+      "stale layout must not route")
+    assert(graft.sources.Tables.load(spark, tmp, "orders").count() == n0,
+      "fallback must serve the CURRENT raw rows")
+  }
+
+  test("q149's raw-layer audit stays on the RAW files even when a layout " +
+    "is declared (the loadRaw opt-out — non-bucket-key aggregates measured " +
+    "7x slower over the re-sorted layout)") {
+    val src = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_blayer_raw").toString
+    Seq("lineitem", "orders", "part", "supplier", "customer", "nation")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+      }
+    Bucketing.writeLayout(spark, tmp, "lineitem", "l_orderkey",
+      numBuckets = 4, sortCol = Some("l_orderkey"))
+    Bucketing.writeLayout(spark, tmp, "orders", "o_orderkey",
+      numBuckets = 4, sortCol = Some("o_orderkey"))
+    val plan = Queries.joinStats(spark, tmp).queryExecution.executedPlan.toString
+    assert(!plan.contains("_bucketed"),
+      s"the raw-layer audit must not read the bucketed layout:\n${plan.take(2000)}")
+  }
+
   test("a table WITHOUT a declared layout falls back to raw parquet " +
     "(negative control: no sidecar → no routing)") {
     val src = "/root/testdata/sf0.001"
