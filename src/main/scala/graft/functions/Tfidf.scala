@@ -435,6 +435,15 @@ object Tfidf {
     val cacheFs = cachePath.getFileSystem(hconf)
     val successMarker = new org.apache.hadoop.fs.Path(cachePath, "_SUCCESS")
     if (!cacheFs.exists(successMarker)) {
+      // HEAL a marker-less corpse first: a directory without _SUCCESS is
+      // definitionally half-built (a published entry appears atomically —
+      // the marker is INSIDE the renamed dir), and renaming onto it would
+      // degrade to copy-INTO on the local FS / return false on HDFS,
+      // stranding the fresh build while reads silently serve the partial
+      // files. A complete concurrent publish is never deleted here: it
+      // carries the marker and fails the second conjunct.
+      if (cacheFs.exists(cachePath) && !cacheFs.exists(successMarker))
+        cacheFs.delete(cachePath, true)
       // Write-to-temp-then-rename: the new version becomes visible only as
       // a complete directory (crash mid-write leaves a .tmp_ orphan that
       // the post-publish purge collects, never a half-built cache entry),
@@ -480,6 +489,14 @@ object Tfidf {
           }
           .foreach(s => scala.util.Try(cacheFs.delete(s.getPath, true)))
     }
+    // Serve `path` only once a COMPLETE version is published (ours or a
+    // concurrent winner's) — a failed publish must fail loudly here, never
+    // degrade to silently reading whatever partial files sit at the path.
+    if (!cacheFs.exists(successMarker))
+      throw new IllegalStateException(
+        s"sparse-index cache publish failed: $path has no _SUCCESS marker " +
+          "after build+rename — a concurrent writer may have crashed " +
+          "mid-publish; re-invoke to rebuild")
     spark.read.parquet(path)
   }
 

@@ -68,16 +68,41 @@ object OracleDialect {
   // --- helpers ---------------------------------------------------------
 
   /** Positions inside single-quoted string literals (Oracle's only string
-    * quoting; '' is an escaped quote and stays inside the literal).
+    * quoting; '' is an escaped quote and stays inside the literal) OR
+    * inside SQL comments (`--` to end-of-line, slash-star block comments).
+    * Comments must be masked alongside literals: an apostrophe inside a
+    * comment ("-- don't rewrite") is not a quote, and without skipping
+    * comments it would invert the literal state for the rest of the text —
+    * silently disabling rewrites after it, or mis-flagging a commented-out
+    * `(+)`. Stored Oracle CLOB queries commonly carry comments.
     */
   private def literalMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
-    var in = false
     var i = 0
     while (i < s.length) {
-      if (s(i) == '\'') { mask(i) = true; in = !in }
-      else mask(i) = in
-      i += 1
+      val c = s(i)
+      if (c == '\'') {
+        // string literal: mask through the closing quote; '' stays inside
+        mask(i) = true; i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          mask(i) = true
+          if (s(i) == '\'') {
+            if (i + 1 < s.length && s(i + 1) == '\'') { mask(i + 1) = true; i += 2 }
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') { mask(i) = true; i += 1 }
+      } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+        mask(i) = true; mask(i + 1) = true; i += 2
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s(i) == '*' && i + 1 < s.length && s(i + 1) == '/') {
+            mask(i) = true; mask(i + 1) = true; i += 2; closed = true
+          } else { mask(i) = true; i += 1 }
+        }
+      } else { i += 1 }
     }
     mask
   }
@@ -202,6 +227,26 @@ object OracleDialect {
       // Spark to_date(x, 'DD') must pass through, not be silently turned
       // into day-of-month
       Seq("YYYY", "RRRR", "HH24", "HH12", "MI", "MON").exists(fmt.contains)
+
+  /** True when the text carries a `to_date(..., 'MASK')` whose mask is
+    * Oracle-dialect per [[looksOracleFormat]]. Such a text is the one
+    * Oracle-ism Spark accepts at PARSE and ANALYZE time and rejects only
+    * at EXECUTION (week-based 'Y' / day-of-year 'D' java.time pattern
+    * rejection under the default datetime policy) — so try-Spark-first
+    * dispatch never routes it through the shim and the stage fails at run
+    * time instead of migrating drop-in. Callers pre-scan with this and
+    * shim FIRST when it fires; the gate inherits [[looksOracleFormat]]'s
+    * conservatism (all-uppercase + an Oracle-distinctive token), so valid
+    * Spark masks are never intercepted.
+    */
+  def hasOracleDateMask(s: String): Boolean =
+    scala.util.Try {
+      callSites(s, "to_date").exists { case (_, argStart) =>
+        splitArgs(s, argStart)._1.lift(1).map(_.trim).exists(f =>
+          f.startsWith("'") && f.endsWith("'") &&
+            looksOracleFormat(f.substring(1, f.length - 1)))
+      }
+    }.getOrElse(false)
 
   private def rewriteToDate(s0: String): String =
     rewriteCalls(s0, "to_date") { args =>

@@ -59,7 +59,15 @@ object StageRunner {
     // and only a text Spark REJECTS goes through the Oracle shim
     // (dbms_lob.*, SYSDATE, TO_DATE masks, trailing ROWNUM). Migration is
     // drop-in either way, and never lossy for valid Spark SQL.
-    def runStored(q: String): DataFrame =
+    // EXCEPTION — pre-scan, not try-first: an Oracle TO_DATE format mask
+    // (e.g. 'YYYY-MM-DD') parses AND analyzes fine and fails only at
+    // execution (java.time rejects week-based 'Y'), which try-first can
+    // never catch; hasOracleDateMask's gate is conservative enough
+    // (all-caps + Oracle-distinctive token) that no valid Spark mask
+    // trips it.
+    def runStored(q0: String): DataFrame = {
+      val q = if (OracleDialect.hasOracleDateMask(q0))
+        OracleDialect.toSparkSql(q0) else q0
       try spark.sql(q, params)
       catch {
         case e @ (_: org.apache.spark.sql.catalyst.parser.ParseException |
@@ -68,6 +76,7 @@ object StageRunner {
           if (rewritten == q) throw e // shim had nothing to offer
           spark.sql(rewritten, params)
       }
+    }
     val source = runStored(job.sourceQuery)
     val target = runStored(job.targetQuery)
 

@@ -73,6 +73,35 @@ class OracleDialectSpec extends AnyFunSuite {
     spark.foreach(s => assert(toSparkSql(s) == s, s))
   }
 
+  test("SQL comments are masked: an apostrophe or Oracle-ism inside them " +
+    "neither inverts the literal state nor triggers/blocks rewrites") {
+    // an apostrophe in a line comment must not swallow the rewrite after it
+    assert(toSparkSql("SELECT a, -- don't touch this row\n sysdate FROM t") ==
+      "SELECT a, -- don't touch this row\n current_timestamp FROM t")
+    // a commented-out (+) must not reject the query
+    assert(toSparkSql("SELECT a /* legacy: b.id (+) = a.id */, sysdate FROM t") ==
+      "SELECT a /* legacy: b.id (+) = a.id */, current_timestamp FROM t")
+    // Oracle-isms INSIDE comments stay verbatim
+    assert(toSparkSql("SELECT a FROM t -- sysdate stamp here") ==
+      "SELECT a FROM t -- sysdate stamp here")
+    assert(toSparkSql("SELECT a /* to_date(x,'YYYY') */ FROM t") ==
+      "SELECT a /* to_date(x,'YYYY') */ FROM t")
+    // and a genuine in-literal apostroph–comment interleave still rewrites
+    assert(toSparkSql("SELECT 'it''s' AS s, sysdate FROM t -- ok") ==
+      "SELECT 'it''s' AS s, current_timestamp FROM t -- ok")
+  }
+
+  test("hasOracleDateMask fires on exec-time-only Oracle masks and never " +
+    "on Spark masks, bare calls, or masked text") {
+    import graft.pipeline.OracleDialect.hasOracleDateMask
+    assert(hasOracleDateMask("SELECT to_date(c, 'YYYY-MM-DD') FROM t"))
+    assert(hasOracleDateMask("SELECT TO_DATE(c,'DD-MON-RRRR HH24:MI') FROM t"))
+    assert(!hasOracleDateMask("SELECT to_date(c, 'yyyy-MM-dd') FROM t"))
+    assert(!hasOracleDateMask("SELECT to_date(c) FROM t"))
+    assert(!hasOracleDateMask("SELECT 'to_date(x,''YYYY-MM-DD'')' FROM t"))
+    assert(!hasOracleDateMask("SELECT a /* to_date(x,'YYYY') */ FROM t"))
+  }
+
   test("the q240 stored text rewrites to runnable Spark SQL") {
     val rewritten = toSparkSql(Queries.OracleDialectSql)
     assert(rewritten.contains("substring(c_mktsegment, 1, 4)"))

@@ -48,6 +48,21 @@ class StageRunnerSpec extends AnyFunSuite {
     assert(byCase("duplicate_check") == ValidationResult.PASSED)
   }
 
+  test("a stored text whose only Oracle-ism is a TO_DATE mask migrates " +
+    "drop-in: it parses AND analyzes in Spark, so try-first can't catch " +
+    "it — the pre-scan must route it through the shim before execution") {
+    Seq((1L, "2024-01-02 13:04:05", 5L), (2L, "2024-02-03 01:02:03", 6L))
+      .toDF("id", "stamp", "update_job_run_id")
+      .createOrReplaceTempView("masked_layer")
+    val q = "SELECT id, TO_DATE(stamp, 'YYYY-MM-DD HH24:MI:SS') AS ts " +
+      "FROM masked_layer WHERE update_job_run_id BETWEEN :min_run_id AND :max_run_id"
+    val job = StageJob(1, "masked_load", "masked_layer", "STAGING", q, q, None)
+    val ok = StageRunner.runJob(spark, job, Watermark(5L, 6L))
+    assert(!ok.skipped)
+    assert(ok.results.forall(_.testResult == ValidationResult.PASSED),
+      ok.results.map(r => r.testCase -> r.testResult).mkString(", "))
+  }
+
   test("runAll appends audit rows to the log table path") {
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("t_all")
     val ctl = controlDf((5L, 1))

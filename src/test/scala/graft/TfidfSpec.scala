@@ -105,6 +105,39 @@ class TfidfSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.cache.dir")
   }
 
+  test("cachedIndex HEALS a half-built cache entry (dir without _SUCCESS, " +
+    "a crash corpse): it is deleted and rebuilt, never silently served") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_heal").toString
+    val src = s"$root/corpus.parquet"
+    val cacheRoot = s"$root/cache"
+    spark.conf.set("spark.graft.index.cache.dir", cacheRoot)
+    try {
+      corpus.write.parquet(src)
+      def probe(): Set[(Long, Long)] = Tfidf.sparseTopKIndexed(
+        Tfidf.cachedIndex(spark.read.parquet(src), col("doc_id"), col("text"),
+          maxDfFrac = 1.0, sourceDir = src),
+        corpus.filter(col("doc_id") === 1), col("doc_id"), col("text"), k = 10)
+        .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("d"))).toSet
+      val first = probe()
+      assert(first.nonEmpty)
+      // forge the corpse: strip the marker and a data file from the entry
+      val entry = new java.io.File(cacheRoot).listFiles()
+        .filter(f => f.isDirectory && !f.getName.contains(".tmp_")).head
+      assert(new java.io.File(entry, "_SUCCESS").delete())
+      entry.listFiles().filter(_.getName.endsWith(".parquet")).take(1)
+        .foreach(f => assert(f.delete()))
+      // the next call must rebuild a COMPLETE entry with identical answers
+      // (pre-fix, the rename degraded to copy-INTO, the sweep deleted the
+      // fresh build, and the partial corpse was served forever after)
+      val healed = probe()
+      assert(healed == first, s"$healed vs $first")
+      val entry2 = new java.io.File(cacheRoot).listFiles()
+        .filter(f => f.isDirectory && !f.getName.contains(".tmp_")).head
+      assert(new java.io.File(entry2, "_SUCCESS").exists(),
+        "healed entry must be a complete published version")
+    } finally spark.conf.unset("spark.graft.index.cache.dir")
+  }
+
   test("incremental index: two appended batches answer exactly like a " +
     "monolithic recompute, and the stopword cap tracks the GROWN corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_inc").toString
