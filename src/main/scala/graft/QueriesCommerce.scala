@@ -953,7 +953,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * (suppkey, counts) meet the dim) and the cut is TakeOrdered.
     */
   def excessInventory(spark: SparkSession, dir: String): DataFrame = {
-    val h1 = t(spark, dir, "lineitem")
+    val h1 = tk(spark, dir, "lineitem", "l_partkey")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1996-07-01"))
       .select(col("l_partkey"), col("l_suppkey"),
@@ -1017,12 +1017,12 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * months-bounded.
     */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    val li = tk(spark, dir, "lineitem", "l_partkey")
       .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
         (dec2(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) * 10000)
           .cast("long").as("rev_sc4"))
-    li.join(t(spark, dir, "part").select(col("p_partkey"), col("p_type")),
+    li.join(tk(spark, dir, "part", "p_partkey").select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("month"))
       .agg(sum(when(col("p_type") === "PROMO", col("rev_sc4")).otherwise(0L))
@@ -1045,7 +1045,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * key-to-key.
     */
   def supplierVariety(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    val li = tk(spark, dir, "lineitem", "l_partkey")
       .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
     val complaints = li.groupBy(col("l_suppkey"))
       .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"),
@@ -1054,7 +1054,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .select(col("l_suppkey").as("bad_supp"))
     val incidence = li
       .join(complaints, col("l_suppkey") === col("bad_supp"), "left_anti")
-      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type")),
+      .join(tk(spark, dir, "part", "p_partkey").select(col("p_partkey"), col("p_brand"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("p_type"), col("l_suppkey"))
       .distinct()
@@ -1107,7 +1107,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * replay bit-for-bit — no double division anywhere.
     */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val offers = t(spark, dir, "lineitem")
+    val offers = tk(spark, dir, "lineitem", "l_partkey")
       .join(broadcast(t(spark, dir, "part")
           .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
           .select(col("p_partkey"), col("p_name"))),
@@ -1179,7 +1179,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
       .join(broadcast(t(spark, dir, "nation").filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
-    val value = t(spark, dir, "lineitem")
+    val value = tk(spark, dir, "lineitem", "l_partkey")
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("val_cents"))
@@ -1227,7 +1227,7 @@ private[graft] trait QueriesCommerce { this: Queries.type =>
     * corpus (TPC-H semantics), asserted by the cast.
     */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    val li = tk(spark, dir, "lineitem", "l_partkey")
       .join(broadcast(t(spark, dir, "part")
           .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
           .select(col("p_partkey"))),

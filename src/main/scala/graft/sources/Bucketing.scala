@@ -63,6 +63,22 @@ object Bucketing {
   /** The bucketed sibling of a scale-factor directory. */
   def layoutDir(dir: String): String = s"${dir.stripSuffix("/")}_bucketed"
 
+  /** Location of a table's declared layout for a KEY FAMILY. The primary
+    * family (None) keeps the bare `<table>` directory — r19's layouts and
+    * their sidecars stay valid unchanged; a secondary family lives at
+    * `<table>__k_<bucketCol>`, so one table can carry one layout per join
+    * key it is routinely joined/aggregated on (the r19 counter-case:
+    * part-grain queries over orderkey-bucketed lineitem measured 7×
+    * slower than raw, because a layout sorted on its bucket key scatters
+    * every other key — the fix is not "no layout", it's a SECOND layout
+    * in the partkey family, chosen per query).
+    */
+  def layoutLoc(dir: String, name: String, keyFamily: Option[String]): String =
+    keyFamily match {
+      case None    => s"${layoutDir(dir)}/$name"
+      case Some(k) => s"${layoutDir(dir)}/${name}__k_$k"
+    }
+
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -103,9 +119,11 @@ object Bucketing {
     */
   def writeLayout(spark: SparkSession, srcDir: String, name: String,
                   bucketCol: String, numBuckets: Int,
-                  sortCol: Option[String] = None): String = {
-    val loc = s"${layoutDir(srcDir)}/$name"
-    val tmpTable = s"graft_layout_tmp_$name"
+                  sortCol: Option[String] = None,
+                  secondary: Boolean = false): String = {
+    val family = if (secondary) Some(bucketCol) else None
+    val loc = layoutLoc(srcDir, name, family)
+    val tmpTable = s"graft_layout_tmp_${name}_${family.getOrElse("primary")}"
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     val locPath = new org.apache.hadoop.fs.Path(loc)
     fs(spark, locPath).delete(locPath, true)
@@ -131,29 +149,67 @@ object Bucketing {
         s"duplicate bucket ids: ${bucketIds.diff(bucketIds.distinct).take(5).mkString(",")}")
     writeSpec(spark, loc, bucketCol, numBuckets, sortCol,
       fingerprint(spark, s"$srcDir/$name.parquet"))
-    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol)
+    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol, family)
     loc
   }
 
   /** ADOPT an existing bucketed directory (files already written with the
     * right bucket ids and one file per bucket — e.g. by a previous tool
     * run) into the declared layout: validates the one-file-per-bucket
-    * invariant and writes the sidecar stamped with the CURRENT raw
+    * invariant AND that the files' data actually hashes to their claimed
+    * bucket ids before writing the sidecar stamped with the CURRENT raw
     * source's fingerprint.
+    *
+    * The hash check is load-bearing: a mis-declared adopt (wrong key or
+    * wrong bucket count) would make Spark plan EXCHANGE-FREE sort-merge
+    * joins over wrongly-hashed files — silently wrong join results on
+    * every routed query, the worst possible failure mode. Validation is
+    * (a) every parsed bucket id < numBuckets, and (b) per FILE, a sampled
+    * row prefix asserts `pmod(hash(bucketCol), numBuckets)` — Spark's own
+    * bucket-id expression (Murmur3, seed 42) — equals the id in the file
+    * name. Adopt is a one-time ingest-side step, so the per-file
+    * limit-reads (first row group only) are cheap relative to the risk.
     */
   def adoptLayout(spark: SparkSession, srcDir: String, name: String,
                   bucketCol: String, numBuckets: Int,
-                  sortCol: Option[String] = None): String = {
-    val loc = s"${layoutDir(srcDir)}/$name"
+                  sortCol: Option[String] = None,
+                  sampleRowsPerFile: Int = 1000,
+                  secondary: Boolean = false): String = {
+    val family = if (secondary) Some(bucketCol) else None
+    val loc = layoutLoc(srcDir, name, family)
     val locPath = new org.apache.hadoop.fs.Path(loc)
-    val bucketIds = fs(spark, locPath).listStatus(locPath)
-      .map(_.getPath.getName).filter(_.startsWith("part-"))
-      .map(n => n.substring(n.lastIndexOf('_')))
-    require(bucketIds.nonEmpty && bucketIds.length == bucketIds.distinct.length,
+    val files = fs(spark, locPath).listStatus(locPath)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    val idRe = "_(\\d{5})(?:\\.|$)".r
+    val parsed = files.map { p =>
+      val id = idRe.findFirstMatchIn(p.getName.substring(p.getName.lastIndexOf('_')))
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"adoptLayout: no bucket id parseable from file name ${p.getName}"))
+      (p, id)
+    }
+    val ids = parsed.map(_._2)
+    require(ids.nonEmpty && ids.length == ids.distinct.length,
       s"adoptLayout requires one file per bucket at $loc")
+    require(ids.max < numBuckets,
+      s"adoptLayout: file bucket id ${ids.max} >= declared numBuckets " +
+        s"$numBuckets at $loc — the directory was written with a different " +
+        "bucket count; re-run writeLayout instead of adopting")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    parsed.foreach { case (p, id) =>
+      val bad = spark.read.parquet(p.toString)
+        .limit(sampleRowsPerFile)
+        .filter(pmod(hash(col(bucketCol)), lit(numBuckets)) =!= id)
+        .head(1)
+      require(bad.isEmpty,
+        s"adoptLayout: rows in ${p.getName} do not hash to bucket $id " +
+          s"under pmod(murmur3($bucketCol), $numBuckets) — the directory " +
+          "was bucketed on a different key or count; adopting it would " +
+          "produce silently wrong exchange-free joins. Re-run writeLayout.")
+    }
     writeSpec(spark, loc, bucketCol, numBuckets, sortCol,
       fingerprint(spark, s"$srcDir/$name.parquet"))
-    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol)
+    invalidate(spark, srcDir, name, bucketCol, numBuckets, sortCol, family)
     loc
   }
 
@@ -187,61 +243,92 @@ object Bucketing {
     */
   private def invalidate(spark: SparkSession, srcDir: String, name: String,
                          bucketCol: String, buckets: Int,
-                         sortCol: Option[String]): Unit = {
-    val loc = s"${layoutDir(srcDir)}/$name"
+                         sortCol: Option[String],
+                         family: Option[String]): Unit = {
+    val loc = layoutLoc(srcDir, name, family)
     spark.sql(s"DROP TABLE IF EXISTS " +
       tableName(loc, bucketCol, buckets, sortCol, name))
-    routes.remove((srcDir.stripSuffix("/"), name)); ()
+    routes.remove((srcDir.stripSuffix("/"), name, family.getOrElse(""))); ()
   }
 
-  // Memoized routing decisions: (raw dir, table) → Some(catalog table) /
-  // None (no layout, or stale). One listing+fingerprint per JVM per table,
-  // not per query; writeLayout/adoptLayout invalidate their key. An
-  // OUT-OF-BAND raw regeneration mid-JVM is therefore not re-checked until
-  // the layout is re-declared — the same freshness window as Spark's own
-  // cached file listings.
-  private val routes =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Option[String]]
+  // Memoized routing decisions: (raw dir, table, key family) →
+  // Some(catalog table, bucketCol) / None (no layout, or stale). One
+  // listing+fingerprint per JVM per table per family, not per query;
+  // writeLayout/adoptLayout invalidate their key. An OUT-OF-BAND raw
+  // regeneration mid-JVM is therefore not re-checked until the layout is
+  // re-declared — the same freshness window as Spark's own cached file
+  // listings.
+  private val routes = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), Option[(String, String)]]
 
-  /** Test hook: drop a memoized route, simulating a fresh session after an
-    * out-of-band raw regeneration (production invalidates via
-    * [[writeLayout]]/[[adoptLayout]]).
+  /** Test hook: drop the memoized routes of a table (all families),
+    * simulating a fresh session after an out-of-band raw regeneration
+    * (production invalidates via [[writeLayout]]/[[adoptLayout]]).
     */
   private[graft] def invalidateForTest(dir: String, name: String): Unit = {
-    routes.remove((dir.stripSuffix("/"), name)); ()
+    routes.keys.filter(k => k._1 == dir.stripSuffix("/") && k._2 == name)
+      .foreach(routes.remove); ()
   }
 
-  /** Route a table read to its declared bucketed layout, if a FRESH one
-    * exists: Some(bucketed DataFrame) when the sidecar + _SUCCESS are
-    * present and the sidecar's source fingerprint still matches the raw
-    * table; None → caller falls back to raw parquet (always-correct
-    * fallback — a stale layout warns and falls back rather than serving
-    * old rows).
+  private def disabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.bucketed.disabled").contains("true") ||
+      sys.env.get("SPARK_GRAFT_NO_BUCKETED").contains("1")
+
+  private def serve(spark: SparkSession, route: Option[(String, String)]):
+      Option[DataFrame] = route match {
+    case Some((tbl, _)) =>
+      // Spark ≥3.0 ignores a bucketed table's SORTED BY at read time
+      // unless this (misleadingly-named) flag is on; with it, a scan
+      // whose buckets each hold ONE file — writeLayout's enforced
+      // invariant — reports sorted output and the downstream SMJ drops
+      // its per-bucket Sort. Without it the reader re-sorts every
+      // bucket in-task, which at sf100 is exactly the allocation wall
+      // the layout exists to remove (measured r19: OOM at 0.25 GB/core
+      // with the flag off, streams with it on). Re-assert per call:
+      // conf is session state and the memo may outlive a session.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Some(spark.table(tbl))
+    case None => None
+  }
+
+  private def route(spark: SparkSession, dir: String, name: String,
+                    family: Option[String]): Option[(String, String)] =
+    routes.getOrElseUpdate((dir.stripSuffix("/"), name, family.getOrElse("")),
+      resolveUncached(spark, dir, name, family))
+
+  /** Route a table read to its declared PRIMARY bucketed layout, if a
+    * FRESH one exists: Some(bucketed DataFrame) when the sidecar +
+    * _SUCCESS are present and the sidecar's source fingerprint still
+    * matches the raw table; None → caller falls back to raw parquet
+    * (always-correct fallback — a stale layout warns and falls back
+    * rather than serving old rows).
     */
   def resolve(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
-    if (spark.conf.getOption("spark.graft.bucketed.disabled").contains("true") ||
-        sys.env.get("SPARK_GRAFT_NO_BUCKETED").contains("1")) return None
-    routes.getOrElseUpdate((dir.stripSuffix("/"), name),
-      resolveUncached(spark, dir, name)) match {
-      case Some(tbl) =>
-        // Spark ≥3.0 ignores a bucketed table's SORTED BY at read time
-        // unless this (misleadingly-named) flag is on; with it, a scan
-        // whose buckets each hold ONE file — writeLayout's enforced
-        // invariant — reports sorted output and the downstream SMJ drops
-        // its per-bucket Sort. Without it the reader re-sorts every
-        // bucket in-task, which at sf100 is exactly the allocation wall
-        // the layout exists to remove (measured r19: OOM at 0.25 GB/core
-        // with the flag off, streams with it on). Re-assert per call:
-        // conf is session state and the memo may outlive a session.
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        Some(spark.table(tbl))
-      case None => None
-    }
+    if (disabled(spark)) return None
+    serve(spark, route(spark, dir, name, None))
   }
 
-  private def resolveUncached(spark: SparkSession, dir: String,
-                              name: String): Option[String] = {
-    val loc = s"${layoutDir(dir)}/$name"
+  /** Route a table read for a query whose joins/aggregates run ON `key`:
+    * serve a layout ONLY when its bucket column IS `key` — the primary
+    * layout when it happens to be keyed right, else the `key`-family
+    * secondary — and None otherwise, so the caller reads the RAW files.
+    * Falling back to a wrong-key layout is never right: the r19 probe
+    * measured a partkey aggregate 7× slower over orderkey-bucketed files
+    * than over raw (the bucket-key sort scatters every other key), so a
+    * key-hinted read prefers raw generation order over any mismatched
+    * layout.
+    */
+  def resolveForKey(spark: SparkSession, dir: String, name: String,
+                    key: String): Option[DataFrame] = {
+    if (disabled(spark)) return None
+    serve(spark,
+      route(spark, dir, name, None).filter(_._2 == key)
+        .orElse(route(spark, dir, name, Some(key))))
+  }
+
+  private def resolveUncached(spark: SparkSession, dir: String, name: String,
+                              family: Option[String]): Option[(String, String)] = {
+    val loc = layoutLoc(dir, name, family)
     val locPath = new org.apache.hadoop.fs.Path(loc)
     val f = fs(spark, locPath)
     val specPath = new org.apache.hadoop.fs.Path(locPath, "_bucket_spec.json")
@@ -272,6 +359,14 @@ object Bucketing {
         "falling back to the raw read — re-run writeLayout/adoptLayout")
       return None
     }
+    // a secondary layout's directory name CLAIMS its key family — a
+    // sidecar disagreeing with it is a mis-assembled layout, never route
+    if (family.exists(_ != bucketCol)) {
+      System.err.println(s"WARN Bucketing: layout at $loc declares " +
+        s"bucketCol=$bucketCol but its key-family directory claims " +
+        s"${family.get}; not routing")
+      return None
+    }
     val tbl = tableName(loc, bucketCol, buckets, sortCol, name)
     if (!spark.catalog.tableExists(tbl)) {
       val ddl = spark.read.parquet(loc).schema.toDDL
@@ -280,7 +375,7 @@ object Bucketing {
         CLUSTERED BY ($bucketCol) $sorted INTO $buckets BUCKETS
         LOCATION '$loc'""")
     }
-    Some(tbl)
+    Some((tbl, bucketCol))
   }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

@@ -49,6 +49,26 @@ object Tables {
     if (name == "events") normalizeEventTime(df) else df
   }
 
+  /** [[load]] with a KEY-FAMILY hint: the caller's plan joins/aggregates
+    * this table ON `joinKey`, so serve a declared layout only when it is
+    * bucketed on exactly that key ([[Bucketing.resolveForKey]] — the
+    * primary layout if it matches, else the `joinKey`-family secondary),
+    * and otherwise read the RAW files — never a wrong-key layout, whose
+    * bucket-key sort scatters `joinKey` and measured up to 7× slower at
+    * sf100 (bench_out/r19_bucket_scan_probe.json). This is how one fact
+    * table serves BOTH its join families at scale: orderkey queries take
+    * the primary orderkey layout via [[load]], part-grain queries hint
+    * `l_partkey` here and take the partkey-family layout where declared.
+    */
+  def load(spark: SparkSession, dir: String, name: String,
+           joinKey: String): DataFrame = {
+    val df =
+      if (Jdbc.isJdbcLocation(dir)) Jdbc.read(spark, dir, name)
+      else Bucketing.resolveForKey(spark, dir, name, joinKey)
+        .getOrElse(spark.read.parquet(s"$dir/$name.parquet"))
+    if (name == "events") normalizeEventTime(df) else df
+  }
+
   /** [[load]] WITHOUT bucketed-layout routing: always the raw files.
     *
     * For callers whose access pattern the bucket-key sort actively hurts:

@@ -45,8 +45,10 @@ object BucketedFactProbe {
   def main(args: Array[String]): Unit = {
     // Validate BEFORE building a SparkSession: a typo'd mode must die with
     // the usage line immediately, not with a MatchError after 10s of init.
-    require(args.length >= 2 && Set("layout", "adopt", "probe").contains(args(0)),
+    require(args.length >= 2 &&
+      Set("layout", "layout-partkey", "adopt", "probe").contains(args(0)),
       "usage: BucketedFactProbe layout <srcDir> <buckets> | " +
+        "layout-partkey <srcDir> <buckets> | " +
         "adopt <srcDir> <buckets> | probe <srcDir> <outJson> [repeats]")
     val mode = args(0)
     val srcDir = args(1)
@@ -69,6 +71,23 @@ object BucketedFactProbe {
         graft.sources.Bucketing.writeLayout(spark, srcDir, "orders",
           "o_orderkey", buckets, sortCol = Some("o_orderkey"))
         println(s"""{"layout":"done","buckets":$buckets,""" +
+          s""""dir":"${graft.sources.Bucketing.layoutDir(srcDir)}"}""")
+
+      case "layout-partkey" =>
+        // The PARTKEY key family (r20): a SECOND declared layout per fact,
+        // hint-routed only — plain loads keep the r19 orderkey primary,
+        // and part-grain builders that hint `l_partkey`/`p_partkey`
+        // (q202/q211/q212/q216/q218/q219) read these instead of raw.
+        // Both declared as `secondary = true` (hint-only) deliberately:
+        // part gets NO primary layout, so un-hinted part reads keep the
+        // raw generation order rather than silently adopting a new
+        // default layout for every query.
+        val buckets = args(2).toInt
+        graft.sources.Bucketing.writeLayout(spark, srcDir, "lineitem",
+          "l_partkey", buckets, sortCol = Some("l_partkey"), secondary = true)
+        graft.sources.Bucketing.writeLayout(spark, srcDir, "part",
+          "p_partkey", buckets, sortCol = Some("p_partkey"), secondary = true)
+        println(s"""{"layout":"partkey-family done","buckets":$buckets,""" +
           s""""dir":"${graft.sources.Bucketing.layoutDir(srcDir)}"}""")
 
       case "adopt" =>

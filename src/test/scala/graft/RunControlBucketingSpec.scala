@@ -164,6 +164,92 @@ class RunControlBucketingSpec extends AnyFunSuite {
       "fallback must serve the CURRENT raw rows")
   }
 
+  test("SECONDARY key-family layouts: a key-hinted load serves exactly " +
+    "the matching family — the primary when it is keyed right, the " +
+    "secondary for its family, RAW otherwise (never a wrong-key layout) " +
+    "— and the staleness contract covers both layouts") {
+    val src = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_blayer2").toString
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Bucketing.writeLayout(spark, tmp, "lineitem", "l_orderkey",
+      numBuckets = 8, sortCol = Some("l_orderkey"))
+    Bucketing.writeLayout(spark, tmp, "lineitem", "l_partkey",
+      numBuckets = 8, sortCol = Some("l_partkey"), secondary = true)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // scan locations read via inputFiles (the executed-plan STRING
+    // truncates long paths mid-directory-name — r20 lesson)
+    def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(_.split("/").dropRight(1).mkString("/")).toSet
+    // plain load keeps routing to the PRIMARY (r19 behavior unchanged)
+    val plain = graft.sources.Tables.load(spark, tmp, "lineitem")
+    assert(scans(plain).forall(_.endsWith("_bucketed/lineitem")), scans(plain))
+    // partkey-hinted load routes the partkey family: the part-grain
+    // aggregate plans with NO exchange over the secondary layout
+    val hinted = graft.sources.Tables.load(spark, tmp, "lineitem", "l_partkey")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    assert(scans(hinted).forall(_.endsWith("lineitem__k_l_partkey")), scans(hinted))
+    assert(!planOf(hinted).contains("hashpartitioning(l_partkey"),
+      s"partkey aggregate must be exchange-free over the partkey family:\n" +
+        planOf(hinted).take(2000))
+    // a key with NO declared family reads RAW — a wrong-key layout
+    // (bucket-key sort scatters other keys, measured 7x at sf100) is
+    // worse than the raw generation order
+    val rawHint = graft.sources.Tables.load(spark, tmp, "lineitem", "l_suppkey")
+    assert(scans(rawHint).forall(_.endsWith("lineitem.parquet")), scans(rawHint))
+    // an orderkey hint reuses the PRIMARY layout (no duplicate declared)
+    val okHint = graft.sources.Tables.load(spark, tmp, "lineitem", "l_orderkey")
+    assert(scans(okHint).forall(_.endsWith("_bucketed/lineitem")), scans(okHint))
+    // all routes serve identical rows
+    val n = spark.read.parquet(s"$tmp/lineitem.parquet").count()
+    assert(plain.count() == n && rawHint.count() == n && okHint.count() == n)
+    assert(hinted.agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0) == n)
+    // staleness covers the SECONDARY too: regenerate the raw table and
+    // the partkey-family hint falls back to raw (fresh rows, no layout)
+    val half = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .filter(col("l_orderkey") % 2 === 0)
+    val halfCount = half.count()
+    half.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet.new")
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$tmp/lineitem.parquet"), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$tmp/lineitem.parquet.new"),
+      new org.apache.hadoop.fs.Path(s"$tmp/lineitem.parquet"))
+    Bucketing.invalidateForTest(tmp, "lineitem")
+    assert(Bucketing.resolveForKey(spark, tmp, "lineitem", "l_partkey").isEmpty,
+      "stale secondary layout must not route")
+    assert(graft.sources.Tables.load(spark, tmp, "lineitem", "l_partkey")
+      .count() == halfCount)
+  }
+
+  test("adoptLayout REJECTS a mis-declared directory: wrong bucket count " +
+    "or wrong key would plan exchange-free SMJs over wrongly-hashed files " +
+    "(silently wrong joins), so adoption validates the files' hashes") {
+    val src = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_badopt").toString
+    spark.read.parquet(s"$src/orders.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Bucketing.writeLayout(spark, tmp, "orders", "o_orderkey",
+      numBuckets = 8, sortCol = Some("o_orderkey"))
+    // wrong bucket count: files carry ids up to 7, declaring 4 must throw
+    val e1 = intercept[IllegalArgumentException] {
+      Bucketing.adoptLayout(spark, tmp, "orders", "o_orderkey", numBuckets = 4)
+    }
+    assert(e1.getMessage.contains("different"), e1.getMessage)
+    // wrong key: the files are hashed on o_orderkey, claiming o_custkey
+    // must fail the sampled per-file hash assertion
+    val e2 = intercept[IllegalArgumentException] {
+      Bucketing.adoptLayout(spark, tmp, "orders", "o_custkey", numBuckets = 8)
+    }
+    assert(e2.getMessage.contains("hash"), e2.getMessage)
+    // the true declaration re-adopts cleanly and routes
+    Bucketing.adoptLayout(spark, tmp, "orders", "o_orderkey", numBuckets = 8,
+      sortCol = Some("o_orderkey"))
+    assert(Bucketing.resolve(spark, tmp, "orders").isDefined)
+  }
+
   test("q149's raw-layer audit stays on the RAW files even when a layout " +
     "is declared (the loadRaw opt-out — non-bucket-key aggregates measured " +
     "7x slower over the re-sorted layout)") {
