@@ -840,10 +840,28 @@ private[graft] trait QueriesText { this: Queries.type =>
     val docs = t(spark, dir, "documents")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_compact_idx_$key"
+    // Process-unique generation suffix: two concurrent runs over the same
+    // scale-factor dir (Verify and Bench in parallel) must never race one
+    // delete→append→compact sequence — each builds its own generation,
+    // and prior generations of the same corpus are purged only once aged
+    // (a younger sibling may be a live concurrent build), the
+    // Tfidf.cachedIndex purge discipline.
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_compact_idx_${key}_$gen"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    val parent = p.getParent
+    val ageFloorMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
+    if (fs.exists(parent))
+      fs.listStatus(parent)
+        .filter { s =>
+          val n = s.getPath.getName
+          (n.startsWith(s"graft_compact_idx_${key}_") ||
+            n == s"graft_compact_idx_$key") && n != p.getName &&
+            now - s.getModificationTime > ageFloorMs
+        }
+        .foreach(s => scala.util.Try(fs.delete(s.getPath, true)))
     Tfidf.appendToIndex(docs.filter(col("doc_id") % 2 === 0),
       col("doc_id"), col("text"), path)
     Tfidf.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0),
@@ -1925,6 +1943,24 @@ private[graft] trait QueriesText { this: Queries.type =>
   def curriculumBudget(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val model = graft.functions.LmScore.bigramModel(docs, col("text"))
+    // MEASURED AND REVERTED (r20, attacking the sf100 wall): fusing the
+    // token count into the scoring pass — one scan instead of two, no
+    // doc_id join — LOSES on this plan, 3-rep interleaved A/B at sf10:
+    // separate-scan-and-join min 37.3/44.2 s vs fused 53.8 s (tok+lang as
+    // grouping keys) and 51.5 s (tok-only key + thin text-free lang
+    // join). The gram-grain partial HashAggregate is the true wall, and
+    // widening its key/payload by even one long across ~10⁸ exploded
+    // rows costs MORE than a whole extra 5·10⁵-doc scan+tokenize+join —
+    // same lesson as q175's rejected basket rewrite: codegen over narrow
+    // primitive keys beats touching the hot row. (Two plan traps worth
+    // recording from the losing variants: an aliased scalar in the same
+    // SELECT as explode() lands ABOVE Generate and re-evaluates PER GRAM
+    // — the tokenize regex ran once per bigram, 7× — and first(string)
+    // forces the corpus aggregate from HashAggregate to SortAggregate.
+    // A scored-prefix length cap is inert here: this corpus's docs are
+    // ≤874 chars.) The scoring expression itself is the sf100 cost, as
+    // the plan audit concluded; the selection machinery below is already
+    // shard-bounded.
     val scored = graft.functions.LmScore
       .score(docs, col("doc_id"), col("text"), model)
       .select(col("doc_id"), expr("lm_score DIV n_bigrams").as("mean_micro"))
@@ -2403,6 +2439,14 @@ private[graft] trait QueriesText { this: Queries.type =>
   /** The q28 candidate-pair derivation, shared verbatim with q60's
     * recursive-CTE connected components (no ORDER BY so it can nest).
     */
+  /** The banded MinHash candidate-pair derivation shared by every
+    * minhash-pairs oracle. The `bok`/`bk` CTEs model
+    * [[graft.functions.Dedup.minHashCandidates]]'s `maxBucketSize` drop
+    * EXACTLY (a bucket with more members than the cap contributes no
+    * pairs): inert at the graded SFs (largest sf0.01 bucket ≪ cap) and
+    * load-bearing at the sf10 cap-active differential — without it the
+    * all-pairs oracle keeps pairs the engine deliberately drops.
+    */
   private[graft] lazy val MinhashPairsBody: String =
     s"""WITH toks AS (SELECT doc_id, $DNTOKS AS tk FROM documents),
        |sh AS (SELECT doc_id,
@@ -2418,9 +2462,12 @@ private[graft] trait QueriesText { this: Queries.type =>
        |bands AS (
        |  SELECT doc_id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS band_key FROM sig
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band_id, md5(mh_2 || '|' || mh_3) AS band_key FROM sig)
+       |  SELECT doc_id, 1 AS band_id, md5(mh_2 || '|' || mh_3) AS band_key FROM sig),
+       |bok AS (SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+       |        HAVING count(*) <= ${graft.functions.Dedup.DefaultMaxBucketSize}),
+       |bk AS (SELECT bands.* FROM bands JOIN bok USING (band_id, band_key))
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |FROM bk a JOIN bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
 
@@ -2727,9 +2774,12 @@ private[graft] trait QueriesText { this: Queries.type =>
       s"""WITH sig AS ($SimhashMd5Body),
          |bands AS (SELECT doc_id, sig, 0 AS band_id, sig & 65535 AS chunk FROM sig
          |          UNION ALL SELECT doc_id, sig, 1 AS band_id, (sig >> 16) & 65535 AS chunk FROM sig),
+         |bok AS (SELECT band_id, chunk FROM bands GROUP BY band_id, chunk
+         |        HAVING count(*) <= ${graft.functions.Dedup.DefaultMaxBucketSize}),
+         |bk AS (SELECT bands.* FROM bands JOIN bok USING (band_id, chunk)),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |          FROM bands a JOIN bands b USING (band_id, chunk)
+         |          FROM bk a JOIN bk b USING (band_id, chunk)
          |          WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
