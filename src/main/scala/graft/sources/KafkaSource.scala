@@ -87,7 +87,8 @@ object KafkaSource {
                  format: String = "kafka",
                  maxOffsetsPerTrigger: Option[Long] = None,
                  failOnDataLoss: Boolean = true,
-                 startingOffsets: String = "latest"): DataFrame = {
+                 startingOffsets: String = "latest",
+                 startingTimestamp: Option[Long] = None): DataFrame = {
     var reader = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
@@ -96,6 +97,10 @@ object KafkaSource {
     maxOffsetsPerTrigger.foreach(n =>
       reader = reader.option("maxOffsetsPerTrigger", n.toString))
     if (!failOnDataLoss) reader = reader.option("failOnDataLoss", "false")
+    // takes precedence over startingOffsets at the source, the connector's
+    // documented option priority
+    startingTimestamp.foreach(ts =>
+      reader = reader.option("startingTimestamp", ts.toString))
     normalize(reader.load())
   }
 

@@ -28,7 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * same option keys, same offset-JSON shape `{"topic":{"0":123}}`, same
   * `-1`(latest)/`-2`(earliest) per-partition sentinels, same exclusive
   * `endingOffsets`, same out-of-range failure, same `maxOffsetsPerTrigger`
-  * proportional rate limit and `failOnDataLoss=false` warn-and-continue —
+  * proportional rate limit, `startingTimestamp` (+
+  * `startingOffsetsByTimestampStrategy`) offset-for-times resolution,
+  * and `failOnDataLoss=false` warn-and-continue —
   * backed by this registry instead of a broker. Reference:
   * `KafkaDemo.sh:78-84` (the `kafka_event` ledger whose [from, until)
   * windows these options replay) and `Kafka_ArrivalToConform.sh:154-181`
@@ -322,6 +324,32 @@ object KafkaStubBroker {
           s"offset JSON must specify ALL partitions of subscribed topics; missing $missing")
         parsed
     }
+
+  /** `startingTimestamp` resolution — the connector's documented contract
+    * (Structured Streaming Kafka guide): per partition, the EARLIEST
+    * offset whose record timestamp is >= the given epoch-ms value (Kafka's
+    * `offsetsForTimes`); when NO record matches, the behavior follows
+    * `startingOffsetsByTimestampStrategy` — "error" (the connector
+    * default: fail the query rather than read unintended data) or
+    * "latest" (start at the high-water mark, seeing only later
+    * publishes). Control markers never match: like `read_committed`
+    * consumers, a transaction marker is not user data to start from.
+    */
+  def resolveByTimestamp(tsMs: Long, topics: Seq[String],
+                         strategy: String = "error"): Map[(String, Int), Long] =
+    partitionsOf(topics).map { tp =>
+      val (first, log) = logs.synchronized(logs((tp._1, tp._2)))
+      val idx = log.indexWhere(r => !r.control && r.tsMs >= tsMs)
+      tp -> (if (idx >= 0) first + idx
+      else strategy match {
+        case "latest" => latest(tp)
+        case "error" => throw new IllegalStateException(
+          s"no offset matched startingTimestamp=$tsMs for $tp and " +
+            "startingOffsetsByTimestampStrategy=error (the connector default)")
+        case other => throw new IllegalArgumentException(
+          s"unknown startingOffsetsByTimestampStrategy: $other")
+      })
+    }.toMap
 }
 
 /** `format("graft-kafka-stub")` — see [[KafkaStubBroker]]. Registered via
@@ -358,10 +386,20 @@ private final class KafkaStubScan(options: Map[String, String]) extends Scan {
 
   override def readSchema(): StructType = KafkaStubBroker.schema
 
+  // startingTimestamp takes PRECEDENCE over startingOffsets (the
+  // connector's documented option priority); strategy only applies to the
+  // no-match case.
+  private def resolveStart(defaultOffsets: String): Map[(String, Int), Long] =
+    options.get("startingtimestamp") match {
+      case Some(ts) => KafkaStubBroker.resolveByTimestamp(ts.toLong, topics,
+        options.getOrElse("startingoffsetsbytimestampstrategy", "error"))
+      case None => KafkaStubBroker.resolve(
+        options.getOrElse("startingoffsets", defaultOffsets), topics)
+    }
+
   override def toBatch: Batch = {
     KafkaStubBroker.lastBatchOptions = options
-    val starts = KafkaStubBroker.resolve(
-      options.getOrElse("startingoffsets", "earliest"), topics)
+    val starts = resolveStart("earliest")
     val ends = KafkaStubBroker.resolve(
       options.getOrElse("endingoffsets", "latest"), topics)
     val fodl = failOnDataLoss
@@ -381,7 +419,7 @@ private final class KafkaStubScan(options: Map[String, String]) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     KafkaStubBroker.lastStreamOptions = options
     new KafkaStubMicroBatchStream(topics,
-      options.getOrElse("startingoffsets", "latest"),
+      () => resolveStart("latest"),
       options.get("maxoffsetspertrigger").map(_.toLong),
       failOnDataLoss)
   }
@@ -412,7 +450,7 @@ private final case class KafkaStubStreamOffset(offsets: Map[(String, Int), Long]
   *    ([[KafkaStubBroker.fetch]]).
   */
 private final class KafkaStubMicroBatchStream(
-    topics: Seq[String], starting: String,
+    topics: Seq[String], starting: () => Map[(String, Int), Long],
     maxOffsetsPerTrigger: Option[Long], failOnDataLoss: Boolean)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
   // End bound captured by prepareForTriggerAvailableNow (AvailableNow runs).
@@ -422,8 +460,7 @@ private final class KafkaStubMicroBatchStream(
     KafkaStubBroker.partitionsOf(topics)
       .map(tp => tp -> KafkaStubBroker.latest(tp)).toMap
 
-  override def initialOffset(): Offset =
-    KafkaStubStreamOffset(KafkaStubBroker.resolve(starting, topics))
+  override def initialOffset(): Offset = KafkaStubStreamOffset(starting())
 
   override def getDefaultReadLimit: ReadLimit =
     maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())

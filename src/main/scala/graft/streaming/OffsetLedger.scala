@@ -27,6 +27,11 @@ final class OffsetLedgerListener extends StreamingQueryListener {
   override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
     runId += 1
     durations += event.progress.batchId -> event.progress.batchDuration
+    event.progress.stateOperators.foreach { so =>
+      states += StateSnapshot(event.progress.batchId, so.operatorName,
+        so.numRowsTotal, so.memoryUsedBytes, so.numRowsRemoved,
+        so.numRowsDroppedByWatermark)
+    }
     event.progress.sources.foreach { s =>
       // Kafka source offsets are JSON {topic: {partition: offset}}. For
       // non-Kafka sources (files, memory) start/end are opaque — skipped.
@@ -52,6 +57,15 @@ final class OffsetLedgerListener extends StreamingQueryListener {
     */
   private val durations = mutable.ArrayBuffer.empty[(Long, Long)]
   def batchDurations: Seq[(Long, Long)] = synchronized(durations.toSeq)
+
+  /** Per-batch state-store metrics straight from
+    * `StreamingQueryProgress.stateOperators` — the evidence that a
+    * stateful operator's watermark actually BOUNDS its state (rows/bytes
+    * plateau, evictions happen) instead of growing with the stream. Empty
+    * for stateless queries.
+    */
+  private val states = mutable.ArrayBuffer.empty[StateSnapshot]
+  def stateSnapshots: Seq[StateSnapshot] = synchronized(states.toSeq)
 
   /** The reference's BATCH_DURATION expectation check
     * (`KafkaDemo.sh:131-144`): every recorded batch within tolerance.
@@ -105,3 +119,15 @@ object OffsetLedger {
     ledger.agg(coalesce(sum(col("untilOffset") - col("fromOffset")), lit(0L)))
       .head().getLong(0)
 }
+
+/** One stateful operator's footprint in one micro-batch, as reported by
+  * `StreamingQueryProgress.stateOperators`: total state rows, state-store
+  * bytes, rows physically removed this batch, and input rows the
+  * watermark rejected as too late. The soak artifacts bound-check
+  * `numRowsTotal`/`memoryUsedBytes` over a full run — the proof that
+  * [[Windowed.dedupStream]]'s fingerprint store is watermark-bounded.
+  */
+final case class StateSnapshot(batchId: Long, operator: String,
+                               numRowsTotal: Long, memoryUsedBytes: Long,
+                               numRowsRemoved: Long,
+                               numRowsDroppedByWatermark: Long)

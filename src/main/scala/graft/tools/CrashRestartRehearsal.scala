@@ -308,6 +308,71 @@ object CrashRestartRehearsal {
       .collect().map(_.getLong(0)).sorted.toSeq
     ArrivalJob.conformRuns(spark, data, conform, runIds, format = "avro")
     val nConform = graft.sources.AvroIo.readAvro(spark, conform).count()
+    // ---- Watermark-bounded state soak (r20 verdict task 7): run
+    // [[graft.streaming.Windowed.dedupStream]] over the SAME events in
+    // EVENT-TIME arrival order and record per-batch state-store metrics
+    // from StreamingQueryProgress.stateOperators — the evidence that the
+    // fingerprint store is BOUNDED by the watermark (rows plateau, old
+    // state is evicted) instead of growing with the stream. Event-time
+    // order matters: the crash stage is (partition, offset)-ordered with
+    // near-zero ts correlation, under which a watermark would both leak
+    // state and drop most rows as late; a real event stream arrives
+    // roughly in event time, so the soak stages NRuns time-range chunks.
+    val stateLeg = {
+      val tsNs = split(col("value"), "\\|").getItem(3).cast("long")
+      val ev = spark.read.schema(schema).parquet(stage)
+        .select(col("value").as("text"), tsNs.as("ts_ns"))
+      val b = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = math.max(hi - lo, 1L)
+      val stateStage = s"$root/state_stage"
+      (0 until NRuns).foreach { c =>
+        ev.filter(((col("ts_ns") - lo) * NRuns.toLong / span)
+            .cast("int").between(if (c == 0) Int.MinValue else c,
+              if (c == NRuns - 1) Int.MaxValue else c))
+          .coalesce(1).write.mode("append").parquet(stateStage)
+      }
+      val sListener = new graft.streaming.OffsetLedgerListener
+      spark.streams.addListener(sListener)
+      val in = spark.readStream
+        .schema(StructType(Seq(StructField("text", StringType),
+          StructField("ts_ns", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(stateStage)
+        .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      val dq = graft.streaming.Windowed
+        .dedupStream(in.select(col("ts"), col("text")), "2 days")
+        .writeStream.queryName("graft_dedup_state_soak")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/state_ckpt")
+        .format("noop").start()
+      dq.awaitTermination()
+      locally { // listener events are async — drain (bounded)
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1
+        while (System.currentTimeMillis() < deadline &&
+          sListener.stateSnapshots.size != last) {
+          last = sListener.stateSnapshots.size; Thread.sleep(200)
+        }
+      }
+      val snaps = sListener.stateSnapshots
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/state_metrics.jsonl"),
+        (snaps.map(s => s"""{"batch":${s.batchId},"op":"${s.operator}",""" +
+          s""""rows":${s.numRowsTotal},"bytes":${s.memoryUsedBytes},""" +
+          s""""removed":${s.numRowsRemoved},"late":${s.numRowsDroppedByWatermark}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+      val maxRows = if (snaps.isEmpty) 0L else snaps.map(_.numRowsTotal).max
+      val maxBytes = if (snaps.isEmpty) 0L else snaps.map(_.memoryUsedBytes).max
+      val removed = snaps.map(_.numRowsRemoved).sum
+      // the bound: state must stay well under the stream's key count
+      // (2-day horizon over a ~30-day span), and eviction must be REAL
+      require(snaps.nonEmpty && removed > 0 && maxRows < nEvents / 4,
+        s"dedup state must be watermark-bounded: n_snaps=${snaps.size} " +
+          s"max_rows=$maxRows (events=$nEvents) removed=$removed")
+      s""""dedup_state":{"n_batches":${snaps.size},"max_rows":$maxRows,""" +
+        s""""max_bytes":$maxBytes,"rows_removed":$removed,""" +
+        s""""watermark":"2 days","bounded":true}"""
+    }
     val ok = continuity.testResult == ValidationResult.PASSED &&
       countMatch.testResult == ValidationResult.PASSED &&
       ledgerRows == ledgerDistinct && nRows == nEvents &&
@@ -318,6 +383,7 @@ object CrashRestartRehearsal {
          |"ledger_rows":$ledgerRows,"ledger_distinct":$ledgerDistinct,
          |"arrival_rows":$nRows,"distinct_event_ids":$nDistinctIds,
          |"conform_rows":$nConform,"zero_duplicates":${nRows == nDistinctIds && nRows == nEvents},
+         |$stateLeg,
          |"all_green":$ok}""".stripMargin.replaceAll("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/child_result.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -195,6 +195,87 @@ class KafkaStubSpec extends AnyFunSuite {
       s"prorate must favor the laggy partition: $b0")
   }
 
+  test("startingTimestamp resolves offsetsForTimes per partition (earliest " +
+    "offset with ts >= given; no-match follows " +
+    "startingOffsetsByTimestampStrategy) and takes precedence over " +
+    "startingOffsets — the connector's documented option priority") {
+    fixture()
+    // per-partition first offset with tsMs >= base+4: p0 offset 5+4=9,
+    // p1 offset 4 (each partition's records start at tsMs=base)
+    val starts = KafkaStubBroker.resolveByTimestamp(
+      1700000000004L, Seq("events_raw"))
+    assert(starts == Map(("events_raw", 0) -> 9L, ("events_raw", 1) -> 4L), starts)
+    // batch read: startingTimestamp wins over an explicit startingOffsets
+    val df = spark.read.format("graft-kafka-stub")
+      .option("subscribe", "events_raw")
+      .option("startingTimestamp", "1700000000004")
+      .option("startingOffsets", """{"events_raw":{"0":5,"1":0}}""")
+      .load()
+    val got = df.collect().map(r =>
+      (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).toSet
+    assert(got == ((9L until 17L).map(o => (0, o)) ++
+      (4L until 8L).map(o => (1, o))).toSet, got.toSeq.sorted.mkString(","))
+    // no record at/after the timestamp: strategy "error" (the connector
+    // default) fails rather than silently reading unintended data...
+    intercept[IllegalStateException] {
+      KafkaStubBroker.resolveByTimestamp(1800000000000L, Seq("events_raw"))
+    }
+    // ...and strategy "latest" starts at the high-water mark
+    val latests = KafkaStubBroker.resolveByTimestamp(
+      1800000000000L, Seq("events_raw"), strategy = "latest")
+    assert(latests == Map(("events_raw", 0) -> 17L, ("events_raw", 1) -> 8L))
+  }
+
+  test("startingTimestamp through the STREAM path: the query begins at the " +
+    "resolved offsets and sees exactly the records from the timestamp on") {
+    import graft.streaming.ArrivalJob
+    fixture()
+    val root = java.nio.file.Files.createTempDirectory("stub_ts_start").toString
+    val in = graft.sources.KafkaSource.readStream(spark, "stub:9092",
+      Seq("events_raw"), format = "graft-kafka-stub",
+      startingTimestamp = Some(1700000000006L))
+    val q = ArrivalJob.start(in, s"$root/data", s"$root/ledger", s"$root/ckpt")
+    q.awaitTermination()
+    assert(KafkaStubBroker.lastStreamOptions("startingtimestamp") ==
+      "1700000000006")
+    val got = spark.read.parquet(s"$root/data").collect().map(r =>
+      (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).toSet
+    // p0: first ts >= base+6 sits at offset 5+6=11 (head trimmed to 5);
+    // p1: at offset 6 — the stream drains exactly from the resolved
+    // starts to each high-water mark
+    assert(got == ((11L until 17L).map(o => (0, o)) ++
+      (6L until 8L).map(o => (1, o))).toSet,
+      got.toSeq.sorted.mkString(","))
+  }
+
+  test("maxOffsetsPerTrigger prorate ROUNDING pinned: floor per partition, " +
+    "ceil when a partition's share is under one row (never starved), " +
+    "clamped to its lag — KafkaMicroBatchStream#rateLimit's arithmetic") {
+    import graft.streaming.ArrivalJob
+    KafkaStubBroker.clear()
+    // lags 5 and 1, cap 3: p0 share 3·5/6 = 2.5 → floor 2; p1 share
+    // 3·1/6 = 0.5 → UNDER one row → ceil 1. Batch 0 must advance exactly
+    // (2, 1) — a floor-only split would starve p1 for the whole drain.
+    KafkaStubBroker.createPartition("events_raw", 0)
+    KafkaStubBroker.createPartition("events_raw", 1)
+    (0 until 5).foreach(i => KafkaStubBroker.publish("events_raw", 0, s"p0-$i"))
+    KafkaStubBroker.publish("events_raw", 1, "p1-0")
+    val root = java.nio.file.Files.createTempDirectory("stub_prorate").toString
+    val in = graft.sources.KafkaSource.readStream(spark, "stub:9092",
+      Seq("events_raw"), format = "graft-kafka-stub",
+      maxOffsetsPerTrigger = Some(3L), startingOffsets = "earliest")
+    val q = ArrivalJob.start(in, s"$root/data", s"$root/ledger", s"$root/ckpt")
+    q.awaitTermination()
+    val ledger = spark.read.parquet(s"$root/ledger")
+    val b0 = ledger.filter(org.apache.spark.sql.functions.col("jobRunId") === 0L)
+      .collect().map(r => r.getAs[Int]("partition") ->
+        (r.getAs[Long]("untilOffset") - r.getAs[Long]("fromOffset"))).toMap
+    assert(b0 == Map(0 -> 2L, 1 -> 1L),
+      s"prorate rounding must take (2,1) in batch 0: $b0")
+    // and the drain completes exactly (no row lost or duplicated)
+    assert(spark.read.parquet(s"$root/data").count() == 6L)
+  }
+
   test("failOnDataLoss=false reads past a trimmed head: surviving window only, " +
     "loss recorded as a warning the arrival audit turns into a FAILED check") {
     KafkaStubBroker.clear()
