@@ -2246,7 +2246,16 @@ private[graft] trait QueriesText { this: Queries.type =>
     // deliberate: an aggregated min-bound variant prunes a few more pairs
     // but was measured 35% slower at sf10 (the min/first buffers outweigh
     // the extra verifies on this fixture's genuinely-similar candidates).
-    Dedup.ppjoin(sets, 13, 20)
+    //
+    // r20: materialize the shingle sets ONCE. ppjoin consumes its input
+    // from three unshareable subtrees (the df aggregate, the prefix
+    // window, the two verify sides), and the r20 profile showed the
+    // charShingles+array_sort tokenization re-running in each (~2 s × 3
+    // of the 6.5 s wall at sf0.1). The thin above caps this relation at
+    // ~8192 docs BY CONSTRUCTION, so the materialization is bounded at
+    // every scale — exactly the stage-boundary discipline q85 uses.
+    Dedup.ppjoin(graft.ops.Relational.materialize(sets,
+        spark.conf.getOption("spark.graft.checkpoint.dir")), 13, 20)
       .orderBy(col("id_a"), col("id_b"))
   }
 

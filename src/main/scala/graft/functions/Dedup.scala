@@ -656,10 +656,23 @@ object Dedup {
     // α·(tDen+tNum) ≥ (ma+mb)·tNum rearranged to integer math — see the
     // q196 Scaladoc for why the scan-local per-row form beats the
     // aggregated min-bound variant on genuinely-similar candidate sets.
-    val cand = prefixes
+    // The self-join below is the one KNOWN-QUADRATIC step (output ≈
+    // Σ df(prefix-token)²), so its parallelism must track candidate
+    // volume, not input bytes: AQE's byte-based coalescing saw <1 MiB of
+    // prefix rows at sf0.1 and fused the join + pair-distinct + verify
+    // onto ONE partition (single core — 4.2 s of q196's 6.5 s wall, r20
+    // profile). An explicit-N hash repartition on the join key pins the
+    // stage at the session's configured shuffle width (scale-adaptive via
+    // conf, not a constant) and is exempt from AQE coalescing; both join
+    // sides share the one exchange (self-join reuse), so the exchange
+    // count is unchanged.
+    val pf = prefixes.repartition(
+      sets.sparkSession.sessionState.conf.numShufflePartitions,
+      col("h1"), col("h2"))
+    val cand = pf
       .select(col("doc_id").as("id_a"), col("m").as("ma"),
         col("rk").as("ra"), col("h1"), col("h2"))
-      .join(prefixes
+      .join(pf
         .select(col("doc_id").as("id_b"), col("m").as("mb"),
           col("rk").as("rb"), col("h1"), col("h2")),
         Seq("h1", "h2"))
