@@ -243,41 +243,97 @@ object Dedup {
     */
   def connectedComponentsIterated(pairs: DataFrame, maxIter: Int = 10,
                                   checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = pairs.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
+    // r20 materialization strategy: PARQUET WRITE + READ-BACK instead of
+    // RDD checkpoint. Two measured costs of `checkpoint(eager = true)`
+    // motivated the switch:
+    //  1. a reliable checkpoint computes every round TWICE — the eager
+    //     count materializes the lineage, then ReliableRDDCheckpointData
+    //     re-runs the same lineage in a second job to write the files;
+    //  2. the convergence probe was its own driver round-trip per round on
+    //     top of that (and as `limit(1)` it scanned the converged round in
+    //     up to 4 scale-up waves).
+    // A parquet round-trip computes once, is exactly as
+    // restart-/executor-loss-safe as a reliable checkpoint when
+    // `checkpointDir` points at shared storage (the cluster conf), and —
+    // because the write is a SQL action — an `observe()` on the frame
+    // rides the SAME job and returns the changed-label count for free.
+    // Per round: 3 jobs → 1. Files live under a per-run UUID dir; rounds
+    // are deleted as they stop being referenced and the dir is registered
+    // for delete-on-exit (the final labels table must outlive this call —
+    // the returned frame lazily reads it, matching the old checkpoint's
+    // GC-scoped lifetime).
+    val spark = pairs.sparkSession
+    val runDir = s"${checkpointDir.getOrElse(sys.props("java.io.tmpdir"))}/" +
+      s"graft-cc-${java.util.UUID.randomUUID().toString.take(12)}"
+    val hPath = new org.apache.hadoop.fs.Path(runDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(hPath)
+    def mat(df: DataFrame, step: String): DataFrame = {
+      val p = s"$runDir/$step"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
     }
     // Materialize the edge list once: `pairs` is typically the output of the
     // whole LSH candidate pipeline, and every iteration references edges
-    // twice — without this checkpoint the shingle→minhash→band derivation
-    // would re-run O(iterations) times.
-    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    // twice — without this cut the shingle→minhash→band derivation would
+    // re-run O(iterations) times.
+    // (r20: an A/B measured pre-hash-partitioning edges/labels on their
+    // join keys at the cut — a loop-invariant hoist — SLOWER at sf0.1
+    // (2.2→3.1 s: the per-round joins broadcast anyway, so the init
+    // repartitions bought nothing), falsified and reverted.)
+    // The self-union deliberately re-runs the upstream pipeline in TWO
+    // independent branches: they schedule in parallel, so the recompute
+    // costs CPU but no wall. (r20 A/B: a single-pass explode-of-2-structs
+    // variant serialized the derivation into one pipeline and measured
+    // 2.4→3.1 s SLOWER — falsified and reverted.)
+    val edges = mat(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))), "edges")
+    // Round 1 is SPECIALIZED: under the identity seed (label(id) = id) the
+    // generic step `least(label, min over neighbors of label(dst))`
+    // simplifies to `least(src, min(dst))` — one aggregate over the
+    // materialized edges, no label seed, no distinct, no joins. (The r20
+    // profile showed the generic round-1 plan recomputing the seed
+    // distinct on both sides of its update join.) Every id occurs as a
+    // src because edges carry both directions, so the aggregate's key set
+    // IS the id universe. Rounds ≥ 2 run the generic join form.
+    var labels: DataFrame = null
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster")).as("nmin"))
-      // Carry the OLD label through the update join so the convergence
-      // probe is a filter on the already-materialized frame — folding it
-      // into the checkpoint saves one labels-join per round (the probe
-      // used to re-join updated against labels after the cut).
-      val updated = cut(labels
-        .join(neighborMin, labels("id") === col("id2"), "left_outer")
-        .select(col("id"), col("cluster").as("__old"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
-      val changed = updated.filter(col("cluster") =!= col("__old")).limit(1).count()
+      // Carry the OLD label through so the convergence count is computable
+      // on the materializing frame itself: the `observe` below evaluates
+      // during the write job — no separate probe job per round.
+      val obs = org.apache.spark.sql.Observation()
+      val stepped =
+        if (i == 0)
+          edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+            .select(col("src").as("id"), col("src").as("__old"),
+              least(col("src"), col("nmin")).as("cluster"))
+        else {
+          val neighborMin = edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src").as("id2"))
+            .agg(min(col("cluster")).as("nmin"))
+          labels
+            .join(neighborMin, labels("id") === col("id2"), "left_outer")
+            .select(col("id"), col("cluster").as("__old"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        }
+      val updated = mat(stepped
+        .observe(obs, count(when(col("cluster") =!= col("__old"), lit(1)))
+          .as("changed")), s"round$i")
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("id"), col("cluster"))
       converged = changed == 0
+      // Round i-1's files fed only round i's (now materialized) write —
+      // free them as the loop advances instead of leaking every round.
+      if (i > 0) fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/round${i - 1}"), true)
       i += 1
     }
+    if (labels == null)
+      // maxIter == 0: degenerate, but honor the contract with the seed.
+      labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
     (labels.select(col("id"), col("cluster")), i)
   }
 
