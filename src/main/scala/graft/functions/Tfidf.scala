@@ -267,12 +267,41 @@ object Tfidf {
     */
   def appendToIndex(docs: DataFrame, idCol: Column, textCol: Column,
                     path: String): Unit = {
-    val (termStats, corpusStats) = batchStats(docs, idCol, textCol)
-    rawPostings(docs, idCol, textCol)
+    // r20: ONE tokenization pass per batch, not three. The old form ran
+    // [[batchStats]] (tokenize ×2: df explode + corpus size-sum) plus
+    // [[rawPostings]] (tokenize ×1); but both stat tables are derivable
+    // from the postings themselves — df(term) = posting-row count per term
+    // (postings are unique on (d, term)), and Σ tf_d = the batch's total
+    // token count (token-less docs contribute 0 rows = 0 tokens, exactly
+    // like size-of-tokens sums). Only n_docs still reads `docs`, and that
+    // count never touches the text column (column-pruned scan). The staged
+    // postings persist across the three consuming jobs and are dropped
+    // before returning.
+    val staged = rawPostings(docs, idCol, textCol)
       .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
-      .write.mode("append").parquet(s"$path/postings")
-    termStats.coalesce(1).write.mode("append").parquet(s"$path/term_stats")
-    corpusStats.coalesce(1).write.mode("append").parquet(s"$path/corpus_stats")
+      .persist()
+    try {
+      // The postings write runs first and fills the cache; the two stat
+      // writes then read cached blocks and are INDEPENDENT small jobs —
+      // overlapping them from driver threads (guide §2.6) halves their
+      // wall, which at the measured ~0.3 s/job overhead is most of what
+      // they cost.
+      staged.write.mode("append").parquet(s"$path/postings")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fTerm = Future {
+        staged.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .coalesce(1).write.mode("append").parquet(s"$path/term_stats")
+      }
+      val fCorpus = Future {
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+            staged.agg(coalesce(sum(col("tf_d")), lit(0L)).cast("long")
+              .as("total_tokens")))
+          .coalesce(1).write.mode("append").parquet(s"$path/corpus_stats")
+      }
+      Await.result(Future.sequence(Seq(fTerm, fCorpus)),
+        scala.concurrent.duration.Duration.Inf)
+    } finally staged.unpersist(blocking = false)
   }
 
   /** Probe an incremental index (as DataFrames — read them from an
@@ -356,16 +385,33 @@ object Tfidf {
       }
     }
     fsys.delete(tmp, true)
-    spark.read.parquet(s"$path/postings")
-      .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    spark.read.parquet(s"$path/term_stats")
-      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/term_stats")
-    spark.read.parquet(s"$path/corpus_stats")
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("total_tokens")).cast("long").as("total_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus_stats")
+    // The three table rewrites are independent reads of disjoint inputs
+    // writing disjoint outputs — run them as overlapped driver-thread jobs
+    // (guide §2.6): the two stat merges are overhead-dominated and ride
+    // inside the postings rewrite's wall. The swap below stays sequential.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jobs = Seq(
+        Future {
+          spark.read.parquet(s"$path/postings")
+            .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
+            .write.mode("overwrite").parquet(s"$tmp/postings")
+        },
+        Future {
+          spark.read.parquet(s"$path/term_stats")
+            .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/term_stats")
+        },
+        Future {
+          spark.read.parquet(s"$path/corpus_stats")
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("total_tokens")).cast("long").as("total_tokens"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/corpus_stats")
+        })
+      Await.result(Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    }
     Seq("postings", "term_stats", "corpus_stats").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(root, t)
       val next = new org.apache.hadoop.fs.Path(tmp, t)
