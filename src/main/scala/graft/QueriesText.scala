@@ -1964,11 +1964,22 @@ private[graft] trait QueriesText { this: Queries.type =>
     val scored = graft.functions.LmScore
       .score(docs, col("doc_id"), col("text"), model)
       .select(col("doc_id"), expr("lm_score DIV n_bigrams").as("mean_micro"))
-    val base = docs
+    // r20: MATERIALIZE the scored base once. `base` feeds FOUR unshareable
+    // consumers (the budget aggregate, the shard-prefix aggregate, the
+    // full-slice filter and the boundary window), and the executed-plan
+    // profile showed the whole scoring pipeline — bigram model aggregate
+    // included — replicated in each (14 copies of the ~1.7 s aggregates at
+    // sf0.1). The frame is 5 narrow columns per doc, so the
+    // materialization is corpus-ROW-bounded, never corpus-TEXT-sized;
+    // scoring now runs once. This is the orthogonal complement of the
+    // falsified fusion above: don't widen the hot aggregate, just stop
+    // re-running it.
+    val base = graft.ops.Relational.materialize(docs
       .select(col("doc_id"), col("lang"),
         size(Text.tokens(Text.normalized(col("text")))).cast("long").as("tok"))
       .join(scored, "doc_id")
-      .withColumn("shard", expr("mean_micro DIV 62500"))
+      .withColumn("shard", expr("mean_micro DIV 62500")),
+      spark.conf.getOption("spark.graft.checkpoint.dir"))
     val budget = base.agg(sum(col("tok")).as("tt"))
       .select(expr("tt DIV 2").as("budget"))
     val shardPrefix = base.groupBy(col("shard")).agg(sum(col("tok")).as("stok"))
@@ -2216,7 +2227,9 @@ private[graft] trait QueriesText { this: Queries.type =>
     * rather than the fixture.
     */
   def ppjoinExact(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents")
+    // r20: char-shingling is expression-bound — fan the (small) sampled
+    // input to cores (see Tables.fanOutSmallInput).
+    val base = graft.sources.Tables.fanOutSmallInput(t(spark, dir, "documents"))
       .filter(col("text").isNotNull && col("doc_id") % 8 === 0)
       .select(col("doc_id"),
         array_sort(array_distinct(Text.charShingles(col("text"), 3))).as("sh"))

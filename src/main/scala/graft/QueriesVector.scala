@@ -597,7 +597,9 @@ private[graft] trait QueriesVector { this: Queries.type =>
     * k-means codebooks) for the principal direction.
     */
   def dimCovariance(spark: SparkSession, dir: String): DataFrame = {
-    val withXm = t(spark, dir, "embeddings")
+    // r20: the dim-pair explode is ×2080 per row of expression CPU — fan
+    // the (small) vector table to cores (see Tables.fanOutSmallInput).
+    val withXm = graft.sources.Tables.fanOutSmallInput(t(spark, dir, "embeddings"))
       .withColumn("xm",
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as long))"))
     val pairs = withXm

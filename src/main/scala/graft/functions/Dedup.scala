@@ -124,7 +124,11 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    // r20: shingle+minhash is expression-bound per row — fan a small input
+    // out to cores first (single-row-group files otherwise run the whole
+    // signature pass as one task; see Tables.fanOutSmallInput).
+    val b = lshBands(graft.sources.Tables.fanOutSmallInput(docs),
+      idCol, textCol, shingleK, bands, rowsPerBand)
     val buckets = b
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -262,17 +266,8 @@ object Dedup {
     // for delete-on-exit (the final labels table must outlive this call —
     // the returned frame lazily reads it, matching the old checkpoint's
     // GC-scoped lifetime).
-    val spark = pairs.sparkSession
-    val runDir = s"${checkpointDir.getOrElse(sys.props("java.io.tmpdir"))}/" +
-      s"graft-cc-${java.util.UUID.randomUUID().toString.take(12)}"
-    val hPath = new org.apache.hadoop.fs.Path(runDir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.deleteOnExit(hPath)
-    def mat(df: DataFrame, step: String): DataFrame = {
-      val p = s"$runDir/$step"
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
+    val seam = graft.ops.Materialize.seam(pairs.sparkSession, checkpointDir)
+    def mat(df: DataFrame, step: String): DataFrame = seam.mat(df, step)
     // Materialize the edge list once: `pairs` is typically the output of the
     // whole LSH candidate pipeline, and every iteration references edges
     // twice — without this cut the shingle→minhash→band derivation would
@@ -301,9 +296,8 @@ object Dedup {
     var converged = false
     while (i < maxIter && !converged) {
       // Carry the OLD label through so the convergence count is computable
-      // on the materializing frame itself: the `observe` below evaluates
-      // during the write job — no separate probe job per round.
-      val obs = org.apache.spark.sql.Observation()
+      // on the materializing frame itself: `matCounted`'s observe
+      // evaluates during the write job — no separate probe job per round.
       val stepped =
         if (i == 0)
           edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
@@ -319,15 +313,13 @@ object Dedup {
             .select(col("id"), col("cluster").as("__old"),
               least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         }
-      val updated = mat(stepped
-        .observe(obs, count(when(col("cluster") =!= col("__old"), lit(1)))
-          .as("changed")), s"round$i")
-      val changed = obs.get("changed").asInstanceOf[Long]
+      val (updated, changed) = seam.matCounted(stepped,
+        count(when(col("cluster") =!= col("__old"), lit(1))), s"round$i")
       labels = updated.select(col("id"), col("cluster"))
       converged = changed == 0
       // Round i-1's files fed only round i's (now materialized) write —
       // free them as the loop advances instead of leaking every round.
-      if (i > 0) fs.delete(new org.apache.hadoop.fs.Path(s"$runDir/round${i - 1}"), true)
+      if (i > 0) seam.drop(s"round${i - 1}")
       i += 1
     }
     if (labels == null)
@@ -629,7 +621,10 @@ object Dedup {
     */
   def cdcChunkFrame(docs: DataFrame, idCol: Column, textCol: Column,
                     window: Int = 8, avgChunk: Int = 64): DataFrame = {
-    val base = docs.select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
+    // r20: the boundary scan is expression-bound — fan small inputs to
+    // cores (see Tables.fanOutSmallInput).
+    val base = graft.sources.Tables.fanOutSmallInput(docs)
+      .select(idCol.as("doc_id"), Text.normalized(textCol).as("norm"))
     val withCuts = base.select(col("doc_id"), col("norm"),
       array_sort(array_distinct(concat(
         graft.plans.CdcExpressions.cdc_cuts(col("norm"), window, avgChunk),

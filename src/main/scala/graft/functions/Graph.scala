@@ -59,18 +59,24 @@ object Graph {
                   checkpointDir: Option[String] = None,
                   cutEvery: Int = 2): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100 && cutEvery >= 1)
-    val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = edges.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
+    // r20: parquet-round-trip seams ([[graft.ops.Materialize]]) — the
+    // reliable checkpoint computed every cut frame twice; the round-trip
+    // computes once and retires superseded rank frames as it goes.
+    val seam = graft.ops.Materialize.seam(edges.sparkSession, checkpointDir)
+    var step = 0
+    var lastStep = -1
+    val cut: DataFrame => DataFrame = { df =>
+      val out = seam.mat(df, s"r$step")
+      if (lastStep >= 0) seam.drop(s"r$lastStep")
+      lastStep = step
+      step += 1
+      out
     }
     // Materialize the (usually derived) edge list once: every round
     // references it, and cutting here also caps the per-round plan at a
     // constant two joins + one aggregate.
-    val e = cut(edges.select(src.as("src"), dst.as("dst"),
-      weight.cast("long").as("w")))
+    val e = seam.mat(edges.select(src.as("src"), dst.as("dst"),
+      weight.cast("long").as("w")), "edges")
     val hosts = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
     // base rank as a one-row broadcast so n_hosts stays in-plan (no
@@ -182,16 +188,15 @@ object Graph {
             maxRounds: Int = 64,
             checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
-    val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = pairs.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
-    }
-    var edges = cut(pairs.select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
-    var prevCount = edges.count()
+    // r20: materialization via [[graft.ops.Materialize.Seam]] — parquet
+    // round-trips compute each round ONCE (the reliable checkpoint ran
+    // every lineage twice), and the per-round edge count rides the write
+    // job via observe instead of being its own action. Retired rounds'
+    // files are freed as the peel advances.
+    val seam = graft.ops.Materialize.seam(pairs.sparkSession, checkpointDir)
+    var (edges, prevCount) = seam.matCounted(
+      pairs.select(least(a, b).as("a"), greatest(a, b).as("b"))
+        .filter(col("a") =!= col("b")).distinct(), count(lit(1)), "edges")
     var i = 0
     var stable = prevCount == 0
     while (i < maxRounds && !stable) {
@@ -199,13 +204,12 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("id"))
-      edges = cut(edges
+      val (nextEdges, after) = seam.matCounted(edges
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")))
-      // one count per round: the frame is already materialized by the cut,
-      // and last round's count is this round's "before"
-      val after = edges.count()
+        .select(col("a"), col("b")), count(lit(1)), s"round$i")
+      edges = nextEdges
+      if (i > 0) seam.drop(s"round${i - 1}")
       stable = after == prevCount
       prevCount = after
       i += 1

@@ -22,7 +22,9 @@ object LmScore {
     * text of `docs`. Two small aggregates; output rows ≤ |alphabet|².
     */
   def bigramModel(docs: DataFrame, textCol: Column): DataFrame = {
-    val grams = docs.select(
+    // r20: bigram explode over text is expression-bound — fan small inputs
+    // to cores (see Tables.fanOutSmallInput).
+    val grams = graft.sources.Tables.fanOutSmallInput(docs).select(
       explode(Text.charShingles(Text.normalized(textCol), 2)).as("bigram"))
     val counts = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     val prefix = counts.groupBy(substring(col("bigram"), 1, 1).as("c1"))
@@ -38,7 +40,8 @@ object LmScore {
     */
   def score(docs: DataFrame, idCol: Column, textCol: Column,
             model: DataFrame): DataFrame = {
-    val grams = docs.select(idCol.as("doc_id"),
+    val grams = graft.sources.Tables.fanOutSmallInput(docs)
+      .select(idCol.as("doc_id"),
       explode(Text.charShingles(Text.normalized(textCol), 2)).as("bigram"))
     grams.join(broadcast(model), Seq("bigram"), "left")
       .groupBy(col("doc_id"))

@@ -277,7 +277,8 @@ object Tfidf {
     // count never touches the text column (column-pruned scan). The staged
     // postings persist across the three consuming jobs and are dropped
     // before returning.
-    val staged = rawPostings(docs, idCol, textCol)
+    val staged = rawPostings(graft.sources.Tables.fanOutSmallInput(docs),
+        idCol, textCol)
       .repartition(col("term")).sortWithinPartitions(col("term"), col("d"))
       .persist()
     try {

@@ -193,13 +193,12 @@ object Relational {
     * measured, not by default.
     */
   def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
-    }
+    // r20: parquet write + read-back ([[graft.ops.Materialize]]) instead of
+    // `checkpoint(eager = true)` — the reliable checkpoint computed every
+    // frame TWICE (eager count, then the checkpoint-file write re-running
+    // the lineage); the round-trip computes once and truncates lineage
+    // identically, on the same storage.
+    Materialize.once(df, checkpointDir)
 
   /** Range-sharded cumulative sum over a distinct-value summary: exact
     * running totals of each `weights` column in `v`-order (ascending or

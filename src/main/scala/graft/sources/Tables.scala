@@ -21,6 +21,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  /** OPT-IN scan fan-out for CPU-heavy operators over small inputs (r20,
+    * guide §2.5 "one huge unsplittable file → repartition immediately
+    * after the read").
+    *
+    * A parquet file is task-divisible only at ROW-GROUP boundaries
+    * (~128 MB): a table whose total bytes are far below cores × row-group
+    * runs its entire scan stage — and every expression fused into it
+    * (tokenization, shingles, minhash, scoring) — as a HANDFUL of tasks no
+    * matter how many cores the session has (every sf0.1 table ships as ONE
+    * row group; the r20 profile caught q156's whole LM-scoring pass
+    * single-task this way). When the input's estimated bytes say its split
+    * count is below the session's parallelism, fan the rows out once; at
+    * warehouse scale the condition is false and the frame is untouched.
+    *
+    * Opt-in, NOT automatic: a full-catalog A/B (bench_out/r20_mid1.json)
+    * measured the blanket form a NET LOSS — the CPU-bound queries won
+    * 1.5–4× (q82 0.38×, q156 0.45×) but every light query paid the extra
+    * stage (~+0.4 s, 3–4× on sub-second queries; 161.9 s → 243.9 s
+    * total). Whether the downstream is expression-bound per row is
+    * exactly the knowledge the caller has and the planner does not
+    * (guide §8), so the HEAVY operators call this on their inputs and the
+    * other two hundred queries keep their single-task-but-cheap scans.
+    *
+    * Deterministic by construction: round-robin repartition local-sorts
+    * its input first (`spark.sql.execution.sortBeforeRepartition`, Spark
+    * default), and every catalog query is partition-order-independent
+    * (exact integer/decimal aggregates, total ORDER BY) — diffcheck
+    * replays 240/240 green over this path.
+    */
+  def fanOutSmallInput(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxBytes = BigInt(cores) * (64L * 1024 * 1024)
+    val bytes = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes).getOrElse(maxBytes)
+    if (bytes < maxBytes) df.repartition(cores) else df
+  }
+
   /** Read one table from a layer location — a parquet scale-factor
     * directory, or (when the location is a `jdbc:` URL) a database table
     * via [[Jdbc.read]], so a layer can live in the reference's

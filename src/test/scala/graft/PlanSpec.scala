@@ -165,10 +165,20 @@ class PlanSpec extends AnyFunSuite {
   /** Column names carried by every shuffle exchange in the physical plan —
     * the payload check behind "text never shuffles" pins.
     */
+  /** Column names crossing any KEYED exchange (hash/range partitioning).
+    * Round-robin exchanges are excluded: the only round-robin in the
+    * catalog is `Tables.fanOutSmallInput`'s scale-GATED scan fan-out
+    * (r20), which by construction fires only when the input is below
+    * cores × 64 MB — so a text column riding it is a bounded local spread,
+    * not the corpus-text-through-a-join shuffle this lint exists to ban.
+    * Keyed exchanges carrying text remain a failure at any size.
+    */
   private def shuffledColumns(query: String): Seq[String] =
     SparkEntry.queries(query)(planningSession, sf)
       .queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] =>
           e.output.map(_.name)
       }.flatten.distinct
 
