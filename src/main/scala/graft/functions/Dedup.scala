@@ -313,7 +313,7 @@ object Dedup {
             .select(col("id"), col("cluster").as("__old"),
               least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         }
-      val (updated, changed) = seam.matCounted(stepped,
+      val (updated, changed) = seam.cutCounted(stepped,
         count(when(col("cluster") =!= col("__old"), lit(1))), s"round$i")
       labels = updated.select(col("id"), col("cluster"))
       converged = changed == 0

@@ -46,7 +46,14 @@ object Graph {
     * pass the cut frame, instead of re-deriving per consumer.
     */
   def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    graft.ops.Relational.materialize(df, checkpointDir)
+    // r20: checkpoint-flavored cut — every caller here materializes a
+    // NARROW frame (pair lists, projections, per-key aggregates) whose
+    // recompute is cheap next to parquet's flat write-job overhead; the
+    // interleaved A/B put the checkpoint leg ahead for q186/q193-class
+    // callers. Expensive-lineage boundaries (q156's scored base, q196's
+    // shingle sets) go through Relational.materialize's parquet
+    // round-trip instead.
+    graft.ops.Materialize.seam(df.sparkSession, checkpointDir).cut(df, "m")
 
   /** Weighted integer PageRank. `edges` must be pre-aggregated
     * (src, dst, weight) with src ≠ dst; returns (host, rank) for every
@@ -66,7 +73,7 @@ object Graph {
     var step = 0
     var lastStep = -1
     val cut: DataFrame => DataFrame = { df =>
-      val out = seam.mat(df, s"r$step")
+      val out = seam.cut(df, s"r$step")
       if (lastStep >= 0) seam.drop(s"r$lastStep")
       lastStep = step
       step += 1
@@ -75,7 +82,7 @@ object Graph {
     // Materialize the (usually derived) edge list once: every round
     // references it, and cutting here also caps the per-round plan at a
     // constant two joins + one aggregate.
-    val e = seam.mat(edges.select(src.as("src"), dst.as("dst"),
+    val e = seam.cut(edges.select(src.as("src"), dst.as("dst"),
       weight.cast("long").as("w")), "edges")
     val hosts = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
@@ -194,7 +201,10 @@ object Graph {
     // job via observe instead of being its own action. Retired rounds'
     // files are freed as the peel advances.
     val seam = graft.ops.Materialize.seam(pairs.sparkSession, checkpointDir)
-    var (edges, prevCount) = seam.matCounted(
+    // Callers pass a PRE-MATERIALIZED pair list (q186 materializes the LSH
+    // pipeline once for both peels), so the canonicalized-edge init is
+    // cheap lineage — checkpoint-cut it (no observe wait).
+    var (edges, prevCount) = seam.cutCounted(
       pairs.select(least(a, b).as("a"), greatest(a, b).as("b"))
         .filter(col("a") =!= col("b")).distinct(), count(lit(1)), "edges")
     var i = 0
@@ -204,7 +214,7 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("id"))
-      val (nextEdges, after) = seam.matCounted(edges
+      val (nextEdges, after) = seam.cutCounted(edges
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")), count(lit(1)), s"round$i")
